@@ -1,0 +1,458 @@
+"""The declared query registry — the engine's public query surface.
+
+Every operator from SURVEY.md §2 is declared here as a named query
+over the driver fixture tables (TESTDATA.md), together with the ANSI
+SQL its DuckDB oracle runs. The driver executes both sides at sf0.01
+and compares row-count + schema + order-insensitive value hash;
+``tests/test_oracle_parity.py`` runs the same comparison locally.
+
+Column-name contract: every computed column is aliased identically in
+the Spark plan and the oracle SQL (the driver sorts columns by name
+before hashing).
+
+Mapping of the reference's event-log semantics onto the driver's
+``events`` fixture follows FIXTURES.md §B: ``event_type`` filter ≈ P1,
+``groupBy(user_id).count()`` ≈ A1, latest-per-user ≈ A3/S6. The
+game-native forms of the same operators (over the game-event envelope
+schema) are exercised by the synthesized-log queries (``game_*``) and
+by the unit tests' own DuckDB comparisons.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import compaction, scoreboard
+from .oracle import davg, dsum, sql_davg, sql_dsum
+from .sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def _prep(spark: SparkSession) -> None:
+    """Session invariants the oracle comparison depends on, applied
+    defensively because the driver owns the SparkSession."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Scoreboard family (SURVEY §2.3 A1-A5, §2.2 P1-P3, §2.5 W2-W3) on the
+# driver `events` fixture.
+# =====================================================================
+
+
+@register(
+    "a1_scoreboard_kills",
+    oracle="""
+    SELECT user_id AS killer, count(*) AS kills
+    FROM events
+    WHERE event_type = 'purchase'
+      AND user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT)
+    GROUP BY user_id
+    """,
+)
+def a1_scoreboard_kills(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + P1 + P2 + P3: the reference's production query shape
+    (ScoreboardFunction.java:18-58) on the events fixture — type-tag
+    filter, column-vs-column self-kill filter, grouped count.
+    Plan: scan(filter pushed) → partial agg → single shuffle on key.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.filter(F.col("event_type") == "purchase")  # P1
+        .filter(F.col("user_id") != k)  # P2
+        .groupBy(F.col("user_id").alias("killer"))
+        .agg(F.count(F.lit(1)).alias("kills"))  # A1
+    )
+
+
+@register(
+    "a3_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value, ts AS last_ts
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def a3_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/S6: TableView latest-per-key (pulsar.go:160-167) as a
+    max_by aggregation — partial-aggregates map-side, so the shuffle
+    moves ≤ one row per key per partition (vs. every raw row for the
+    window-function form the oracle uses)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+    return compaction.latest_per_key(
+        ev, key_cols=["user_id"], order_cols=["last_ts", "last_event_id"]
+    )
+
+
+@register(
+    "a4_global_scoreboard",
+    oracle=f"""
+    SELECT user_id AS player, {sql_dsum("value")} AS total, count(*) AS n_events
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY user_id
+    """,
+)
+def a4_global_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: cross-room per-player sum (docs/en/game7-connector.md:76-80)
+    — exact-decimal sum so the distributed result is bitwise stable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(F.col("user_id").alias("player"))
+        .agg(dsum("value").alias("total"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "a5_ranked_scoreboard",
+    oracle=f"""
+    WITH totals AS (
+      SELECT user_id AS player, {sql_dsum("value")} AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT player, total, rank() OVER (ORDER BY total DESC) AS rnk
+    FROM totals
+    """,
+)
+def a5_ranked_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/W3: global ranking (docs/en/game1-introduce.md:53, req 5).
+    The rank window runs over the aggregated result (one row per
+    player), never over raw events — the only single-partition stage
+    touches ~|players| rows."""
+    ev = _t(spark, sf_dir, "events")
+    totals = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("player"))
+        .agg(dsum("value").alias("total"))
+    )
+    return scoreboard.ranked_scoreboard(totals, total_col="total")
+
+
+@register(
+    "w2_recency_top5",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT user_id, last_ts, last_event_id
+    FROM latest ORDER BY last_ts DESC, last_event_id DESC LIMIT 5
+    """,
+)
+def w2_recency_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: the LRU-of-5 scoreboard view (game.go:57,300-312) — the k
+    most-recently-active keys."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("last_ts"), F.col("event_id").alias("last_event_id")
+    )
+    return compaction.recency_top_k(
+        ev, key_cols=["user_id"], order_cols=["last_ts", "last_event_id"], k=5
+    )
+
+
+@register(
+    "s4_latest_message",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def s4_latest_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/O2: newest record of the log (map init for new joiners,
+    pulsar.go:229-252) — TakeOrdered top-1, no global sort."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    return compaction.latest_message(ev, order_cols=["ts", "event_id"])
+
+
+# =====================================================================
+# Relational surface (SURVEY §2.12): TPC-H-shaped joins/aggs.
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity")} AS sum_qty,
+           {sql_dsum("l_extendedprice")} AS sum_base_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           {sql_davg("l_quantity")} AS avg_qty,
+           {sql_davg("l_extendedprice")} AS avg_price,
+           {sql_davg("l_discount")} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide grouped aggregation. One shuffle on the
+    (tiny-cardinality) group key after map-side partial agg; the
+    shipdate filter and 7-column projection reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity", n).alias("avg_qty"),
+            davg("l_extendedprice", n).alias("avg_price"),
+            davg("l_discount", n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+    customer is broadcast (small side); lineitem never shuffles for
+    the join, only for the final group-by on l_orderkey."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(disc_price).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with three broadcastable dims.
+    region/nation/supplier/customer all fit under the broadcast
+    threshold at any realistic scale (dims grow ~linearly but stay
+    tiny); only lineitem⋈orders is a shuffle join."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su),
+              (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey))
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(disc_price).alias("revenue"))
+    )
+
+
+# =====================================================================
+# Windows over event time (SURVEY §2.6 T8) and analytic windows.
+# =====================================================================
+
+
+@register(
+    "t8_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def t8_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: tumbling event-time window agg — the streaming-native
+    grouping (identical plan under readStream + watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "w3_order_rank_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             lag(o_totalprice) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def w3_order_rank_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows (rank + lag) with top-k-per-group filter —
+    one shuffle on the partition key, sort within partitions only."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# =====================================================================
+# Set operations / semi / anti joins (SURVEY §2.10, §2.12).
+# =====================================================================
+
+
+@register(
+    "j_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (P6's key-membership predicate in relational
+    form). Broadcast the distinct key set when it is small."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "j_parts_never_shipped",
+    oracle="""
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem
+    """,
+)
+def j_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (Catalyst rewrites to anti join + distinct)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.subtract(li)  # EXCEPT DISTINCT
+
+
+# =====================================================================
+# JSON / scalar function surface (X-series, SURVEY §2.7).
+# =====================================================================
+
+
+@register(
+    "x16_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+    """,
+)
+def x16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: JSON envelope decode (from_json/get_json_object ≈
+    pulsar.go:248,269 payload decode) + predicate on the extracted
+    field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k"), "event_type").filter(F.col("k") > 80)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

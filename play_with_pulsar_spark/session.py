@@ -1,0 +1,83 @@
+"""SparkSession builder for the engine.
+
+Centralizes the configuration the whole engine assumes:
+
+- UTC session timezone (required for DuckDB-oracle parity; DuckDB
+  timestamps are UTC-naive).
+- AQE on (runtime re-planning, skew-join handling, partition
+  coalescing) — this is the knob that lets the same declared plans
+  survive a 1000-executor / 100 TB deployment without hand-tuning.
+- Arrow on for every Python<->JVM boundary (Pandas UDFs,
+  toPandas/createDataFrame).
+- Shuffle partitions sized to the local core count; on a real
+  cluster this is overridden by AQE's coalescing + the operator
+  wrappers' explicit `repartition` calls on big keys.
+
+Scale note (100 TB): nothing here is local-mode-specific except the
+master URL; every other conf is what we would ship on a 1000-executor
+cluster (AQE, skew join, broadcast threshold, maxPartitionBytes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 4)
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "play-with-pulsar-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``cpus`` only affects the master URL in local mode; on a cluster
+    the master comes from spark-submit and this arg is ignored.
+    """
+    cpus = cpus or _cpus()
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- determinism / oracle parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: the scale story ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # local files are single small parquets; split row groups so a
+        # 32-core local run actually parallelizes the scan. On a real
+        # cluster 128m (default) is the right figure — this is a local
+        # override, env-tunable.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+        )
+        # --- python boundary: always Arrow ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- joins: broadcast anything < 64 MB (dimension tables) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # quiet the console
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,34 @@
+"""Every declared query with an oracle must hash-match DuckDB at
+sf0.01 — the local replica of the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from play_with_pulsar_spark import parity
+from play_with_pulsar_spark.queries import REGISTRY
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = parity.duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, spark, sf_dir, con):
+    spec = REGISTRY[name]
+    res = parity.compare(name, spark, sf_dir, spec.fn, spec.oracle, con=con)
+    assert res.ok, res.detail
+
+
+def test_all_queries_return_rows(spark, sf_dir):
+    """Smoke: every registered query (oracle or not) runs and has a
+    stable schema; most should be non-empty."""
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(1).collect()
