@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(28,6)"
+DEC = "decimal(18,6)"
 
 
 def dsum(col: Column | str) -> Column:
@@ -39,7 +39,7 @@ def davg(col: Column | str, count_col: Column | None = None) -> Column:
 
 def sql_dsum(expr: str) -> str:
     """The DuckDB-side twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def sql_davg(expr: str, count_expr: str = "COUNT(*)") -> str:

@@ -450,6 +450,20 @@ def x16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", k.alias("k"), "event_type").filter(F.col("k") > 80)
 
 
+# Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
+# stable across rounds so timings are comparable.
+BENCH_QUERIES = [
+    "a1_scoreboard_kills",
+    "a3_latest_per_key",
+    "a4_global_scoreboard",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "t8_tumbling_window",
+    "w3_order_rank_per_customer",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
