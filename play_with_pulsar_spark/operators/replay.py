@@ -1,0 +1,359 @@
+"""The deterministic replay fold — state = fold(handle, init, events).
+
+This is the reference's central computation (SURVEY §2.4): an ordered
+event log folded into materialized state ("same initial state + same
+event sequence ⇒ same result", docs/en/game1-introduce.md:91-97). The
+transition semantics reproduce game-code/event.go:31-225 exactly,
+including the guard predicates (event.go:33-45), duplicate-bomb
+no-ops (event.go:118-132), destructible-obstacle destruction during
+flame ray-cast (event.go:141-150), and full flame-map recomputation on
+explode/undo (event.go:152-163,184-194; geometry utils.go:132-175).
+
+Determinism note: Go map iteration order is unspecified, so the
+reference's flame recomputation is nondeterministic when two exploding
+bombs' flames overlap; this engine iterates exploding bombs sorted by
+position, making the fold a pure function of the event sequence.
+
+Execution model (the scale story): the fold is inherently sequential
+*within a room* but rooms are independent (topic-per-room isolation,
+docs/en/game2-use-mq.md:13-15). So the operator is
+``groupBy(room).applyInPandas(fold)``: one shuffle on room, then a
+pure per-group computation whose state is tiny and bounded (≤750
+cells, a handful of players — game.go:25-37). 100 TB of events =
+millions of rooms sharding across executors; no state ever crosses a
+group boundary. Python-side work is Arrow-batched; within-group
+ordering is by explicit ``offset`` (the broker order made a column).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..schema import BOMB_LENGTH, GRID_H, GRID_W
+
+DESTRUCTIBLE = 1
+INDESTRUCTIBLE = 2
+
+# One tagged table holds all four state maps (players/bombs/obstacles/
+# flames) so a replay is ONE fold and one shuffle, not four.
+STATE_SCHEMA = StructType(
+    [
+        StructField("room", StringType(), False),
+        StructField("entity", StringType(), False),  # player|bomb|obstacle|flame
+        StructField("name", StringType(), True),  # player or bomb name
+        StructField("owner", StringType(), True),  # bomb/flame owning player
+        StructField("x", IntegerType(), True),
+        StructField("y", IntegerType(), True),
+        StructField("alive", BooleanType(), True),  # players only
+        StructField("destructible", BooleanType(), True),  # obstacles only
+    ]
+)
+
+
+def valid_coordinate(x: int, y: int) -> bool:
+    """Bounds guard P5 (utils.go:61-63)."""
+    return 0 <= x < GRID_W and 0 <= y < GRID_H
+
+
+def decode_xy(code: int) -> tuple[int, int]:
+    """X1 inverse (utils.go:91-93): code = y*W + x."""
+    return code % GRID_W, code // GRID_W
+
+
+def encode_xy(x: int, y: int) -> int:
+    return y * GRID_W + x
+
+
+def explode_flame(pos: tuple[int, int], callback) -> None:
+    """Cross-shaped ray-cast (utils.go:132-175): four rays of length
+    ``BOMB_LENGTH`` from ``pos`` (the x/downward rays include ``pos``
+    itself); each ray stops at the border or when ``callback`` returns
+    False."""
+    x0, y0 = pos
+    rays = (
+        [(i, y0) for i in range(x0 - 1, x0 - BOMB_LENGTH - 1, -1)],
+        [(i, y0) for i in range(x0, x0 + BOMB_LENGTH + 1)],
+        [(x0, j) for j in range(y0 - 1, y0 - BOMB_LENGTH - 1, -1)],
+        [(x0, j) for j in range(y0, y0 + BOMB_LENGTH + 1)],
+    )
+    for ray in rays:
+        for p in ray:
+            if not valid_coordinate(*p):
+                break
+            if not callback(p):
+                break
+
+
+@dataclass
+class Bomb:
+    bomb_name: str
+    owner: str  # Split(bombName,"-")[0] — game.go:244 (X6)
+    pos: tuple[int, int]
+
+
+@dataclass
+class Player:
+    name: str
+    avatar: str | None
+    pos: tuple[int, int]
+    alive: bool
+
+
+@dataclass
+class GameState:
+    """The five keyed state maps of game-code/game.go:55-90."""
+
+    players: dict[str, Player] = field(default_factory=dict)  # nameToPlayers
+    bombs: dict[str, Bomb] = field(default_factory=dict)  # nameToBombs
+    pos_bombs: dict[tuple[int, int], str] = field(default_factory=dict)  # posToBombs
+    exploding: dict[tuple[int, int], Bomb] = field(default_factory=dict)
+    obstacles: dict[tuple[int, int], int] = field(default_factory=dict)
+    flames: dict[tuple[int, int], Bomb] = field(default_factory=dict)
+
+    # --- transitions (event.go:31-225) ---
+
+    def _obstacles_from_list(self, codes) -> None:
+        """X3 genObstacleMapFromList (event.go:227-251): sign encodes
+        destructibility (negative = destructible, X2)."""
+        if codes is None or isinstance(codes, float):  # None / NaN
+            codes = []
+        m: dict[tuple[int, int], int] = {}
+        for code in codes:
+            t = DESTRUCTIBLE if code < 0 else INDESTRUCTIBLE
+            x, y = decode_xy(abs(code))
+            m[(x, y)] = t
+        self.obstacles = m
+
+    def _remove_bomb(self, bomb_name: str) -> None:
+        """game.go:252-259 — also clears the position slot even when a
+        later duplicate bomb overwrote it."""
+        bomb = self.bombs.pop(bomb_name, None)
+        if bomb is not None:
+            self.pos_bombs.pop(bomb.pos, None)
+
+    def _recompute_flames(self) -> None:
+        """event.go:152-163,184-194: rebuilt from scratch from every
+        exploding bomb; only indestructible obstacles block flame.
+        Sorted iteration replaces Go's random map order (see module
+        docstring)."""
+        new: dict[tuple[int, int], Bomb] = {}
+        for pos, bomb in sorted(self.exploding.items()):
+
+            def cb(p, bomb=bomb):
+                if self.obstacles.get(p) == INDESTRUCTIBLE:
+                    return False
+                new[p] = bomb
+                return True
+
+            explode_flame(pos, cb)
+        self.flames = new
+
+    def user_move(self, ev: dict) -> None:
+        """F1 (event.go:31-48) with guards P5 (bounds), P6 (obstacle),
+        P7 (dead players can't move)."""
+        pos = (ev["x"], ev["y"])
+        if not valid_coordinate(*pos):
+            return
+        if pos in self.obstacles:
+            return
+        p = self.players.get(ev["name"])
+        if p is not None and not p.alive:
+            return
+        self.players[ev["name"]] = Player(ev["name"], ev.get("avatar"), pos, bool(ev.get("alive", True)))
+
+    def user_dead(self, ev: dict) -> None:
+        """F2 (event.go:50-59): flip alive only if the player exists."""
+        p = self.players.get(ev["name"])
+        if p is not None:
+            p.alive = False
+
+    def user_revive(self, ev: dict) -> None:
+        """F3 (event.go:61-68)."""
+        pos = (ev["x"], ev["y"])
+        self.players[ev["name"]] = Player(ev["name"], ev.get("avatar"), pos, True)
+
+    def user_join(self, ev: dict) -> None:
+        """F4 (event.go:72-83): upsert player AND replace the whole
+        obstacle map."""
+        pos = (ev["x"], ev["y"])
+        self.players[ev["name"]] = Player(ev["name"], ev.get("avatar"), pos, bool(ev.get("alive", True)))
+        self._obstacles_from_list(ev.get("list"))
+
+    def set_bomb(self, ev: dict) -> None:
+        """F5 (event.go:85-109): guarded insert; duplicate at an
+        occupied position overwrites the position slot (setBombWithTrigger,
+        game.go:239-250). Timer emission is not folded — the resulting
+        ExplodeEvent is already in the log (T1, SURVEY §2.6)."""
+        pos = (ev["x"], ev["y"])
+        if pos in self.obstacles:
+            return
+        name = ev["name"]
+        bomb = Bomb(name, name.split("-")[0], pos)
+        self.bombs[name] = bomb
+        self.pos_bombs[pos] = name
+
+    def explode(self, ev: dict) -> None:
+        """F6 (event.go:111-163): no-op when the bomb is gone or its
+        position slot was cleared (duplicate-bomb tolerance T5); else
+        remove bomb, mark exploding, destroy destructible obstacles
+        along the rays (indestructible blocks), recompute flames."""
+        bomb = self.bombs.get(ev["name"])
+        if bomb is None:
+            return
+        if bomb.pos not in self.pos_bombs:
+            return
+        self._remove_bomb(bomb.bomb_name)
+        self.exploding[bomb.pos] = bomb
+
+        def destroy(p):
+            t = self.obstacles.get(p)
+            if t == INDESTRUCTIBLE:
+                return False
+            if t == DESTRUCTIBLE:
+                del self.obstacles[p]
+            return True
+
+        explode_flame(bomb.pos, destroy)
+        self._recompute_flames()
+
+    def undo_explode(self, ev: dict) -> None:
+        """F7 (event.go:178-195): keyed by POSITION, then recompute."""
+        self.exploding.pop((ev["x"], ev["y"]), None)
+        self._recompute_flames()
+
+    def bomb_move(self, ev: dict) -> None:
+        """F8 (event.go:197-217): keyed move; no bounds check on the
+        target (faithful to the reference)."""
+        bomb = self.bombs.get(ev["name"])
+        if bomb is None:
+            return
+        if bomb.pos not in self.pos_bombs:
+            return
+        del self.pos_bombs[bomb.pos]
+        bomb.pos = (ev["x"], ev["y"])
+        self.pos_bombs[bomb.pos] = bomb.bomb_name
+
+    def update_map(self, ev: dict) -> None:
+        """F9 (event.go:219-225): replace the whole obstacle map."""
+        self._obstacles_from_list(ev.get("list"))
+
+    _DISPATCH = {
+        "UserMoveEvent": user_move,
+        "UserDeadEvent": user_dead,
+        "UserReviveEvent": user_revive,
+        "UserJoinEvent": user_join,
+        "SetBombEvent": set_bomb,
+        "ExplodeEvent": explode,
+        "UndoExplodeEvent": undo_explode,
+        "BombMoveEvent": bomb_move,
+        "UpdateMapEvent": update_map,
+    }
+
+    def apply(self, ev: dict) -> None:
+        h = self._DISPATCH.get(ev["type"])
+        if h is not None:
+            h(self, ev)
+
+    def to_rows(self, room: str) -> list[dict]:
+        rows = []
+        for p in self.players.values():
+            rows.append(
+                dict(room=room, entity="player", name=p.name, owner=None,
+                     x=p.pos[0], y=p.pos[1], alive=p.alive, destructible=None)
+            )
+        for b in self.bombs.values():
+            rows.append(
+                dict(room=room, entity="bomb", name=b.bomb_name, owner=b.owner,
+                     x=b.pos[0], y=b.pos[1], alive=None, destructible=None)
+            )
+        for (x, y), t in self.obstacles.items():
+            rows.append(
+                dict(room=room, entity="obstacle", name=None, owner=None,
+                     x=x, y=y, alive=None, destructible=t == DESTRUCTIBLE)
+            )
+        for (x, y), b in self.flames.items():
+            rows.append(
+                dict(room=room, entity="flame", name=b.bomb_name, owner=b.owner,
+                     x=x, y=y, alive=None, destructible=None)
+            )
+        return rows
+
+
+def fold_events(events, state: GameState | None = None) -> GameState:
+    """Fold an in-order iterable of event dicts into state — the
+    single authoritative transition implementation, shared by the
+    batch operator, the streaming operator, and the tests."""
+    state = state or GameState()
+    for ev in events:
+        state.apply(ev)
+    return state
+
+
+def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("offset", kind="mergesort")
+    room = pdf["room"].iloc[0]
+    state = fold_events(pdf.to_dict("records"))
+    rows = state.to_rows(room)
+    if not rows:
+        return pd.DataFrame(columns=[f.name for f in STATE_SCHEMA.fields])
+    return pd.DataFrame(rows)
+
+
+def replay_state(events: DataFrame, upto_offset: int | None = None) -> DataFrame:
+    """Time-travel query: materialized state as of ``upto_offset``
+    (inclusive), per room (SURVEY §3.2 — watch.go:43-85's re-fold).
+
+    Plan: offset filter (pushed to the scan) → shuffle on room →
+    per-room Arrow-batched fold. Returns the tagged state table
+    (``STATE_SCHEMA``).
+    """
+    if upto_offset is not None:
+        events = events.filter(F.col("offset") <= upto_offset)
+    return events.groupBy("room").applyInPandas(_fold_group, schema=STATE_SCHEMA)
+
+
+def players_state(state: DataFrame) -> DataFrame:
+    return state.filter(F.col("entity") == "player").select("room", "name", "x", "y", "alive")
+
+
+def bombs_state(state: DataFrame) -> DataFrame:
+    return state.filter(F.col("entity") == "bomb").select("room", "name", "owner", "x", "y")
+
+
+def obstacles_state(state: DataFrame) -> DataFrame:
+    return state.filter(F.col("entity") == "obstacle").select("room", "x", "y", "destructible")
+
+
+def flames_state(state: DataFrame) -> DataFrame:
+    return state.filter(F.col("entity") == "flame").select("room", "name", "owner", "x", "y")
+
+
+def player_position_history(events: DataFrame) -> DataFrame:
+    """The SQL fast path (SURVEY §2.4 batch-replay note): last
+    guard-free upsert per (room, player) via plain window analytics —
+    valid when guards pass; the exact operator is ``replay_state``.
+    Used for scalable position-history analytics where per-event
+    guard re-evaluation is not needed.
+    """
+    w_ev = events.filter(
+        F.col("type").isin("UserMoveEvent", "UserJoinEvent", "UserReviveEvent")
+    )
+    return (
+        w_ev.groupBy("room", "name")
+        .agg(
+            F.max_by(F.struct("x", "y", "ts"), "offset").alias("last"),
+            F.count(F.lit(1)).alias("n_updates"),
+        )
+        .select("room", "name", "last.x", "last.y", "last.ts", "n_updates")
+    )

@@ -1,0 +1,219 @@
+"""Golden and property tests for the replay fold (SURVEY §5.2.1/§5.2.3).
+
+Transition semantics under test cite game-code/event.go line ranges;
+these are the executable form of the reference's determinism-by-
+construction correctness argument (docs/en/game1-introduce.md:91-97).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from play_with_pulsar_spark.operators.replay import (
+    DESTRUCTIBLE,
+    INDESTRUCTIBLE,
+    GameState,
+    encode_xy,
+    fold_events,
+)
+from play_with_pulsar_spark.sources.fixtures import generate_room_events
+
+
+def ev(type_, name=None, comment="", x=0, y=0, alive=True, lst=None, offset=0):
+    return dict(offset=offset, room="r", ts=None, type=type_, name=name,
+                avatar="fff", comment=comment, x=x, y=y, alive=alive, list=lst)
+
+
+def test_join_sets_player_and_obstacles():
+    # F4: event.go:72-83 — upsert player AND replace whole obstacle map
+    s = fold_events([ev("UserJoinEvent", name="a", x=3, y=4,
+                        lst=[encode_xy(1, 1), -encode_xy(2, 2)])])
+    assert s.players["a"].pos == (3, 4) and s.players["a"].alive
+    assert s.obstacles == {(1, 1): INDESTRUCTIBLE, (2, 2): DESTRUCTIBLE}
+
+
+def test_move_guards():
+    # P5/P6/P7: event.go:33-45
+    base = [ev("UserJoinEvent", name="a", x=3, y=4, lst=[encode_xy(5, 5)])]
+    s = fold_events(base + [ev("UserMoveEvent", name="a", x=-1, y=4)])
+    assert s.players["a"].pos == (3, 4)  # out of bounds rejected
+    s = fold_events(base + [ev("UserMoveEvent", name="a", x=5, y=5)])
+    assert s.players["a"].pos == (3, 4)  # onto obstacle rejected
+    s = fold_events(base + [ev("UserDeadEvent", name="a"),
+                            ev("UserMoveEvent", name="a", x=4, y=4, alive=False)])
+    assert s.players["a"].pos == (3, 4) and not s.players["a"].alive  # dead can't move
+    s = fold_events(base + [ev("UserMoveEvent", name="a", x=4, y=4)])
+    assert s.players["a"].pos == (4, 4)  # valid move applies
+
+
+def test_dead_and_revive():
+    # F2 (event.go:50-59): only existing players; F3 (event.go:61-68)
+    s = fold_events([ev("UserDeadEvent", name="ghost")])
+    assert "ghost" not in s.players
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=1, y=1, lst=[]),
+        ev("UserDeadEvent", name="a", comment="b"),
+        ev("UserReviveEvent", name="a", x=7, y=8),
+    ])
+    assert s.players["a"].alive and s.players["a"].pos == (7, 8)
+
+
+def test_set_bomb_guard_and_owner():
+    # F5: event.go:85-109 (obstacle guard) + X6 owner split (game.go:244)
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=1, y=1, lst=[encode_xy(2, 2)]),
+        ev("SetBombEvent", name="a-abcde", x=2, y=2),  # on obstacle → no-op
+        ev("SetBombEvent", name="a-fghij", x=1, y=1),
+    ])
+    assert "a-abcde" not in s.bombs
+    assert s.bombs["a-fghij"].owner == "a" and s.pos_bombs[(1, 1)] == "a-fghij"
+
+
+def test_duplicate_bomb_explode_idempotence():
+    # T5: event.go:118-132 — two bombs at one position; the second
+    # explode finds the position slot cleared and no-ops
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=1, y=1, lst=[]),
+        ev("SetBombEvent", name="a-first", x=1, y=1),
+        ev("SetBombEvent", name="a-secnd", x=1, y=1),  # overwrites pos slot
+        ev("ExplodeEvent", name="a-secnd"),
+        ev("ExplodeEvent", name="a-first"),  # pos slot gone → no-op
+    ])
+    assert "a-secnd" not in s.bombs
+    assert "a-first" in s.bombs  # never removed — its explode no-oped
+    assert (1, 1) in s.exploding and (1, 1) in s.flames
+
+
+def test_flame_geometry_and_blocking():
+    # X13/F6: utils.go:132-175 + event.go:141-163 — cross shape,
+    # indestructible blocks the ray, destructible is destroyed and
+    # flame passes through
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=10, y=10,
+           lst=[encode_xy(12, 10), -encode_xy(8, 10)]),  # indestructible right, destructible left
+        ev("SetBombEvent", name="a-bomba", x=10, y=10),
+        ev("ExplodeEvent", name="a-bomba"),
+    ])
+    # right ray stops BEFORE the indestructible obstacle at x=12
+    assert (11, 10) in s.flames and (12, 10) not in s.flames and (13, 10) not in s.flames
+    # left ray destroys the destructible at x=8 and continues to reach x=4
+    assert (8, 10) not in s.obstacles
+    assert all((x, 10) in s.flames for x in range(4, 10))
+    # vertical rays unobstructed: length 6 both ways
+    assert (10, 4) in s.flames and (10, 16) in s.flames and (10, 3) not in s.flames
+    # flame owner attribution (J2 input)
+    assert s.flames[(11, 10)].owner == "a"
+
+
+def test_undo_explode_clears_flames():
+    # F7: event.go:178-195 — keyed by position, flames recomputed
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=10, y=10, lst=[]),
+        ev("SetBombEvent", name="a-bomba", x=10, y=10),
+        ev("ExplodeEvent", name="a-bomba"),
+        ev("UndoExplodeEvent", x=10, y=10),
+    ])
+    assert s.flames == {} and s.exploding == {}
+
+
+def test_overlapping_flames_deterministic():
+    # two exploding bombs with overlapping flames: recompute iterates
+    # sorted by position (engine's determinism choice; Go maps are
+    # unordered — module docstring)
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=10, y=10, lst=[]),
+        ev("SetBombEvent", name="a-alpha", x=10, y=10),
+        ev("SetBombEvent", name="a-betab", x=12, y=10),
+        ev("ExplodeEvent", name="a-alpha"),
+        ev("ExplodeEvent", name="a-betab"),
+    ])
+    # overlap cell (11,10): the later-sorted bomb position wins — (12,10)
+    assert s.flames[(11, 10)].bomb_name == "a-betab"
+
+
+def test_bomb_move_keyed():
+    # F8: event.go:197-217
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=1, y=1, lst=[]),
+        ev("SetBombEvent", name="a-bomba", x=1, y=1),
+        ev("BombMoveEvent", name="a-bomba", x=2, y=1),
+        ev("BombMoveEvent", name="ghost", x=9, y=9),  # missing → no-op
+    ])
+    assert s.bombs["a-bomba"].pos == (2, 1)
+    assert s.pos_bombs == {(2, 1): "a-bomba"}
+
+
+def test_update_map_replaces():
+    # F9: event.go:219-225
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=1, y=1, lst=[encode_xy(3, 3)]),
+        ev("UpdateMapEvent", lst=[-encode_xy(4, 4)]),
+    ])
+    assert s.obstacles == {(4, 4): DESTRUCTIBLE}
+
+
+# --- generator + determinism properties (§5.2.1, §5.2.3) ---
+
+
+def test_generator_deterministic_and_replayable():
+    a = generate_room_events("room-x", 800, seed=42)
+    b = generate_room_events("room-x", 800, seed=42)
+    assert a == b  # same seed ⇒ same log
+    c = generate_room_events("room-x", 800, seed=43)
+    assert a != c
+    # replay twice ⇒ identical state (determinism contract)
+    s1, s2 = fold_events(a), fold_events(b)
+    assert s1 == s2
+    # prefix-fold then suffix-fold equals whole-fold (micro-batch
+    # boundaries must not matter — streaming parity precondition)
+    s_split = fold_events(a[400:], fold_events(a[:400]))
+    assert s_split == fold_events(a)
+
+
+def test_generator_exercises_edge_cases():
+    evs = generate_room_events("room-y", 3000, seed=42)
+    types = {e["type"] for e in evs}
+    assert types >= {"UserJoinEvent", "UserMoveEvent", "UserDeadEvent",
+                     "UserReviveEvent", "SetBombEvent", "ExplodeEvent",
+                     "UndoExplodeEvent", "BombMoveEvent"}
+    deaths = [e for e in evs if e["type"] == "UserDeadEvent"]
+    assert any(e["name"] == e["comment"] for e in deaths), "need self-kills (P2)"
+    assert any(e["name"] != e["comment"] for e in deaths), "need real kills"
+    moves = [e for e in evs if e["type"] == "UserMoveEvent"]
+    assert any(not (0 <= e["x"] < 30 and 0 <= e["y"] < 25) for e in moves), "need OOB moves (P5)"
+
+
+def test_duplicate_event_injection_tolerated():
+    # duplicate delivery of any single event must not corrupt state
+    # beyond the reference's own tolerance (T5) — the fold never raises
+    evs = generate_room_events("room-z", 1000, seed=7)
+    doubled = []
+    for i, e in enumerate(evs):
+        doubled.append(e)
+        if i % 97 == 0:
+            doubled.append(dict(e))
+    fold_events(doubled)  # must not raise
+
+
+@pytest.mark.parametrize("upto", [0, 10, 500])
+def test_spark_replay_matches_local_fold(spark, upto):
+    # batch operator == single-threaded reference fold, per room
+    from play_with_pulsar_spark.operators.replay import players_state, replay_state
+    from play_with_pulsar_spark.sources.fixtures import game_event_log
+
+    log = game_event_log(spark, n_rooms=3, events_per_room=600, seed=42).cache()
+    state = replay_state(log, upto_offset=upto if upto else None)
+    got = {
+        (r["room"], r["name"]): (r["x"], r["y"], r["alive"])
+        for r in players_state(state).collect()
+    }
+    want = {}
+    for room in ["room-0000", "room-0001", "room-0002"]:
+        evs = generate_room_events(room, 600, seed=42)
+        if upto:
+            evs = [e for e in evs if e["offset"] <= upto]
+        s = fold_events(evs)
+        for name, p in s.players.items():
+            want[(room, name)] = (p.pos[0], p.pos[1], p.alive)
+    assert got == want
+    log.unpersist()
