@@ -20,15 +20,23 @@ by the unit tests' own DuckDB comparisons.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import compaction, scoreboard
+from .operators import compaction, replay, scoreboard
 from .oracle import davg, dsum, sql_davg, sql_dsum
 from .sources.tables import load_table
+
+# Committed, seeded game-event-log fixture (FIXTURES.md §A1; generated
+# by scripts/gen_fixtures.py). Game-native queries read it from both
+# engines so the DuckDB oracle sees the identical table.
+GAME_EVENTS_PATH = os.path.abspath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "fixtures", "game_events.parquet")
+)
 
 
 @dataclass(frozen=True)
@@ -448,6 +456,161 @@ def x16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return ev.select("event_id", k.alias("k"), "event_type").filter(F.col("k") > 80)
+
+
+# =====================================================================
+# Game-native operators over the committed event-log fixture — the
+# reference's own schema and queries (SURVEY §1.1-A, §2.3, §2.4).
+# =====================================================================
+
+
+def _game_log(spark: SparkSession) -> DataFrame:
+    _prep(spark)
+    return spark.read.parquet(GAME_EVENTS_PATH)
+
+
+@register(
+    "game_a1_room_scoreboard",
+    oracle=f"""
+    SELECT room, comment AS killer, count(*) AS kills
+    FROM read_parquet('{GAME_EVENTS_PATH}')
+    WHERE "type" = 'UserDeadEvent' AND "name" <> comment
+    GROUP BY room, comment
+    """,
+)
+def game_a1_room_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference production query on the reference's own schema:
+    kills per (room, killer) — ScoreboardFunction.java:18-58."""
+    return scoreboard.kill_counts(_game_log(spark))
+
+
+@register(
+    "game_a4a5_global_rank",
+    oracle=f"""
+    WITH per_room AS (
+      SELECT room, comment AS killer, count(*) AS kills
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" = 'UserDeadEvent' AND "name" <> comment
+      GROUP BY room, comment
+    ), totals AS (
+      SELECT killer AS player, CAST(sum(kills) AS BIGINT) AS total
+      FROM per_room GROUP BY killer
+    )
+    SELECT player, total, rank() OVER (ORDER BY total DESC) AS rnk FROM totals
+    """,
+)
+def game_a4a5_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5: cross-room player totals + global rank (the Redis-sink
+    + Lua-sum pipeline of docs/en/game7-connector.md:62-80 collapsed
+    into two aggregations)."""
+    per_room = scoreboard.kill_counts(_game_log(spark))
+    totals = scoreboard.global_scoreboard(per_room)
+    return scoreboard.ranked_scoreboard(totals)
+
+
+@register(
+    "game_p4_position_history",
+    oracle=f"""
+    SELECT room, "name", x, y, ts, n_updates FROM (
+      SELECT room, "name", x, y, ts,
+             row_number() OVER (PARTITION BY room, "name" ORDER BY "offset" DESC) AS rn,
+             count(*) OVER (PARTITION BY room, "name") AS n_updates
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" IN ('UserMoveEvent','UserJoinEvent','UserReviveEvent')
+    ) WHERE rn = 1
+    """,
+)
+def game_p4_position_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guard-free SQL fast path of the fold (SURVEY §2.4 batch
+    note): last position-bearing event per (room, player) via max_by —
+    an aggregation, not a window, so it partial-aggregates map-side."""
+    return replay.player_position_history(_game_log(spark))
+
+
+@register(
+    "game_x3_obstacle_decode",
+    oracle=f"""
+    WITH latest AS (
+      SELECT room, "list" AS lst
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" IN ('UserJoinEvent','UpdateMapEvent')
+      QUALIFY row_number() OVER (PARTITION BY room ORDER BY "offset" DESC) = 1
+    ), codes AS (
+      SELECT room, unnest(lst) AS code FROM latest
+    )
+    SELECT room,
+           CAST(abs(code) % 30 AS INT) AS x,
+           CAST(abs(code) // 30 AS INT) AS y,
+           code < 0 AS destructible
+    FROM codes
+    """,
+)
+def game_x3_obstacle_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + X1/X2/X3: latest map snapshot per room (max_by), exploded
+    from the sign-encoded obstacle list (utils.go:87-93 encodeXY,
+    event.go:227-251 decode) into an (x, y, destructible) table."""
+    log = _game_log(spark).filter(F.col("type").isin("UserJoinEvent", "UpdateMapEvent"))
+    latest = compaction.latest_per_key(
+        log, key_cols=["room"], order_cols=["offset"], payload_cols=["offset", "list"]
+    )
+    code = F.abs(F.col("code"))
+    return latest.select("room", F.explode("list").alias("code")).select(
+        "room",
+        F.pmod(code, F.lit(30)).cast("int").alias("x"),
+        F.floor(code / 30).cast("int").alias("y"),
+        (F.col("code") < 0).alias("destructible"),
+    )
+
+
+@register(
+    "game_s4_latest_event_per_room",
+    oracle=f"""
+    SELECT room, "offset" AS last_offset, "type" AS last_type,
+           "name" AS last_name, ts AS last_ts
+    FROM read_parquet('{GAME_EVENTS_PATH}')
+    QUALIFY row_number() OVER (PARTITION BY room ORDER BY "offset" DESC) = 1
+    """,
+)
+def game_s4_latest_event_per_room(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 per room: the latest-message point-read generalized to the
+    partitioned log (pulsar.go:229-252)."""
+    log = _game_log(spark).select(
+        "room",
+        F.col("offset").alias("last_offset"),
+        F.col("type").alias("last_type"),
+        F.col("name").alias("last_name"),
+        F.col("ts").alias("last_ts"),
+    )
+    return compaction.latest_per_key(log, key_cols=["room"], order_cols=["last_offset"])
+
+
+# --- the fold itself: genuinely non-SQL-expressible (driver records
+# rows-only checks for these; exactness is proven by the golden tests
+# in tests/test_replay_fold.py against the single-threaded fold) ---
+
+
+@register("fold_players_state", oracle=None)
+def fold_players_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 replay fold, players table at end-of-log — order-dependent
+    guards (P5-P7) make this unexpressible in one SQL pass."""
+    state = replay.replay_state(_game_log(spark))
+    return replay.players_state(state)
+
+
+@register("fold_time_travel", oracle=None)
+def fold_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 time-travel: state_at(room, k) for k=1500 — the watch-mode
+    replay (watch.go:43-85) as a batch query."""
+    state = replay.replay_state(_game_log(spark), upto_offset=1500)
+    return replay.players_state(state)
+
+
+@register("fold_state_summary", oracle=None)
+def fold_state_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full materialized state (players+bombs+obstacles+flames)
+    summarized per room — one fold, one shuffle."""
+    state = replay.replay_state(_game_log(spark))
+    return state.groupBy("room", "entity").agg(F.count(F.lit(1)).alias("n"))
 
 
 # Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
