@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the whole point of these):
+
+- **exact_dedup** — hash-groupBy on a content fingerprint. One
+  shuffle on md5(text); with map-side partial agg the shuffle carries
+  one row per distinct fingerprint per partition.
+- **ngram_jaccard_pairs** — the exact near-dup ground truth.
+  Inverted-index self-join on shingles. The frequency cap
+  (``max_shingle_freq``) drops stop-shingles before the join: a
+  shingle appearing in f docs creates f² candidate pairs, so skew
+  control IS the cap (plus AQE skew-join as backstop). Quadratic in
+  docs-per-shingle, not in corpus size.
+- **minhash_signatures / lsh_candidate_pairs** — the 100 TB path.
+  k independent permutation hashes h_i(x) = (a_i·x + b_i) mod p over
+  64-bit shingle hashes (xxhash64, JVM-side), banded so only same-
+  band-bucket docs join. Candidate generation never compares all
+  pairs; the verify step computes true Jaccard only for candidates.
+- **simhash64** — 64-bit near-dup fingerprint; hamming-close
+  signatures = near-dups. Vectorized numpy bit-count, Arrow-batched.
+
+References: Broder, "On the resemblance and containment of
+documents" (1997); Leskovec/Rajaraman/Ullman MMDS ch.3 (minhash/LSH
+banding); Charikar (2002) for SimHash. Public-knowledge algorithms,
+implemented Spark-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import fingerprint_md5, word_ngrams
+
+# Mersenne prime 2^31-1: modulus for the affine permutation hashes.
+# 31-bit values keep a·h + b well inside 64-bit range (no overflow —
+# which would be a runtime error under Spark 4's default ANSI mode).
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical row per distinct content: min id + copy count."""
+    return (
+        docs.groupBy(fingerprint_md5(text_col).alias("fp"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1
+    shingle; returns pairs (id_a < id_b) with jaccard ≥ threshold.
+
+    Set ``max_shingle_freq`` to drop shingles occurring in more than
+    f documents before the self-join (standard stop-shingle trick) —
+    mandatory at scale, optional for exactness on small corpora.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_ngrams(text_col, n)).alias("g")
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("g")
+        )
+        grams = grams.join(rare, "g")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _perm_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).tolist()
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_hashes]) — min over shingles of
+    affine permutations of xxhash64(shingle). All JVM-side: explode →
+    groupBy(doc) with one min per hash — no Python in the path.
+
+    The per-row shingle hash and the k affine maps are computed in a
+    single projection; the aggregation is a plain grouped min, so it
+    partial-aggregates map-side like any sum/min.
+    """
+    a_params, b_params = _perm_params(num_hashes, seed)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("g"),
+    ).select(
+        "doc_id",
+        # unsigned-ify xxhash64 into [0, 2^61) via pmod
+        F.pmod(F.xxhash64("g"), F.lit(_MERSENNE)).alias("h"),
+    )
+    mins = grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a_params[i]) + F.lit(b_params[i]), F.lit(_MERSENNE))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select("doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join per band, union the candidate
+    pairs. Only docs agreeing on a whole band ever meet in the join —
+    the all-pairs comparison never happens."""
+    n = num_bands * rows_per_band
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.concat_ws(",", *[F.col("sig")[i].cast("string")
+                                              for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates →
+    exact-Jaccard verification of candidates only. Returns verified
+    near-dup pairs (id_a < id_b, jaccard)."""
+    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes, seed)
+    cands = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_ngrams(text_col, n)).alias("g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    inter = (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(F.col("ga") == F.col("gb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of
+    xxhash64(token). Tokens hashed JVM-side; the 64 bit-tallies are a
+    vectorized numpy popcount in a grouped Arrow batch."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc = pdf["doc_id"].iloc[0]
+        h = pdf["h"].to_numpy(dtype=np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = 0
+        for i in np.nonzero(votes > 0)[0]:
+            sig |= 1 << int(i)
+        if sig >= 1 << 63:  # reinterpret as signed 64-bit for LongType
+            sig -= 1 << 64
+        return pd.DataFrame({"doc_id": [doc], "simhash": [sig]})
+
+    return toks.groupBy("doc_id").applyInPandas(_fold, schema="doc_id long, simhash long")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR — JVM-side via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit quarters (a pair
+    within hamming ≤ 3 of 64 bits must agree on ≥1 of 4 quarters —
+    pigeonhole), then verify hamming distance. Never all-pairs."""
+    sigs = simhash64(docs, **kw)
+    quarters = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF)) for q in range(4)])
+        ).alias("q", "qv"),
+    )
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

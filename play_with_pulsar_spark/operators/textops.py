@@ -1,0 +1,130 @@
+"""Text-analysis operators for the LLM-data-pipeline surface.
+
+Everything here is built from JVM-side column expressions
+(split/transform/aggregate/regexp) — no Python in the hot path — so
+the operators ride whole-stage codegen and scale with the scan. The
+one exception is language ID (trigram profiles), which is a
+vectorized Pandas UDF by design: profile scoring is a dot product per
+row, Arrow-batched.
+
+Reference linkage: the engine's scalar-function layer (SURVEY §2.7
+X-series) generalized from grid/topic codecs to document analytics;
+the reference itself has no text ops (its strings are names/topics),
+so these are the BASELINE.json north-star extensions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Whitespace tokenizer — the SQL-parity tokenization used everywhere
+# (both engines: split on \s+ after trim+lower).
+TOKEN_RE = r"\s+"
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+PUNCT_CLASS = r"[^.,!?;:]"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), TOKEN_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, built with JVM array lambdas
+    (transform over a 0-based index sequence)."""
+    t = tokens(col)
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(gram)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, PUNCT_CLASS, "")).cast("double") / F.length(c)
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    t = tokens(col)
+    stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double")
+    return stop / F.size(t)
+
+
+def mean_token_len(col: Column | str) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite heuristic quality in [0,1]: long-enough docs with
+    moderate stopword density and sane token lengths score high.
+    Deterministic per-row double arithmetic (left-assoc, identical in
+    the oracle SQL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c).cast("double") / F.lit(400.0), F.lit(1.0))
+    stop = stopword_ratio(c)
+    stop_score = F.lit(1.0) - F.abs(stop - F.lit(0.3))
+    tok_len = mean_token_len(c)
+    tok_score = F.lit(1.0) - F.least(F.abs(tok_len - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+    return len_score * F.lit(0.4) + stop_score * F.lit(0.3) + tok_score * F.lit(0.3)
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Whole-document content fingerprint (exact-dup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+# --- language ID: trigram-profile scoring (vectorized, deterministic) ---
+
+# Tiny per-language character-trigram profiles. Real deployments load
+# profiles trained offline; these are fixed so the operator is
+# deterministic and dependency-free.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ar ", " qu"),
+    "fr": (" le", "le ", " de", "es ", " la", "ent", "nt ", " et", "et ", "ion"),
+    "de": ("er ", " de", "der", "ie ", " di", "die", "ein", "ich", "sch", "en "),
+    "zh": ("de ", " sh", "shi", " zh", "zho", "ng ", "ang", "eng", " ma", " ni"),
+}
+
+
+@pandas_udf(StringType())
+def lang_id(texts: pd.Series) -> pd.Series:
+    """Predict language by counting profile-trigram hits; ties break
+    by profile order (stable). Arrow-batched; no JVM round-trips."""
+    out = []
+    for t in texts:
+        s = (t or "").lower()
+        best_lang, best = "und", -1
+        for lang, grams in _LANG_PROFILES.items():
+            score = sum(s.count(g) for g in grams)
+            if score > best:
+                best_lang, best = lang, score
+        out.append(best_lang if best > 0 else "und")
+    return pd.Series(out)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stats table."""
+    return docs.select(
+        "doc_id",
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars_actual"),
+        mean_token_len(text_col).alias("mean_token_len"),
+        stopword_ratio(text_col).alias("stop_ratio"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        fingerprint_md5(text_col).alias("fp"),
+    )

@@ -613,6 +613,191 @@ def fold_state_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.groupBy("room", "entity").agg(F.count(F.lit(1)).alias("n"))
 
 
+# =====================================================================
+# LLM-data-pipeline surface (SURVEY §2.12 / BASELINE.json north star):
+# text analysis, dedup, similarity search over documents/embeddings.
+# =====================================================================
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_STOPS = "('the','a','an','of','and','to','in','is','on','for')"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len,
+           CAST(len(list_filter(toks, x -> x IN {_STOPS})) AS DOUBLE) / len(toks) AS stop_ratio,
+           CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+           least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+             + (1.0 - abs(CAST(len(list_filter(toks, x -> x IN {_STOPS})) AS DOUBLE) / len(toks) - 0.3)) * 0.3
+             + (1.0 - least(abs(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) - 5.0) / 5.0, 1.0)) * 0.3
+             AS quality,
+           md5(text) AS fp
+    FROM t
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting, quality scoring, fingerprinting
+    — all JVM-side column expressions (whole-stage codegen; the scan
+    is the only cost)."""
+    from .operators import textops
+
+    return textops.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint; the
+    shuffle carries one row per distinct fingerprint per partition."""
+    from .operators import dedup
+
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index
+    self-join (the ground truth the MinHash path approximates)."""
+    from .operators import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (the 100 TB path): banded signature
+    buckets generate candidates, exact Jaccard verifies candidates
+    only. No SQL oracle (the xxhash64 family is engine-specific);
+    recall vs the exact pairs is asserted in tests."""
+    from .operators import dedup
+
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=128, num_bands=32, threshold=0.8
+    )
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, pigeonhole quarter
+    blocking, hamming ≤ 3 verification."""
+    from .operators import dedup
+
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register("text_lang_id", oracle=None)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-profile language ID (vectorized Pandas UDF) next to the
+    labeled lang column for eyeballing accuracy."""
+    from .operators import textops
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", textops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def sim_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 10 query vectors: broadcast queries,
+    numpy-matmul partial top-k per corpus partition, merge — the
+    all-pairs matrix never shuffles. Ranked by round(sim, 6) in both
+    engines so summation order cannot flip ranks."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        spark, corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=10, round_to=6
+    )
+
+
+@register("sim_lsh_topk", oracle=None)
+def sim_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (16 tables × 4
+    planes — tuned for the weak-similarity regime of this corpus:
+    collision prob per table (1-θ/π)^planes, so fewer planes = higher
+    recall at more candidates). Recall vs brute force asserted in
+    tests."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        spark, corpus=emb, queries=emb.filter(F.col("vec_id") < 10),
+        dim=64, k=10, num_planes=4, num_tables=16,
+    )
+
+
+@register("sim_ivf_topk", oracle=None)
+def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (coarse k-means quantizer, nprobe cells scored):
+    the index of choice when embeddings have cluster structure; on
+    this (random) corpus recall ≈ probed fraction — asserted against
+    clustered data in tests."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        spark, corpus=emb, queries=emb.filter(F.col("vec_id") < 10),
+        k=10, n_cells=16, nprobe=4,
+    )
+
+
 # Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
 # stable across rounds so timings are comparable.
 BENCH_QUERIES = [

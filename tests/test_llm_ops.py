@@ -1,0 +1,141 @@
+"""Quality gates for the approximate LLM-pipeline operators: the
+approximations must actually find what the exact operators find."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from play_with_pulsar_spark.operators import dedup, similarity
+from play_with_pulsar_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(
+            docs, n=3, num_hashes=128, num_bands=32, threshold=0.8
+        ).collect()
+    }
+    # verification step computes exact jaccard on candidates, so the
+    # approx result can only miss pairs (never invent them)
+    assert approx <= exact
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 over {len(exact)} pairs"
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    # simhash (token-level) should recover most very-high-jaccard pairs
+    if exact:
+        recall = len(exact & sim) / len(exact)
+        assert recall >= 0.6, f"simhash recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_max_shingle_freq_cap_keeps_planted_pairs(spark, docs):
+    # the stop-shingle cap (the scale knob) must not lose the planted
+    # near-dup pairs on this corpus
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.8, max_shingle_freq=50
+        ).collect()
+    }
+    assert capped, "cap removed every pair"
+    assert len(capped & full) / len(full) >= 0.8
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, emb):
+    # this corpus is near-random (no label geometry), so neighbor
+    # cosine ≈ 0.3 — the hard regime for hyperplane LSH; wide buckets
+    # (4 planes) with many tables still reach high recall
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = similarity.brute_force_topk(spark, emb, queries, k=10)
+    approx = similarity.lsh_topk(
+        spark, emb, queries, dim=64, k=10, num_planes=4, num_tables=16
+    )
+    t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.6, f"lsh recall {recall:.2f}"
+
+
+def test_ivf_topk_on_clustered_data(spark):
+    # IVF's home turf: data with real cluster structure. 10 tight
+    # clusters in 64-dim; top-10 neighbors are intra-cluster, so
+    # probing 4/16 cells must recover nearly all of them.
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(10, 64) * 3
+    vecs = []
+    for i in range(500):
+        c = i % 10
+        vecs.append((i, (centers[c] + rng.randn(64) * 0.3).astype("float32").tolist(), c))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int").cache()
+    queries = df.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(spark, df, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            spark, df, queries, k=10, n_cells=16, nprobe=4
+        ).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"ivf recall on clustered data {recall:.2f}"
+    df.unpersist()
+
+
+def test_bruteforce_topk_is_exact(spark, emb):
+    # cross-check the partial-top-k merge against a single-machine
+    # numpy computation
+    import numpy as np
+
+    pdf = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["v"].to_numpy())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m[:5] @ m.T
+    want = set()
+    for qi in range(5):
+        order = sorted(
+            ((float(sims[qi, j]), int(ids[j])) for j in range(len(ids)) if ids[j] != ids[qi]),
+            key=lambda p: (-p[0], p[1]),
+        )
+        want |= {(int(ids[qi]), nid) for _, nid in order[:10]}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(
+            spark, emb, emb.filter(F.col("vec_id") < 5), k=10
+        ).collect()
+    }
+    assert got == want
