@@ -1,0 +1,134 @@
+"""Structured Streaming pipelines — the live half of the engine.
+
+The reference's production topology is streaming end-to-end: a
+Function consumes every room's event topic (regex subscription,
+ScoreboardFunction.java:82-87), maintains per-(room,killer) counters
+in BookKeeper state (:41-45), and emits running totals as a changelog
+(:47-50) that clients compact with TableView (pulsar.go:160-167).
+
+Spark mapping used here:
+
+- the regex multi-topic source ≈ one streaming DataFrame with a
+  ``room`` column (S5);
+- the stateful counter ≈ a streaming grouped count in ``update``
+  output mode — Spark's state store replaces ``context.incrCounter``
+  (A1/A2); running totals per trigger ARE the changelog;
+- TableView ≈ ``complete``-mode ``max_by`` latest-per-key (S6);
+- effectively-once (T4) ≈ checkpointing + ``dropDuplicatesWithinWatermark``;
+- the fold (F1-F9) ≈ ``applyInPandasWithState``: per-room GameState
+  carried across micro-batches, events applied in offset order. The
+  SAME transition code as batch replay — micro-batch boundaries
+  cannot change the result (asserted in tests).
+
+All functions accept any streaming DataFrame with the right columns;
+the file-source helpers exist so tests and local runs can drive the
+pipelines from parquet directories (swap for Kafka/Pulsar sources in
+production — the query shapes do not change).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+from ..operators.replay import STATE_SCHEMA, GameState, fold_events
+from ..schema import GAME_EVENT_SCHEMA
+
+
+def stream_game_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """S2/S3 streaming source: tail a growing parquet log directory.
+    ``maxFilesPerTrigger=1`` makes micro-batch boundaries deterministic
+    for parity tests."""
+    return (
+        spark.readStream.schema(GAME_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_kill_counts(events: DataFrame) -> DataFrame:
+    """A1 as a streaming aggregation — identical logical plan to the
+    batch form; with ``outputMode("update")`` every trigger emits the
+    changed (room,killer) totals, exactly the Function's changelog
+    emission (A2)."""
+    from ..operators.scoreboard import kill_counts
+
+    return kill_counts(events)
+
+
+def streaming_latest_per_key(events: DataFrame, key_cols, order_cols, payload_cols) -> DataFrame:
+    """S6 TableView as a streaming agg (complete/update mode)."""
+    from ..operators.compaction import latest_per_key
+
+    return latest_per_key(events, key_cols, order_cols, payload_cols)
+
+
+def deduped_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T4 effectively-once: drop redelivered events within the
+    watermark by (room, offset) — state is bounded by the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["room", "offset"]
+    )
+
+
+# --- the streaming fold: GameState carried across micro-batches ---
+
+_FOLD_STATE_SCHEMA = StructType([StructField("blob", BinaryType(), True)])
+
+
+def _fold_with_state(key, pdf_iter, state: GroupState):
+    """applyInPandasWithState kernel: unpickle the room's GameState,
+    apply this micro-batch's events in offset order, persist, and emit
+    the room's current state table (update-mode changelog of the
+    materialized state)."""
+    room = key[0]
+    if state.exists:
+        gs = pickle.loads(state.get[0])
+    else:
+        gs = GameState()
+    batches = [pdf for pdf in pdf_iter if not pdf.empty]
+    if batches:
+        events = pd.concat(batches).sort_values("offset", kind="mergesort")
+        fold_events(events.to_dict("records"), gs)
+    state.update((pickle.dumps(gs),))
+    rows = gs.to_rows(room)
+    if rows:
+        yield pd.DataFrame(rows)
+
+
+def streaming_fold(events: DataFrame) -> DataFrame:
+    """F1-F9 as a stateful streaming operator: one GameState per room,
+    the same transition code as batch ``replay_state`` — determinism
+    contract: final state is independent of micro-batch boundaries.
+
+    Scale: state size is bounded per room (≤750 cells); rooms shard
+    across the state store exactly like the batch fold shards across
+    tasks. Timers (T1) need no replication — the log is self-contained
+    (explode/undo events were emitted into it by clients)."""
+    return events.groupBy("room").applyInPandasWithState(
+        _fold_with_state,
+        outputStructType=STATE_SCHEMA,
+        stateStructType=_FOLD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame over all currently-available input
+    (availableNow) into a memory sink and return the sink contents —
+    the local test/dev harness."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,84 @@
+"""Streaming parity (SURVEY §5.2.4): batch and streaming forms of the
+same operator must agree on final state, regardless of micro-batch
+boundaries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from play_with_pulsar_spark.operators.replay import players_state, replay_state
+from play_with_pulsar_spark.operators.scoreboard import kill_counts
+from play_with_pulsar_spark.sources.fixtures import game_event_log
+from play_with_pulsar_spark.streaming import pipeline as sp
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    """The fixture log split into 4 offset-range files so
+    maxFilesPerTrigger=1 yields 4 deterministic micro-batches."""
+    d = tmp_path_factory.mktemp("gamelog")
+    log = game_event_log(spark, n_rooms=3, events_per_room=1200, seed=42).cache()
+    bounds = [(0, 300), (300, 600), (600, 900), (900, 1200)]
+    for i, (lo, hi) in enumerate(bounds):
+        (
+            log.filter((F.col("offset") >= lo) & (F.col("offset") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(d / f"part{i}"))
+        )
+    yield {"dir": str(d), "batch_df": log}
+    log.unpersist()
+
+
+def _glob(d: str) -> str:
+    return d + "/part*"
+
+
+def test_streaming_kill_counts_matches_batch(spark, log_dir):
+    stream = sp.stream_game_events(spark, _glob(log_dir["dir"]))
+    out = sp.run_to_completion(
+        sp.streaming_kill_counts(stream), "stream_kills", "complete"
+    )
+    got = {(r.room, r.killer): r.kills for r in out.collect()}
+    want = {
+        (r.room, r.killer): r.kills
+        for r in kill_counts(log_dir["batch_df"]).collect()
+    }
+    assert got == want
+
+
+def test_streaming_fold_matches_batch_replay(spark, log_dir):
+    stream = sp.stream_game_events(spark, _glob(log_dir["dir"]))
+    out = sp.run_to_completion(sp.streaming_fold(stream), "stream_fold", "update")
+    # update mode appends each trigger's emission; the last emission
+    # per room is its final state — pick it via max insertion batch:
+    # memory sink has no batch column, so re-aggregate: last emission
+    # per room contains the full state table, and players are keyed,
+    # so take each (room,name)'s row from the final trigger by
+    # replaying only player rows through latest-wins on emission order
+    pdf = out.filter(F.col("entity") == "player").toPandas()
+    # the memory sink preserves arrival order; keep the LAST row per key
+    got = {
+        (r.room, r.name): (r.x, r.y, r.alive)
+        for r in pdf.drop_duplicates(subset=["room", "name"], keep="last").itertuples()
+    }
+    want = {
+        (r.room, r.name): (r.x, r.y, r.alive)
+        for r in players_state(replay_state(log_dir["batch_df"])).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, log_dir, tmp_path):
+    # duplicate a file's rows → dropDuplicatesWithinWatermark removes
+    # the redelivery; count matches the batch distinct count
+    stream = sp.stream_game_events(spark, _glob(log_dir["dir"]), max_files_per_trigger=8)
+    deduped = sp.deduped_stream(stream).groupBy("room").agg(F.count(F.lit(1)).alias("n"))
+    out = sp.run_to_completion(deduped, "stream_dedup", "complete")
+    want = {
+        (r.room): r.n
+        for r in log_dir["batch_df"].groupBy("room").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r.room: r.n for r in out.collect()}
+    assert got == want
