@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textops import fingerprint_md5, word_ngrams
+from .textops import exploded_ngrams, fingerprint_md5
 
 # Mersenne prime 2^31-1: modulus for the affine permutation hashes.
 # 31-bit values keep a·h + b well inside 64-bit range (no overflow —
@@ -63,9 +63,7 @@ def ngram_jaccard_pairs(
     f documents before the self-join (standard stop-shingle trick) —
     mandatory at scale, optional for exactness on small corpora.
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(word_ngrams(text_col, n)).alias("g")
-    )
+    grams = exploded_ngrams(docs, text_col, id_col, n)
     if max_shingle_freq is not None:
         rare = (
             grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -120,12 +118,9 @@ def minhash_signatures(
     partial-aggregates map-side like any sum/min.
     """
     a_params, b_params = _perm_params(num_hashes, seed)
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(text_col, n)).alias("g"),
-    ).select(
+    grams = exploded_ngrams(docs, text_col, id_col, n).select(
         "doc_id",
-        # unsigned-ify xxhash64 into [0, 2^61) via pmod
+        # unsigned-ify xxhash64 into [0, 2^31-1) via pmod
         F.pmod(F.xxhash64("g"), F.lit(_MERSENNE)).alias("h"),
     )
     mins = grams.groupBy("doc_id").agg(
@@ -185,9 +180,7 @@ def minhash_dedup_pairs(
     near-dup pairs (id_a < id_b, jaccard)."""
     sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes, seed)
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands)
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(word_ngrams(text_col, n)).alias("g")
-    )
+    grams = exploded_ngrams(docs, text_col, id_col, n)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))

@@ -38,15 +38,36 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, built with JVM array lambdas
-    (transform over a 0-based index sequence)."""
-    t = tokens(col)
+def ngrams_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED
+    token array column. ``t`` must be a plain column reference, not a
+    tokenizer expression: expressions referenced inside array lambdas
+    are re-evaluated per element (the regex split would run O(tokens)
+    times per row — measured 4× slowdown on the dedup pipeline), so
+    callers project the token array first (see ``exploded_ngrams``)."""
     gram = F.transform(
         F.sequence(F.lit(0), F.size(t) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
     )
     return F.array_distinct(gram)
+
+
+def exploded_ngrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, g) shingle table with the tokenizer materialized at a
+    projection boundary — the shared scan shape for every shingle-
+    based operator."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    return toks.filter(F.size("_t") >= n).select(
+        "doc_id", F.explode(ngrams_from_tokens(F.col("_t"), n)).alias("g")
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Column-expression form (tokenizes inline). Prefer
+    ``exploded_ngrams`` in operators — see ``ngrams_from_tokens``."""
+    return ngrams_from_tokens(tokens(col), n)
 
 
 def punct_ratio(col: Column | str) -> Column:

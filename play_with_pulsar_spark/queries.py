@@ -798,6 +798,355 @@ def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Relational completeness batch 2 (SURVEY §2.12): semi/anti joins,
+# conditional aggregation, rollup/cube/grouping sets, sessionization,
+# pivot, date functions, set ops.
+# =====================================================================
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left semi join (no row duplication,
+    no distinct needed — the semi join IS the dedup)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 10
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar agg — every predicate
+    reaches the parquet scan (PushedFilters), zero joins, one-row
+    result; the canonical pushdown check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 10)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-to-fact join + two broadcast dims +
+    top-20 (TakeOrdered over the aggregated, already-small result)."""
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(disc).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle=f"""
+    SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+                 / {sql_dsum("l_extendedprice * (1 - l_discount)")} AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio; part is
+    broadcast, so the month of lineitem never shuffles."""
+    from .operators.relational import conditional_ratio
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-03-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(conditional_ratio(F.col("p_type") == "PROMO", disc).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           {sql_dsum("l_quantity")} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING {sql_dsum("l_quantity")} > 120
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-by + HAVING over a join, top-20."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+        .select(
+            "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rollup_order_stats",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n, {sql_dsum("o_totalprice")} AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (priority → status → grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "cube_event_stats",
+    oracle=f"""
+    SELECT event_type, user_id % 10 AS cohort,
+           count(*) AS n, {sql_dsum("value")} AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, cohort)
+    """,
+)
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, cohort) — all 4 grouping combinations."""
+    ev = _t(spark, sf_dir, "events").withColumn("cohort", F.col("user_id") % 10)
+    return ev.cube("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@register(
+    "grouping_sets_lineitem",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, {sql_dsum("l_quantity")} AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (each flag alone + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty"))
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) via gaps-and-islands — two window
+    passes over ONE (user, ts) partitioning, then the session agg;
+    exact integer-microsecond gap comparisons."""
+    from .operators.relational import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY cohort
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (inferred lists cost an extra
+    scan and give nondeterministic column order at scale)."""
+    from .operators.relational import pivot_counts
+
+    ev = _t(spark, sf_dir, "events").withColumn("cohort", F.col("user_id") % 10)
+    return pivot_counts(ev, "cohort", "event_type",
+                        ["click", "view", "purchase", "signup", "error"])
+
+
+@register(
+    "date_parts_orders",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(month(o_orderdate) AS INT) AS mth,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function parity: year/quarter/month/dow/date_trunc
+    (DuckDB's dayofweek is 0-based Sunday; Spark's is 1-based —
+    normalized in the oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mth"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .groupBy("yr", "qtr", "mth", "dow", "month_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "intersect_trading_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_trading_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (nations with both customers and suppliers)."""
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cu.intersect(su)
+
+
+@register(
+    "semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — P6's key-membership predicate, positive form."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "count_distinct_parts_per_supplier",
+    oracle="""
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def count_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT (expands to a two-phase partial-distinct plan —
+    no naive collect-set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
 # stable across rounds so timings are comparable.
 BENCH_QUERIES = [
@@ -807,8 +1156,16 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_orders",
     "t8_tumbling_window",
     "w3_order_rank_per_customer",
+    "sessionize_events",
+    "game_a1_room_scoreboard",
+    "fold_state_summary",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
 ]
 
 
