@@ -1,0 +1,87 @@
+"""Plan-shape assertions: the scale contract as tests (SURVEY §4.2
+"free from Catalyst — verify, don't build")."""
+
+from __future__ import annotations
+
+import pytest
+
+from play_with_pulsar_spark import plans
+from play_with_pulsar_spark.queries import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return build
+
+
+def test_q6_all_predicates_pushed(q):
+    # Q6 is the canonical pushdown probe: shipdate/discount/quantity
+    # must all reach the parquet scan
+    df = q("q6_revenue_forecast")
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        plans.assert_filter_pushed(df, col)
+
+
+def test_q1_column_pruning(q):
+    # q1 reads 7 of 11 lineitem columns; orderkey/suppkey must not be
+    # scanned
+    df = q("q1_pricing_summary")
+    for absent in ["l_orderkey", "l_suppkey", "l_partkey"]:
+        plans.assert_column_pruned(df, "l_returnflag", absent)
+
+
+def test_q3_broadcasts_customer(q):
+    assert plans.count_broadcast_joins(q("q3_shipping_priority")) >= 1
+
+
+def test_q5_broadcasts_all_dims(q):
+    # region/nation/supplier/customer broadcast; only lineitem⋈orders
+    # may shuffle
+    assert plans.count_broadcast_joins(q("q5_local_supplier_volume")) >= 4
+
+
+def test_scoreboard_single_shuffle(q):
+    # filter → partial agg → ONE exchange on the group key
+    df = q("a1_scoreboard_kills")
+    assert plans.count_shuffles(df) <= 1, plans.formatted_plan(df)
+    assert plans.has_partial_aggregation(df)
+
+
+def test_latest_per_key_is_aggregation_not_window(q):
+    # the max_by form must partial-aggregate (SortAggregate for the
+    # struct-ordered max_by — still map-side combined, one exchange);
+    # a window implementation would show Window over ALL raw rows
+    df = q("a3_latest_per_key")
+    assert plans.has_partial_aggregation(df)
+    assert "Window" not in plans.formatted_plan(df)
+    assert plans.count_shuffles(df) <= 1
+
+
+def test_type_filter_pushed_on_events(q):
+    plans.assert_filter_pushed(q("a1_scoreboard_kills"), "event_type")
+
+
+def test_game_scoreboard_filter_pushed(q):
+    # P1's type filter reaches the fixture scan
+    plans.assert_filter_pushed(q("game_a1_room_scoreboard"), "type")
+
+
+def test_fold_shuffles_once_on_room(q):
+    # the fold is one exchange (hash on room) + in-task python; no
+    # extra sort exchange
+    df = q("fold_players_state")
+    assert plans.count_shuffles(df) <= 1, plans.formatted_plan(df)
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # codegen markers are only visible without the AQE wrapper
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["q1_pricing_summary", "a1_scoreboard_kills", "t8_tumbling_window"]:
+            df = REGISTRY[name].fn(spark, sf_dir)
+            assert plans.codegen_stage_count(df) >= 1, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
