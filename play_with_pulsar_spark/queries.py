@@ -783,6 +783,23 @@ def sim_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_features", oracle=None)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline plumbing: deterministic synthetic binary
+    media table → metadata-pruned decode (stubbed codec) → per-item
+    feature vectors via Arrow-batched mapInPandas. Returns
+    (media_id, modality, feature norm) — stable schema/rows."""
+    from .operators import multimodal as mm
+
+    _prep(spark)
+    media = mm.synthetic_media(spark, n=64, seed=42)
+    feats = mm.extract_features(media)
+    norm = F.sqrt(
+        F.aggregate(F.transform("feat", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return feats.select("media_id", "modality", F.round(norm, 6).alias("feat_norm"))
+
+
 @register("sim_ivf_topk", oracle=None)
 def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (coarse k-means quantizer, nprobe cells scored):
