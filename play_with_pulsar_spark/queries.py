@@ -584,6 +584,110 @@ def game_s4_latest_event_per_room(spark: SparkSession, sf_dir: str) -> DataFrame
     return compaction.latest_per_key(log, key_cols=["room"], order_cols=["last_offset"])
 
 
+SCORE_CHANGELOG_PATH = GAME_EVENTS_PATH.replace("game_events", "score_changelog")
+
+
+@register(
+    "chg_s6_tableview",
+    oracle=f"""
+    SELECT room, "key" AS player,
+           CAST("value" AS BIGINT) AS score,
+           "offset" AS last_offset
+    FROM read_parquet('{SCORE_CHANGELOG_PATH}')
+    QUALIFY row_number() OVER (PARTITION BY room, "key"
+                               ORDER BY "offset" DESC) = 1
+    """,
+)
+def chg_s6_tableview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A3 + X11 on the score-changelog fixture (FIXTURES §A2): the
+    TableView materialization — latest string-encoded running total
+    per (room, player), cast back to a number (the reference's Redis
+    ``tonumber``, docs/en/game7-connector.md:76-80)."""
+    _prep(spark)
+    chg = spark.read.parquet(SCORE_CHANGELOG_PATH).select(
+        "room",
+        F.col("key").alias("player"),
+        F.col("value").cast("bigint").alias("score"),
+        F.col("offset").alias("last_offset"),
+    )
+    return compaction.latest_per_key(
+        chg, key_cols=["room", "player"], order_cols=["last_offset"]
+    )
+
+
+@register(
+    "chg_a4_global_sum",
+    oracle=f"""
+    WITH latest AS (
+      SELECT room, "key" AS player, CAST("value" AS BIGINT) AS score
+      FROM read_parquet('{SCORE_CHANGELOG_PATH}')
+      QUALIFY row_number() OVER (PARTITION BY room, "key"
+                                 ORDER BY "offset" DESC) = 1
+    )
+    SELECT player, CAST(sum(score) AS BIGINT) AS total,
+           count(*) AS n_rooms
+    FROM latest GROUP BY player
+    """,
+)
+def chg_a4_global_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 via the connector-export path: compact the changelog to
+    latest-per-(room,player), then sum across rooms — the two-level
+    aggregation that replaces the Redis key-scan + Lua sum."""
+    _prep(spark)
+    chg = spark.read.parquet(SCORE_CHANGELOG_PATH).select(
+        "room",
+        F.col("key").alias("player"),
+        F.col("value").cast("bigint").alias("score"),
+        F.col("offset").alias("last_offset"),
+    )
+    latest = compaction.latest_per_key(
+        chg, key_cols=["room", "player"], order_cols=["last_offset"], payload_cols=["score"]
+    )
+    return latest.groupBy("player").agg(
+        F.sum("score").alias("total"), F.count(F.lit(1)).alias("n_rooms")
+    )
+
+
+@register(
+    "chg_w2_lru_top5",
+    oracle=f"""
+    WITH latest AS (
+      SELECT room, "key" AS player, "offset" AS last_offset,
+             CAST("value" AS BIGINT) AS score
+      FROM read_parquet('{SCORE_CHANGELOG_PATH}')
+      QUALIFY row_number() OVER (PARTITION BY room, "key"
+                                 ORDER BY "offset" DESC) = 1
+    )
+    SELECT room, player, score, last_offset FROM (
+      SELECT *, row_number() OVER (PARTITION BY room
+                                   ORDER BY last_offset DESC) AS rn
+      FROM latest
+    ) WHERE rn <= 5
+    """,
+)
+def chg_w2_lru_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: the scoreboard's LRU-of-5 view per room — the 5 most
+    recently UPDATED players (recency top-k, not score top-k;
+    game.go:57,300-312)."""
+    _prep(spark)
+    chg = spark.read.parquet(SCORE_CHANGELOG_PATH).select(
+        "room",
+        F.col("key").alias("player"),
+        F.col("value").cast("bigint").alias("score"),
+        F.col("offset").alias("last_offset"),
+    )
+    latest = compaction.latest_per_key(
+        chg, key_cols=["room", "player"], order_cols=["last_offset"],
+        payload_cols=["score", "last_offset"],
+    )
+    w = Window.partitionBy("room").orderBy(F.col("last_offset").desc())
+    return (
+        latest.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("room", "player", "score", "last_offset")
+    )
+
+
 # --- the fold itself: genuinely non-SQL-expressible (driver records
 # rows-only checks for these; exactness is proven by the golden tests
 # in tests/test_replay_fold.py against the single-threaded fold) ---
