@@ -339,6 +339,24 @@ def flames_state(state: DataFrame) -> DataFrame:
     return state.filter(F.col("entity") == "flame").select("room", "name", "owner", "x", "y")
 
 
+def paced_replay(events: DataFrame, room: str, pace_ms: int = 200):
+    """W4 (watch.go:63-83): ordered event emission for presentation —
+    a generator over the room's log in offset order, optionally paced.
+    Uses ``toLocalIterator`` so only one partition's rows are resident
+    driver-side at a time; the sort happens cluster-side."""
+    import time as _time
+
+    it = (
+        events.filter(F.col("room") == room)
+        .orderBy("offset")
+        .toLocalIterator(prefetchPartitions=True)
+    )
+    for row in it:
+        if pace_ms:
+            _time.sleep(pace_ms / 1000.0)
+        yield row
+
+
 def player_position_history(events: DataFrame) -> DataFrame:
     """The SQL fast path (SURVEY §2.4 batch-replay note): last
     guard-free upsert per (room, player) via plain window analytics —

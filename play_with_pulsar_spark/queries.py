@@ -688,6 +688,74 @@ def chg_w2_lru_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j2_kill_attribution",
+    oracle=f"""
+    WITH deaths AS (
+      SELECT room, "offset" AS doff, epoch_us(ts) AS dus,
+             "name" AS victim, comment AS recorded_killer, x, y
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" = 'UserDeadEvent'
+    ), explodes AS (
+      SELECT room, "offset" AS eoff, epoch_us(ts) AS eus,
+             "name" AS bomb, string_split(("name"), '-')[1] AS owner,
+             x AS bx, y AS by
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" = 'ExplodeEvent'
+    ), hits AS (
+      SELECT d.room, d.doff, d.victim, d.recorded_killer,
+             e.owner, e.eoff, e.eus
+      FROM deaths d JOIN explodes e
+        ON d.room = e.room
+       AND ((d.x = e.bx AND abs(d.y - e.by) <= 6)
+            OR (d.y = e.by AND abs(d.x - e.bx) <= 6))
+       AND e.eus <= d.dus AND d.dus - e.eus < 2000000
+    )
+    SELECT room, doff, victim, recorded_killer, owner AS attributed_killer
+    FROM hits
+    QUALIFY row_number() OVER (PARTITION BY room, doff
+                               ORDER BY eus DESC, eoff DESC) = 1
+    """,
+)
+def j2_kill_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the kill-attribution interval join (game.go:139-147 made
+    relational): each death matched to the most recent explosion whose
+    unobstructed flame footprint covers the death cell within the 2 s
+    flame window. Spark side: footprint exploded to cells → pure
+    EQUI-join on (room, x, y) + time-range filter → max_by — the
+    shape that shuffles on cell keys instead of nested-looping the
+    theta predicate (the oracle uses the equivalent theta form)."""
+    from .functions import encoding as X
+
+    _prep(spark)
+    log = _game_log(spark)
+    deaths = log.filter(F.col("type") == "UserDeadEvent").select(
+        "room",
+        F.col("offset").alias("doff"),
+        # fixture ts is TIMESTAMP_NTZ; UTC session makes the cast lossless
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("dus"),
+        F.col("name").alias("victim"),
+        F.col("comment").alias("recorded_killer"),
+        "x",
+        "y",
+    )
+    explodes = log.filter(F.col("type") == "ExplodeEvent").select(
+        "room",
+        F.col("offset").alias("eoff"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("eus"),
+        X.bomb_owner(F.col("name")).alias("owner"),
+        F.explode(X.flame_cells(F.col("x"), F.col("y"), 6)).alias("cell"),
+    ).select("room", "eoff", "eus", "owner",
+             F.col("cell.x").alias("x"), F.col("cell.y").alias("y"))
+    hits = deaths.join(explodes, ["room", "x", "y"]).filter(
+        (F.col("eus") <= F.col("dus")) & (F.col("dus") - F.col("eus") < 2_000_000)
+    )
+    return (
+        hits.groupBy("room", "doff", "victim", "recorded_killer")
+        .agg(F.max_by("owner", F.struct("eus", "eoff")).alias("attributed_killer"))
+    )
+
+
 # --- the fold itself: genuinely non-SQL-expressible (driver records
 # rows-only checks for these; exactness is proven by the golden tests
 # in tests/test_replay_fold.py against the single-threaded fold) ---

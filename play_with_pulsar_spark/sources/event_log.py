@@ -1,0 +1,95 @@
+"""Event-log ingestion: the write path of the engine (SURVEY §2.1).
+
+Reproduces the reference's source-boundary contract:
+
+- S1 (producer/sink): append rows to the ordered per-room log. The
+  broker's implicit total order (docs/en/game1-introduce.md:93-97)
+  becomes an explicit, gapless, per-room ``offset`` column assigned
+  at ingest.
+- S8 (schema-validated ingestion): producers declare the envelope
+  schema and incompatible writers are rejected
+  (docs/en/game5-schema.md:39-67) → ``from_json`` against the
+  declared StructType with FAILFAST (reject) or PERMISSIVE
+  (quarantine) modes.
+- S3 (reader): full-scan from earliest = plain parquet read of the
+  partitioned log.
+
+Scale notes: the log is written ``partitionBy(room)`` — per-room
+isolation is directory-level partition pruning (the reference's
+topic-per-room, pulsar.go:90-107). Offset assignment for a batch is
+one window over (room, ts, seq); appends resume from the stored
+per-room max, read with an aggregate (not a scan of the data pages —
+parquet footer min/max serve it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schema import EVENT_ENVELOPE_SCHEMA, GAME_EVENT_SCHEMA
+
+
+def assign_offsets(
+    batch: DataFrame,
+    base_offsets: DataFrame | None = None,
+    room_col: str = "room",
+    order_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """Assign monotone gapless per-room offsets to an ingest batch.
+
+    ``base_offsets``: (room, max_offset) of the existing log, for
+    appends; omitted ⇒ offsets start at 0.
+    """
+    w = Window.partitionBy(room_col).orderBy(*[F.col(c) for c in order_cols])
+    out = batch.withColumn("_rn", F.row_number().over(w) - 1)
+    if base_offsets is not None:
+        out = (
+            out.join(F.broadcast(base_offsets), room_col, "left")
+            .withColumn(
+                "offset",
+                F.col("_rn") + F.coalesce(F.col("max_offset") + 1, F.lit(0)),
+            )
+            .drop("max_offset")
+        )
+    else:
+        out = out.withColumn("offset", F.col("_rn"))
+    return out.drop("_rn")
+
+
+def current_offsets(log: DataFrame, room_col: str = "room") -> DataFrame:
+    """(room, max_offset) — served by parquet footer statistics."""
+    return log.groupBy(room_col).agg(F.max("offset").alias("max_offset"))
+
+
+def parse_envelope(
+    raw: DataFrame, json_col: str = "payload", mode: str = "FAILFAST"
+) -> DataFrame:
+    """S8: decode JSON wire messages against the declared envelope
+    schema. FAILFAST rejects incompatible producers (the reference's
+    registry behavior, game5-schema.md:67); PERMISSIVE nulls bad rows
+    for quarantine. The ``comment`` default ("" — pulsar.go:30-34) is
+    applied explicitly."""
+    parsed = raw.withColumn(
+        "_ev", F.from_json(F.col(json_col), EVENT_ENVELOPE_SCHEMA, {"mode": mode})
+    )
+    cols = [F.col(f"_ev.{f.name}").alias(f.name) for f in EVENT_ENVELOPE_SCHEMA.fields]
+    out = parsed.select(*[c for c in raw.columns if c != json_col], *cols)
+    return out.withColumn("comment", F.coalesce(F.col("comment"), F.lit("")))
+
+
+def to_wire(events: DataFrame) -> DataFrame:
+    """Inverse of :func:`parse_envelope` — envelope columns to a JSON
+    payload (X16 to_json)."""
+    env = F.struct(*[F.col(f.name) for f in EVENT_ENVELOPE_SCHEMA.fields])
+    keep = [c for c in events.columns if c not in {f.name for f in EVENT_ENVELOPE_SCHEMA.fields}]
+    return events.select(*keep, F.to_json(env).alias("payload"))
+
+
+def write_event_log(events: DataFrame, path: str, mode: str = "append") -> None:
+    """S1: append to the room-partitioned parquet log."""
+    events.write.mode(mode).partitionBy("room").parquet(path)
+
+
+def read_event_log(spark: SparkSession, path: str) -> DataFrame:
+    """S3: full scan from earliest, explicit schema."""
+    return spark.read.schema(GAME_EVENT_SCHEMA).parquet(path)
