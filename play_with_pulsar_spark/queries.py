@@ -1336,6 +1336,137 @@ def count_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "join_left_outer_order_counts",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders
+    (count(col) skips the nulls the outer join introduces)."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           cn.nk IS NOT NULL AS has_customers,
+           sn.nk IS NOT NULL AS has_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: which nations have customers and/or
+    suppliers."""
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    j = cn.alias("cn").join(sn.alias("sn"), F.col("cn.nk") == F.col("sn.nk"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("cn.nk"), F.col("sn.nk")).alias("nationkey"),
+        F.col("cn.nk").isNotNull().alias("has_customers"),
+        F.col("sn.nk").isNotNull().alias("has_suppliers"),
+    )
+
+
+@register(
+    "theta_price_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 50000.0),
+             ('medium', 50000.0, 150000.0),
+             ('large', 150000.0, 1e12)
+    )
+    SELECT band, count(*) AS n_orders
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def theta_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: orders banded by non-equi conditions against
+    a broadcast band dim — broadcast nested loop on a 3-row side, the
+    right physical choice (never a cartesian against a big side)."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0), ("large", 150000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "union_event_sources",
+    oracle="""
+    SELECT kind, count(*) AS n FROM (
+      SELECT 'purchase' AS kind, user_id FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'error' AS kind, user_id FROM events WHERE event_type = 'error'
+    ) GROUP BY kind
+    """,
+)
+def union_event_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all of typed sub-streams (S5's regex-union shape)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("purchase").alias("kind"), "user_id"
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.lit("error").alias("kind"), "user_id"
+    )
+    return a.unionByName(b).groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "median_value_per_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value
+    FROM events GROUP BY event_type
+    """,
+)
+def median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``); the approximate variant
+    (percentile_approx / approx_count_distinct) is engine-specific and
+    therefore not oracle-checked."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+    )
+
+
+@register("approx_stats", oracle=None)
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct + quantile sketches (HLL++ / KLL) — the
+    100 TB cardinality tools; engine-specific sketches ⇒ rows-only
+    check (bounds asserted in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+    )
+
+
 # Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
 # stable across rounds so timings are comparable.
 BENCH_QUERIES = [
