@@ -61,6 +61,9 @@ def _prep(spark: SparkSession) -> None:
     """Session invariants the oracle comparison depends on, applied
     defensively because the driver owns the SparkSession."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .session import ensure_workers_have_package
+
+    ensure_workers_have_package(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

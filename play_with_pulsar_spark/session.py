@@ -27,6 +27,28 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_workers_have_package(spark: SparkSession) -> None:
+    """Ship this package to the Python workers via addPyFile.
+
+    Cloudpickled kernels (applyInPandas/mapInPandas) reference module
+    symbols by name; a host session whose workers don't have the repo
+    on sys.path (e.g. the external driver's) would fail to unpickle.
+    Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pwp_pyfiles_added", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_dir)
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="pwp_pyfiles_"), "play_with_pulsar_spark")
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=repo_root,
+                                   base_dir="play_with_pulsar_spark")
+    sc.addPyFile(zip_path)
+    sc._pwp_pyfiles_added = True
+
+
 def _cpus() -> int:
     try:
         return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 4)
