@@ -206,6 +206,50 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster)
+    where cluster = min doc_id reachable. Iterative label propagation
+    (each round: label ← min(label, neighbors' labels)); converges in
+    O(graph diameter) rounds — near-dup clusters are tiny cliques, so
+    2-3 rounds in practice, bounded by ``max_iter``. Each round is one
+    join + one aggregation; nothing is collected to the driver."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
     xxhash64(token). Tokens hashed JVM-side; the 64 bit-tallies are a

@@ -1470,6 +1470,100 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rn FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed idf, sklearn-style ln((N+1)/(df+1))+1) with
+    top-5 terms per doc. All JVM-side: explode → two aggregations →
+    broadcast-join the (tiny) df table back. Ranked by rounded score
+    so libm ulp differences cannot flip ranks."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators.textops import tokens as _tok
+
+    toks = d.select("doc_id", F.explode(_tok("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; the oracle's CROSS JOIN n
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+@register(
+    "q2ish_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             {sql_dsum("l_extendedprice")} AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), mins AS (
+      SELECT partkey, min(cost) AS mincost FROM ps GROUP BY partkey
+    )
+    SELECT ps.partkey, ps.suppkey, ps.cost
+    FROM ps JOIN mins ON ps.partkey = mins.partkey AND ps.cost = mins.mincost
+    """,
+)
+def q2ish_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min — cheapest supplier per part,
+    decorrelated into agg + self-join (Catalyst's own strategy for
+    the correlated subquery). Cost values are exact decimals cast to
+    double, so the min-equality join is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(dsum("l_extendedprice").alias("cost"))
+    mins = ps.groupBy("partkey").agg(F.min("cost").alias("mincost"))
+    return (
+        ps.join(mins, "partkey")
+        .filter(F.col("cost") == F.col("mincost"))
+        .select("partkey", "suppkey", "cost")
+    )
+
+
+@register("dedup_clusters", oracle=None)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-verified pairs → distributed
+    connected components (iterative min-label propagation) →
+    (doc_id, cluster) with cluster = min reachable doc_id. Correctness
+    vs a driver-side union-find asserted in tests."""
+    from .operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 # Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
 # stable across rounds so timings are comparable.
 BENCH_QUERIES = [

@@ -1,0 +1,89 @@
+"""Salted operators == unsalted results; distributed connected
+components == driver-side union-find."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from play_with_pulsar_spark.operators import dedup, skew
+from play_with_pulsar_spark.oracle import dsum
+from play_with_pulsar_spark.sources.tables import load_table
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type, r.n): None
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r.event_type, r.n): None
+        for r in skew.salted_count(ev, ["event_type"], n_salts=16).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_sum_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type, r.total)
+        for r in ev.groupBy("event_type").agg(dsum("value").alias("total")).collect()
+    }
+    salted = {
+        (r.event_type, r.total)
+        for r in skew.salted_sum(ev, ["event_type"], "value", n_salts=16).collect()
+    }
+    assert plain == salted  # exact decimal: bitwise equal despite salting
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = o.join(cu, "o_custkey").groupBy("c_mktsegment").count().collect()
+    salted = (
+        skew.salted_join(o, cu, "o_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain} == {
+        (r.c_mktsegment, r["count"]) for r in salted
+    }
+
+
+def test_connected_components_vs_union_find(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8).cache()
+    got = {
+        r.doc_id: r.cluster for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    # driver-side union-find ground truth
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    for a, b in edges:
+        union(a, b)
+    n_docs = docs.count()
+    want = {i: min(find(i), i) if i in parent else i for i in range(n_docs)}
+    # canonicalize: min member of each union-find root
+    roots: dict[int, int] = {}
+    for i in range(n_docs):
+        r = find(i) if i in parent else i
+        roots[r] = min(roots.get(r, i), i)
+    want = {i: roots[find(i) if i in parent else i] for i in range(n_docs)}
+    assert got == want
+    pairs.unpersist()
