@@ -102,34 +102,68 @@ def _perm_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
 
 
 def minhash_signatures(
-    docs: DataFrame,
+    docs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 128,
     seed: int = 42,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>[num_hashes]) — min over shingles of
-    affine permutations of xxhash64(shingle). All JVM-side: explode →
-    groupBy(doc) with one min per hash — no Python in the path.
+    affine permutations of xxhash64(shingle).
 
-    The per-row shingle hash and the k affine maps are computed in a
-    single projection; the aggregation is a plain grouped min, so it
-    partial-aggregates map-side like any sum/min.
+    Shingle hashing stays JVM-side (xxhash64); the k affine mins are a
+    single vectorized numpy kernel over range-partitioned, doc-sorted
+    grams (one (n_grams × k) matrix op + ``minimum.reduceat`` per
+    Arrow batch, with cross-batch carry). A pure-SQL formulation needs
+    k separate min-aggregates, whose generated method is so large that
+    Janino recompilation (whenever the codegen cache evicts it) costs
+    more than the aggregation itself — measured 8s+ per recompile at
+    k=128. repartitionByRange guarantees each doc's rows land in one
+    partition, so the carry logic is exact.
     """
     a_params, b_params = _perm_params(num_hashes, seed)
-    grams = exploded_ngrams(docs, text_col, id_col, n).select(
+    A = np.asarray(a_params, dtype=np.int64)[None, :]
+    B = np.asarray(b_params, dtype=np.int64)[None, :]
+
+    if grams is None:
+        grams = exploded_ngrams(docs, text_col, id_col, n)
+    g_hashed = grams.select(
         "doc_id",
-        # unsigned-ify xxhash64 into [0, 2^31-1) via pmod
+        # unsigned-ify xxhash64 into [0, 2^31-1) via pmod: 31-bit
+        # values keep h·a + b inside int64 for the numpy kernel too
         F.pmod(F.xxhash64("g"), F.lit(_MERSENNE)).alias("h"),
     )
-    mins = grams.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.col("h") * F.lit(a_params[i]) + F.lit(b_params[i]), F.lit(_MERSENNE))).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    return mins.select("doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+    def kernel(batches):
+        carry_doc = None
+        carry_min = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            d = pdf["doc_id"].to_numpy()
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            m = (h[:, None] * A + B) % _MERSENNE  # (n, k)
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            mins = np.minimum.reduceat(m, starts, axis=0)
+            doc_ids = d[starts]
+            if carry_doc is not None:
+                if doc_ids[0] == carry_doc:
+                    mins[0] = np.minimum(mins[0], carry_min)
+                else:
+                    yield pd.DataFrame({"doc_id": [carry_doc], "sig": [carry_min.tolist()]})
+            carry_doc = int(doc_ids[-1])
+            carry_min = mins[-1]
+            if len(doc_ids) > 1:
+                yield pd.DataFrame(
+                    {"doc_id": doc_ids[:-1], "sig": [r.tolist() for r in mins[:-1]]}
+                )
+        if carry_doc is not None:
+            yield pd.DataFrame({"doc_id": [carry_doc], "sig": [carry_min.tolist()]})
+
+    sorted_grams = g_hashed.repartitionByRange("doc_id").sortWithinPartitions("doc_id")
+    return sorted_grams.mapInPandas(kernel, schema="doc_id long, sig array<bigint>")
 
 
 def lsh_candidate_pairs(
@@ -178,9 +212,12 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     exact-Jaccard verification of candidates only. Returns verified
     near-dup pairs (id_a < id_b, jaccard)."""
-    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes, seed)
+    # the shingle table feeds BOTH the signature branch and the
+    # verification branch of the DAG; persist it so the scan +
+    # tokenize + explode runs once (storage ~ O(corpus tokens))
+    grams = exploded_ngrams(docs, text_col, id_col, n).persist()
+    sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=grams)
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands)
-    grams = exploded_ngrams(docs, text_col, id_col, n)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))

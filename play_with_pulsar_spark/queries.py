@@ -780,6 +780,20 @@ def fold_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay.players_state(state)
 
 
+@register("fold_scale_replay", oracle=None)
+def fold_scale_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-honest fold benchmark: generate a 32-room × 3000-event
+    log distributed (mapInPandas over rooms — the generation IS part
+    of the measured pipeline) and fold it. Rooms are the parallelism
+    unit: 32 independent tasks, one shuffle, state bounded per room."""
+    from .sources.fixtures import game_event_log
+
+    _prep(spark)
+    log = game_event_log(spark, n_rooms=32, events_per_room=3000, seed=7)
+    state = replay.replay_state(log)
+    return state.groupBy("room", "entity").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register("fold_state_summary", oracle=None)
 def fold_state_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full materialized state (players+bombs+obstacles+flames)
@@ -1580,9 +1594,11 @@ BENCH_QUERIES = [
     "sessionize_events",
     "game_a1_room_scoreboard",
     "fold_state_summary",
+    "fold_scale_replay",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
+    "text_tfidf_top_terms",
 ]
 
 
