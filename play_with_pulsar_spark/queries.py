@@ -48,6 +48,10 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# DuckDB-side tokenizer/stopword fragments shared by the text oracles.
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_STOPS = "('the','a','an','of','and','to','in','is','on','for')"
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -759,6 +763,99 @@ def j2_kill_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_a1_scoreboard",
+    oracle=f"""
+    SELECT room, comment AS killer, count(*) AS kills
+    FROM read_parquet('{GAME_EVENTS_PATH}')
+    WHERE "type" = 'UserDeadEvent' AND "name" <> comment
+    GROUP BY room, comment
+    """,
+)
+def stream_a1_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 executed as a REAL streaming query (readStream → stateful
+    grouped count → availableNow to a memory sink) whose final state
+    hash-matches the same DuckDB oracle as the batch form — streaming
+    == batch, verified by the driver itself."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.pipeline import run_to_completion, streaming_kill_counts
+
+    _prep(spark)
+    d = tempfile.mkdtemp(prefix="pwp_stream_")
+    os.symlink(GAME_EVENTS_PATH, os.path.join(d, "game_events.parquet"))
+    from .schema import GAME_EVENT_SCHEMA
+
+    stream = spark.readStream.schema(GAME_EVENT_SCHEMA).parquet(d)
+    name = f"stream_a1_{uuid.uuid4().hex[:8]}"
+    return run_to_completion(streaming_kill_counts(stream), name, "complete")
+
+
+@register(
+    "pipeline_curate_training_data",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, lang, {_TOKS} AS t FROM documents
+    ), quality AS (
+      SELECT doc_id, text, lang,
+             CAST(len(t) AS BIGINT) AS n_tokens
+      FROM toks
+      WHERE len(t) >= 30
+        AND CAST(len(list_filter(t, x -> x IN {_STOPS})) AS DOUBLE) / len(t) < 0.5
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), dup_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), dups AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM dup_pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    )
+    SELECT q.doc_id, q.lang, q.n_tokens, e.label
+    FROM quality q
+    JOIN embeddings e ON q.doc_id = e.vec_id
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+)
+def pipeline_curate_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the composition the engine
+    exists for: quality filter (length + stopword density) → exact
+    near-dup removal (keep the lower doc_id of each pair) → join to
+    the embedding table. Every stage is one of the declared operators;
+    the whole pipeline is a single Catalyst plan (filters pushed,
+    dedup anti-join, broadcast embedding join)."""
+    from .operators import dedup, textops
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    quality = docs.select(
+        "doc_id", "lang",
+        textops.token_count("text").alias("n_tokens"),
+        textops.stopword_ratio("text").alias("stop_ratio"),
+    ).filter((F.col("n_tokens") >= 30) & (F.col("stop_ratio") < 0.5))
+    dup_ids = (
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.join(dup_ids, "doc_id", "left_anti")
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "label")
+    )
+
+
 # --- the fold itself: genuinely non-SQL-expressible (driver records
 # rows-only checks for these; exactness is proven by the golden tests
 # in tests/test_replay_fold.py against the single-threaded fold) ---
@@ -806,10 +903,6 @@ def fold_state_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-data-pipeline surface (SURVEY §2.12 / BASELINE.json north star):
 # text analysis, dedup, similarity search over documents/embeddings.
 # =====================================================================
-
-_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
-_STOPS = "('the','a','an','of','and','to','in','is','on','for')"
-
 
 @register(
     "text_stats",
