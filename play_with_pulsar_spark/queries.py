@@ -1671,6 +1671,54 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(docs, pairs)
 
 
+@register(
+    "x_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events
+    """,
+)
+def x_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: props parsed into map<string,bigint>,
+    element_at + map_keys (the oracle goes through JSON functions —
+    same values)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "x_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           list_transform(CAST(embedding[1:3] AS DOUBLE[]), x -> round(x, 4)) AS head3,
+           round(list_max(CAST(embedding AS DOUBLE[])), 4) AS vmax,
+           round(list_min(CAST(embedding AS DOUBLE[])), 4) AS vmin
+    FROM embeddings
+    """,
+)
+def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: size/slice/transform/array_max/min over
+    the embedding column (float→double cast first, rounded — float32
+    promotion is deterministic in both engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.transform(F.slice(v, 1, 3), lambda x: F.round(x, 4)).alias("head3"),
+        F.round(F.array_max(v), 4).alias("vmax"),
+        F.round(F.array_min(v), 4).alias("vmin"),
+    )
+
+
 # Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
 # stable across rounds so timings are comparable.
 BENCH_QUERIES = [
