@@ -1,0 +1,70 @@
+"""Maintained latest-state view == full-log compaction, both in
+batch-incremental and streaming foreachBatch modes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from play_with_pulsar_spark.operators.compaction import latest_per_key
+from play_with_pulsar_spark.operators.matview import LatestStateView
+from play_with_pulsar_spark.sources.fixtures import game_event_log
+
+
+def _player_events(log):
+    return log.filter(
+        F.col("type").isin("UserMoveEvent", "UserJoinEvent", "UserReviveEvent")
+    ).select("room", "name", "offset", "x", "y")
+
+
+def test_incremental_view_equals_full_compaction(spark, tmp_path):
+    log = game_event_log(spark, n_rooms=2, events_per_room=900, seed=42).cache()
+    ev = _player_events(log)
+    view = LatestStateView(
+        spark, str(tmp_path / "latest_pos"), ["room", "name"], ["offset"]
+    )
+    # feed three incremental batches
+    for lo, hi in [(0, 300), (300, 700), (700, 900)]:
+        view.update(ev.filter((F.col("offset") >= lo) & (F.col("offset") < hi)))
+    got = {(r.room, r.name): (r.offset, r.x, r.y) for r in view.read().collect()}
+    want = {
+        (r.room, r.name): (r.offset, r.x, r.y)
+        for r in latest_per_key(ev, ["room", "name"], ["offset"]).collect()
+    }
+    assert got == want
+    log.unpersist()
+
+
+def test_streaming_foreach_batch_maintenance(spark, tmp_path):
+    log = game_event_log(spark, n_rooms=2, events_per_room=600, seed=42).cache()
+    for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 600)]):
+        (
+            log.filter((F.col("offset") >= lo) & (F.col("offset") < hi))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(str(tmp_path / "in" / f"part{i}"))
+        )
+    from play_with_pulsar_spark.schema import GAME_EVENT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(GAME_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "part*"))
+    )
+    view = LatestStateView(
+        spark, str(tmp_path / "view"), ["room", "name"], ["offset"]
+    )
+    q = (
+        _player_events(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(view.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.room, r.name): r.offset for r in view.read().collect()}
+    want = {
+        (r.room, r.name): r.offset
+        for r in latest_per_key(_player_events(log), ["room", "name"], ["offset"]).collect()
+    }
+    assert got == want
+    log.unpersist()
