@@ -33,8 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -337,6 +339,77 @@ def obstacles_state(state: DataFrame) -> DataFrame:
 
 def flames_state(state: DataFrame) -> DataFrame:
     return state.filter(F.col("entity") == "flame").select("room", "name", "owner", "x", "y")
+
+
+SNAPSHOT_SCHEMA = StructType(
+    [
+        StructField("room", StringType(), False),
+        StructField("snap_offset", LongType(), False),
+        StructField("blob", BinaryType(), False),
+    ]
+)
+
+
+def snapshot_states(events: DataFrame, every_k: int = 1000) -> DataFrame:
+    """Time-travel checkpoints: fold each room ONCE, emitting a
+    pickled GameState every ``every_k`` offsets. At 100 TB this is
+    the structure that makes ``state_at(room, k)`` O(tail) instead of
+    O(history): store this table partitioned by room, then any replay
+    starts from the nearest snapshot ≤ k (``state_at``)."""
+    import pickle
+
+    def snap(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset", kind="mergesort")
+        room = pdf["room"].iloc[0]
+        state = GameState()
+        out = []
+        for ev in pdf.to_dict("records"):
+            state.apply(ev)
+            if (ev["offset"] + 1) % every_k == 0:
+                out.append(
+                    {"room": room, "snap_offset": ev["offset"], "blob": pickle.dumps(state)}
+                )
+        if not out:
+            out.append({"room": room, "snap_offset": -1, "blob": pickle.dumps(GameState())})
+        return pd.DataFrame(out)
+
+    return events.groupBy("room").applyInPandas(snap, schema=SNAPSHOT_SCHEMA)
+
+
+def state_at(events: DataFrame, snapshots: DataFrame, upto_offset: int) -> DataFrame:
+    """state_at(room, k) from the nearest snapshot ≤ k + tail replay.
+
+    One cogrouped fold per room: the snapshot side contributes the
+    starting GameState, the event side contributes only offsets in
+    (snap_offset, k] — the work is proportional to the tail, not the
+    log. Returns the tagged state table (``STATE_SCHEMA``)."""
+    import pickle
+
+    best = (
+        snapshots.filter(F.col("snap_offset") <= upto_offset)
+        .groupBy("room")
+        .agg(F.max_by(F.struct("snap_offset", "blob"), "snap_offset").alias("s"))
+        .select("room", F.col("s.snap_offset").alias("snap_offset"), F.col("s.blob").alias("blob"))
+    )
+    tail = events.filter(F.col("offset") <= upto_offset)
+
+    def fold_tail(key, evs: pd.DataFrame, snaps: pd.DataFrame):
+        room = key[0]
+        if len(snaps):
+            state = pickle.loads(snaps["blob"].iloc[0])
+            start = int(snaps["snap_offset"].iloc[0])
+        else:
+            state, start = GameState(), -1
+        evs = evs[evs["offset"] > start].sort_values("offset", kind="mergesort")
+        fold_events(evs.to_dict("records"), state)
+        rows = state.to_rows(room)
+        return pd.DataFrame(rows if rows else [], columns=[f.name for f in STATE_SCHEMA.fields])
+
+    return (
+        tail.groupBy("room")
+        .cogroup(best.groupBy("room"))
+        .applyInPandas(fold_tail, schema=STATE_SCHEMA)
+    )
 
 
 def paced_replay(events: DataFrame, room: str, pace_ms: int = 200):

@@ -856,6 +856,117 @@ def pipeline_curate_training_data(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "game_survival_first_life",
+    oracle=f"""
+    WITH joins AS (
+      SELECT room, "name", min(ts) AS first_join
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" = 'UserJoinEvent' GROUP BY room, "name"
+    ), deaths AS (
+      SELECT room, "name", min(ts) AS first_death
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" = 'UserDeadEvent' GROUP BY room, "name"
+    )
+    SELECT j.room, j."name" AS player,
+           epoch_us(d.first_death) - epoch_us(j.first_join) AS first_life_us
+    FROM joins j JOIN deaths d ON j.room = d.room AND j."name" = d."name"
+    """,
+)
+def game_survival_first_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Game analytics: first-life survival time per player (join→first
+    death), microsecond-exact."""
+    log = _game_log(spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    joins = (
+        log.filter(F.col("type") == "UserJoinEvent")
+        .groupBy("room", F.col("name").alias("player"))
+        .agg(F.min(us).alias("first_join"))
+    )
+    deaths = (
+        log.filter(F.col("type") == "UserDeadEvent")
+        .groupBy("room", F.col("name").alias("player"))
+        .agg(F.min(us).alias("first_death"))
+    )
+    return joins.join(deaths, ["room", "player"]).select(
+        "room", "player", (F.col("first_death") - F.col("first_join")).alias("first_life_us")
+    )
+
+
+@register(
+    "game_bomb_effectiveness",
+    oracle=f"""
+    WITH bombs AS (
+      SELECT room, string_split("name", '-')[1] AS player, count(*) AS bombs_set
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" = 'SetBombEvent' GROUP BY 1, 2
+    ), kills AS (
+      SELECT room, comment AS player, count(*) AS kills
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" = 'UserDeadEvent' AND "name" <> comment GROUP BY 1, 2
+    )
+    SELECT b.room, b.player, b.bombs_set,
+           coalesce(k.kills, 0) AS kills,
+           CAST(coalesce(k.kills, 0) AS DOUBLE) / b.bombs_set AS kills_per_bomb
+    FROM bombs b LEFT JOIN kills k ON b.room = k.room AND b.player = k.player
+    WHERE b.player <> 'random'
+    """,
+)
+def game_bomb_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Game analytics: kills per bomb placed, per (room, player) —
+    bomb ownership via X6 name parsing, outer join against the kill
+    scoreboard."""
+    from .functions import encoding as X
+
+    log = _game_log(spark)
+    bombs = (
+        log.filter(F.col("type") == "SetBombEvent")
+        .groupBy("room", X.bomb_owner(F.col("name")).alias("player"))
+        .agg(F.count(F.lit(1)).alias("bombs_set"))
+        .filter(F.col("player") != "random")
+    )
+    kills = (
+        log.filter(F.col("type") == "UserDeadEvent")
+        .filter(F.col("name") != F.col("comment"))
+        .groupBy("room", F.col("comment").alias("player"))
+        .agg(F.count(F.lit(1)).alias("kills"))
+    )
+    return bombs.join(kills, ["room", "player"], "left").select(
+        "room",
+        "player",
+        "bombs_set",
+        F.coalesce(F.col("kills"), F.lit(0)).alias("kills"),
+        (F.coalesce(F.col("kills"), F.lit(0)).cast("double") / F.col("bombs_set")).alias(
+            "kills_per_bomb"
+        ),
+    )
+
+
+@register(
+    "game_room_activity_windows",
+    oracle=f"""
+    SELECT room, time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT "name") AS n_actors
+    FROM read_parquet('{GAME_EVENTS_PATH}')
+    WHERE "name" IS NOT NULL
+    GROUP BY room, window_start
+    """,
+)
+def game_room_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Game analytics: per-room per-minute activity (T8 over the game
+    log): event volume + distinct active entities."""
+    log = _game_log(spark).filter(F.col("name").isNotNull())
+    return (
+        log.groupBy("room", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("name").alias("n_actors"),
+        )
+        .select("room", F.col("w.start").alias("window_start"), "n_events", "n_actors")
+    )
+
+
 # --- the fold itself: genuinely non-SQL-expressible (driver records
 # rows-only checks for these; exactness is proven by the golden tests
 # in tests/test_replay_fold.py against the single-threaded fold) ---

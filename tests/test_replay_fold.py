@@ -217,3 +217,29 @@ def test_spark_replay_matches_local_fold(spark, upto):
             want[(room, name)] = (p.pos[0], p.pos[1], p.alive)
     assert got == want
     log.unpersist()
+
+
+@pytest.mark.parametrize("upto", [350, 900, 1199])
+def test_snapshot_state_at_equals_full_replay(spark, upto):
+    # time-travel via snapshots + tail == full replay from offset 0
+    from play_with_pulsar_spark.operators.replay import (
+        players_state,
+        replay_state,
+        snapshot_states,
+        state_at,
+    )
+    from play_with_pulsar_spark.sources.fixtures import game_event_log
+
+    log = game_event_log(spark, n_rooms=2, events_per_room=1200, seed=42).cache()
+    snaps = snapshot_states(log, every_k=400).cache()
+    got = {
+        (r.room, r.name): (r.x, r.y, r.alive)
+        for r in players_state(state_at(log, snaps, upto)).collect()
+    }
+    want = {
+        (r.room, r.name): (r.x, r.y, r.alive)
+        for r in players_state(replay_state(log, upto_offset=upto)).collect()
+    }
+    assert got == want
+    snaps.unpersist()
+    log.unpersist()
