@@ -34,7 +34,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import BinaryType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..operators.replay import STATE_SCHEMA, GameState, fold_events
 from ..schema import GAME_EVENT_SCHEMA
@@ -116,6 +122,70 @@ def streaming_fold(events: DataFrame) -> DataFrame:
         stateStructType=_FOLD_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- T1 timer service: the clients' timer role as an operator ---
+
+_TIMER_STATE_SCHEMA = StructType([StructField("blob", BinaryType(), True)])
+
+TIMER_OUT_SCHEMA = StructType(
+    [
+        StructField("room", StringType(), False),
+        StructField("type", StringType(), False),
+        StructField("name", StringType(), True),
+        StructField("x", IntegerType(), True),
+        StructField("y", IntegerType(), True),
+    ]
+)
+
+
+def timer_service(events: DataFrame, explode_after_ms: int = 2000) -> DataFrame:
+    """T1 (event.go:100-107): in the reference, *clients* run wall-
+    clock timers that EMIT ExplodeEvents into the log 2 s after a
+    SetBombEvent. This operator is that client role as a stateful
+    streaming stage: per room it tracks pending (un-exploded) bombs;
+    when the processing-time timeout fires, it emits synthesized
+    ExplodeEvents for bombs whose timer elapsed — feed its output back
+    into the log (the log stays self-contained, batch replay never
+    needs timers). Bombs whose ExplodeEvent already arrived are
+    descheduled, mirroring the duplicate-tolerant reference flow."""
+    import time as _time
+
+    def kernel(key, pdf_iter, state: GroupState):
+        room = key[0]
+        pending: dict[str, tuple[float, int, int]] = (
+            pickle.loads(state.get[0]) if state.exists else {}
+        )
+        now = _time.time()
+        out = []
+        if state.hasTimedOut:
+            due = [(b, xy) for b, xy in pending.items() if xy[0] <= now]
+            for bomb, (_, x, y) in due:
+                out.append({"room": room, "type": "ExplodeEvent", "name": bomb, "x": x, "y": y})
+                del pending[bomb]
+        else:
+            batches = [p for p in pdf_iter if not p.empty]
+            if batches:
+                evs = pd.concat(batches).sort_values("offset", kind="mergesort")
+                for ev in evs.to_dict("records"):
+                    if ev["type"] == "SetBombEvent":
+                        pending[ev["name"]] = (now + explode_after_ms / 1000.0,
+                                               int(ev["x"]), int(ev["y"]))
+                    elif ev["type"] == "ExplodeEvent":
+                        pending.pop(ev["name"], None)  # client already emitted
+        state.update((pickle.dumps(pending),))
+        if pending:
+            state.setTimeoutDuration(explode_after_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("room").applyInPandasWithState(
+        kernel,
+        outputStructType=TIMER_OUT_SCHEMA,
+        stateStructType=_TIMER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

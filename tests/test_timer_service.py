@@ -1,0 +1,70 @@
+"""T1 timer service: synthesized ExplodeEvents for bombs whose client
+died before emitting one; bombs already exploded are descheduled."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from play_with_pulsar_spark.schema import GAME_EVENT_SCHEMA
+from play_with_pulsar_spark.streaming.pipeline import timer_service
+
+
+def _mk_events():
+    base = datetime(2024, 3, 1)
+    rows = []
+
+    def ev(offset, room, type_, name, x, y):
+        rows.append(
+            dict(offset=offset, room=room, ts=base, type=type_, name=name,
+                 avatar="f", comment="", x=x, y=y, alive=True, list=None)
+        )
+
+    # room A: bomb1 set AND exploded by its client; bomb2 set, client died
+    ev(0, "A", "UserJoinEvent", "p1", 1, 1)
+    ev(1, "A", "SetBombEvent", "p1-b0001", 1, 1)
+    ev(2, "A", "ExplodeEvent", "p1-b0001", 1, 1)
+    ev(3, "A", "SetBombEvent", "p1-b0002", 2, 2)
+    # room B: one orphaned bomb
+    ev(0, "B", "UserJoinEvent", "p2", 5, 5)
+    ev(1, "B", "SetBombEvent", "p2-b0003", 5, 5)
+    return rows
+
+
+def test_timer_service_emits_orphan_explodes(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    df = spark.createDataFrame(pd.DataFrame(_mk_events()), GAME_EVENT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(in_dir / "batch0"))
+
+    stream = spark.readStream.schema(GAME_EVENT_SCHEMA).parquet(str(in_dir / "batch*"))
+    out = timer_service(stream, explode_after_ms=1500)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("timer_out")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # wait for the timers to fire (needs a trigger AFTER expiry)
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM timer_out").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {(r.room, r.name): (r.x, r.y) for r in rows}
+    # orphaned bombs got synthesized explodes at their set position
+    assert got.get(("A", "p1-b0002")) == (2, 2)
+    assert got.get(("B", "p2-b0003")) == (5, 5)
+    # the client-exploded bomb must NOT be re-exploded
+    assert ("A", "p1-b0001") not in got
+    assert all(r.type == "ExplodeEvent" for r in rows)
