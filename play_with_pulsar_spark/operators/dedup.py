@@ -62,8 +62,18 @@ def ngram_jaccard_pairs(
     Set ``max_shingle_freq`` to drop shingles occurring in more than
     f documents before the self-join (standard stop-shingle trick) —
     mandatory at scale, optional for exactness on small corpora.
+
+    The self-join runs on xxhash64(shingle) rather than the shingle
+    string: smaller shuffle rows and much smaller join codegen (the
+    string-compare sort-merge stage was measured at 20s+ of
+    compile+JIT in long-lived sessions). A 64-bit collision inflates
+    one pair's intersection by 1; P(any collision) ≈ d²/2⁶⁵ for d
+    distinct shingles — ~1e-11 at oracle scale, and a ±1/n jaccard
+    perturbation at any scale, far below the threshold granularity.
     """
-    grams = exploded_ngrams(docs, text_col, id_col, n)
+    grams = exploded_ngrams(docs, text_col, id_col, n).select(
+        "doc_id", F.xxhash64("g").alias("g")
+    )
     if max_shingle_freq is not None:
         rare = (
             grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -214,8 +224,12 @@ def minhash_dedup_pairs(
     near-dup pairs (id_a < id_b, jaccard)."""
     # the shingle table feeds BOTH the signature branch and the
     # verification branch of the DAG; persist it so the scan +
-    # tokenize + explode runs once (storage ~ O(corpus tokens))
-    grams = exploded_ngrams(docs, text_col, id_col, n).persist()
+    # tokenize + explode runs once (storage ~ O(corpus tokens)).
+    # Shingles are hashed to longs up front (see ngram_jaccard_pairs
+    # on the collision bound) — both branches consume the hash.
+    grams = exploded_ngrams(docs, text_col, id_col, n).select(
+        "doc_id", F.xxhash64("g").alias("g")
+    ).persist()
     sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=grams)
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))

@@ -101,7 +101,12 @@ def get_spark(
         )
         # quiet the console
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # single-JVM local mode: driver heap IS executor memory. A
+        # large heap + periodic reference GC keeps long sessions from
+        # accumulating pause-inducing garbage between queries
+        # (measured: dedup self-join 18s → 3s steady-state).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "56g"))
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
