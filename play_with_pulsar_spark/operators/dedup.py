@@ -265,28 +265,52 @@ def dedup_clusters(
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster)
     where cluster = min doc_id reachable. Iterative label propagation
-    (each round: label ← min(label, neighbors' labels)); converges in
-    O(graph diameter) rounds — near-dup clusters are tiny cliques, so
-    2-3 rounds in practice, bounded by ``max_iter``. Each round is one
-    join + one aggregation; nothing is collected to the driver."""
+    with pointer jumping: each round does (a) label ← min(label,
+    neighbors' labels), then (b) label ← label(label) — the classic
+    Shiloach-Vishkin-style shortcut that makes label distance double
+    per round, so convergence is O(log diameter) rounds, not
+    O(diameter). Near-dup clusters are tiny cliques (1-2 rounds); the
+    log bound is what protects chain-shaped clusters. Each round is
+    two joins + one aggregation; nothing is collected to the driver.
+
+    Lineage control: ``edges`` (whose upstream may be the whole
+    LSH/minhash pipeline) is localCheckpoint-ed once, and each round's
+    labels are localCheckpoint-ed before the convergence probe — so
+    round k never re-executes rounds 0..k-1 and the plan depth stays
+    constant regardless of graph diameter. ``localCheckpoint`` is
+    executor-local (re-run the job on executor loss, no reliable-store
+    round-trip) — the right tradeoff for a convergent iteration."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
-    labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        # pointer jump: label ← label(label). Labels are node ids, so
+        # self-join on (label == node); left+coalesce guards nodes
+        # whose label isn't in docs (can't happen, but cheap safety).
+        lookup = propagated.select(
+            F.col("node").alias("label"), F.col("label").alias("jump")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
+            propagated.join(lookup, "label", "left")
+            .select("node", F.coalesce(F.col("jump"), F.col("label")).alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -301,10 +325,75 @@ def dedup_clusters(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
 
 
+def _sig_from_votes(votes: np.ndarray) -> int:
+    """(64,) vote tally → signed 64-bit SimHash (bit i set iff votes[i]>0)."""
+    sig = 0
+    for i in np.nonzero(votes > 0)[0]:
+        sig |= 1 << int(i)
+    if sig >= 1 << 63:  # reinterpret as signed 64-bit for LongType
+        sig -= 1 << 64
+    return sig
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
-    xxhash64(token). Tokens hashed JVM-side; the 64 bit-tallies are a
-    vectorized numpy popcount in a grouped Arrow batch."""
+    xxhash64(token). Tokens hashed JVM-side; the 64 bit-tallies run as
+    one vectorized numpy kernel per Arrow batch over range-
+    partitioned, doc-sorted tokens with cross-batch carry (the same
+    shape as the minhash kernel above — ``np.add.reduceat`` over doc
+    boundaries instead of one Python call per document, which costs
+    doc-count × group overhead)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def kernel(batches):
+        carry_doc = None
+        carry_votes = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            d = pdf["doc_id"].to_numpy()
+            h = pdf["h"].to_numpy(dtype=np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = 2 * bits - 1  # (n, 64) in {-1, +1}
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            sums = np.add.reduceat(votes, starts, axis=0)  # (n_docs, 64)
+            doc_ids = d[starts]
+            if carry_doc is not None:
+                if doc_ids[0] == carry_doc:
+                    sums[0] += carry_votes
+                else:
+                    yield pd.DataFrame(
+                        {"doc_id": [carry_doc], "simhash": [_sig_from_votes(carry_votes)]}
+                    )
+            carry_doc = int(doc_ids[-1])
+            carry_votes = sums[-1]
+            if len(doc_ids) > 1:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[:-1],
+                        "simhash": [_sig_from_votes(s) for s in sums[:-1]],
+                    }
+                )
+        if carry_doc is not None:
+            yield pd.DataFrame(
+                {"doc_id": [carry_doc], "simhash": [_sig_from_votes(carry_votes)]}
+            )
+
+    sorted_toks = toks.repartitionByRange("doc_id").sortWithinPartitions("doc_id")
+    return sorted_toks.mapInPandas(kernel, schema="doc_id long, simhash long")
+
+
+def simhash64_grouped(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Reference implementation: one ``applyInPandas`` group call per
+    document. Kept for the equality test against the kernel form —
+    identical results, ~doc-count × group-overhead slower."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
@@ -315,12 +404,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         h = pdf["h"].to_numpy(dtype=np.uint64)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
-        sig = 0
-        for i in np.nonzero(votes > 0)[0]:
-            sig |= 1 << int(i)
-        if sig >= 1 << 63:  # reinterpret as signed 64-bit for LongType
-            sig -= 1 << 64
-        return pd.DataFrame({"doc_id": [doc], "simhash": [sig]})
+        return pd.DataFrame({"doc_id": [doc], "simhash": [_sig_from_votes(votes)]})
 
     return toks.groupBy("doc_id").applyInPandas(_fold, schema="doc_id long, simhash long")
 

@@ -87,3 +87,26 @@ def test_connected_components_vs_union_find(spark, sf_dir):
     want = {i: roots[find(i) if i in parent else i] for i in range(n_docs)}
     assert got == want
     pairs.unpersist()
+
+def test_connected_components_deep_chain(spark):
+    # Path graph of 200 nodes (diameter 199). Propagation + pointer
+    # jumping covers doubling distance per round, so the default
+    # max_iter=15 converges (2^15 >> 199) — and the per-round
+    # localCheckpoint keeps the plan depth constant while doing it.
+    n = 200
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "id_a long, id_b long, jaccard double"
+    )
+    got = {
+        r.doc_id: r.cluster
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_simhash_kernel_equals_grouped(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    ref = {r.doc_id: r.simhash for r in dedup.simhash64_grouped(docs).collect()}
+    assert fast == ref
