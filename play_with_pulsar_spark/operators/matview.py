@@ -14,11 +14,21 @@ megabytes, and every batch's work is proportional to the batch, never
 to history. (With a transactional table format — Delta/Iceberg, not
 in this image — the overwrite becomes MERGE INTO; the logic is
 unchanged.)
+
+Atomicity: each update writes a NEW versioned directory
+(``{path}.v{n}``) and then flips a pointer file via ``os.replace``
+(atomic on POSIX). Readers resolve the pointer, so they always see a
+complete version — a crash mid-write leaves the previous version
+live, and the partial ``.v{n+1}`` directory is overwritten by the
+next update. The previous version directory is deleted only after
+the flip. This is the filesystem analog of a table-format commit log;
+swap for Delta/Iceberg MERGE where available.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,33 +54,58 @@ class LatestStateView:
         self.order_cols = list(order_cols)
         self.payload_cols = payload_cols
 
+    @property
+    def _pointer(self) -> str:
+        return self.path + ".current"
+
+    def _resolve(self) -> str | None:
+        """Directory holding the live version, or None if empty view."""
+        if os.path.exists(self._pointer):
+            with open(self._pointer) as f:
+                target = f.read().strip()
+            if target and os.path.exists(target):
+                return target
+        return None
+
     def _exists(self) -> bool:
-        return os.path.exists(self.path)
+        return self._resolve() is not None
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        target = self._resolve()
+        if target is None:
+            raise FileNotFoundError(f"view {self.path} has no committed version")
+        return self.spark.read.parquet(target)
 
     def update(self, batch: DataFrame) -> None:
         """Fold one batch into the view: compact the batch, union with
-        the current view, re-compact, atomically replace. Work is
-        O(|batch| + |keys|)."""
+        the current view, re-compact, write a new version directory,
+        atomically flip the pointer, then drop the old version. Work is
+        O(|batch| + |keys|); exactly ONE parquet write per update."""
         compacted = latest_per_key(
             batch, self.key_cols, self.order_cols, self.payload_cols
         )
-        if self._exists():
-            current = self.read()
+        old = self._resolve()
+        if old is not None:
+            current = self.spark.read.parquet(old)
             merged = latest_per_key(
                 current.unionByName(compacted),
                 self.key_cols,
                 self.order_cols,
                 [c for c in compacted.columns if c not in self.key_cols],
             )
+            version = int(old.rsplit(".v", 1)[1]) + 1
         else:
             merged = compacted
-        tmp = self.path + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        final_df = self.spark.read.parquet(tmp)
-        final_df.write.mode("overwrite").parquet(self.path)
+            version = 0
+        new_dir = f"{self.path}.v{version}"
+        merged.write.mode("overwrite").parquet(new_dir)
+        # commit: write-temp + os.replace = atomic pointer flip (POSIX)
+        tmp_ptr = self._pointer + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            f.write(new_dir)
+        os.replace(tmp_ptr, self._pointer)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` — the S7 connector

@@ -33,14 +33,28 @@ def assign_offsets(
     batch: DataFrame,
     base_offsets: DataFrame | None = None,
     room_col: str = "room",
-    order_cols: tuple[str, ...] = ("ts",),
+    order_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Assign monotone gapless per-room offsets to an ingest batch.
 
     ``base_offsets``: (room, max_offset) of the existing log, for
     appends; omitted ⇒ offsets start at 0.
+
+    ``order_cols`` defaults to ``("ts", "seq")`` when a ``seq`` column
+    exists, else ``("ts",)``. A content-hash tiebreaker is ALWAYS
+    appended so rows with equal order keys receive the same offsets on
+    every run and every partitioning — offset assignment must be a
+    pure function of the batch contents, never of task scheduling.
     """
-    w = Window.partitionBy(room_col).orderBy(*[F.col(c) for c in order_cols])
+    if order_cols is None:
+        order_cols = ("ts", "seq") if "seq" in batch.columns else ("ts",)
+    missing = [c for c in (room_col, *order_cols) if c not in batch.columns]
+    if missing:
+        raise ValueError(f"assign_offsets: batch lacks order columns {missing}")
+    tiebreak = F.xxhash64(*batch.columns)
+    w = Window.partitionBy(room_col).orderBy(
+        *[F.col(c) for c in order_cols], tiebreak
+    )
     out = batch.withColumn("_rn", F.row_number().over(w) - 1)
     if base_offsets is not None:
         out = (

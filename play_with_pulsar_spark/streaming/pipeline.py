@@ -159,12 +159,7 @@ def timer_service(events: DataFrame, explode_after_ms: int = 2000) -> DataFrame:
         )
         now = _time.time()
         out = []
-        if state.hasTimedOut:
-            due = [(b, xy) for b, xy in pending.items() if xy[0] <= now]
-            for bomb, (_, x, y) in due:
-                out.append({"room": room, "type": "ExplodeEvent", "name": bomb, "x": x, "y": y})
-                del pending[bomb]
-        else:
+        if not state.hasTimedOut:
             batches = [p for p in pdf_iter if not p.empty]
             if batches:
                 evs = pd.concat(batches).sort_values("offset", kind="mergesort")
@@ -174,9 +169,19 @@ def timer_service(events: DataFrame, explode_after_ms: int = 2000) -> DataFrame:
                                                int(ev["x"]), int(ev["y"]))
                     elif ev["type"] == "ExplodeEvent":
                         pending.pop(ev["name"], None)  # client already emitted
+        # Fire due bombs in BOTH branches: a busy room re-invokes this
+        # kernel on every micro-batch, which re-arms the processing-time
+        # timeout — if only the hasTimedOut branch fired, a room with a
+        # steady event flow would postpone orphan explosions forever
+        # (the reference explodes after a FIXED 2 s, event.go:100-107).
+        for bomb in [b for b, (d, _, _) in pending.items() if d <= now]:
+            _, x, y = pending.pop(bomb)
+            out.append({"room": room, "type": "ExplodeEvent", "name": bomb, "x": x, "y": y})
         state.update((pickle.dumps(pending),))
         if pending:
-            state.setTimeoutDuration(explode_after_ms)
+            # arm for the EARLIEST pending deadline, not a fixed period
+            earliest = min(d for d, _, _ in pending.values())
+            state.setTimeoutDuration(max(1, int((earliest - now) * 1000)))
         if out:
             yield pd.DataFrame(out)
 

@@ -68,3 +68,52 @@ def test_timer_service_emits_orphan_explodes(spark, tmp_path):
     # the client-exploded bomb must NOT be re-exploded
     assert ("A", "p1-b0001") not in got
     assert all(r.type == "ExplodeEvent" for r in rows)
+
+def test_timer_service_fires_while_room_active(spark, tmp_path):
+    """A room with a steady event flow re-arms its timeout on every
+    micro-batch, so the hasTimedOut branch may never run — the due
+    bomb must be emitted from the data branch instead."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = datetime(2024, 3, 1)
+
+    def batch(i, rows):
+        df = spark.createDataFrame(pd.DataFrame(rows), GAME_EVENT_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(str(in_dir / f"batch{i}"))
+
+    batch(0, [
+        dict(offset=0, room="A", ts=base, type="UserJoinEvent", name="p1",
+             avatar="f", comment="", x=1, y=1, alive=True, list=None),
+        dict(offset=1, room="A", ts=base, type="SetBombEvent", name="p1-b0009",
+             avatar="f", comment="", x=3, y=4, alive=True, list=None),
+    ])
+
+    stream = spark.readStream.schema(GAME_EVENT_SCHEMA).parquet(str(in_dir / "batch*"))
+    out = timer_service(stream, explode_after_ms=1500)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("timer_active_out")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows, i = [], 1
+        while time.time() < deadline:
+            # keep the room busy: a new move event every poll interval
+            batch(i, [
+                dict(offset=1 + i, room="A", ts=base, type="UserMoveEvent",
+                     name="p1", avatar="f", comment="", x=1 + (i % 3), y=1,
+                     alive=True, list=None),
+            ])
+            i += 1
+            rows = spark.sql("SELECT * FROM timer_active_out").collect()
+            if rows:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    got = {(r.room, r.name): (r.x, r.y) for r in rows}
+    assert got.get(("A", "p1-b0009")) == (3, 4)
