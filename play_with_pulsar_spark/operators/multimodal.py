@@ -13,16 +13,21 @@ Design (the part that must be right at 100 TB):
   batched and never per-row-serialized;
 - batch size is controlled by ``spark.sql.execution.arrow.
   maxRecordsPerBatch`` — for multi-MB blobs set it low (OOM control);
-- real codecs (PIL/libav/etc.) are NOT in this container: the decode
-  kernel is STUBBED — ``decode_media(..., strict=True)`` raises
-  NotImplementedError; the default test path substitutes a
-  deterministic fake decoder so the Spark-side plumbing (schema,
-  partitioning, UDF signature, batch shape) is real and tested.
+- codecs: BMP (24bpp uncompressed, struct+numpy) and WAV (PCM16,
+  stdlib ``wave``) are REAL pure-python decoders — image and audio
+  features come from actually-decoded pixels/samples. Video (mp4)
+  still needs libav and stays STUBBED: ``strict=True`` raises
+  NotImplementedError for formats without a codec; ``strict=False``
+  substitutes a deterministic fake array so the frame-sampling
+  plumbing is still exercised end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -63,28 +68,97 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+# --- real pure-python codecs: BMP (24bpp BI_RGB) and WAV (PCM16) ---
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24bpp uncompressed bottom-up BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER; rows padded to 4 bytes).
+    Format per the public Windows BMP spec."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_size = (3 * w + 3) & ~3
+    img_size = row_size * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    pad = b"\x00" * (row_size - 3 * w)
+    bgr = pixels[:, :, ::-1]  # BMP stores BGR
+    body = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24bpp BI_RGB BMP → (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24bpp uncompressed (BI_RGB) supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (3 * w + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=off)
+    rows = data.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """1-D int16 mono samples → PCM16 WAV via stdlib ``wave``."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """PCM16 WAV → (n_frames,) int16 (first channel)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n, ch, sw = wf.getnframes(), wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(n)
+    if sw != 2:
+        raise NotImplementedError("PCM16 only")
+    return np.frombuffer(raw, dtype="<i2").reshape(-1, ch)[:, 0].copy()
+
+
 def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload bytes are seeded
-    pseudo-random, sized like thumbnails — stands in for a real
-    binary-file source (``spark.read.format('binaryFile')`` in
-    production)."""
+    """Deterministic media table with REAL encoded blobs: BMP images
+    (seeded pixel noise), WAV audio (sine + noise), and fake mp4 bytes
+    for video (no codec in this container). Stands in for a binary-
+    file source (``spark.read.format('binaryFile')`` in production)."""
     rows = []
     for i in range(n):
-        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-        payload = (h * ((1000 + (i * 37) % 3000) // len(h) + 1))[: 1000 + (i * 37) % 3000]
+        rng = np.random.RandomState(seed * 1009 + i)
         modality = ["image", "audio", "video"][i % 3]
-        fmt = {"image": "png", "audio": "wav", "video": "mp4"}[modality]
+        if modality == "image":
+            w, h = 16 + i % 17, 12 + i % 13
+            payload = encode_bmp(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+            width, height, dur = w, h, None
+        elif modality == "audio":
+            rate = 8000
+            n_samp = 400 + (i * 37) % 1200
+            t = np.arange(n_samp)
+            wave_f = 100.0 + (i % 20) * 40.0
+            samples = (
+                3000 * np.sin(2 * np.pi * wave_f * t / rate)
+                + rng.randint(-500, 500, size=n_samp)
+            ).astype(np.int16)
+            payload = encode_wav(samples, rate)
+            width, height, dur = None, None, int(n_samp * 1000 / rate)
+        else:
+            hsh = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+            size = 1000 + (i * 37) % 3000
+            payload = (hsh * (size // len(hsh) + 1))[:size]
+            width, height, dur = 64 + i % 128, 48 + i % 96, 1000 + i * 250
+        fmt = {"image": "bmp", "audio": "wav", "video": "mp4"}[modality]
         rows.append(
-            (
-                i,
-                modality,
-                fmt,
-                64 + i % 128 if modality != "audio" else None,
-                48 + i % 96 if modality != "audio" else None,
-                1000 + i * 250 if modality != "image" else None,
-                len(payload),
-                bytearray(payload),
-            )
+            (i, modality, fmt, width, height, dur, len(payload), bytearray(payload))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -92,15 +166,20 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
 def decode_media(payload: bytes, fmt: str, strict: bool = True) -> np.ndarray:
     """Decode a media blob to a pixel/sample array.
 
-    STUB: real decoding needs codec libraries not present in this
-    environment. ``strict=True`` (production behavior) raises;
-    ``strict=False`` returns a deterministic fake "decoded" array
-    derived from the payload bytes, used to exercise the pipeline.
+    BMP and WAV decode for real (pure python — see above); formats
+    without an in-container codec (mp4, png, …) raise under
+    ``strict=True`` (production behavior) or return a deterministic
+    fake array under ``strict=False`` so downstream plumbing can be
+    exercised. The Spark plumbing is codec-agnostic either way.
     """
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "wav":
+        return decode_wav(payload)
     if strict:
         raise NotImplementedError(
-            f"no codec for {fmt!r} in this environment — install PIL/av and "
-            "replace this stub; the Spark plumbing is codec-agnostic"
+            f"no codec for {fmt!r} in this environment — install PIL/av for "
+            "compressed formats; bmp/wav decode natively"
         )
     arr = np.frombuffer(payload[:4096], dtype=np.uint8).astype(np.float64)
     return arr
@@ -123,7 +202,10 @@ def extract_features(
                 continue
             feats = []
             for payload, fmt in zip(pdf["payload"], pdf["fmt"]):
-                arr = decode_media(bytes(payload), fmt, strict=strict_decode)
+                arr = np.asarray(
+                    decode_media(bytes(payload), fmt, strict=strict_decode),
+                    dtype=np.float64,
+                ).ravel()
                 m = np.zeros(FEATURE_DIM)
                 if len(arr):
                     chunks = np.array_split(arr, FEATURE_DIM)
@@ -145,7 +227,9 @@ def extract_features(
 def resize_images(media: DataFrame, width: int, height: int, strict_decode: bool = False) -> DataFrame:
     """Resize stage: filters to images on METADATA (no blob touch for
     non-images — the filter prunes before deserialization), then maps
-    payloads through the (stubbed) decoder+resizer."""
+    payloads through decode → nearest-neighbor resample → re-encode.
+    BMP inputs produce real resized BMP outputs; codec-less formats
+    fall back to a deterministic byte resample (strict=False only)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -153,10 +237,19 @@ def resize_images(media: DataFrame, width: int, height: int, strict_decode: bool
                 continue
             out = []
             for payload, fmt in zip(pdf["payload"], pdf["fmt"]):
-                arr = decode_media(bytes(payload), fmt, strict=strict_decode)
-                # stub resize: deterministic resample of the fake array
-                idx = np.linspace(0, max(len(arr) - 1, 0), num=width * height).astype(int)
-                out.append(bytearray(arr[idx].astype(np.uint8).tobytes()) if len(arr) else bytearray(b""))
+                if fmt == "bmp":
+                    px = decode_bmp(bytes(payload))
+                    ys = np.linspace(0, px.shape[0] - 1, num=height).astype(int)
+                    xs = np.linspace(0, px.shape[1] - 1, num=width).astype(int)
+                    out.append(bytearray(encode_bmp(px[ys][:, xs])))
+                else:
+                    arr = decode_media(bytes(payload), fmt, strict=strict_decode)
+                    idx = np.linspace(0, max(len(arr) - 1, 0), num=width * height).astype(int)
+                    out.append(
+                        bytearray(arr[idx].astype(np.uint8).tobytes())
+                        if len(arr)
+                        else bytearray(b"")
+                    )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": out,
                  "width": width, "height": height}

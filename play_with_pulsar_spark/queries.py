@@ -1198,10 +1198,11 @@ def sim_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_features", oracle=None)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline plumbing: deterministic synthetic binary
-    media table → metadata-pruned decode (stubbed codec) → per-item
-    feature vectors via Arrow-batched mapInPandas. Returns
-    (media_id, modality, feature norm) — stable schema/rows."""
+    """Multimodal pipeline: deterministic media table with REAL BMP /
+    WAV blobs → metadata-pruned decode (pure-python codecs; mp4 still
+    fake — no libav in container) → per-item feature vectors via
+    Arrow-batched mapInPandas. Returns (media_id, modality,
+    feature norm) — stable schema/rows."""
     from .operators import multimodal as mm
 
     _prep(spark)

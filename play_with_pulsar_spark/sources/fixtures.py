@@ -216,3 +216,49 @@ __all__ = [
     "room_names",
     "valid_coordinate",
 ]
+
+
+# --- language-ID evaluation corpus (per-language vocabulary) ---
+
+# Common-word vocabularies chosen so each language's text actually
+# exhibits its character-trigram statistics (the driver's documents
+# fixture shares one vocabulary across lang labels, which makes
+# accuracy against it meaningless — ROADMAP gap 5). Public common
+# words only.
+_LANG_VOCAB: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "thing", "going", "standing", "other",
+           "another", "hand", "land", "making", "finding", "world",
+           "thought", "nothing", "morning", "during", "people", "that",
+           "with", "house", "water", "under", "think", "there"],
+    "es": ["de", "la", "el", "que", "los", "las", "nación", "canción",
+           "hablar", "estar", "casa", "quiero", "porque", "ciudad",
+           "trabajo", "tiempo", "historia", "grande", "pequeño",
+           "información", "corazón", "mundo", "desde", "ellos", "cuando"],
+    "fr": ["le", "de", "la", "les", "et", "entente", "moment", "nation",
+           "maison", "temps", "gouvernement", "pendant", "comment",
+           "enfant", "souvent", "grandes", "petites", "question",
+           "attention", "devant", "toujours", "histoire", "lentement",
+           "seulement", "vraiment"],
+    "de": ["der", "die", "ein", "ich", "schön", "deutsch", "sich",
+           "nicht", "einer", "dieser", "zwischen", "deutschland",
+           "geschichte", "wichtig", "eigentlich", "menschen", "sprache",
+           "schnell", "schreiben", "einfach", "wieder", "dieses",
+           "entscheidung", "wissenschaft", "natürlich"],
+}
+
+
+def lang_corpus(n_per_lang: int = 50, seed: int = 42,
+                words_per_doc: int = 30) -> list[dict]:
+    """Labeled corpus where each document is sampled from ITS
+    language's vocabulary — accuracy of a language identifier against
+    the ``lang`` label is meaningful here, unlike on the shared-
+    vocabulary driver fixture."""
+    rng = random.Random(seed)
+    rows = []
+    doc_id = 0
+    for lang, vocab in _LANG_VOCAB.items():
+        for _ in range(n_per_lang):
+            text = " ".join(rng.choice(vocab) for _ in range(words_per_doc))
+            rows.append({"doc_id": doc_id, "lang": lang, "text": text})
+            doc_id += 1
+    return rows

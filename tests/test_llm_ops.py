@@ -139,3 +139,20 @@ def test_bruteforce_topk_is_exact(spark, emb):
         ).collect()
     }
     assert got == want
+
+
+def test_lang_id_accuracy_on_labeled_corpus(spark):
+    """Accuracy is measured on a corpus whose documents are sampled
+    from per-language vocabularies (the driver fixture shares one
+    vocabulary across lang labels, so accuracy there is meaningless)."""
+    from play_with_pulsar_spark.operators import textops
+    from play_with_pulsar_spark.sources.fixtures import lang_corpus
+
+    corpus = spark.createDataFrame(lang_corpus(n_per_lang=50, seed=42))
+    pred = corpus.select(
+        "lang", textops.lang_id(F.col("text")).alias("lang_pred")
+    )
+    agg = pred.select(
+        F.avg((F.col("lang") == F.col("lang_pred")).cast("double")).alias("acc")
+    ).first()
+    assert agg.acc >= 0.9, f"lang_id accuracy {agg.acc:.3f} < 0.9"

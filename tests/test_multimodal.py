@@ -1,12 +1,27 @@
-"""Multimodal plumbing tests: real schema/batching/partitioning, with
-the codec stub swapped for the deterministic fake decoder."""
+"""Multimodal tests: real BMP/WAV codecs (pure python), real
+schema/batching/partitioning; video decode remains a deterministic
+fake (no mp4 codec in this container)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from play_with_pulsar_spark.operators import multimodal as mm
+
+
+def test_bmp_roundtrip():
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (5, 3), (12, 17)]:  # incl. non-4-aligned rows
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (mm.decode_bmp(mm.encode_bmp(px)) == px).all()
+
+
+def test_wav_roundtrip():
+    rng = np.random.RandomState(7)
+    samples = rng.randint(-32768, 32767, size=1234).astype(np.int16)
+    assert (mm.decode_wav(mm.encode_wav(samples, 8000)) == samples).all()
 
 
 @pytest.fixture(scope="module")
@@ -25,10 +40,39 @@ def test_media_table_shape(media):
     assert all(r.ok for r in sizes)
 
 
-def test_strict_decode_raises(spark, media):
+def test_strict_decode_raises_for_codecless_video(spark, media):
     with pytest.raises(Exception) as ei:
         mm.extract_features(media, strict_decode=True).collect()
     assert "NotImplementedError" in str(ei.value) or "no codec" in str(ei.value)
+
+
+def test_strict_decode_works_for_bmp_and_wav(media):
+    """Image + audio features come from ACTUALLY decoded pixels and
+    samples — the strict path succeeds without any codec library."""
+    real = media.filter(F.col("modality") != "video")
+    rows = mm.extract_features(real, strict_decode=True).collect()
+    assert len(rows) == real.count()
+    # image features are pixel-value means: bounded by uint8 range
+    img_ids = {r.media_id for r in media.filter(F.col("modality") == "image").collect()}
+    for r in rows:
+        if r.media_id in img_ids:
+            assert all(0.0 <= v <= 255.0 for v in r.feat)
+
+
+def test_image_features_match_local_decode(media):
+    """Spark-side feature of one image == locally decoded moments."""
+    row = media.filter(F.col("modality") == "image").orderBy("media_id").first()
+    px = mm.decode_bmp(bytes(row.payload))
+    arr = px.astype(np.float64).ravel()
+    chunks = np.array_split(arr, mm.FEATURE_DIM)
+    want = [c.mean() for c in chunks]
+    got = (
+        mm.extract_features(media.filter(F.col("media_id") == row.media_id),
+                            strict_decode=True)
+        .first()
+        .feat
+    )
+    assert np.allclose(got, want)
 
 
 def test_feature_extraction_shape_and_determinism(media):
@@ -44,7 +88,9 @@ def test_resize_filters_on_metadata(media):
     out = mm.resize_images(media, 8, 6)
     rows = out.collect()
     assert len(rows) == media.filter(F.col("modality") == "image").count()
-    assert all(len(bytes(r.payload)) == 8 * 6 for r in rows)
+    # outputs are real 8x6 BMPs
+    for r in rows:
+        assert mm.decode_bmp(bytes(r.payload)).shape == (6, 8, 3)
 
 
 def test_frame_sampling_is_flatmap(media):
