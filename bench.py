@@ -8,6 +8,15 @@ JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with the noop sink (full computation, no driver
 collect) — the measured time is scan + shuffle + agg, not
 result-serialization.
+
+Extra keys in the JSON line:
+- ``fold_events_per_sec``: events folded per second in the
+  fold_scale_replay entry (96k generated events incl. generation) —
+  the fold-throughput number tracked round over round.
+- ``sweep``: a 3-query subset timed at the SMALLER scale factors
+  (sf0.001/sf0.01) so round-over-round scaling linearity is visible
+  in one file. Skipped when the dirs don't exist or with
+  ``SPARK_GRAFT_BENCH_SWEEP=0``.
 """
 
 from __future__ import annotations
@@ -30,24 +39,52 @@ def main() -> None:
 
     spark = get_spark(app_name="pwp-bench")
 
-    # Each query is executed twice at the target scale and the MIN is
-    # reported: the first run compiles the query's whole-stage-codegen
-    # classes for the target-scale plan (AQE picks different join
-    # strategies at different scales, so a small-scale warmup compiles
-    # the wrong variant); the second run measures steady-state
-    # execution — the number that projects to a long-lived cluster.
+    # Protocol: THREE full passes over the query list, min per query
+    # across passes. Pass 1 absorbs whole-stage-codegen compilation
+    # for the target-scale plans (AQE picks different strategies at
+    # different scales, so a small-scale warmup would compile the
+    # wrong variant). Reps are spread across passes rather than run
+    # back-to-back so a transient stall (host CPU-steal burst, full
+    # GC) cannot inflate all of one query's reps at once — this box
+    # shows multi-second hypervisor steal in waves.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(3):
+        for name in BENCH_QUERIES:
+            fn = REGISTRY[name].fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            t = time.perf_counter() - t0
             spark.catalog.clearCache()  # drop operator-internal persists
-        timings[name] = round(best, 3)
+            timings[name] = round(min(timings.get(name, float("inf")), t), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # fold throughput: fold_scale_replay generates + folds 32 rooms ×
+    # 3000 events (queries.py fold_scale_replay docstring)
+    fold_events_per_sec = None
+    if timings.get("fold_scale_replay"):
+        fold_events_per_sec = round(32 * 3000 / timings["fold_scale_replay"], 1)
+
+    # scaling sweep: a fast 3-query subset at the smaller SFs
+    sweep: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0":
+        subset = ["q1_pricing_summary", "a1_scoreboard_kills", "dedup_minhash_lsh"]
+        base = os.path.dirname(sf_dir.rstrip("/"))
+        for small_sf in ("0.001", "0.01"):
+            d = os.path.join(base, f"sf{small_sf}")
+            if not os.path.isdir(d) or d == sf_dir.rstrip("/"):
+                continue
+            sweep[small_sf] = {}
+            for name in subset:
+                fn = REGISTRY[name].fn
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                sweep[small_sf][name] = round(best, 3)
+
     print(
         json.dumps(
             {
@@ -56,6 +93,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "fold_events_per_sec": fold_events_per_sec,
+                "sweep": sweep,
             }
         )
     )

@@ -47,12 +47,12 @@ from ..schema import BOMB_LENGTH, GRID_H, GRID_W
 DESTRUCTIBLE = 1
 INDESTRUCTIBLE = 2
 
-# One tagged table holds all four state maps (players/bombs/obstacles/
-# flames) so a replay is ONE fold and one shuffle, not four.
+# One tagged table holds all five state maps (players/pos_players/
+# bombs/obstacles/flames) so a replay is ONE fold and one shuffle.
 STATE_SCHEMA = StructType(
     [
         StructField("room", StringType(), False),
-        StructField("entity", StringType(), False),  # player|bomb|obstacle|flame
+        StructField("entity", StringType(), False),  # player|pos_player|bomb|obstacle|flame
         StructField("name", StringType(), True),  # player or bomb name
         StructField("owner", StringType(), True),  # bomb/flame owning player
         StructField("x", IntegerType(), True),
@@ -117,6 +117,13 @@ class GameState:
     """The five keyed state maps of game-code/game.go:55-90."""
 
     players: dict[str, Player] = field(default_factory=dict)  # nameToPlayers
+    # posToPlayers (game.go:62): position-keyed LWW map written ONLY by
+    # move/join (event.go:47,80) — reference semantics: the cell holds
+    # the SAME object stored in nameToPlayers at write time (pointer
+    # aliasing), stale cells are never cleared when a player moves
+    # away, and revive/dead never write it. Two players on one cell =
+    # last writer wins.
+    pos_players: dict[tuple[int, int], Player] = field(default_factory=dict)
     bombs: dict[str, Bomb] = field(default_factory=dict)  # nameToBombs
     pos_bombs: dict[tuple[int, int], str] = field(default_factory=dict)  # posToBombs
     exploding: dict[tuple[int, int], Bomb] = field(default_factory=dict)
@@ -172,7 +179,9 @@ class GameState:
         p = self.players.get(ev["name"])
         if p is not None and not p.alive:
             return
-        self.players[ev["name"]] = Player(ev["name"], ev.get("avatar"), pos, bool(ev.get("alive", True)))
+        moved = Player(ev["name"], ev.get("avatar"), pos, bool(ev.get("alive", True)))
+        self.players[ev["name"]] = moved
+        self.pos_players[pos] = moved  # event.go:47 — same object, LWW
 
     def user_dead(self, ev: dict) -> None:
         """F2 (event.go:50-59): flip alive only if the player exists."""
@@ -189,7 +198,9 @@ class GameState:
         """F4 (event.go:72-83): upsert player AND replace the whole
         obstacle map."""
         pos = (ev["x"], ev["y"])
-        self.players[ev["name"]] = Player(ev["name"], ev.get("avatar"), pos, bool(ev.get("alive", True)))
+        joined = Player(ev["name"], ev.get("avatar"), pos, bool(ev.get("alive", True)))
+        self.players[ev["name"]] = joined
+        self.pos_players[pos] = joined  # event.go:80
         self._obstacles_from_list(ev.get("list"))
 
     def set_bomb(self, ev: dict) -> None:
@@ -274,6 +285,11 @@ class GameState:
                 dict(room=room, entity="player", name=p.name, owner=None,
                      x=p.pos[0], y=p.pos[1], alive=p.alive, destructible=None)
             )
+        for (x, y), p in self.pos_players.items():
+            rows.append(
+                dict(room=room, entity="pos_player", name=p.name, owner=None,
+                     x=x, y=y, alive=p.alive, destructible=None)
+            )
         for b in self.bombs.values():
             rows.append(
                 dict(room=room, entity="bomb", name=b.bomb_name, owner=b.owner,
@@ -327,6 +343,15 @@ def replay_state(events: DataFrame, upto_offset: int | None = None) -> DataFrame
 
 def players_state(state: DataFrame) -> DataFrame:
     return state.filter(F.col("entity") == "player").select("room", "name", "x", "y", "alive")
+
+
+def pos_players_state(state: DataFrame) -> DataFrame:
+    """Who is standing on cell (x, y) — the posToPlayers map
+    (game.go:62): LWW per cell, stale cells persist after moves
+    (reference semantics, event.go:47,80)."""
+    return state.filter(F.col("entity") == "pos_player").select(
+        "room", "x", "y", "name", "alive"
+    )
 
 
 def bombs_state(state: DataFrame) -> DataFrame:

@@ -980,6 +980,15 @@ def fold_players_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay.players_state(state)
 
 
+@register("fold_pos_players", oracle=None)
+def fold_pos_players(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posToPlayers (game.go:62): who is standing on cell (x,y) —
+    position-keyed LWW map with reference collision/staleness
+    semantics (event.go:47,80; golden tests in test_replay_fold.py)."""
+    state = replay.replay_state(_game_log(spark))
+    return replay.pos_players_state(state)
+
+
 @register("fold_time_travel", oracle=None)
 def fold_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 time-travel: state_at(room, k) for k=1500 — the watch-mode
@@ -2082,6 +2091,7 @@ BENCH_QUERIES = [
 # cap or timeout can never truncate the same names twice. All 23 pass
 # the identical local DuckDB comparison (tests/test_oracle_parity.py).
 _DRIVER_UNVERIFIED_R01 = [
+    "fold_pos_players",  # new in round 2
     "sessionize_events",
     "pivot_event_counts",
     "date_parts_orders",

@@ -69,10 +69,14 @@ def get_spark(
     """
     cpus = cpus or _cpus()
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # SPARK_GRAFT_MASTER lets a deployment point at a real cluster; the
+    # local-single-JVM tunings below are gated on the master being local.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    is_local = master.startswith("local")
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         # --- determinism / oracle parity ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- adaptive execution: the scale story ---
@@ -81,14 +85,6 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # local files are single small parquets; split row groups so a
-        # 32-core local run actually parallelizes the scan. On a real
-        # cluster 128m (default) is the right figure — this is a local
-        # override, env-tunable.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
-        )
         # --- python boundary: always Arrow ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -101,13 +97,39 @@ def get_spark(
         )
         # quiet the console
         .config("spark.ui.showConsoleProgress", "false")
-        # single-JVM local mode: driver heap IS executor memory. A
-        # large heap + periodic reference GC keeps long sessions from
-        # accumulating pause-inducing garbage between queries
-        # (measured: dedup self-join 18s → 3s steady-state).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "56g"))
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # the generated-class cache defaults to 100 entries; a session
+        # running the full 70+-query surface evicts and re-Janino-
+        # compiles the big dedup/minhash classes (measured 8-15s per
+        # recompile). Cache size is cheap; compilation is not.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
+    if is_local:
+        # LOCAL-MODE-ONLY tunings — never shipped to a cluster:
+        # - small maxPartitionBytes splits the single small parquet
+        #   files so a 32-core local run parallelizes the scan (on a
+        #   cluster the 128m default is right);
+        # - single-JVM local mode: driver heap IS executor memory. A
+        #   large heap + periodic reference GC keeps long sessions from
+        #   accumulating pause-inducing garbage between queries
+        #   (measured: dedup self-join 18s → 3s steady-state).
+        builder = (
+            builder.config(
+                "spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+            )
+            .config(
+                "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "56g")
+            )
+            # periodic reference-GC keeps shuffle dirs from piling up
+            # over a long session, but a forced FULL GC on a 56g heap
+            # pauses seconds — at 1min it lands mid-query and makes
+            # bench timings bimodal. 10min amortizes it between
+            # bench/test phases instead of inside them.
+            .config(
+                "spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_GRAFT_PERIODIC_GC", "10min"),
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

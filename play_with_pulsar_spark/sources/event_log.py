@@ -99,6 +99,50 @@ def to_wire(events: DataFrame) -> DataFrame:
     return events.select(*keep, F.to_json(env).alias("payload"))
 
 
+class SchemaIncompatibleError(ValueError):
+    """Raised when a writer's schema cannot evolve into the declared
+    schema — the engine analog of the reference registry rejecting an
+    incompatible producer (docs/en/game5-schema.md:67)."""
+
+
+def check_writer_compat(writer, declared=None) -> None:
+    """S8 registry compatibility check (game5-schema.md:39-67):
+
+    - writer may OMIT a nullable declared field (read-side fills the
+      default — e.g. ``comment`` defaults to "", pulsar.go:30-34);
+    - writer may ADD new fields (consumers project what they declare);
+    - writer must NOT change a declared field's type, nor omit a
+      non-nullable field. Either raises ``SchemaIncompatibleError``.
+    """
+    declared = declared or GAME_EVENT_SCHEMA
+    writer_fields = {f.name: f for f in writer.fields}
+    for f in declared.fields:
+        w = writer_fields.get(f.name)
+        if w is None:
+            if not f.nullable:
+                raise SchemaIncompatibleError(
+                    f"writer omits non-nullable field {f.name!r}"
+                )
+        elif w.dataType != f.dataType:
+            raise SchemaIncompatibleError(
+                f"writer changes {f.name!r} from {f.dataType.simpleString()} "
+                f"to {w.dataType.simpleString()}"
+            )
+
+
+def read_evolved_log(spark: SparkSession, path: str, defaults: dict | None = None) -> DataFrame:
+    """Schema-evolution read path: Parquet schema merge across writer
+    generations + explicit default fill for fields newer writers added
+    (SURVEY §1.3: evolution = mergeSchema + coalesce(col, default))."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for name, default in (defaults or {}).items():
+        if name in df.columns:
+            df = df.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+        else:
+            df = df.withColumn(name, F.lit(default))
+    return df
+
+
 def write_event_log(events: DataFrame, path: str, mode: str = "append") -> None:
     """S1: append to the room-partitioned parquet log."""
     events.write.mode(mode).partitionBy("room").parquet(path)

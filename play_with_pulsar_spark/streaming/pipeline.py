@@ -49,11 +49,14 @@ from ..schema import GAME_EVENT_SCHEMA
 def stream_game_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """S2/S3 streaming source: tail a growing parquet log directory.
     ``maxFilesPerTrigger=1`` makes micro-batch boundaries deterministic
-    for parity tests."""
-    return (
-        spark.readStream.schema(GAME_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+    for parity tests. Thin wrapper over the source-abstraction seam
+    (``sources.stream_source.read_stream``) — swap for Kafka/Pulsar by
+    changing the cfg dict only."""
+    from ..sources.stream_source import read_stream
+
+    return read_stream(
+        spark,
+        {"kind": "files", "path": path, "max_files_per_trigger": max_files_per_trigger},
     )
 
 

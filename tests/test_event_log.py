@@ -74,3 +74,73 @@ def test_partitioned_log_roundtrip(spark, log, tmp_path):
 def test_paced_replay_order(spark, log):
     offsets = [r.offset for r in paced_replay(log, "room-0001", pace_ms=0)]
     assert offsets == sorted(offsets) and len(offsets) == 400
+
+
+# --- S8 schema evolution (docs/en/game5-schema.md:39-67; SURVEY §1.3) ---
+
+
+def test_schema_evolution_new_field_with_default(spark, tmp_path):
+    """Old writers lack the new field; Parquet merge + coalesce fill
+    gives every row the declared default (the `comment` pattern,
+    pulsar.go:30-34)."""
+    p = tmp_path / "evolog"
+    v1 = spark.createDataFrame([(0, "a", "UserJoinEvent")],
+                               "offset long, room string, type string")
+    v1.write.parquet(str(p / "gen=1"))
+    v2 = spark.createDataFrame([(1, "a", "UserMoveEvent", "hello")],
+                               "offset long, room string, type string, comment string")
+    v2.write.parquet(str(p / "gen=2"))
+    got = el.read_evolved_log(spark, str(p), defaults={"comment": ""})
+    rows = {r.offset: r.comment for r in got.collect()}
+    assert rows == {0: "", 1: "hello"}
+
+
+def test_schema_evolution_removed_field_still_readable(spark, tmp_path):
+    """A field the NEWER writer dropped merges as null; the default
+    fill applies to the new generation's rows."""
+    p = tmp_path / "evolog2"
+    v1 = spark.createDataFrame([(0, "a", "x")], "offset long, room string, extra string")
+    v1.write.parquet(str(p / "gen=1"))
+    v2 = spark.createDataFrame([(1, "a")], "offset long, room string")
+    v2.write.parquet(str(p / "gen=2"))
+    got = el.read_evolved_log(spark, str(p), defaults={"extra": "<none>"})
+    rows = {r.offset: r.extra for r in got.collect()}
+    assert rows == {0: "x", 1: "<none>"}
+
+
+def test_writer_compat_rejects_type_change():
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    bad = StructType(
+        [StructField(f.name, StringType() if f.name == "x" else f.dataType, True)
+         for f in el.GAME_EVENT_SCHEMA.fields]
+    )
+    with pytest.raises(el.SchemaIncompatibleError, match="'x'"):
+        el.check_writer_compat(bad)
+
+
+def test_writer_compat_rejects_missing_required():
+    from pyspark.sql.types import StructType
+
+    required = [f.name for f in el.GAME_EVENT_SCHEMA.fields if not f.nullable]
+    assert required, "envelope declares at least one required field"
+    bad = StructType([f for f in el.GAME_EVENT_SCHEMA.fields if f.name != required[0]])
+    with pytest.raises(el.SchemaIncompatibleError, match=required[0]):
+        el.check_writer_compat(bad)
+
+
+def test_writer_compat_allows_omitted_nullable_and_added_fields():
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fields = [f for f in el.GAME_EVENT_SCHEMA.fields if f.name != "comment"]
+    fields.append(StructField("brand_new", StringType(), True))
+    el.check_writer_compat(StructType(fields))  # must not raise
+
+
+def test_failfast_rejects_malformed_payload(spark):
+    raw = spark.createDataFrame([("r", '{"type": not-json',)], "room string, payload string")
+    with pytest.raises(Exception):
+        el.parse_envelope(raw, mode="FAILFAST").collect()
+    # PERMISSIVE quarantines instead
+    out = el.parse_envelope(raw, mode="PERMISSIVE").collect()
+    assert len(out) == 1 and out[0].type is None

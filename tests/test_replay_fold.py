@@ -243,3 +243,57 @@ def test_snapshot_state_at_equals_full_replay(spark, upto):
     assert got == want
     snaps.unpersist()
     log.unpersist()
+
+
+def test_pos_to_players_lww_collision():
+    # posToPlayers (game.go:62; writes event.go:47,80): two players on
+    # one cell — last writer wins.
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=2, y=2, lst=[]),
+        ev("UserJoinEvent", name="b", x=2, y=2, lst=[]),
+    ])
+    assert s.pos_players[(2, 2)].name == "b"
+    assert s.players["a"].pos == (2, 2)  # nameToPlayers keeps both
+
+
+def test_pos_to_players_stale_cells_persist():
+    # reference never clears the old cell on a move: the vacated cell
+    # keeps its stale snapshot (event.go:31-48 writes only the target)
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=1, y=1, lst=[]),
+        ev("UserMoveEvent", name="a", x=1, y=2),
+    ])
+    assert s.pos_players[(1, 1)].name == "a"  # stale
+    assert s.pos_players[(1, 2)].name == "a"
+    assert s.players["a"].pos == (1, 2)
+
+
+def test_pos_to_players_aliasing_sees_death():
+    # the cell holds the SAME object as nameToPlayers at write time
+    # (Go pointer aliasing): a later death through nameToPlayers is
+    # visible through the cell written by that same playerInfo...
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=1, y=1, lst=[]),
+        ev("UserDeadEvent", name="a", comment="k"),
+    ])
+    assert s.pos_players[(1, 1)].alive is False
+    # ...but a STALE cell (written before the player's latest move)
+    # keeps its own snapshot's alive value, exactly like the Go maps.
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=1, y=1, lst=[]),
+        ev("UserMoveEvent", name="a", x=1, y=2),
+        ev("UserDeadEvent", name="a", comment="k"),
+    ])
+    assert s.pos_players[(1, 1)].alive is True  # stale snapshot
+    assert s.pos_players[(1, 2)].alive is False  # aliased latest
+
+
+def test_pos_to_players_revive_does_not_write_cell():
+    # UserReviveEvent updates nameToPlayers only (event.go:64-67)
+    s = fold_events([
+        ev("UserJoinEvent", name="a", x=1, y=1, lst=[]),
+        ev("UserDeadEvent", name="a", comment="k"),
+        ev("UserReviveEvent", name="a", x=5, y=5),
+    ])
+    assert (5, 5) not in s.pos_players
+    assert s.players["a"].pos == (5, 5) and s.players["a"].alive
