@@ -409,6 +409,102 @@ def simhash64_grouped(
     return toks.groupBy("doc_id").applyInPandas(_fold, schema="doc_id long, simhash long")
 
 
+def embedding_cosine_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup GROUND TRUTH: every pair (id_a <
+    id_b) with round(cosine, ``round_to``) ≥ threshold.
+
+    All-pairs by construction — the oracle/recall baseline, same
+    contract as ``brute_force_topk``: one side is collected and
+    broadcast (corpus must fit in executor memory), each partition's
+    block runs ONE numpy matmul against it, and the (n²) similarity
+    matrix never shuffles — only qualifying pairs leave the kernel.
+    The production near-dup path is :func:`embedding_cosine_pairs_lsh`.
+    Threshold compares the ROUNDED cosine so engine/oracle float
+    summation-order differences (BLAS vs sequential) cannot flip a
+    boundary pair."""
+    pdf = emb.select(id_col, vec_col).toPandas()
+    all_ids = pdf[id_col].to_numpy().astype(np.int64)
+    M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            ids = b[id_col].to_numpy().astype(np.int64)
+            B = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            sims = np.round(B @ M.T, round_to)  # (b, N)
+            li, ri = np.nonzero((sims >= threshold) & (ids[:, None] < all_ids[None, :]))
+            if len(li):
+                yield pd.DataFrame(
+                    {"id_a": ids[li], "id_b": all_ids[ri], "cosine": sims[li, ri]}
+                )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: random-hyperplane LSH
+    blocking (Charikar 2002) — pairs must collide in ≥1 of
+    ``num_tables`` sign-pattern buckets before the exact cosine is
+    ever computed; the all-pairs comparison never happens. Per-table
+    collision prob for similarity s is (1 - arccos(s)/π)^planes, so
+    the defaults give ~93% recall at s=0.9 — the near-dup regime this
+    targets (recall collapses at low thresholds by design; use the
+    exact form as ground truth there)."""
+    from .similarity import hyperplane_signatures
+
+    sigs = []
+    for t in range(num_tables):
+        s = hyperplane_signatures(emb, dim, num_planes, seed + t, id_col, vec_col)
+        sigs.append(s.withColumn("tbl", F.lit(t)))
+    allsig = sigs[0]
+    for s in sigs[1:]:
+        allsig = allsig.unionByName(s)
+    a = allsig.alias("a")
+    b = allsig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("ea"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("eb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(dot / (nrm(F.col("ea")) * nrm(F.col("eb"))), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Popcount of XOR — JVM-side via bit_count."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -1144,6 +1144,52 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em FROM embeddings
+    ), n AS (
+      SELECT vec_id, em, sqrt(list_dot_product(em, em)) AS nrm FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.em, b.em) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.em, b.em) / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact ground truth: blocked
+    numpy matmul against the broadcast normalized corpus (the
+    brute-force contract — similarity matrix never shuffles). The
+    100 TB path is the hyperplane-LSH-blocked variant
+    (``dedup_embedding_lsh``). Threshold on ROUNDED cosine in both
+    engines so float summation order cannot flip a boundary pair."""
+    from .operators import dedup
+
+    _prep(spark)
+    return dedup.embedding_cosine_pairs_exact(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register("dedup_embedding_lsh", oracle=None)
+def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane-LSH blocking: bucket
+    collisions in ≥1 of 8 sign-pattern tables gate the exact cosine —
+    never all-pairs. No SQL oracle (bucket set is engine-specific);
+    recall vs the exact pairs is asserted in tests on clustered data
+    (the near-dup regime). Threshold 0.4 here for non-empty rows on
+    the driver's unclustered fixture."""
+    from .operators import dedup
+
+    _prep(spark)
+    return dedup.embedding_cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4,
+        num_planes=4, num_tables=16,
+    )
+
+
 @register("text_lang_id", oracle=None)
 def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-profile language ID (vectorized Pandas UDF) next to the
@@ -2092,6 +2138,8 @@ BENCH_QUERIES = [
 # the identical local DuckDB comparison (tests/test_oracle_parity.py).
 _DRIVER_UNVERIFIED_R01 = [
     "fold_pos_players",  # new in round 2
+    "dedup_embedding_cosine",  # new in round 2
+    "dedup_embedding_lsh",  # new in round 2
     "sessionize_events",
     "pivot_event_counts",
     "date_parts_orders",

@@ -197,6 +197,85 @@ def timer_service(events: DataFrame, explode_after_ms: int = 2000) -> DataFrame:
     )
 
 
+# --- T2 periodic jobs: the clients' scheduled-emitter role ---
+
+
+def periodic_events(
+    spark: SparkSession,
+    rooms: list[str],
+    kind: str = "SetBombEvent",
+    interval_ms: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """T2 (game.go:333-357 random bomb every 2 s; game.go:413-425 map
+    refresh every 60 s): the reference runs these as client-side
+    tickers that EMIT events into the log. This operator is that role
+    as a streaming stage: a rate-micro-batch source ticks once per
+    ``interval_ms`` per room, and each tick deterministically derives
+    the periodic event (position/name from xxhash64 of (tick, room,
+    seed) — JVM-side, retry-stable). Feed the output back into the
+    log, exactly like ``timer_service`` — batch replay then needs no
+    scheduler because the emitted events are in the log (T1's
+    self-contained-log insight applies to T2 identically).
+
+    ``kind``: "SetBombEvent" (random bomb, name prefix ``random-`` —
+    event.go:97-98 ownership test) or "UpdateMapEvent" (map refresh;
+    the obstacle list itself is produced by the fold consumer reading
+    the latest UserJoinEvent — here we emit the REFRESH TICK with a
+    deterministically sampled obstacle list).
+    """
+    from ..schema import GRID_H, GRID_W
+
+    n = len(rooms)
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", n)
+        .option("advanceMillisPerBatch", interval_ms)
+        .load()
+    )  # columns: timestamp, value (monotone long)
+    room_arr = F.array(*[F.lit(r) for r in rooms])
+    tick = (F.col("value") / n).cast("long")
+    room = room_arr[(F.col("value") % n).cast("int")]
+    h = F.xxhash64(tick, room, F.lit(seed))
+    cell = F.pmod(h, F.lit(GRID_W * GRID_H))
+    x = F.pmod(cell, F.lit(GRID_W)).cast("int")
+    y = (cell / GRID_W).cast("int")
+    if kind == "SetBombEvent":
+        # pmod, not abs: abs(Long.MIN_VALUE) overflows under ANSI mode
+        name = F.concat(
+            F.lit("random-"),
+            F.conv(F.pmod(h, F.lit(1 << 60)).cast("string"), 10, 36),
+        )
+        return rate.select(
+            room.alias("room"),
+            F.lit("SetBombEvent").alias("type"),
+            name.alias("name"),
+            x.alias("x"),
+            y.alias("y"),
+            F.col("timestamp").alias("ts"),
+            tick.alias("tick"),
+        )
+    if kind == "UpdateMapEvent":
+        # deterministic obstacle sample: cells where a per-cell hash
+        # clears a threshold (~N_DESTRUCTIBLE+N_INDESTRUCTIBLE of 750),
+        # sign-encoded by one more hash bit (X2)
+        cells = F.sequence(F.lit(0), F.lit(GRID_W * GRID_H - 1))
+        ch = lambda c: F.xxhash64(c, tick, room, F.lit(seed))  # noqa: E731
+        sampled = F.filter(cells, lambda c: F.pmod(ch(c), F.lit(100)) < 45)
+        encoded = F.transform(
+            sampled,
+            lambda c: F.when(F.pmod(ch(c + 1000), F.lit(5)) < 3, -c).otherwise(c),
+        )
+        return rate.select(
+            room.alias("room"),
+            F.lit("UpdateMapEvent").alias("type"),
+            encoded.alias("list"),
+            F.col("timestamp").alias("ts"),
+            tick.alias("tick"),
+        )
+    raise ValueError(f"unsupported periodic kind: {kind!r}")
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
     """Drive a streaming DataFrame over all currently-available input
     (availableNow) into a memory sink and return the sink contents —

@@ -156,3 +156,42 @@ def test_lang_id_accuracy_on_labeled_corpus(spark):
         F.avg((F.col("lang") == F.col("lang_pred")).cast("double")).alias("acc")
     ).first()
     assert agg.acc >= 0.9, f"lang_id accuracy {agg.acc:.3f} < 0.9"
+
+
+def test_embedding_cosine_exact_matches_bruteforce_semantics(spark, emb):
+    """Exact pairs: symmetric, deduped (id_a < id_b), and every pair's
+    cosine really is >= threshold."""
+    pairs = dedup.embedding_cosine_pairs_exact(emb, threshold=0.4).collect()
+    assert pairs, "fixture should have pairs at 0.4"
+    assert all(r.id_a < r.id_b and r.cosine >= 0.4 for r in pairs)
+
+
+def test_embedding_lsh_recall_on_clustered_vectors(spark):
+    """LSH blocking must recover near-dup pairs in its design regime:
+    clusters of vectors at cosine >= 0.9 (base + small noise)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    vid = 0
+    for c in range(40):  # 40 clusters x 4 members
+        base = rng.randn(64)
+        base /= np.linalg.norm(base)
+        for _ in range(4):
+            v = base + 0.15 * rng.randn(64) / np.sqrt(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs_exact(df, threshold=0.9).collect()
+    }
+    assert len(exact) >= 100, f"expected dense planted pairs, got {len(exact)}"
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs_lsh(df, dim=64, threshold=0.9).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} pairs"
+    # no false positives: candidates are verified with the exact cosine
+    assert approx <= exact

@@ -117,3 +117,61 @@ def test_timer_service_fires_while_room_active(spark, tmp_path):
 
     got = {(r.room, r.name): (r.x, r.y) for r in rows}
     assert got.get(("A", "p1-b0009")) == (3, 4)
+
+
+def test_periodic_events_t2(spark):
+    """T2 scheduler stage: deterministic per-(tick, room) periodic
+    events from a rate source (game.go:333-357 random bombs;
+    game.go:413-425 map refresh)."""
+    from play_with_pulsar_spark.streaming.pipeline import periodic_events
+
+    out = periodic_events(spark, ["A", "B"], kind="SetBombEvent", interval_ms=100)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("t2_bombs").trigger(processingTime="200 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM t2_bombs").collect()
+            if len(rows) >= 6:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) >= 6
+    assert {r.room for r in rows} == {"A", "B"}
+    # random-bomb contract: ownership prefix (event.go:97-98), in grid
+    assert all(r.name.startswith("random-") for r in rows)
+    assert all(0 <= r.x < 30 and 0 <= r.y < 25 for r in rows)
+    # deterministic: the same (room, tick) always derives the same event
+    by_key = {}
+    for r in rows:
+        key = (r.room, r.tick)
+        assert by_key.setdefault(key, (r.x, r.y, r.name)) == (r.x, r.y, r.name)
+
+
+def test_periodic_map_updates_t2(spark):
+    from play_with_pulsar_spark.streaming.pipeline import periodic_events
+
+    out = periodic_events(spark, ["A"], kind="UpdateMapEvent", interval_ms=100)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("t2_maps").trigger(processingTime="200 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM t2_maps").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) >= 2
+    # sign-encoded obstacle lists (X2): decodable, in-grid, non-empty
+    for r in rows:
+        assert r.list
+        assert all(0 <= abs(c) < 750 for c in r.list)
