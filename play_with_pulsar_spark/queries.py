@@ -2107,6 +2107,286 @@ def q22ish_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q8ish_market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           round({sql_dsum("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END")}
+                 / {sql_dsum("volume")}, 6) AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+)
+def q8ish_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional aggregate
+    over a 6-way join, share = ratio of two exact decimal sums. All
+    dims broadcast; lineitem shuffles once for the year group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = _t(spark, sf_dir, "supplier")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(cn), cu.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0.0))
+    return rev.groupBy("o_year").agg(
+        F.round(dsum(nation_vol) / dsum(F.col("volume")), 6).alias("mkt_share")
+    )
+
+
+@register(
+    "q9ish_product_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
+           {sql_dsum("l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity")} AS profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9ish_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by (supplier nation, year).
+    No partsupp fixture exists, so supply cost is the deterministic
+    proxy 0.8·p_retailprice·l_quantity — the join/agg shape (filtered
+    part dim broadcast into the fact scan) is what Q9 exercises."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount).alias("profit"))
+    )
+
+
+@register(
+    "q11ish_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, val
+    FROM v WHERE val > 0.0007 * (SELECT sum(val) FROM v)
+    """,
+)
+def q11ish_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-by HAVING > scalar-subquery × fraction
+    (parts holding an outsized share of total traded value). The
+    total is a broadcast single-row aggregate — the per-part agg
+    shuffles once and is reused for both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("val")
+    )
+    total = v.agg(F.sum("val").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.lit(0.0007) * F.col("total"))
+        .select("l_partkey", "val")
+    )
+
+
+@register(
+    "q15ish_top_supplier",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_suppkey, {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN r ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM r)
+    """,
+)
+def q15ish_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by windowed revenue — agg, then
+    equality against the broadcast max (exact decimal-derived doubles
+    make the equality deterministic across engines)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-04-01")))
+    )
+    r = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = r.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        r.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q16ish_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand_1' AND p_type NOT LIKE 'SMALL%'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16ish_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count of suppliers per part attribute
+    bucket with NOT-LIKE/IN dim filters (lineitem stands in for the
+    absent partsupp as the part↔supplier pair source)."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand_1")
+        & (~F.col("p_type").like("SMALL%"))
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20ish_excess_suppliers",
+    oracle="""
+    WITH red AS (
+      SELECT l_suppkey, l_partkey, l_quantity
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+    ), pq AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      FROM red GROUP BY l_suppkey, l_partkey
+    ), pt AS (
+      SELECT l_partkey,
+             0.3 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS thr
+      FROM red GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM pq JOIN pt USING (l_partkey) WHERE qty > thr)
+    """,
+)
+def q20ish_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi-join through a correlated-threshold
+    aggregate (suppliers holding >30% of a red part's year volume).
+    The filtered pair table feeds BOTH aggregates; supplier joins
+    semi, so no supplier row is ever duplicated."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1999-01-01")))
+    )
+    red = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    pq = red.groupBy("l_suppkey", "l_partkey").agg(dsum("l_quantity").alias("qty"))
+    pt = red.groupBy("l_partkey").agg(
+        (F.lit(0.3) * dsum("l_quantity")).alias("thr")
+    )
+    excess = pq.join(pt, "l_partkey").filter(F.col("qty") > F.col("thr"))
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        excess.select(F.col("l_suppkey").alias("s_suppkey")).distinct(),
+        "s_suppkey",
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q21ish_sole_supplier_orders",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_linenumber <> l1.l_linenumber)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q21ish_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the same
+    fact table (multi-line 'F' orders where one supplier carried every
+    line — the fixture lacks commit/receipt dates, so sole-supplier
+    stands in for late-delivery; the join topology is Q21's). Both
+    subqueries become (semi, anti) self-joins on l_orderkey with
+    non-equi residuals — Catalyst's built-in decorrelation shapes."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    base = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_linenumber") != F.col("l1.l_linenumber")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
 # stable across rounds so timings are comparable.
 BENCH_QUERIES = [
@@ -2140,6 +2420,13 @@ _DRIVER_UNVERIFIED_R01 = [
     "fold_pos_players",  # new in round 2
     "dedup_embedding_cosine",  # new in round 2
     "dedup_embedding_lsh",  # new in round 2
+    "q8ish_market_share",  # new in round 2
+    "q9ish_product_profit",  # new in round 2
+    "q11ish_important_parts",  # new in round 2
+    "q15ish_top_supplier",  # new in round 2
+    "q16ish_supplier_part_counts",  # new in round 2
+    "q20ish_excess_suppliers",  # new in round 2
+    "q21ish_sole_supplier_orders",  # new in round 2
     "sessionize_events",
     "pivot_event_counts",
     "date_parts_orders",
