@@ -85,3 +85,37 @@ def test_whole_stage_codegen_active(spark, sf_dir):
             assert plans.codegen_stage_count(df) >= 1, name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q8ish_broadcasts_all_dims(q):
+    # customer/nation×2/region/supplier broadcast; lineitem⋈orders is
+    # the only shuffle-eligible join, then one agg exchange on o_year
+    assert plans.count_broadcast_joins(q("q8ish_market_share")) >= 5
+
+
+def test_q9ish_broadcasts_dims_and_pushes_filter(q):
+    df = q("q9ish_product_profit")
+    assert plans.count_broadcast_joins(df) >= 3
+
+
+def test_q11ish_single_fact_scan_agg(q):
+    # per-part agg shuffles once; the single-row total joins via
+    # BroadcastNestedLoopJoin (cross join with a broadcast 1-row side)
+    df = q("q11ish_important_parts")
+    assert "BroadcastNestedLoopJoin" in plans.formatted_plan(df)
+    assert plans.has_partial_aggregation(df)
+
+
+def test_q15ish_date_filter_pushed(q):
+    plans.assert_filter_pushed(q("q15ish_top_supplier"), "l_shipdate")
+
+
+def test_q20ish_date_filter_pushed_and_semi(q):
+    df = q("q20ish_excess_suppliers")
+    plans.assert_filter_pushed(df, "l_shipdate")
+    assert "LeftSemi" in plans.formatted_plan(df)
+
+
+def test_q21ish_semi_and_anti_joins(q):
+    plan = plans.formatted_plan(q("q21ish_sole_supplier_orders"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan

@@ -4,6 +4,8 @@ boundaries."""
 
 from __future__ import annotations
 
+import importlib.util
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -81,4 +83,32 @@ def test_streaming_dedup_within_watermark(spark, log_dir, tmp_path):
         for r in log_dir["batch_df"].groupBy("room").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     got = {r.room: r.n for r in out.collect()}
+    assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState needs protobuf (not in this container)",
+)
+def test_tws_fold_matches_batch_replay(spark, log_dir):
+    """transformWithStateInPandas fold == applyInPandasWithState fold
+    == batch replay (the Spark 4 API carries the same transitions)."""
+    stream = sp.stream_game_events(spark, _glob(log_dir["dir"]), max_files_per_trigger=4)
+    out = sp.run_to_completion(sp.streaming_fold_tws(stream), "tws_fold", "update")
+    pdf = out.filter(F.col("entity") == "player").toPandas()
+    got = {
+        (r.room, r.name): (r.x, r.y, r.alive)
+        for r in pdf.drop_duplicates(subset=["room", "name"], keep="last").itertuples()
+    }
+    want = {
+        (r.room, r.name): (r.x, r.y, r.alive)
+        for r in players_state(replay_state(log_dir["batch_df"])).collect()
+    }
     assert got == want
