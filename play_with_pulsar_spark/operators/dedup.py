@@ -182,14 +182,19 @@ def lsh_candidate_pairs(
     """Band the signature, bucket-join per band, union the candidate
     pairs. Only docs agreeing on a whole band ever meet in the join —
     the all-pairs comparison never happens."""
-    n = num_bands * rows_per_band
+    # bucket = xxhash64 over the band's signature longs directly —
+    # no string casts/concat (smaller codegen, cheaper per row than
+    # hashing a concatenated string; band id is the first hash input
+    # so identical sig values in different bands never collide).
     banded = signatures.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(F.concat_ws(",", *[F.col("sig")[i].cast("string")
-                                              for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+                    )
                     for b in range(num_bands)
                 ]
             )
