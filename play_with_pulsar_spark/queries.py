@@ -2408,6 +2408,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
     "text_tfidf_top_terms",
+    # added round 2 (new names append; prior names stay comparable)
+    "dedup_embedding_cosine",
+    "q9ish_product_profit",
 ]
 
 
