@@ -195,3 +195,26 @@ def test_embedding_lsh_recall_on_clustered_vectors(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} pairs"
     # no false positives: candidates are verified with the exact cosine
     assert approx <= exact
+
+
+def test_ivf_index_query_matches_inmemory_and_prunes(spark, emb, tmp_path):
+    """Materialized IVF index == in-memory ivf_topk (same seed ->
+    same centroids -> same candidates), and the probe scan is
+    partition-pruned to the probed cells only."""
+    from play_with_pulsar_spark import plans
+
+    path = str(tmp_path / "ivf")
+    queries = emb.filter(F.col("vec_id") < 10)
+    similarity.ivf_build_index(emb, path, n_cells=16, seed=42)
+    got_df = similarity.ivf_query_index(spark, path, queries, k=10, nprobe=4)
+    got = {(r.query_id, r.rn): r.neighbor_id for r in got_df.collect()}
+    want = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in similarity.ivf_topk(
+            spark, emb, queries, k=10, n_cells=16, nprobe=4, seed=42
+        ).collect()
+    }
+    assert got == want
+    # the scan must carry a partition filter on cell (pruned read)
+    plan = plans.formatted_plan(got_df)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200], plan[:3000]
