@@ -218,3 +218,29 @@ def test_ivf_index_query_matches_inmemory_and_prunes(spark, emb, tmp_path):
     # the scan must carry a partition filter on cell (pruned read)
     plan = plans.formatted_plan(got_df)
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200], plan[:3000]
+
+
+def test_embedding_cosine_exact_vs_local_numpy(spark):
+    """Blocked-matmul kernel == single-machine numpy all-pairs,
+    independent of partitioning."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    m = rng.randn(120, 32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(len(m))],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_pairs_exact(df, threshold=0.2).collect()
+    }
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(mn @ mn.T, 6)
+    want = {
+        (i, j): float(sims[i, j])
+        for i in range(len(m))
+        for j in range(i + 1, len(m))
+        if sims[i, j] >= 0.2
+    }
+    assert got == want
