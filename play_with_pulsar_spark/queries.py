@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import compaction, replay, scoreboard
+from .schema import GRID_H, GRID_W
 from .oracle import davg, dsum, sql_davg, sql_dsum
 from .sources.tables import load_table
 
@@ -964,6 +965,90 @@ def game_room_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("name").alias("n_actors"),
         )
         .select("room", F.col("w.start").alias("window_start"), "n_events", "n_actors")
+    )
+
+
+@register(
+    "game_movement_heatmap",
+    oracle=f"""
+    SELECT room, x, y, count(*) AS visits, count(DISTINCT "name") AS players
+    FROM read_parquet('{GAME_EVENTS_PATH}')
+    WHERE "type" = 'UserMoveEvent'
+      AND x >= 0 AND x < 30 AND y >= 0 AND y < 25
+    GROUP BY room, x, y
+    HAVING count(*) >= 3
+    """,
+)
+def game_movement_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Game analytics: per-cell movement density (the posToPlayers
+    write stream aggregated spatially) — P5 bounds applied, hot cells
+    only. One scan, one shuffle on (room, x, y)."""
+    log = _game_log(spark)
+    return (
+        log.filter(F.col("type") == "UserMoveEvent")
+        .filter(
+            (F.col("x") >= 0) & (F.col("x") < GRID_W)
+            & (F.col("y") >= 0) & (F.col("y") < GRID_H)
+        )
+        .groupBy("room", "x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("visits"),
+            F.countDistinct("name").alias("players"),
+        )
+        .filter(F.col("visits") >= 3)
+    )
+
+
+@register(
+    "game_kd_ratio",
+    oracle=f"""
+    WITH deaths AS (
+      SELECT room, "name" AS player, count(*) AS deaths
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" = 'UserDeadEvent' GROUP BY room, "name"
+    ), kills AS (
+      SELECT room, comment AS player, count(*) AS kills
+      FROM read_parquet('{GAME_EVENTS_PATH}')
+      WHERE "type" = 'UserDeadEvent' AND "name" <> comment
+      GROUP BY room, comment
+    )
+    SELECT coalesce(d.room, k.room) AS room,
+           coalesce(d.player, k.player) AS player,
+           coalesce(kills, 0) AS kills,
+           coalesce(deaths, 0) AS deaths,
+           round(CAST(coalesce(kills, 0) AS DOUBLE)
+                 / greatest(coalesce(deaths, 0), 1), 6) AS kd
+    FROM deaths d FULL OUTER JOIN kills k
+      ON d.room = k.room AND d.player = k.player
+    """,
+)
+def game_kd_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Game analytics: kill/death ratio per (room, player) — two
+    branches of ONE scan full-outer-joined (players who only died and
+    players who only killed both appear)."""
+    log = _game_log(spark)
+    dead = log.filter(F.col("type") == "UserDeadEvent")
+    deaths = dead.groupBy("room", F.col("name").alias("player")).agg(
+        F.count(F.lit(1)).alias("deaths")
+    )
+    kills = (
+        dead.filter(F.col("name") != F.col("comment"))
+        .groupBy("room", F.col("comment").alias("player"))
+        .agg(F.count(F.lit(1)).alias("kills"))
+    )
+    return (
+        deaths.join(kills, ["room", "player"], "full_outer")
+        .select(
+            "room",
+            "player",
+            F.coalesce(F.col("kills"), F.lit(0)).alias("kills"),
+            F.coalesce(F.col("deaths"), F.lit(0)).alias("deaths"),
+            F.round(
+                F.coalesce(F.col("kills"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("deaths"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("kd"),
+        )
     )
 
 
@@ -2430,6 +2515,8 @@ _DRIVER_UNVERIFIED_R01 = [
     "q16ish_supplier_part_counts",  # new in round 2
     "q20ish_excess_suppliers",  # new in round 2
     "q21ish_sole_supplier_orders",  # new in round 2
+    "game_movement_heatmap",  # new in round 2
+    "game_kd_ratio",  # new in round 2
     "sessionize_events",
     "pivot_event_counts",
     "date_parts_orders",
