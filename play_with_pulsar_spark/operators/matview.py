@@ -47,12 +47,19 @@ class LatestStateView:
         key_cols: Sequence[str],
         order_cols: Sequence[str],
         payload_cols: Sequence[str] | None = None,
+        keep_versions: int = 0,
     ) -> None:
+        """``keep_versions``: how many SUPERSEDED versions to retain
+        after a commit (0 = current only, history off; N≥1 enables
+        ``read(version=...)`` time travel over the last N superseded
+        versions — the filesystem analog of a Delta/Iceberg snapshot
+        list)."""
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.order_cols = list(order_cols)
         self.payload_cols = payload_cols
+        self.keep_versions = max(0, int(keep_versions))
 
     @property
     def _pointer(self) -> str:
@@ -70,7 +77,35 @@ class LatestStateView:
     def _exists(self) -> bool:
         return self._resolve() is not None
 
-    def read(self) -> DataFrame:
+    def versions(self) -> list[int]:
+        """Committed versions still on disk, ascending. The live one
+        is the pointer's target; older ones are readable history."""
+        base = os.path.basename(self.path) + ".v"
+        parent = os.path.dirname(self.path) or "."
+        if not os.path.isdir(parent):
+            return []
+        out = []
+        for d in os.listdir(parent):
+            if d.startswith(base):
+                try:
+                    out.append(int(d[len(base):]))
+                except ValueError:
+                    continue
+        live = self._resolve()
+        live_v = int(live.rsplit(".v", 1)[1]) if live else -1
+        return sorted(v for v in out if v <= live_v)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the live view, or time-travel to a retained
+        ``version`` (must be within the last ``keep_versions``)."""
+        if version is not None:
+            target = f"{self.path}.v{version}"
+            if version not in self.versions() or not os.path.exists(target):
+                raise FileNotFoundError(
+                    f"view {self.path} has no retained version {version} "
+                    f"(available: {self.versions()})"
+                )
+            return self.spark.read.parquet(target)
         target = self._resolve()
         if target is None:
             raise FileNotFoundError(f"view {self.path} has no committed version")
@@ -104,8 +139,12 @@ class LatestStateView:
         with open(tmp_ptr, "w") as f:
             f.write(new_dir)
         os.replace(tmp_ptr, self._pointer)
-        if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
+        # retention: drop versions older than the newest keep_versions
+        # superseded ones (the new live version never counts)
+        cutoff = version - self.keep_versions - 1
+        for v in self.versions():
+            if v <= cutoff:
+                shutil.rmtree(f"{self.path}.v{v}", ignore_errors=True)
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` — the S7 connector

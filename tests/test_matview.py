@@ -68,3 +68,35 @@ def test_streaming_foreach_batch_maintenance(spark, tmp_path):
     }
     assert got == want
     log.unpersist()
+
+
+def test_view_version_time_travel(spark, tmp_path):
+    """keep_versions > 1 retains superseded versions for time-travel
+    reads; retention prunes beyond the window; the pointer always
+    serves the newest commit."""
+    import pandas as pd
+
+    from play_with_pulsar_spark.operators.matview import LatestStateView
+
+    path = str(tmp_path / "view")
+    view = LatestStateView(
+        spark, path, key_cols=["k"], order_cols=["o"], keep_versions=2
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(pd.DataFrame(rows), "k string, o long, v long")
+
+    view.update(batch([{"k": "a", "o": 1, "v": 10}]))                 # v0
+    view.update(batch([{"k": "a", "o": 2, "v": 20}]))                 # v1
+    view.update(batch([{"k": "b", "o": 3, "v": 30}]))                 # v2
+    assert view.versions() == [0, 1, 2]
+    assert {(r.k, r.v) for r in view.read().collect()} == {("a", 20), ("b", 30)}
+    # time travel: v1 had only the updated 'a'
+    assert {(r.k, r.v) for r in view.read(version=1).collect()} == {("a", 20)}
+    assert {(r.k, r.v) for r in view.read(version=0).collect()} == {("a", 10)}
+    # a fourth commit prunes v0 (window = live + 2 superseded)
+    view.update(batch([{"k": "b", "o": 4, "v": 40}]))                 # v3
+    assert view.versions() == [1, 2, 3]
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        view.read(version=0)

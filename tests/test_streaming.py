@@ -112,3 +112,60 @@ def test_tws_fold_matches_batch_replay(spark, log_dir):
         for r in players_state(replay_state(log_dir["batch_df"])).collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_recovers_offsets_and_state(spark, tmp_path):
+    """T4 effectively-once across RESTARTS: a streaming aggregation
+    with a checkpoint is stopped, new data arrives, and a new query
+    resumes from the same checkpoint — the second run must read ONLY
+    the new files (offset recovery) while the final counts cover the
+    whole log (state-store recovery)."""
+    import pandas as pd
+    from datetime import datetime
+
+    from play_with_pulsar_spark.schema import GAME_EVENT_SCHEMA
+
+    in_dir, ckpt, out = tmp_path / "in", str(tmp_path / "ckpt"), str(tmp_path / "out")
+    in_dir.mkdir()
+    base = datetime(2024, 3, 1)
+
+    def batch(i, n):
+        rows = [
+            dict(offset=100 * i + j, room="R", ts=base, type="UserDeadEvent",
+                 name=f"p{j}", avatar="f", comment="killer", x=1, y=1,
+                 alive=False, list=None)
+            for j in range(n)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows), GAME_EVENT_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(str(in_dir / f"batch{i}"))
+
+    def run_once():
+        stream = spark.readStream.schema(GAME_EVENT_SCHEMA).parquet(str(in_dir / "batch*"))
+        counts = stream.filter(F.col("type") == "UserDeadEvent").groupBy(
+            "room", F.col("comment").alias("killer")
+        ).count()
+
+        def sink(bdf, epoch_id):
+            bdf.write.mode("overwrite").parquet(out)
+
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in
+                   (q.recentProgress or []) if p is not None)
+
+    batch(0, 7)
+    rows_first = run_once()
+    assert rows_first == 7
+    batch(1, 5)
+    rows_second = run_once()
+    # offset recovery: ONLY the new file was read on restart
+    assert rows_second == 5
+    # state recovery: final counts cover both files
+    got = {(r.room, r.killer): r["count"] for r in spark.read.parquet(out).collect()}
+    assert got == {("R", "killer"): 12}
