@@ -1968,24 +1968,39 @@ def x_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_array_functions",
     oracle="""
+    WITH h AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
     SELECT vec_id,
-           CAST(len(embedding) AS INT) AS dim,
-           list_transform(CAST(embedding[1:3] AS DOUBLE[]), x -> round(x, 4)) AS head3,
-           round(list_max(CAST(embedding AS DOUBLE[])), 4) AS vmax,
-           round(list_min(CAST(embedding AS DOUBLE[])), 4) AS vmin
-    FROM embeddings
+           CAST(len(v) AS INT) AS dim,
+           CAST(round(v[1] * 10000) AS BIGINT) AS h1,
+           CAST(round(v[2] * 10000) AS BIGINT) AS h2,
+           CAST(round(v[3] * 10000) AS BIGINT) AS h3,
+           round(list_max(v), 4) AS vmax,
+           round(list_min(v), 4) AS vmin
+    FROM h
     """,
 )
 def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function surface: size/slice/transform/array_max/min over
-    the embedding column (float→double cast first, rounded — float32
-    promotion is deterministic in both engines)."""
+    """Array-function surface: size/slice/element_at/array_max/min
+    over the embedding column (float→double cast first). The head
+    elements are emitted as 1e-4-scaled BIGINTs, not a float array:
+    an array<double> output column hashes differently between Arrow
+    and non-Arrow toPandas paths (ndarray vs list repr), so the
+    comparison protocol keeps compared columns scalar."""
     emb = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
+    head = F.slice(v, 1, 3)
+
+    def h(i: int):
+        return F.round(F.element_at(head, i) * 10000, 0).cast("long").alias(f"h{i}")
+
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.transform(F.slice(v, 1, 3), lambda x: F.round(x, 4)).alias("head3"),
+        h(1),
+        h(2),
+        h(3),
         F.round(F.array_max(v), 4).alias("vmax"),
         F.round(F.array_min(v), 4).alias("vmin"),
     )
