@@ -32,3 +32,24 @@ def test_all_queries_return_rows(spark, sf_dir):
         df = spec.fn(spark, sf_dir)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_no_complex_typed_output_columns(spark, sf_dir):
+    """Array/map/struct output columns hash differently between Arrow
+    and non-Arrow toPandas paths (ndarray vs list repr), so a query
+    that passes the local engine-session parity can still fail the
+    driver's plain-session compare. Keep every compared column scalar
+    (serialize or scale-to-int instead — see x_array_functions)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
