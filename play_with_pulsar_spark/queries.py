@@ -624,6 +624,51 @@ def chg_s6_tableview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_s6_tableview",
+    oracle=f"""
+    SELECT room, "key" AS player,
+           CAST("value" AS BIGINT) AS score,
+           "offset" AS last_offset
+    FROM read_parquet('{SCORE_CHANGELOG_PATH}')
+    QUALIFY row_number() OVER (PARTITION BY room, "key"
+                               ORDER BY "offset" DESC) = 1
+    """,
+)
+def stream_s6_tableview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 TableView as a REAL streaming query: readStream over the
+    score changelog → complete-mode max_by latest-per-key → memory
+    sink; the final compacted table hash-matches the same oracle as
+    the batch form (pulsar.go:160-167's live subscription semantics,
+    driver-verified streaming == batch)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.pipeline import run_to_completion, streaming_latest_per_key
+
+    _prep(spark)
+    d = tempfile.mkdtemp(prefix="pwp_stream_s6_")
+    os.symlink(SCORE_CHANGELOG_PATH, os.path.join(d, "score_changelog.parquet"))
+    chg_schema = "offset bigint, room string, ts timestamp, key string, value string"
+    stream = (
+        spark.readStream.schema(chg_schema)
+        .parquet(d)
+        .select(
+            "room",
+            F.col("key").alias("player"),
+            F.col("value").cast("bigint").alias("score"),
+            F.col("offset").alias("last_offset"),
+        )
+    )
+    compacted = streaming_latest_per_key(
+        stream, key_cols=["room", "player"], order_cols=["last_offset"],
+        payload_cols=None,
+    )
+    name = f"stream_s6_{uuid.uuid4().hex[:8]}"
+    return run_to_completion(compacted, name, "complete")
+
+
+@register(
     "chg_a4_global_sum",
     oracle=f"""
     WITH latest AS (
@@ -2532,6 +2577,7 @@ _DRIVER_UNVERIFIED_R01 = [
     "q21ish_sole_supplier_orders",  # new in round 2
     "game_movement_heatmap",  # new in round 2
     "game_kd_ratio",  # new in round 2
+    "stream_s6_tableview",  # new in round 2
     "sessionize_events",
     "pivot_event_counts",
     "date_parts_orders",
