@@ -34,7 +34,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from play_with_pulsar_spark.queries import BENCH_QUERIES, REGISTRY
+    from play_with_pulsar_spark.queries import (
+        BENCH_QUERIES,
+        FOLD_SCALE_EVENTS_PER_ROOM,
+        FOLD_SCALE_ROOMS,
+        REGISTRY,
+    )
     from play_with_pulsar_spark.session import get_spark
 
     spark = get_spark(app_name="pwp-bench")
@@ -59,11 +64,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # fold throughput: fold_scale_replay generates + folds 32 rooms ×
-    # 3000 events (queries.py fold_scale_replay docstring)
+    # fold throughput: events generated+folded by fold_scale_replay
     fold_events_per_sec = None
     if timings.get("fold_scale_replay"):
-        fold_events_per_sec = round(32 * 3000 / timings["fold_scale_replay"], 1)
+        n_fold_events = FOLD_SCALE_ROOMS * FOLD_SCALE_EVENTS_PER_ROOM
+        fold_events_per_sec = round(n_fold_events / timings["fold_scale_replay"], 1)
 
     # scaling sweep: a fast 3-query subset at the smaller SFs
     sweep: dict[str, dict[str, float]] = {}

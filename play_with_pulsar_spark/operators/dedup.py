@@ -262,6 +262,21 @@ def minhash_dedup_pairs(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint's storage blocks NOW.
+
+    ``DataFrame.unpersist`` is a no-op for checkpoint blocks (they are
+    RDD-level persisted, not cache-manager entries), so reach the
+    LogicalRDD's backing RDD through the analyzed plan. Best-effort:
+    never fails the caller. ONLY call on checkpoints nothing will read
+    again — a freed localCheckpoint cannot be recomputed (its lineage
+    was truncated)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -324,9 +339,15 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        # the superseded round's checkpoint blocks are no longer
+        # referenced (new_labels is already materialized) — free them
+        # now instead of waiting for JVM GC; otherwise up to max_iter
+        # full label-table copies coexist in executor storage
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    _free_local_checkpoint(edges)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
 
 

@@ -66,12 +66,19 @@ class LatestStateView:
         return self.path + ".current"
 
     def _resolve(self) -> str | None:
-        """Directory holding the live version, or None if empty view."""
+        """Directory holding the live version, or None if empty view.
+
+        Falls back to ``self.path`` itself when no pointer exists but
+        data does — a view committed by the pre-pointer layout (which
+        wrote parquet directly at the path). The next ``update`` folds
+        that legacy data in and migrates to the versioned layout."""
         if os.path.exists(self._pointer):
             with open(self._pointer) as f:
                 target = f.read().strip()
             if target and os.path.exists(target):
                 return target
+        if os.path.isdir(self.path):
+            return self.path
         return None
 
     def _exists(self) -> bool:
@@ -92,8 +99,19 @@ class LatestStateView:
                 except ValueError:
                     continue
         live = self._resolve()
-        live_v = int(live.rsplit(".v", 1)[1]) if live else -1
+        live_v = self._version_of(live)
         return sorted(v for v in out if v <= live_v)
+
+    @staticmethod
+    def _version_of(target: str | None) -> int:
+        """Version number of a resolved directory; -1 for None or a
+        legacy (pre-pointer) directory."""
+        if target is None or ".v" not in os.path.basename(target):
+            return -1
+        try:
+            return int(target.rsplit(".v", 1)[1])
+        except ValueError:
+            return -1
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read the live view, or time-travel to a retained
@@ -128,7 +146,7 @@ class LatestStateView:
                 self.order_cols,
                 [c for c in compacted.columns if c not in self.key_cols],
             )
-            version = int(old.rsplit(".v", 1)[1]) + 1
+            version = self._version_of(old) + 1  # legacy dir → v0
         else:
             merged = compacted
             version = 0
@@ -139,6 +157,9 @@ class LatestStateView:
         with open(tmp_ptr, "w") as f:
             f.write(new_dir)
         os.replace(tmp_ptr, self._pointer)
+        if old == self.path:
+            # legacy layout migrated: its data is folded into v0
+            shutil.rmtree(old, ignore_errors=True)
         # retention: drop versions older than the newest keep_versions
         # superseded ones (the new live version never counts)
         cutoff = version - self.keep_versions - 1

@@ -640,32 +640,24 @@ def stream_s6_tableview(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink; the final compacted table hash-matches the same oracle as
     the batch form (pulsar.go:160-167's live subscription semantics,
     driver-verified streaming == batch)."""
-    import os
-    import tempfile
-    import uuid
+    from .streaming.pipeline import streaming_latest_per_key
 
-    from .streaming.pipeline import run_to_completion, streaming_latest_per_key
-
-    _prep(spark)
-    d = tempfile.mkdtemp(prefix="pwp_stream_s6_")
-    os.symlink(SCORE_CHANGELOG_PATH, os.path.join(d, "score_changelog.parquet"))
-    chg_schema = "offset bigint, room string, ts timestamp, key string, value string"
-    stream = (
-        spark.readStream.schema(chg_schema)
-        .parquet(d)
-        .select(
+    def compacted(stream: DataFrame) -> DataFrame:
+        chg = stream.select(
             "room",
             F.col("key").alias("player"),
             F.col("value").cast("bigint").alias("score"),
             F.col("offset").alias("last_offset"),
         )
+        return streaming_latest_per_key(
+            chg, key_cols=["room", "player"], order_cols=["last_offset"],
+            payload_cols=None,
+        )
+
+    chg_schema = "offset bigint, room string, ts timestamp, key string, value string"
+    return _run_streamed_fixture(
+        spark, SCORE_CHANGELOG_PATH, chg_schema, compacted, "stream_s6"
     )
-    compacted = streaming_latest_per_key(
-        stream, key_cols=["room", "player"], order_cols=["last_offset"],
-        payload_cols=None,
-    )
-    name = f"stream_s6_{uuid.uuid4().hex[:8]}"
-    return run_to_completion(compacted, name, "complete")
 
 
 @register(
@@ -809,6 +801,32 @@ def j2_kill_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_streamed_fixture(spark, fixture_path, schema, transform, tag):
+    """Shared harness for the driver-verified streaming queries: link
+    the fixture into a temp dir (the file source wants a directory),
+    stream → transform → complete-mode memory sink, and REMOVE the
+    temp dir once the availableNow run finishes (the returned
+    DataFrame reads the memory sink, not the files). The memory-sink
+    table itself lives until the session ends — it holds the result
+    the driver collects."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.pipeline import run_to_completion
+
+    _prep(spark)
+    d = tempfile.mkdtemp(prefix=f"pwp_{tag}_")
+    try:
+        os.symlink(fixture_path, os.path.join(d, os.path.basename(fixture_path)))
+        stream = spark.readStream.schema(schema).parquet(d)
+        name = f"{tag}_{uuid.uuid4().hex[:8]}"
+        return run_to_completion(transform(stream), name, "complete")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @register(
     "stream_a1_scoreboard",
     oracle=f"""
@@ -823,20 +841,12 @@ def stream_a1_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped count → availableNow to a memory sink) whose final state
     hash-matches the same DuckDB oracle as the batch form — streaming
     == batch, verified by the driver itself."""
-    import os
-    import tempfile
-    import uuid
-
-    from .streaming.pipeline import run_to_completion, streaming_kill_counts
-
-    _prep(spark)
-    d = tempfile.mkdtemp(prefix="pwp_stream_")
-    os.symlink(GAME_EVENTS_PATH, os.path.join(d, "game_events.parquet"))
     from .schema import GAME_EVENT_SCHEMA
+    from .streaming.pipeline import streaming_kill_counts
 
-    stream = spark.readStream.schema(GAME_EVENT_SCHEMA).parquet(d)
-    name = f"stream_a1_{uuid.uuid4().hex[:8]}"
-    return run_to_completion(streaming_kill_counts(stream), name, "complete")
+    return _run_streamed_fixture(
+        spark, GAME_EVENTS_PATH, GAME_EVENT_SCHEMA, streaming_kill_counts, "stream_a1"
+    )
 
 
 @register(
@@ -1127,6 +1137,12 @@ def fold_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay.players_state(state)
 
 
+# fold_scale_replay workload size — bench.py imports these to derive
+# the events/s metric; keep the query and the metric in lockstep.
+FOLD_SCALE_ROOMS = 32
+FOLD_SCALE_EVENTS_PER_ROOM = 3000
+
+
 @register("fold_scale_replay", oracle=None)
 def fold_scale_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-honest fold benchmark: generate a 32-room × 3000-event
@@ -1136,7 +1152,8 @@ def fold_scale_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.fixtures import game_event_log
 
     _prep(spark)
-    log = game_event_log(spark, n_rooms=32, events_per_room=3000, seed=7)
+    log = game_event_log(spark, n_rooms=FOLD_SCALE_ROOMS,
+                         events_per_room=FOLD_SCALE_EVENTS_PER_ROOM, seed=7)
     state = replay.replay_state(log)
     return state.groupBy("room", "entity").agg(F.count(F.lit(1)).alias("n"))
 
@@ -2351,7 +2368,8 @@ def q9ish_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey, val
-    FROM v WHERE val > 0.0007 * (SELECT sum(val) FROM v)
+    FROM v
+    WHERE val > 0.0007 * (SELECT CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) FROM v)
     """,
 )
 def q11ish_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2363,7 +2381,10 @@ def q11ish_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = li.groupBy("l_partkey").agg(
         dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("val")
     )
-    total = v.agg(F.sum("val").alias("total"))
+    # the grand total must ALSO be an order-independent exact sum —
+    # a double F.sum's partial-agg order differs from DuckDB's
+    # sequential sum and could flip a borderline part's > comparison
+    total = v.agg(dsum("val").alias("total"))
     return (
         v.crossJoin(F.broadcast(total))
         .filter(F.col("val") > F.lit(0.0007) * F.col("total"))

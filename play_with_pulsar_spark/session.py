@@ -72,7 +72,9 @@ def get_spark(
     # SPARK_GRAFT_MASTER lets a deployment point at a real cluster; the
     # local-single-JVM tunings below are gated on the master being local.
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-    is_local = master.startswith("local")
+    # exact match: "local-cluster[...]" is multi-JVM and must NOT get
+    # the single-JVM tunings below
+    is_local = master == "local" or master.startswith("local[")
 
     builder = (
         SparkSession.builder.appName(app_name)

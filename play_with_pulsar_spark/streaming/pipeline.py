@@ -212,7 +212,14 @@ def streaming_fold_tws(events: DataFrame, explode_after_ms: int | None = None) -
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
             room = key[0]
             gs, pending = self._load()
-            self._fire_due(room, gs, pending, _time.time())
+            now = _time.time()
+            self._fire_due(room, gs, pending, now)
+            # re-arm for the earliest REMAINING deadline — without
+            # this, a later-deadline bomb in a quiet room would never
+            # explode (no data batch to re-register the timer)
+            if pending:
+                earliest_ms = int(min(d for d, _, _ in pending.values()) * 1000)
+                self.handle.registerTimer(max(earliest_ms, int(now * 1000) + 1))
             self._save(gs, pending)
             out = gs.to_rows(room)
             if out:
@@ -363,9 +370,13 @@ def periodic_events(
         cells = F.sequence(F.lit(0), F.lit(GRID_W * GRID_H - 1))
         ch = lambda c: F.xxhash64(c, tick, room, F.lit(seed))  # noqa: E731
         sampled = F.filter(cells, lambda c: F.pmod(ch(c), F.lit(100)) < 45)
+        # cell 0 cannot be sign-encoded destructible (-0 == 0 would
+        # silently decode as indestructible) — keep it positive
         encoded = F.transform(
             sampled,
-            lambda c: F.when(F.pmod(ch(c + 1000), F.lit(5)) < 3, -c).otherwise(c),
+            lambda c: F.when(
+                (F.pmod(ch(c + 1000), F.lit(5)) < 3) & (c != 0), -c
+            ).otherwise(c),
         )
         return rate.select(
             room.alias("room"),

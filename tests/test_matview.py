@@ -100,3 +100,30 @@ def test_view_version_time_travel(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         view.read(version=0)
+
+
+def test_view_reads_and_migrates_legacy_layout(spark, tmp_path):
+    """A view committed by the pre-pointer layout (parquet directly at
+    the path) stays readable, and the next update folds it into the
+    versioned layout instead of silently restarting from empty."""
+    import pandas as pd
+
+    from play_with_pulsar_spark.operators.matview import LatestStateView
+
+    path = str(tmp_path / "legacy_view")
+    spark.createDataFrame(
+        pd.DataFrame([{"k": "a", "o": 1, "v": 10}]), "k string, o long, v long"
+    ).write.parquet(path)
+
+    view = LatestStateView(spark, path, key_cols=["k"], order_cols=["o"])
+    assert {(r.k, r.v) for r in view.read().collect()} == {("a", 10)}
+    view.update(
+        spark.createDataFrame(
+            pd.DataFrame([{"k": "b", "o": 2, "v": 20}]), "k string, o long, v long"
+        )
+    )
+    # legacy rows survived the migration; layout is now versioned
+    assert {(r.k, r.v) for r in view.read().collect()} == {("a", 10), ("b", 20)}
+    import os
+    assert not os.path.exists(path)  # legacy dir cleaned after commit
+    assert os.path.exists(path + ".current")
