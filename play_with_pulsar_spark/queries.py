@@ -1337,10 +1337,43 @@ def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_lang_id", oracle=None)
+def _lang_id_oracle() -> str:
+    """DuckDB twin of textops.lang_id: per-language trigram-occurrence
+    scores via non-overlapping replace-length counting (the same
+    semantics as Python str.count), argmax with profile-order
+    tie-break, 'und' when every score is zero. Generated from the
+    SAME _LANG_PROFILES the UDF uses, so the two can never drift."""
+    from .operators.textops import _LANG_PROFILES
+
+    def score(grams):
+        return "(" + " + ".join(
+            f"(len(s) - len(replace(s, '{g}', ''))) / 3" for g in grams
+        ) + ")"
+
+    branches = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{lang}' AS lang, {i} AS ord, {score(grams)} AS score FROM t"
+        for i, (lang, grams) in enumerate(_LANG_PROFILES.items())
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, coalesce(lower(text), '') AS s FROM documents),
+    scores AS ({branches}),
+    best AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord) AS rn
+      FROM scores
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
+    FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """
+
+
+@register("text_lang_id", oracle=_lang_id_oracle())
 def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trigram-profile language ID (vectorized Pandas UDF) next to the
-    labeled lang column for eyeballing accuracy."""
+    """Trigram-profile language ID (vectorized Pandas UDF), now
+    hash-checked against a pure-SQL twin of the scoring function
+    (accuracy itself is asserted on the per-language-vocabulary corpus
+    in test_llm_ops.py)."""
     from .operators import textops
 
     d = _t(spark, sf_dir, "documents")
