@@ -171,7 +171,14 @@ def test_periodic_map_updates_t2(spark):
     finally:
         q.stop()
     assert len(rows) >= 2
-    # sign-encoded obstacle lists (X2): decodable, in-grid, non-empty
+    # sign-encoded obstacle lists (X2): decodable, in-grid, non-empty,
+    # and the fold's decoder accepts them (cell 0, which cannot carry
+    # a sign, must never be emitted destructible: -0 == 0)
+    from play_with_pulsar_spark.operators.replay import GameState
+
     for r in rows:
         assert r.list
         assert all(0 <= abs(c) < 750 for c in r.list)
+        gs = GameState()
+        gs._obstacles_from_list(list(r.list))
+        assert len(gs.obstacles) == len(set(abs(c) for c in r.list))
