@@ -137,6 +137,46 @@ def lang_id(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model scoring — the classic LM-quality filter
+    for training-data curation: p(token) estimated from the corpus
+    itself, document score = mean log-probability of its tokens
+    (higher = more typical; boilerplate and gibberish both sink).
+
+    Shape: one exploded token table feeds (a) the global term-
+    frequency table (two-level agg, map-side combined) and (b) the
+    per-doc scoring join. The frequency table is broadcast — its size
+    is the vocabulary, not the corpus. Determinism protocol: each
+    token's log p is rounded to 8 decimals BEFORE the exact decimal
+    sum, so engine log() ulp differences (~1e-15) can never reach the
+    compared digits.
+    """
+    from ..oracle import dsum
+
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    exploded = toks.select("doc_id", F.explode("_t").alias("term"))
+    tf = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n_total"))  # exact: sum of longs
+    term_logp = (
+        tf.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(F.log(F.col("tf") / F.col("n_total")), 8).alias("logp"),
+        )
+    )
+    return (
+        exploded.join(F.broadcast(term_logp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(dsum("logp"), 6).alias("logprob"),
+            F.round((dsum("logp") / F.count(F.lit(1))), 6).alias("mean_logprob"),
+        )
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stats table."""
     return docs.select(

@@ -1343,6 +1343,37 @@ def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT term, count(*) AS tf FROM toks GROUP BY term
+    ), tot AS (
+      SELECT sum(tf) AS n_total FROM tf
+    ), lp AS (
+      SELECT term, round(ln(CAST(tf AS DOUBLE) / n_total), 8) AS logp
+      FROM tf, tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round({sql_dsum("logp")}, 6) AS logprob,
+           round({sql_dsum("logp")} / count(*), 6) AS mean_logprob
+    FROM toks JOIN lp USING (term)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring over the corpus' own term
+    distribution (the standard LM-filter for training-data curation):
+    per-token log p rounded to 8dp before the exact decimal sum, so
+    both engines' log() agree on every compared digit."""
+    from .operators import textops
+
+    return textops.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def _lang_id_oracle() -> str:
     """DuckDB twin of textops.lang_id: per-language trigram-occurrence
     scores via non-overlapping replace-length counting (the same
@@ -2638,6 +2669,7 @@ _DRIVER_UNVERIFIED_R01 = [
     "game_movement_heatmap",  # new in round 2
     "game_kd_ratio",  # new in round 2
     "stream_s6_tableview",  # new in round 2
+    "text_unigram_logprob",  # new in round 2
     "sessionize_events",
     "pivot_event_counts",
     "date_parts_orders",
