@@ -16,7 +16,7 @@ so these are the BASELINE.json north-star extensions.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
@@ -174,6 +174,70 @@ def unigram_logprob(
             F.round(dsum("logp"), 6).alias("logprob"),
             F.round((dsum("logp") / F.count(F.lit(1))), 6).alias("mean_logprob"),
         )
+    )
+
+
+# --- rolling-hash document fingerprinting (winnowing-style) ---
+
+# Polynomial-hash parameters. Horner steps stay far inside int64:
+# h < P = 2^31-1, so h*B + c < 2^31 * 257 ≈ 5.5e11.
+_FP_BASE = 257
+_FP_MOD = (1 << 31) - 1
+
+
+def _char_kgram_hash(s: Column, pos: Column, k: int) -> Column:
+    """Portable rolling-window hash of the char k-gram at ``pos``
+    (1-based): Horner fold h = (h*B + codepoint) mod P — plain integer
+    arithmetic that DuckDB reproduces exactly (no engine-specific hash
+    function), which is what makes the fingerprints oracle-checkable."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * _FP_BASE + F.ascii(s.substr(pos + j, F.lit(1)))) % _FP_MOD,
+    )
+
+
+def rolling_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing-style document fingerprints (Schleimer/Wilkerson/
+    Aiken 2003, MOSS): hash every char k-gram with a rolling
+    polynomial hash, then keep the LOCAL MINIMA — a k-gram is selected
+    when its hash is ≤ every hash in the trailing window of ``w``
+    k-grams. Expected density 1/w; matching substrings of length
+    ≥ k+w-1 are guaranteed to share a fingerprint. (Deviation from
+    the paper: trailing-window minima instead of per-window rightmost
+    minima — a pure per-row predicate, so both engines select
+    identical positions with no tie-break ambiguity.)
+
+    Scale shape: explode positions → window min per doc ordered by
+    pos → filter; one shuffle on doc_id, output ~len/w rows per doc.
+    """
+    s = F.trim(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), s.alias("_s"), F.length(s).alias("_n")
+    ).filter(F.col("_n") >= k)
+    grams = base.select(
+        "doc_id",
+        "_s",
+        F.explode(F.sequence(F.lit(1), F.col("_n") - k + 1)).alias("pos"),
+    )
+    hashed = grams.select(
+        "doc_id", "pos", _char_kgram_hash(F.col("_s"), F.col("pos"), k).alias("h")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        hashed.withColumn("_wmin", F.min("h").over(win))
+        .filter(F.col("h") <= F.col("_wmin"))
+        .select("doc_id", "pos", F.col("h").alias("fingerprint"))
     )
 
 

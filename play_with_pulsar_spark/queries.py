@@ -1344,6 +1344,45 @@ def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rolling_fingerprints",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, trim(lower(text)) AS s FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(range(1, len(s) - 8 + 2)) AS pos, s
+      FROM d WHERE len(s) >= 8
+    ), hashed AS (
+      SELECT doc_id, pos,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 8),
+                   j -> CAST(ascii(substr(s, CAST(pos + j AS INT), 1)) AS BIGINT))),
+               (acc, c) -> (acc * 257 + c) % 2147483647
+             ) AS h
+      FROM grams
+    ), winmin AS (
+      SELECT doc_id, pos, h,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin
+      FROM hashed
+    )
+    SELECT doc_id, pos, h AS fingerprint FROM winmin WHERE h <= wmin
+    """,
+)
+def text_rolling_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash document fingerprints (MOSS,
+    Schleimer 2003): char-8-gram polynomial hashes, local minima over
+    a trailing 16-gram window. The hash is plain integer Horner
+    arithmetic, so the DuckDB oracle reproduces every selected
+    (pos, fingerprint) exactly."""
+    from .operators import textops
+
+    return textops.rolling_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, w=16
+    )
+
+
+@register(
     "text_unigram_logprob",
     oracle=f"""
     WITH toks AS (
@@ -2670,6 +2709,7 @@ _DRIVER_UNVERIFIED_R01 = [
     "game_kd_ratio",  # new in round 2
     "stream_s6_tableview",  # new in round 2
     "text_unigram_logprob",  # new in round 2
+    "text_rolling_fingerprints",  # new in round 2
     "sessionize_events",
     "pivot_event_counts",
     "date_parts_orders",

@@ -244,3 +244,27 @@ def test_embedding_cosine_exact_vs_local_numpy(spark):
         if sims[i, j] >= 0.2
     }
     assert got == want
+
+
+def test_rolling_fingerprints_detect_near_dups(spark, docs):
+    """Winnowing guarantee (applied): near-dup documents (jaccard >=
+    0.8 word-level) share a large fraction of fingerprints; unrelated
+    documents share almost none."""
+    from play_with_pulsar_spark.operators import textops
+
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    assert pairs
+    fp = textops.rolling_fingerprints(docs, k=8, w=16).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    sims = []
+    for p in pairs[:10]:
+        a, b = by_doc[p.id_a], by_doc[p.id_b]
+        sims.append(len(a & b) / min(len(a), len(b)))
+    assert sum(sims) / len(sims) >= 0.5, sims
+    # unrelated pair baseline: first two docs NOT in any near-dup pair
+    dup_ids = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    clean = [d for d in sorted(by_doc) if d not in dup_ids][:2]
+    a, b = by_doc[clean[0]], by_doc[clean[1]]
+    assert len(a & b) / min(len(a), len(b)) <= 0.2
