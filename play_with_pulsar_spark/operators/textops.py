@@ -38,6 +38,24 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the subset with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookahead, ASCII classes. Alternation order is the contract:
+# contraction suffix | space?+letters | space?+digits | space?+other.
+BPE_ISH_RE = r"'[a-z]{1,2}| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex over the lower-cased text, excluding pure-whitespace runs —
+    the usual cheap proxy for LLM token budgets when the real
+    tokenizer isn't in the pipeline image."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_RE), 0)
+    non_ws = F.filter(pieces, lambda x: ~x.rlike(r"^\s+$"))
+    return F.size(non_ws).cast("bigint")
+
+
 def ngrams_from_tokens(t: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an ALREADY-MATERIALIZED
     token array column. ``t`` must be a plain column reference, not a

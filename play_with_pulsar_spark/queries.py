@@ -1344,6 +1344,38 @@ def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_counts",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS s,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS ws_tokens,
+           CAST(len(list_filter(
+                  regexp_extract_all(s, '''[a-z]{1,2}| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+'),
+                  x -> NOT regexp_matches(x, '^\s+$')
+                )) AS BIGINT) AS bpe_ish_tokens
+    FROM t
+    """,
+)
+def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets both ways: whitespace tokens and the GPT-2-style
+    BPE-ish regex pre-tokenizer count (contraction | space?+letters |
+    space?+digits | space?+punct) — the regex subset chosen so Java
+    regex and RE2 agree match-for-match."""
+    from .operators import textops
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("ws_tokens"),
+        textops.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
     "text_rolling_fingerprints",
     oracle="""
     WITH d AS (
@@ -2710,6 +2742,7 @@ _DRIVER_UNVERIFIED_R01 = [
     "stream_s6_tableview",  # new in round 2
     "text_unigram_logprob",  # new in round 2
     "text_rolling_fingerprints",  # new in round 2
+    "text_token_counts",  # new in round 2
     "sessionize_events",
     "pivot_event_counts",
     "date_parts_orders",
