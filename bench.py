@@ -36,6 +36,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from play_with_pulsar_spark.queries import (
         BENCH_QUERIES,
+        BENCH_WORKLOAD_NOTES,
         FOLD_SCALE_EVENTS_PER_ROOM,
         FOLD_SCALE_ROOMS,
         REGISTRY,
@@ -100,6 +101,12 @@ def main() -> None:
                 "sf": sf,
                 "fold_events_per_sec": fold_events_per_sec,
                 "sweep": sweep,
+                # kept names whose WORKLOAD changed between rounds —
+                # cross-round comparisons of these entries compare
+                # different work, not engine improvements
+                "workload_notes": {
+                    k: v for k, v in BENCH_WORKLOAD_NOTES.items() if k in timings
+                },
             }
         )
     )

@@ -27,12 +27,16 @@ implemented Spark-first.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textops import exploded_ngrams, fingerprint_md5
+
+_LOG = logging.getLogger(__name__)
 
 # Mersenne prime 2^31-1: modulus for the affine permutation hashes.
 # 31-bit values keep a·h + b well inside 64-bit range (no overflow —
@@ -268,13 +272,18 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     ``DataFrame.unpersist`` is a no-op for checkpoint blocks (they are
     RDD-level persisted, not cache-manager entries), so reach the
     LogicalRDD's backing RDD through the analyzed plan. Best-effort:
-    never fails the caller. ONLY call on checkpoints nothing will read
-    again — a freed localCheckpoint cannot be recomputed (its lineage
-    was truncated)."""
+    never fails the caller — but a failure is LOGGED (debug), because
+    under Spark Connect or a plan-representation change this private
+    py4j path silently stops freeing blocks and up to max_iter label
+    tables would accumulate in executor storage
+    (tests/test_skew_and_clusters.py asserts storage stays bounded on
+    the deep-chain graph, so a regression is visible). ONLY call on
+    checkpoints nothing will read again — a freed localCheckpoint
+    cannot be recomputed (its lineage was truncated)."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:  # pragma: no cover - depends on backend
+        _LOG.debug("localCheckpoint unpersist path unavailable: %r", exc)
 
 
 def dedup_clusters(
@@ -435,6 +444,15 @@ def simhash64_grouped(
     return toks.groupBy("doc_id").applyInPandas(_fold, schema="doc_id long, simhash long")
 
 
+def _safe_norm(M: np.ndarray) -> np.ndarray:
+    """Row L2 norms with zero mapped to 1, so an all-zero embedding
+    yields cosine 0 against everything (and produces NO NaNs that
+    would silently drop pairs) instead of 0/0. The DuckDB oracle
+    mirrors this with NULLIF(norm, 0) + COALESCE."""
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    return np.where(nrm == 0, 1.0, nrm)
+
+
 def embedding_cosine_pairs_exact(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -457,7 +475,7 @@ def embedding_cosine_pairs_exact(
     pdf = emb.select(id_col, vec_col).toPandas()
     all_ids = pdf[id_col].to_numpy().astype(np.int64)
     M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    M /= _safe_norm(M)
 
     def kernel(batches):
         for b in batches:
@@ -465,7 +483,7 @@ def embedding_cosine_pairs_exact(
                 continue
             ids = b[id_col].to_numpy().astype(np.int64)
             B = np.stack(b[vec_col].to_numpy()).astype(np.float64)
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            B /= _safe_norm(B)
             sims = np.round(B @ M.T, round_to)  # (b, N)
             li, ri = np.nonzero((sims >= threshold) & (ids[:, None] < all_ids[None, :]))
             if len(li):

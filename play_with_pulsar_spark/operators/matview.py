@@ -23,6 +23,13 @@ live, and the partial ``.v{n+1}`` directory is overwritten by the
 next update. The previous version directory is deleted only after
 the flip. This is the filesystem analog of a table-format commit log;
 swap for Delta/Iceberg MERGE where available.
+
+Reader grace: ``read()`` returns a LAZY DataFrame that resolves its
+backing files at execution time, so retention keeps each version that
+falls out of the window on disk for ONE extra commit before deleting
+it. A DataFrame obtained from ``read()`` therefore stays executable
+across the next ``update()``; consume (or ``.cache()`` + materialize)
+it before a second update, after which its directory may be pruned.
 """
 
 from __future__ import annotations
@@ -132,8 +139,10 @@ class LatestStateView:
     def update(self, batch: DataFrame) -> None:
         """Fold one batch into the view: compact the batch, union with
         the current view, re-compact, write a new version directory,
-        atomically flip the pointer, then drop the old version. Work is
-        O(|batch| + |keys|); exactly ONE parquet write per update."""
+        atomically flip the pointer, then prune versions past the
+        retention window (each kept one extra commit as reader grace).
+        Work is O(|batch| + |keys|); exactly ONE parquet write per
+        update."""
         compacted = latest_per_key(
             batch, self.key_cols, self.order_cols, self.payload_cols
         )
@@ -161,8 +170,11 @@ class LatestStateView:
             # legacy layout migrated: its data is folded into v0
             shutil.rmtree(old, ignore_errors=True)
         # retention: drop versions older than the newest keep_versions
-        # superseded ones (the new live version never counts)
-        cutoff = version - self.keep_versions - 1
+        # superseded ones (the new live version never counts). The
+        # FIRST version past the window is kept one extra commit as
+        # reader grace — a lazy DataFrame from read() taken before this
+        # update still resolves its files until the NEXT update.
+        cutoff = version - self.keep_versions - 2
         for v in self.versions():
             if v <= cutoff:
                 shutil.rmtree(f"{self.path}.v{v}", ignore_errors=True)

@@ -26,7 +26,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..schema import EVENT_ENVELOPE_SCHEMA, GAME_EVENT_SCHEMA
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    """True if the type embeds a MapType anywhere (xxhash64-incompatible)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def assign_offsets(
@@ -51,7 +64,16 @@ def assign_offsets(
     missing = [c for c in (room_col, *order_cols) if c not in batch.columns]
     if missing:
         raise ValueError(f"assign_offsets: batch lacks order columns {missing}")
-    tiebreak = F.xxhash64(*batch.columns)
+    # xxhash64 rejects MapType (map equality is undefined), so the
+    # tiebreaker hashes only hashable columns — still deterministic in
+    # the batch contents for every non-map column.
+    hashable = [f.name for f in batch.schema.fields if not _contains_map(f.dataType)]
+    if not hashable:
+        raise ValueError(
+            "assign_offsets: no hashable (non-map) columns for the "
+            "deterministic tiebreaker"
+        )
+    tiebreak = F.xxhash64(*hashable)
     w = Window.partitionBy(room_col).orderBy(
         *[F.col(c) for c in order_cols], tiebreak
     )

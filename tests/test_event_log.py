@@ -40,6 +40,25 @@ def test_offset_append_resumes_from_base(spark, log):
     assert all(r.lo == 100 for r in lo)
 
 
+def test_offset_assignment_tolerates_map_columns(spark):
+    """The deterministic tiebreaker hashes only hashable columns —
+    a MapType column (xxhash64-incompatible) must not break the
+    generic path (ADVICE r2), and offsets stay gapless."""
+    batch = spark.createDataFrame(
+        [("r1", i, {"k": f"v{i}"}) for i in range(10)],
+        "room string, ts long, props map<string,string>",
+    )
+    assigned = el.assign_offsets(batch, order_cols=("ts",))
+    offs = sorted(r.offset for r in assigned.collect())
+    assert offs == list(range(10))
+    # a batch that is ONLY maps beyond the keys still raises clearly
+    only_map = spark.createDataFrame(
+        [({"a": "b"},)], "m map<string,string>"
+    )
+    with pytest.raises(ValueError):
+        el.assign_offsets(only_map, room_col="m", order_cols=("m",))
+
+
 def test_wire_codec_roundtrip(spark, log):
     wire = el.to_wire(log)
     assert "payload" in wire.columns and "type" not in wire.columns

@@ -246,6 +246,30 @@ def test_embedding_cosine_exact_vs_local_numpy(spark):
     assert got == want
 
 
+def test_embedding_cosine_zero_vector_yields_no_nan(spark):
+    """An all-zero embedding must produce cosine 0 against everything
+    (zero-norm guard), never NaN — NaN comparisons would silently drop
+    pairs and break oracle hash parity (ADVICE r2)."""
+    import math
+
+    rows = [
+        (0, [0.0, 0.0, 0.0]),          # zero vector
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),          # exact dup of 1
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # threshold -1 keeps every pair, including the zero-vector ones
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_pairs_exact(df, threshold=-1.0).collect()
+    }
+    assert len(got) == 6  # all C(4,2) pairs present — nothing dropped
+    assert not any(math.isnan(v) for v in got.values())
+    assert got[(0, 1)] == 0.0 and got[(0, 2)] == 0.0 and got[(0, 3)] == 0.0
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] == -1.0
+
+
 def test_rolling_fingerprints_detect_near_dups(spark, docs):
     """Winnowing guarantee (applied): near-dup documents (jaccard >=
     0.8 word-level) share a large fraction of fingerprints; unrelated

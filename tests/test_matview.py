@@ -94,12 +94,43 @@ def test_view_version_time_travel(spark, tmp_path):
     # time travel: v1 had only the updated 'a'
     assert {(r.k, r.v) for r in view.read(version=1).collect()} == {("a", 20)}
     assert {(r.k, r.v) for r in view.read(version=0).collect()} == {("a", 10)}
-    # a fourth commit prunes v0 (window = live + 2 superseded)
+    # a fourth commit pushes v0 past the window (live + 2 superseded),
+    # but reader grace keeps it on disk for ONE more commit
     view.update(batch([{"k": "b", "o": 4, "v": 40}]))                 # v3
-    assert view.versions() == [1, 2, 3]
+    assert view.versions() == [0, 1, 2, 3]
+    # the fifth commit finally prunes v0
+    view.update(batch([{"k": "a", "o": 5, "v": 50}]))                 # v4
+    assert view.versions() == [1, 2, 3, 4]
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         view.read(version=0)
+
+
+def test_view_reader_grace_survives_one_update(spark, tmp_path):
+    """A lazy DataFrame from read() resolves its files at execution
+    time; with keep_versions=0 the superseded version is retained one
+    extra commit, so the DataFrame stays executable across the NEXT
+    update (ADVICE r2: previously it was deleted at flip time and the
+    reader got FileNotFound)."""
+    import os
+
+    import pandas as pd
+
+    path = str(tmp_path / "grace_view")
+    view = LatestStateView(spark, path, key_cols=["k"], order_cols=["o"])
+
+    def batch(rows):
+        return spark.createDataFrame(pd.DataFrame(rows), "k string, o long, v long")
+
+    view.update(batch([{"k": "a", "o": 1, "v": 10}]))                 # v0
+    stale = view.read()                # lazy — points at v0's files
+    view.update(batch([{"k": "a", "o": 2, "v": 20}]))                 # v1; v0 kept (grace)
+    assert {(r.k, r.v) for r in stale.collect()} == {("a", 10)}
+    assert {(r.k, r.v) for r in view.read().collect()} == {("a", 20)}
+    # the next commit prunes v0 — the documented limit of the grace
+    view.update(batch([{"k": "a", "o": 3, "v": 30}]))                 # v2; v0 pruned
+    assert not os.path.exists(path + ".v0")
+    assert os.path.exists(path + ".v1")  # v1 now in ITS grace window
 
 
 def test_view_reads_and_migrates_legacy_layout(spark, tmp_path):

@@ -98,11 +98,19 @@ def test_connected_components_deep_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1, 1.0) for i in range(n - 1)], "id_a long, id_b long, jaccard double"
     )
+    persisted_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     got = {
         r.doc_id: r.cluster
         for r in dedup.dedup_clusters(docs, pairs).collect()
     }
     assert got == {i: 0 for i in range(n)}
+    # storage stays BOUNDED: per-round checkpoints are freed eagerly
+    # (_free_local_checkpoint). If its private unpersist path silently
+    # breaks, ~8 label-table copies leak here and this catches it.
+    persisted_after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert persisted_after - persisted_before <= 3, (
+        f"localCheckpoint blocks leaked: {persisted_before} -> {persisted_after}"
+    )
 
 
 def test_simhash_kernel_equals_grouped(spark, sf_dir):
