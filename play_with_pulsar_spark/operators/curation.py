@@ -1,0 +1,230 @@
+"""Training-data curation operators: deterministic splits, per-domain
+quotas, benchmark-contamination checks, sequence packing.
+
+These are the corpus-management steps between "raw documents" and
+"training batches" that the dedup/quality/similarity families feed
+(SURVEY §2 LLM-pipeline surface; same role as the reference's
+materialized per-key views, but over a document corpus):
+
+- **train_val_test_split** — membership must be a pure function of a
+  stable document key, never of sampling order or partitioning, so
+  re-runs and late-arriving shards land in the same split. Bucket =
+  integer prefix of md5(key) — cheap, uniform, and portable (the
+  DuckDB oracle reproduces it bit-for-bit).
+- **domain_topk** — per-domain quotas via a ranked window; caps any
+  one source's dominance before training. One shuffle on the domain
+  key; at 100 TB a skewed domain degrades like any keyed window
+  (AQE/salting upstream), and rank-k cutoff means only k rows per
+  domain survive the stage.
+- **benchmark_contamination** — n-gram-overlap screen of the corpus
+  against an eval/benchmark set (the decontamination step every
+  public LLM data pipeline runs; see GPT-2/GPT-3 reports). Inverted-
+  index equi-join on the shingle — never corpus × benchmark — with
+  the benchmark side orders of magnitude smaller (broadcastable).
+- **pack_sequences** — greedy first-fit packing of documents into
+  fixed token-capacity sequences (context windows), deterministic in
+  (group, order): the classic "sequence packing" preprocessing that
+  turns ragged documents into dense training batches. Packing is a
+  sequential fold per group, so it runs as one vectorized pass per
+  group partition (``applyInPandas``); groups (domains, shards) are
+  the parallelism unit, exactly like the fold's rooms.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import exploded_ngrams
+
+
+def split_assignment(
+    key_col: str = "doc_id",
+    train: int = 80,
+    val: int = 10,
+    buckets: int = 100,
+):
+    """Column expr: deterministic split label from a stable key.
+
+    bucket = first 8 hex digits of md5(key) as an integer, mod
+    ``buckets``; label = train / val / test by threshold. Pure
+    function of the key — stable across runs, partitionings, and
+    engines (the oracle mirrors it exactly).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+    return (
+        F.when(bucket < train, F.lit("train"))
+        .when(bucket < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def train_val_test_split(
+    docs: DataFrame, key_col: str = "doc_id", train: int = 80, val: int = 10
+) -> DataFrame:
+    """(key, split) for every document — see :func:`split_assignment`."""
+    return docs.select(
+        F.col(key_col),
+        split_assignment(key_col, train, val).alias("split"),
+    )
+
+
+def domain_topk(
+    docs: DataFrame,
+    group_col: str = "source",
+    score_col: str = "n_chars",
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per domain by score (ties → lowest id wins),
+    the per-source quota cap. Ranked window per domain: one shuffle,
+    k survivors per group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("rank_in_domain", F.row_number().over(w))
+        .filter(F.col("rank_in_domain") <= k)
+        .select(id_col, group_col, score_col, "rank_in_domain")
+    )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    min_overlap: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per corpus document: the benchmark document sharing the largest
+    fraction of its distinct word n-grams, if that fraction reaches
+    ``min_overlap``.
+
+    overlap(c, b) = |grams(c) ∩ grams(b)| / |grams(c)| — containment
+    of the corpus doc in the benchmark doc's shingle set (Broder 1997
+    containment, the decontamination screen's standard measure).
+
+    Scale shape: DISTINCT shingle inverted index on each side, equi-
+    join on the shingle string (at 100 TB: xxhash64 the shingle to a
+    long first — same plan, narrower key), partial-agg counts per
+    (corpus, benchmark) pair, then one max_by per corpus doc. The
+    benchmark side is small by nature — Spark broadcasts it; corpus
+    shingles stream past it without a corpus-side shuffle.
+    """
+    cg = exploded_ngrams(corpus, text_col, id_col, n).distinct()
+    bg = (
+        exploded_ngrams(benchmark, text_col, id_col, n)
+        .distinct()
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    sizes = cg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        cg.join(F.broadcast(bg), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .withColumn(
+            "overlap",
+            F.round(F.col("n_shared").cast("double") / F.col("n_grams"), 6),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("bench_id"), F.col("n_shared"), F.col("overlap")),
+                # max overlap; ties -> LOWEST bench_id (negate for max_by)
+                F.struct(F.col("overlap"), (-F.col("bench_id")).alias("_neg")),
+            ).alias("_top")
+        )
+        .select(
+            "doc_id",
+            F.col("_top.bench_id").alias("bench_id"),
+            F.col("_top.n_shared").alias("n_shared"),
+            F.col("_top.overlap").alias("overlap"),
+        )
+    )
+
+
+def weighted_domain_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic stratified sampling by domain — the data-mixing
+    step that reweights sources toward a target distribution (as in
+    the public Pile / DoReMi recipes): keep a ``rates[domain]``
+    fraction of each domain's documents.
+
+    Membership = md5-prefix bucket of the DOCUMENT KEY (salted with
+    ':mix' so it is independent of the train/val/test split hash)
+    below the domain's rate threshold — a pure function of
+    (key, rate), so the sample is reproducible across runs/
+    partitionings, monotone in the rate (raising a rate only ADDS
+    documents), and needs no RNG state. Plan: scalar projection +
+    filter on the scan, zero shuffles (unlike ``DataFrame.sampleBy``,
+    which is seeded per-partition and not stable under
+    repartitioning)."""
+    salted = F.concat(F.col(key_col).cast("string"), F.lit(":mix"))
+    bucket = (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint") % buckets
+    )
+    rate = F.lit(default_rate)
+    for dom, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == dom, F.lit(float(r))).otherwise(rate)
+    return docs.filter(bucket < (rate * buckets).cast("bigint"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Greedy first-fit sequence packing, deterministic per group.
+
+    Documents are taken in ``order_col`` order within each group; a
+    document that would push the running token total past ``capacity``
+    starts the next sequence (an oversized document occupies a
+    sequence alone). Output adds ``seq_id`` (0-based per group).
+
+    Sequential-by-definition per group, so each group folds in one
+    vectorized pass (numpy cumsum-with-reset) inside ``applyInPandas``;
+    groups are the parallelism unit — shard large corpora into
+    (domain, shard) groups upstream to bound group size.
+    """
+    narrow = docs.select(group_col, order_col, token_col)
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in narrow.schema.fields)
+        + ", seq_id bigint"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf[token_col].to_numpy()
+        seq = []
+        sid = 0
+        acc = 0
+        for t in toks:
+            if acc and acc + t > capacity:
+                sid += 1
+                acc = 0
+            acc += t
+            seq.append(sid)
+        pdf["seq_id"] = pd.Series(seq, dtype="int64")
+        return pdf
+
+    return narrow.groupBy(group_col).applyInPandas(fold, schema=schema)

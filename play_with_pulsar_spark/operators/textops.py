@@ -259,6 +259,65 @@ def rolling_fingerprints(
     )
 
 
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, "Scaling Language Models" §A1.1 — public): heavily
+    repetitive documents are low-quality training data.
+
+    Per document:
+    - ``dup_word_frac``   = 1 - distinct_tokens / tokens
+    - ``top_bigram_frac`` = occurrences of the most frequent word
+      bigram / total bigrams (0 when < 2 tokens)
+
+    Shape: the scalar signals are pure JVM array expressions on the
+    scan (no shuffle); the bigram mode needs a (doc, gram) partial-agg
+    → (doc) max — two map-side-combinable aggregations keyed by the
+    document, so the whole operator is one narrow shuffle chain and
+    survives corpus-scale fan-out. Ratios are rounded to 6 so engine
+    and oracle float division agree bit-for-bit."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t")
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("bigint").alias("_n_distinct"),
+    )
+    # raw bigram MULTISET (ngrams_from_tokens dedups — wrong here:
+    # the signal is exactly how often the top bigram repeats)
+    t = F.col("_t")
+    raw_bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+    )
+    big = (
+        toks.filter(F.size("_t") >= 2)
+        .select("doc_id", F.explode(raw_bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_total"))
+    )
+    return (
+        base.join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("_n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("_top").cast("double") / F.col("_total"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stats table."""
     return docs.select(

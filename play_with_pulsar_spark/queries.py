@@ -2698,6 +2698,300 @@ def q21ish_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round 3: as-of join + training-data curation family (deterministic
+# split, per-domain quotas, contamination screen, repetition signals,
+# sequence packing).
+# =====================================================================
+
+
+@register(
+    "asof_latest_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey   AS asof_o_orderkey,
+           o.o_totalprice AS asof_o_totalprice,
+           o.o_orderdate  AS asof_o_orderdate
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY e.event_id
+        ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+    ) = 1
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward inclusive): enrich every event with the
+    issuing user's most recent order as of the event time — the
+    TableView point-lookup (pulsar.go:229-252) generalized to
+    per-event-time state. Engine shape: union + per-key window carry,
+    ONE shuffle on the key, no theta join (operators/asof.py); the
+    oracle states the same semantics as the O(L·R)-per-key ranked
+    theta join SQL makes readable."""
+    from .operators import asof
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return asof.asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 AS b
+      FROM documents
+    )
+    """,
+)
+def split_train_val_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: bucket =
+    integer prefix of md5(doc_id) — a pure function of the key, so
+    re-runs, repartitions, and late shards always agree. No shuffle at
+    all: the label is a scalar projection on the scan."""
+    from .operators import curation
+
+    return curation.train_val_test_split(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "domain_topk_docs",
+    oracle="""
+    SELECT doc_id, source, n_chars, rank_in_domain FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)
+               AS rank_in_domain
+      FROM documents
+    ) WHERE rank_in_domain <= 3
+    """,
+)
+def domain_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap: keep the top-3 documents per source by
+    size (ties → lowest doc_id). One shuffle on the domain key; only
+    k rows per domain survive the stage."""
+    from .operators import curation
+
+    return curation.domain_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), base AS (
+      SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct
+      FROM toks
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS g
+      FROM toks WHERE len(w) >= 2
+    ), bgc AS (
+      SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+    ), bga AS (
+      SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM bgc GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+           round(coalesce(CAST(top_c AS DOUBLE) / total, 0), 6) AS top_bigram_frac
+    FROM base b LEFT JOIN bga USING (doc_id)
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals
+    (duplicate-word fraction, top-bigram mass) — scalar array exprs on
+    the scan plus one map-side-combinable (doc, gram) count."""
+    from .operators import textops
+
+    return textops.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_benchmark_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 2),
+                                   i -> array_to_string(w[i:i+3], ' '))) AS g
+      FROM toks WHERE len(w) >= 4
+    ), bench AS (
+      SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 83 = 0
+    ), corp AS (
+      SELECT doc_id, g FROM g WHERE doc_id % 83 <> 0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id
+    ), hits AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      FROM corp c JOIN bench b USING (g)
+      GROUP BY c.doc_id, b.bench_id
+    )
+    SELECT doc_id, bench_id, n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS overlap
+    FROM hits JOIN sizes USING (doc_id)
+    WHERE round(CAST(n_shared AS DOUBLE) / n_grams, 6) >= 0.1
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY overlap DESC, bench_id ASC) = 1
+    """,
+)
+def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination screen: corpus docs sharing ≥10% of their
+    distinct word 4-grams with an eval/benchmark set (here: every
+    83rd doc plays the benchmark). Inverted-index equi-join on the
+    shingle, benchmark side broadcast — never corpus × benchmark."""
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 83 == 0)
+    corpus = docs.filter(F.col("doc_id") % 83 != 0)
+    return curation.benchmark_contamination(corpus, bench, n=4, min_overlap=0.1)
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_id, n_tokens AS acc
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+             CASE WHEN p.acc + t.n_tokens > 2048
+                  THEN p.seq_id + 1 ELSE p.seq_id END,
+             CASE WHEN p.acc + t.n_tokens > 2048
+                  THEN t.n_tokens ELSE p.acc + t.n_tokens END
+      FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, seq_id FROM packed
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing: documents (ordered by
+    doc_id within source) packed into 2048-token training sequences.
+    Sequential per group by definition → one vectorized pass per
+    group via applyInPandas; groups are the parallelism unit. The
+    oracle states the same fold as a recursive CTE."""
+    from .operators import curation, textops
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", textops.token_count("text").alias("n_tokens")
+    )
+    return curation.pack_sequences(docs, capacity=2048)
+
+
+@register(
+    "mix_domain_weighted_sample",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))
+                  AS UBIGINT) % 1000000 AS b,
+             CASE WHEN source IN ('src0','src1','src2') THEN 1.0
+                  WHEN source IN ('src3','src4','src5') THEN 0.5
+                  ELSE 0.25 END AS rate
+      FROM documents
+    )
+    SELECT doc_id, source FROM rated
+    WHERE b < CAST(rate * 1000000 AS BIGINT)
+    """,
+)
+def mix_domain_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: deterministic stratified sampling toward target
+    per-domain rates (keep all of src0-2, half of src3-5, a quarter of
+    the rest — the Pile/DoReMi-style reweighting step). Membership is
+    a salted md5 of the doc key: reproducible, monotone in the rate,
+    zero shuffles."""
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 1.0, "src2": 1.0,
+             "src3": 0.5, "src4": 0.5, "src5": 0.5}
+    return curation.weighted_domain_sample(
+        docs, rates, default_rate=0.25
+    ).select("doc_id", "source")
+
+
+@register(
+    "time_rollup_multires",
+    oracle=f"""
+    SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket,
+           count(*) AS n_events, {sql_dsum("value")} AS sum_value
+    FROM events GROUP BY bucket
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts),
+           count(*), {sql_dsum("value")}
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'week', date_trunc('week', ts),
+           count(*), {sql_dsum("value")}
+    FROM events GROUP BY 2
+    """,
+)
+def time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous aggregate (the hypertable-rollup
+    pattern): event counts + exact sums at hour/day/week grain.
+
+    HIERARCHICAL, single scan: the raw table is aggregated ONCE at
+    hour grain (the finest — the only shuffle proportional to the
+    data), then each hour row is exploded to its three (resolution,
+    bucket) targets and re-aggregated — a second shuffle over just
+    3×|hour-buckets| rows. A naive per-grain union would scan and
+    shuffle the raw table three times (verified: Catalyst does NOT
+    reuse the shared subtree across union branches here). Exactness:
+    per-bucket sums are decimal (dsum) and decimal addition is
+    associative, so re-aggregating hour sums equals the oracle's flat
+    per-grain sums bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    hour = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+    )
+    targets = F.array(
+        F.struct(F.lit("hour").alias("resolution"), F.col("bucket").alias("bucket")),
+        F.struct(
+            F.lit("day").alias("resolution"),
+            F.date_trunc("day", F.col("bucket")).alias("bucket"),
+        ),
+        F.struct(
+            F.lit("week").alias("resolution"),
+            F.date_trunc("week", F.col("bucket")).alias("bucket"),
+        ),
+    )
+    return (
+        hour.select(F.explode(targets).alias("rb"), "n_events", "sum_value")
+        .groupBy(
+            F.col("rb.resolution").alias("resolution"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+        .agg(F.sum("n_events").alias("n_events"), dsum("sum_value").alias("sum_value"))
+    )
+
+
 # Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
 # stable across rounds so timings are comparable — and when a kept
 # name's WORKLOAD changes (not just its implementation), record it in
@@ -2733,59 +3027,75 @@ BENCH_QUERIES = [
     # added round 2 (new names append; prior names stay comparable)
     "dedup_embedding_cosine",
     "q9ish_product_profit",
+    # added round 3
+    "asof_latest_order",
+    "pack_training_sequences",
+    "text_benchmark_contamination",
 ]
 
 
-# Queries with no driver-recorded correctness row in round 1
-# (CORRECTNESS_r01.json contained only the first 50 of 73 declared
-# queries). queries()/oracle_sql() list these FIRST so a driver-side
-# cap or timeout can never truncate the same names twice. All 23 pass
-# the identical local DuckDB comparison (tests/test_oracle_parity.py).
-_DRIVER_UNVERIFIED_R01 = [
-    "fold_pos_players",  # new in round 2
-    "dedup_embedding_cosine",  # new in round 2
-    "dedup_embedding_lsh",  # new in round 2
-    "q8ish_market_share",  # new in round 2
-    "q9ish_product_profit",  # new in round 2
-    "q11ish_important_parts",  # new in round 2
-    "q15ish_top_supplier",  # new in round 2
-    "q16ish_supplier_part_counts",  # new in round 2
-    "q20ish_excess_suppliers",  # new in round 2
-    "q21ish_sole_supplier_orders",  # new in round 2
-    "game_movement_heatmap",  # new in round 2
-    "game_kd_ratio",  # new in round 2
-    "stream_s6_tableview",  # new in round 2
-    "text_unigram_logprob",  # new in round 2
-    "text_rolling_fingerprints",  # new in round 2
-    "text_token_counts",  # new in round 2
-    "sessionize_events",
-    "pivot_event_counts",
-    "date_parts_orders",
-    "intersect_trading_nations",
-    "semi_customers_with_orders",
-    "count_distinct_parts_per_supplier",
-    "join_left_outer_order_counts",
-    "join_full_outer_nation_presence",
-    "theta_price_band_join",
-    "union_event_sources",
-    "median_value_per_type",
-    "approx_stats",
-    "text_tfidf_top_terms",
-    "q2ish_min_cost_supplier",
-    "dedup_clusters",
-    "x_map_functions",
-    "x_array_functions",
-    "q7_volume_shipping",
-    "q12ish_priority_shipping",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q19ish_disjunctive_predicates",
-    "q22ish_idle_customers",
+# Driver-sweep rotation. The external driver records correctness rows
+# for (at most) the FIRST 50 names queries() yields, so each round
+# lists first the queries whose last driver row is OLDEST — new ones
+# from this round, then everything absent from the latest
+# CORRECTNESS_r{N}.json (those were verified against a prior round's
+# code). Every query passes the identical local DuckDB comparison
+# (tests/test_oracle_parity.py) regardless of rotation position.
+_DRIVER_PRIORITY = [
+    # --- new in round 3 (never driver-verified) ---
+    "asof_latest_order",
+    "split_train_val_test",
+    "domain_topk_docs",
+    "text_repetition_signals",
+    "text_benchmark_contamination",
+    "pack_training_sequences",
+    "mix_domain_weighted_sample",
+    "time_rollup_multires",
+    # --- no row in CORRECTNESS_r02.json (last verified round 1) ---
+    "j_customers_without_orders",
+    "j_parts_never_shipped",
+    "x16_json_extract",
+    "game_a1_room_scoreboard",
+    "game_a4a5_global_rank",
+    "game_p4_position_history",
+    "game_x3_obstacle_decode",
+    "game_s4_latest_event_per_room",
+    "chg_s6_tableview",
+    "chg_a4_global_sum",
+    "chg_w2_lru_top5",
+    "j2_kill_attribution",
+    "stream_a1_scoreboard",
+    "pipeline_curate_training_data",
+    "game_survival_first_life",
+    "game_bomb_effectiveness",
+    "game_room_activity_windows",
+    "fold_players_state",
+    "fold_time_travel",
+    "fold_scale_replay",
+    "fold_state_summary",
+    "text_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_lang_id",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "multimodal_features",
+    "sim_ivf_topk",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "rollup_order_stats",
+    "cube_event_stats",
+    "grouping_sets_lineitem",
 ]
 
 
 def _ordered_names() -> list[str]:
-    prio = [n for n in _DRIVER_UNVERIFIED_R01 if n in REGISTRY]
+    prio = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
     rest = [n for n in REGISTRY if n not in set(prio)]
     return prio + rest
 

@@ -1,0 +1,258 @@
+"""Unit tests for the as-of join and the training-data curation
+operators (split / domain quota / contamination / packing /
+repetition signals) — goldens plus partitioning-independence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from play_with_pulsar_spark.operators import curation, textops
+from play_with_pulsar_spark.operators.asof import asof_join
+
+
+# ---------------------------------------------------------------- asof
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", 100),
+            (2, "k1", 205),   # two right rows at ts<=205; latest wins
+            (3, "k1", 200),   # equal-ts right row is INCLUDED (backward incl.)
+            (4, "k2", 50),    # before any right row -> nulls
+            (5, "k3", 10),    # key with no right rows at all -> nulls
+        ],
+        "event_id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", 100, 10, "a"),
+            ("k1", 200, 20, "b"),
+            ("k1", 200, 21, "c"),  # tie on ts: max tiebreak (rid) wins
+            ("k1", 300, 30, "d"),
+            ("k2", 60, 40, "e"),
+        ],
+        "k string, rts long, rid long, payload string",
+    )
+    return left, right
+
+
+def test_asof_join_golden(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right,
+        left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        payload_cols=["rid", "payload"], tiebreak_cols=["rid"],
+    )
+    got = {r.event_id: (r.asof_rid, r.asof_payload, r.asof_rts) for r in out.collect()}
+    assert got == {
+        1: (10, "a", 100),    # equal ts at 100 -> included
+        2: (21, "c", 200),    # latest rts<=205 is 200; tie -> rid 21
+        3: (21, "c", 200),    # equal ts inclusive, tie -> max rid
+        4: (None, None, None),
+        5: (None, None, None),
+    }
+    # left row count preserved (left-outer semantics)
+    assert out.count() == left.count()
+
+
+def test_asof_join_partitioning_independent(spark):
+    left, right = _asof_fixture(spark)
+    a = asof_join(left, right, "k", "k", "ts", "rts",
+                  payload_cols=["rid"], tiebreak_cols=["rid"]).collect()
+    b = asof_join(left.repartition(7), right.repartition(5), "k", "k", "ts", "rts",
+                  payload_cols=["rid"], tiebreak_cols=["rid"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_asof_join_matches_sql_argmax_on_fixture(spark, sf_dir):
+    """Union+window engine shape == ranked theta-join reference on the
+    real events/orders tables (small slice to keep the theta side
+    cheap)."""
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts") \
+        .filter(F.col("user_id") < 10)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).filter(F.col("o_custkey") < 10)
+    got = asof_join(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        payload_cols=["o_orderkey"], tiebreak_cols=["o_orderkey"],
+    ).select("event_id", "asof_o_orderkey")
+    from pyspark.sql import Window
+
+    cand = ev.join(orders, (ev.user_id == orders.o_custkey)
+                   & (orders.o_orderdate <= ev.ts), "left")
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    want = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1) \
+        .select("event_id", F.col("o_orderkey").alias("asof_o_orderkey"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# --------------------------------------------------------------- split
+def test_split_is_pure_function_of_key(spark):
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in curation.train_val_test_split(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in curation.train_val_test_split(docs.repartition(13)).collect()
+    }
+    assert a == b
+    frac = {s: sum(1 for v in a.values() if v == s) / len(a)
+            for s in ("train", "val", "test")}
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.06 < frac["val"] < 0.14
+    assert 0.06 < frac["test"] < 0.14
+
+
+# --------------------------------------------------------- domain topk
+def test_domain_topk_ties_break_by_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "s1", 100), (2, "s1", 100), (3, "s1", 100), (4, "s1", 100),
+         (5, "s2", 10)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {(r.doc_id, r.rank_in_domain)
+           for r in curation.domain_topk(docs, k=3).collect()}
+    assert got == {(1, 1), (2, 2), (3, 3), (5, 1)}
+
+
+# ------------------------------------------------------- contamination
+def test_contamination_detects_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 5 leading 4-grams of the benchmark doc
+            (1, "alpha beta gamma delta epsilon zeta eta iota kappa"),
+            # disjoint vocabulary -> no hit
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.bench_id, r.n_shared, r.overlap)
+           for r in curation.benchmark_contamination(
+               corpus, bench, n=4, min_overlap=0.1).collect()}
+    # doc 1 has 6 distinct 4-grams; the 4 leading ones also appear in
+    # bench 100 (its 5th gram ends in 'theta', doc 1's in 'iota')
+    assert set(got) == {1}
+    assert got[1][0] == 100 and got[1][1] == 4
+    assert got[1][2] == pytest.approx(round(4 / 6, 6))
+
+
+def test_contamination_tie_prefers_lowest_bench_id(spark):
+    text = "p q r s t"
+    bench = spark.createDataFrame(
+        [(7, text), (3, text)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = curation.benchmark_contamination(corpus, bench, n=4, min_overlap=0.1).collect()
+    assert len(rows) == 1 and rows[0].bench_id == 3 and rows[0].overlap == 1.0
+
+
+# ------------------------------------------------------------- packing
+def test_pack_sequences_greedy_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            ("g1", 1, 1000), ("g1", 2, 900),   # 1900 fits
+            ("g1", 3, 200),                     # 2100 > 2048 -> new seq
+            ("g1", 4, 5000),                    # oversized -> own seq
+            ("g1", 5, 1), ("g1", 6, 2047),      # 2048 fits exactly
+            ("g2", 7, 10),
+        ],
+        "source string, doc_id long, n_tokens long",
+    )
+    got = {r.doc_id: r.seq_id for r in curation.pack_sequences(docs, capacity=2048).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 3, 7: 0}
+
+
+def test_pack_sequences_partitioning_independent(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"g{i % 5}", i, rng.randint(1, 900)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    a = sorted(map(tuple, curation.pack_sequences(docs).collect()))
+    b = sorted(map(tuple, curation.pack_sequences(docs.repartition(11)).collect()))
+    assert a == b
+    # capacity respected for every non-oversized sequence
+    per_seq = (
+        curation.pack_sequences(docs)
+        .groupBy("source", "seq_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_seq:
+        assert r.tot <= 2048 or r.n == 1
+
+
+# ------------------------------------------------------ weighted mixing
+def test_weighted_sample_deterministic_and_monotone(spark):
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(2000)], "doc_id long, source string"
+    )
+    lo = curation.weighted_domain_sample(docs, {"src0": 0.25}, default_rate=0.5)
+    hi = curation.weighted_domain_sample(docs, {"src0": 0.75}, default_rate=0.5)
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    # raising a domain's rate only ADDS documents
+    assert lo_ids <= hi_ids
+    # stable under repartitioning
+    again = {
+        r.doc_id
+        for r in curation.weighted_domain_sample(
+            docs.repartition(17), {"src0": 0.25}, default_rate=0.5
+        ).collect()
+    }
+    assert again == lo_ids
+    # rates land near target per domain (md5 is uniform)
+    n_src0 = sum(1 for i in lo_ids if i % 4 == 0)
+    assert 0.15 < n_src0 / 500 < 0.35
+    n_other = sum(1 for i in lo_ids if i % 4 != 0)
+    assert 0.4 < n_other / 1500 < 0.6
+
+
+# ------------------------------------------------- multi-res time rollup
+def test_time_rollup_levels_consistent(spark, sf_dir):
+    """Hierarchical rollup invariant: every level's totals re-aggregate
+    to the same grand total, and each day bucket equals the sum of its
+    hour buckets."""
+    from play_with_pulsar_spark.queries import REGISTRY
+
+    rows = REGISTRY["time_rollup_multires"].fn(spark, sf_dir).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r.resolution, []).append(r)
+    totals = {
+        lvl: (sum(r.n_events for r in rs), round(sum(r.sum_value for r in rs), 6))
+        for lvl, rs in by_level.items()
+    }
+    assert totals["hour"] == totals["day"] == totals["week"]
+    days = {r.bucket: r.n_events for r in by_level["day"]}
+    from collections import Counter
+
+    hour_by_day = Counter()
+    for r in by_level["hour"]:
+        hour_by_day[r.bucket.replace(hour=0)] += r.n_events
+    assert dict(hour_by_day) == days
+
+
+# -------------------------------------------------- repetition signals
+def test_repetition_signals_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),     # 5 tokens, 2 distinct; bigrams: ab,ba,ab,ba -> top 2/4
+            (2, "x"),             # single token: no bigrams -> 0.0
+            (3, "u v w"),         # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.dup_word_frac, r.top_bigram_frac)
+           for r in textops.repetition_signals(docs).collect()}
+    assert got[1] == (5, pytest.approx(round(1 - 2 / 5, 6)), pytest.approx(0.5))
+    assert got[2] == (1, 0.0, 0.0)
+    assert got[3] == (3, 0.0, pytest.approx(round(1 / 2, 6)))

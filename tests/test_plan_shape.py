@@ -87,6 +87,31 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_asof_join_single_shuffle_no_join(q):
+    # the as-of join is union → ONE exchange on the key → sort →
+    # window carry. A theta-join implementation would show a Join
+    # node and (key × history) row blow-up — forbidden.
+    df = q("asof_latest_order")
+    plan = plans.formatted_plan(df)
+    assert plans.count_shuffles(df) <= 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_split_assignment_no_shuffle(q):
+    # the split label is a scalar projection — scan + project only
+    df = q("split_train_val_test")
+    assert plans.count_shuffles(df) == 0, plans.formatted_plan(df)
+
+
+def test_repetition_signals_aggregates_map_side(q):
+    df = q("text_repetition_signals")
+    assert plans.has_partial_aggregation(df)
+
+
+def test_contamination_broadcasts_benchmark_side(q):
+    assert plans.count_broadcast_joins(q("text_benchmark_contamination")) >= 1
+
+
 def test_q8ish_broadcasts_all_dims(q):
     # customer/nation×2/region/supplier broadcast; lineitem⋈orders is
     # the only shuffle-eligible join, then one agg exchange on o_year
