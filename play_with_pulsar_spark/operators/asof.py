@@ -102,6 +102,7 @@ def asof_join(
         .filter(F.col("_side") == 1)
     )
     out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns] + [
-        F.col(f"_carry.{c}").alias(f"{prefix}{c}") for c in [*payload_cols, right_ts]
+        F.col(f"_carry.{c}").alias(f"{prefix}{c}")
+        for c in dict.fromkeys([*payload_cols, right_ts])
     ]
     return joined.select(*out_cols)

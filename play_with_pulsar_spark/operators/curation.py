@@ -119,11 +119,11 @@ def benchmark_contamination(
     benchmark side is small by nature — Spark broadcasts it; corpus
     shingles stream past it without a corpus-side shuffle.
     """
-    cg = exploded_ngrams(corpus, text_col, id_col, n).distinct()
-    bg = (
-        exploded_ngrams(benchmark, text_col, id_col, n)
-        .distinct()
-        .withColumnRenamed("doc_id", "bench_id")
+    # exploded_ngrams dedups per doc (array_distinct before explode),
+    # so (doc_id, g) is already unique — no distinct-shuffle needed
+    cg = exploded_ngrams(corpus, text_col, id_col, n)
+    bg = exploded_ngrams(benchmark, text_col, id_col, n).withColumnRenamed(
+        "doc_id", "bench_id"
     )
     sizes = cg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (

@@ -2992,6 +2992,82 @@ def time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w_analytics_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER by_price AS price_dense_rank,
+           ntile(4)     OVER by_date  AS date_quartile,
+           lead(o_totalprice) OVER by_date AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW by_price AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey),
+           by_date  AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window completeness probe (SURVEY §2.12): dense_rank,
+    ntile, lead, and an explicit ROWS frame (decimal-exact running
+    sum) in one pass. Both window specs partition on the same key, so
+    the whole suite is ONE exchange on o_custkey + two in-partition
+    sorts."""
+    from .oracle import DEC
+
+    o = _t(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = by_date.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(by_price).alias("price_dense_rank"),
+        F.ntile(4).over(by_date).alias("date_quartile"),
+        F.lead("o_totalprice").over(by_date).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(running)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "t8b_sliding_window",
+    oracle=f"""
+    WITH cand AS (
+      SELECT value,
+             unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes']) AS window_start
+      FROM events
+    )
+    SELECT window_start, count(*) AS n_events,
+           {sql_dsum("value")} AS sum_value
+    FROM cand GROUP BY window_start
+    """,
+)
+def t8b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 sliding (hopping) event-time window: 10-minute windows
+    every 5 minutes — each event lands in exactly width/slide = 2
+    windows. Spark's ``window()`` expands rows then aggregates
+    (partial agg before the single exchange); the oracle states the
+    same expansion with unnest. Decimal-exact sums both sides."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "sum_value"
+        )
+    )
+
+
 # Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
 # stable across rounds so timings are comparable — and when a kept
 # name's WORKLOAD changes (not just its implementation), record it in
@@ -3051,6 +3127,8 @@ _DRIVER_PRIORITY = [
     "pack_training_sequences",
     "mix_domain_weighted_sample",
     "time_rollup_multires",
+    "w_analytics_suite",
+    "t8b_sliding_window",
     # --- no row in CORRECTNESS_r02.json (last verified round 1) ---
     "j_customers_without_orders",
     "j_parts_never_shipped",

@@ -112,6 +112,19 @@ def test_contamination_broadcasts_benchmark_side(q):
     assert plans.count_broadcast_joins(q("text_benchmark_contamination")) >= 1
 
 
+def test_analytics_suite_single_exchange(q):
+    # both window specs partition on o_custkey: ONE exchange, the
+    # second spec adds only an in-partition sort
+    df = q("w_analytics_suite")
+    assert plans.count_shuffles(df) <= 1, plans.formatted_plan(df)
+
+
+def test_sliding_window_partial_agg(q):
+    df = q("t8b_sliding_window")
+    assert plans.has_partial_aggregation(df)
+    assert plans.count_shuffles(df) <= 1, plans.formatted_plan(df)
+
+
 def test_q8ish_broadcasts_all_dims(q):
     # customer/nation×2/region/supplier broadcast; lineitem⋈orders is
     # the only shuffle-eligible join, then one agg exchange on o_year
