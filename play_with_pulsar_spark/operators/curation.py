@@ -157,7 +157,7 @@ def benchmark_contamination(
 
 def weighted_domain_sample(
     docs: DataFrame,
-    rates: dict[str, float],
+    rates: dict[str, float] | DataFrame,
     default_rate: float = 1.0,
     key_col: str = "doc_id",
     group_col: str = "source",
@@ -176,11 +176,24 @@ def weighted_domain_sample(
     documents), and needs no RNG state. Plan: scalar projection +
     filter on the scan, zero shuffles (unlike ``DataFrame.sampleBy``,
     which is seeded per-partition and not stable under
-    repartitioning)."""
+    repartitioning).
+
+    ``rates`` is a plain dict for a handful of domains (compiled to a
+    CASE expression) or a ``(group_col, rate)`` DataFrame for many —
+    the DataFrame form broadcast-joins, so a million-domain rate table
+    never becomes a million-branch expression."""
     salted = F.concat(F.col(key_col).cast("string"), F.lit(":mix"))
     bucket = (
         F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint") % buckets
     )
+    if isinstance(rates, DataFrame):
+        rated = docs.join(F.broadcast(rates), group_col, "left").withColumn(
+            "_rate", F.coalesce(F.col("rate"), F.lit(default_rate))
+        )
+        return (
+            rated.filter(bucket < (F.col("_rate") * buckets).cast("bigint"))
+            .drop("rate", "_rate")
+        )
     rate = F.lit(default_rate)
     for dom, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == dom, F.lit(float(r))).otherwise(rate)
@@ -193,6 +206,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     token_col: str = "n_tokens",
     capacity: int = 2048,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Greedy first-fit sequence packing, deterministic per group.
 
@@ -203,10 +217,21 @@ def pack_sequences(
 
     Sequential-by-definition per group, so each group folds in one
     vectorized pass (numpy cumsum-with-reset) inside ``applyInPandas``;
-    groups are the parallelism unit — shard large corpora into
-    (domain, shard) groups upstream to bound group size.
-    """
+    groups are the parallelism unit. At corpus scale a single domain
+    can exceed one task's memory — pass ``n_shards`` to split each
+    group into ``n_shards`` deterministic sub-groups (xxhash64 of the
+    order key) packed independently: output gains a ``shard`` column,
+    ``seq_id`` is 0-based per (group, shard), and at most
+    ``n_shards - 1`` extra partially-filled sequences exist per group
+    versus unsharded packing — the standard packing/parallelism
+    tradeoff."""
     narrow = docs.select(group_col, order_col, token_col)
+    keys = [group_col]
+    if n_shards is not None:
+        narrow = narrow.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards))
+        )
+        keys.append("shard")
     schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in narrow.schema.fields)
         + ", seq_id bigint"
@@ -227,4 +252,4 @@ def pack_sequences(
         pdf["seq_id"] = pd.Series(seq, dtype="int64")
         return pdf
 
-    return narrow.groupBy(group_col).applyInPandas(fold, schema=schema)
+    return narrow.groupBy(*keys).applyInPandas(fold, schema=schema)

@@ -2993,6 +2993,33 @@ def time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_t8_windowed",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           "type", count(*) AS n
+    FROM read_parquet('{GAME_EVENTS_PATH}')
+    GROUP BY window_start, "type"
+    """,
+)
+def stream_t8_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 executed as a REAL streaming query: readStream → watermarked
+    tumbling event-time window → availableNow memory sink, final state
+    hash-matching the batch GROUP BY oracle — windowed streaming ==
+    batch, verified by the driver itself (complements stream_a1's
+    unwindowed stateful count)."""
+    from .schema import GAME_EVENT_SCHEMA
+    from .streaming.pipeline import streaming_windowed_type_counts
+
+    return _run_streamed_fixture(
+        spark,
+        GAME_EVENTS_PATH,
+        GAME_EVENT_SCHEMA,
+        streaming_windowed_type_counts,
+        "stream_t8",
+    )
+
+
+@register(
     "w_analytics_suite",
     oracle="""
     SELECT o_custkey, o_orderkey,
@@ -3129,6 +3156,7 @@ _DRIVER_PRIORITY = [
     "time_rollup_multires",
     "w_analytics_suite",
     "t8b_sliding_window",
+    "stream_t8_windowed",
     # --- no row in CORRECTNESS_r02.json (last verified round 1) ---
     "j_customers_without_orders",
     "j_parts_never_shipped",

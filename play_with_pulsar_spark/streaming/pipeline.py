@@ -70,6 +70,23 @@ def streaming_kill_counts(events: DataFrame) -> DataFrame:
     return kill_counts(events)
 
 
+def streaming_windowed_type_counts(
+    events: DataFrame, width: str = "1 minute", watermark: str = "10 minutes"
+) -> DataFrame:
+    """T8 as a streaming aggregation: tumbling event-time windows of
+    per-type counts. The watermark bounds state (windows older than
+    max-event-time − watermark are evicted); in complete mode the sink
+    holds every window, so the final availableNow state equals the
+    batch GROUP BY — which is exactly what the driver's oracle
+    checks."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "type", "n")
+    )
+
+
 def streaming_latest_per_key(events: DataFrame, key_cols, order_cols, payload_cols) -> DataFrame:
     """S6 TableView as a streaming agg (complete/update mode)."""
     from ..operators.compaction import latest_per_key

@@ -241,6 +241,41 @@ def test_time_rollup_levels_consistent(spark, sf_dir):
     assert dict(hour_by_day) == days
 
 
+def test_weighted_sample_rates_dataframe_equals_dict(spark):
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(1000)], "doc_id long, source string"
+    )
+    rates = {"src0": 0.25, "src1": 0.75}
+    as_df = spark.createDataFrame(
+        list(rates.items()), "source string, rate double"
+    )
+    via_dict = {r.doc_id for r in
+                curation.weighted_domain_sample(docs, rates, default_rate=0.5).collect()}
+    via_df = {r.doc_id for r in
+              curation.weighted_domain_sample(docs, as_df, default_rate=0.5).collect()}
+    assert via_dict == via_df
+
+
+def test_pack_sequences_sharded_respects_capacity(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [("g0", i, rng.randint(1, 900)) for i in range(300)]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    packed = curation.pack_sequences(docs, capacity=2048, n_shards=4)
+    assert "shard" in packed.columns
+    per_seq = (
+        packed.groupBy("source", "shard", "seq_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_seq:
+        assert r.tot <= 2048 or r.n == 1
+    # every doc packed exactly once; shard assignment deterministic
+    again = curation.pack_sequences(docs.repartition(9), capacity=2048, n_shards=4)
+    assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, again.collect()))
+
+
 # -------------------------------------------------- repetition signals
 def test_repetition_signals_golden(spark):
     docs = spark.createDataFrame(
