@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import exploded_ngrams
+from .textops import exploded_ngrams, tokens
 
 
 def split_assignment(
@@ -198,6 +198,50 @@ def weighted_domain_sample(
     for dom, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == dom, F.lit(float(r))).otherwise(rate)
     return docs.filter(bucket < (rate * buckets).cast("bigint"))
+
+
+def chunk_doc_spans(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the doc→chunk explosion
+    that feeds embedding/indexing pipelines (chunk size with a
+    smaller stride = overlapping context windows).
+
+    Emits (doc_id, chunk_id, tok_start, tok_end) spans with
+    tok_start = chunk_id·stride, covering every token; the final
+    chunk is the only short one, and a document shorter than one
+    chunk yields exactly one chunk. (Slice the text by span downstream
+    — keeping the output scalar keeps it oracle-hashable and cheap.) Pure JVM array expressions
+    (sequence → transform → explode on the materialized token
+    array): the per-row fan-out is (n_tokens-chunk)/stride + 1 rows
+    with NO shuffle — a narrow flatMap in the scan stage, which is
+    the shape that survives corpus scale."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t")
+    )
+    n = F.size("_t")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1,
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            (i * stride).cast("bigint").alias("tok_start"),
+            F.least(i * stride + chunk_tokens, n).cast("bigint").alias("tok_end"),
+        ),
+    )
+    return toks.select("doc_id", n.cast("bigint").alias("n_tokens"), F.explode(spans).alias("s")).select(
+        "doc_id",
+        F.col("s.chunk_id").alias("chunk_id"),
+        F.col("s.tok_start").alias("tok_start"),
+        F.col("s.tok_end").alias("tok_end"),
+    )
 
 
 def pack_sequences(

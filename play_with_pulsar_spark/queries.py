@@ -2205,6 +2205,37 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_doc_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), base AS (
+      SELECT doc_id, len(w) AS n FROM toks
+    ), spans AS (
+      SELECT doc_id, n,
+             unnest(range(0, greatest(1,
+               CAST(ceil((n - 32) / 24.0) AS INT) + 1))) AS chunk_id
+      FROM base
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * 24 AS tok_start,
+           least(chunk_id * 24 + 32, n) AS tok_end
+    FROM spans
+    """,
+)
+def chunk_doc_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (32-token chunks, stride
+    24 — sized to the short fixture docs so the fan-out is real). The
+    doc→chunk explosion feeding embedding/indexing. Narrow
+    flatMap in the scan stage, zero shuffles."""
+    from .operators import curation
+
+    return curation.chunk_doc_spans(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+@register(
     "x_map_functions",
     oracle="""
     SELECT event_id,
@@ -3188,6 +3219,8 @@ BENCH_QUERIES = [
     "asof_latest_order",
     "pack_training_sequences",
     "text_benchmark_contamination",
+    "time_rollup_multires",
+    "w_analytics_suite",
 ]
 
 
@@ -3212,6 +3245,7 @@ _DRIVER_PRIORITY = [
     "t8b_sliding_window",
     "stream_t8_windowed",
     "dedup_clusters_exact",
+    "chunk_doc_spans",
     # --- no row in CORRECTNESS_r02.json (last verified round 1) ---
     "j_customers_without_orders",
     "j_parts_never_shipped",

@@ -276,6 +276,40 @@ def test_pack_sequences_sharded_respects_capacity(spark):
     assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, again.collect()))
 
 
+# ------------------------------------------------------------ chunking
+def test_chunk_doc_spans_invariants(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(100))),  # multi-chunk
+            (2, "a b c"),                                  # shorter than one chunk
+            (3, " ".join(f"w{i}" for i in range(32))),    # exactly one chunk
+            (4, " ".join(f"w{i}" for i in range(33))),    # one token over
+        ],
+        "doc_id long, text string",
+    )
+    rows = curation.chunk_doc_spans(docs, chunk_tokens=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.tok_start, r.tok_end))
+    n_tokens = {1: 100, 2: 3, 3: 32, 4: 33}
+    for doc, spans in by_doc.items():
+        spans.sort()
+        n = n_tokens[doc]
+        # chunk ids contiguous from 0; starts at stride spacing
+        assert [s[0] for s in spans] == list(range(len(spans)))
+        assert all(s[1] == s[0] * 24 for s in spans)
+        # every token covered, last chunk ends exactly at n
+        assert spans[0][1] == 0 and spans[-1][2] == n
+        for (_, a0, a1), (_, b0, _) in zip(spans, spans[1:]):
+            assert b0 <= a1  # overlap (stride < chunk) => no gaps
+        # every full chunk is exactly chunk_tokens long
+        for _, s0, s1 in spans[:-1]:
+            assert s1 - s0 == 32
+    assert len(by_doc[2]) == 1 and by_doc[2][0] == (0, 0, 3)
+    assert len(by_doc[3]) == 1
+    assert len(by_doc[4]) == 2  # 33 tokens -> second (short) chunk
+
+
 # -------------------------------------------------- repetition signals
 def test_repetition_signals_golden(spark):
     docs = spark.createDataFrame(
