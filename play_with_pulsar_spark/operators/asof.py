@@ -47,17 +47,24 @@ def asof_join(
     payload_cols: Sequence[str] | None = None,
     tiebreak_cols: Sequence[str] = (),
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (inclusive) as-of join.
+    """As-of join, both timestamps inclusive.
 
-    For every left row: the right row with the same key and the
-    greatest ``right_ts <= left_ts``; among equal ``right_ts``, the
-    greatest ``tiebreak_cols`` (compared in order). Left rows with no
-    eligible right row get null payloads (left-outer semantics).
+    ``direction="backward"`` (default): for every left row, the right
+    row with the same key and the GREATEST ``right_ts <= left_ts``;
+    equal ``right_ts`` resolved to the greatest ``tiebreak_cols``.
+    ``direction="forward"``: the SMALLEST ``right_ts >= left_ts``;
+    ties resolved to the smallest ``tiebreak_cols``. Left rows with
+    no eligible right row get null payloads (left-outer semantics).
+    Both directions are the same union + single-keyed-exchange +
+    window-carry plan — only the sort order flips.
 
     Returns all left columns plus ``{prefix}{col}`` for each payload
     column (default: every non-key, non-ts right column).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (right_on, right_ts)]
     payload_cols = list(payload_cols)
@@ -86,11 +93,18 @@ def asof_join(
         ],
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
-    # right rows sort before left at equal ts (inclusive); among right
-    # rows at one ts the LAST in tiebreak order wins the carry
-    order = [F.col("_ts"), F.col("_side")] + [
-        F.col(f"_tb_{i}").asc_nulls_first() for i in range(len(tiebreak_cols))
-    ]
+    # right rows sort before left at equal ts (inclusive both
+    # directions); the LAST right row in window order wins the carry:
+    # backward = ts asc (latest <= ts), tiebreak asc (greatest wins);
+    # forward = ts desc (earliest >= ts), tiebreak desc (smallest wins)
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc()] + [
+            F.col(f"_tb_{i}").asc_nulls_first() for i in range(len(tiebreak_cols))
+        ]
+    else:
+        order = [F.col("_ts").desc(), F.col("_side").asc()] + [
+            F.col(f"_tb_{i}").desc_nulls_first() for i in range(len(tiebreak_cols))
+        ]
     w = (
         Window.partitionBy("_k")
         .orderBy(*order)

@@ -91,6 +91,48 @@ def test_asof_join_matches_sql_argmax_on_fixture(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_asof_join_forward_golden(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right,
+        left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        payload_cols=["rid"], tiebreak_cols=["rid"], direction="forward",
+    )
+    got = {r.event_id: (r.asof_rid, r.asof_rts) for r in out.collect()}
+    assert got == {
+        1: (10, 100),     # equal ts inclusive
+        2: (30, 300),     # earliest rts >= 205
+        3: (20, 200),     # equal ts: tie -> MIN rid for forward
+        4: (40, 60),      # first k2 row at/after 50
+        5: (None, None),  # no right rows for k3
+    }
+
+
+def test_asof_join_forward_matches_sql_argmin(spark, sf_dir):
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts") \
+        .filter(F.col("user_id") < 10)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).filter(F.col("o_custkey") < 10)
+    got = asof_join(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        payload_cols=["o_orderkey"], tiebreak_cols=["o_orderkey"],
+        direction="forward",
+    ).select("event_id", "asof_o_orderkey")
+    from pyspark.sql import Window
+
+    cand = ev.join(orders, (ev.user_id == orders.o_custkey)
+                   & (orders.o_orderdate >= ev.ts), "left")
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
+    )
+    want = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1) \
+        .select("event_id", F.col("o_orderkey").alias("asof_o_orderkey"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 # --------------------------------------------------------------- split
 def test_split_is_pure_function_of_key(spark):
     docs = spark.range(2000).withColumnRenamed("id", "doc_id")
