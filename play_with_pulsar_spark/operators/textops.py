@@ -318,6 +318,72 @@ def repetition_signals(
     )
 
 
+def boilerplate_coverage(
+    docs: DataFrame,
+    n: int = 3,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-span ("boilerplate") coverage — the
+    corpus-level complement of :func:`repetition_signals`, after the
+    repeated-substring findings of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", public): spans that
+    recur across ≥ ``min_df`` documents are boilerplate (headers,
+    navigation, license text), and a document largely made of them is
+    poor training data.
+
+    Per document: the fraction of its tokens covered by at least one
+    word n-gram whose document frequency is ≥ ``min_df``.
+
+    Shape: positional raw grams (posexplode of the token array — a
+    narrow flatMap), a distinct-(doc, gram) DF table (the SAME
+    shared-shingle-statistics shape the dedup cap uses), an equi-join
+    of grams against the flagged set, and an n-wide span explode →
+    distinct (doc, token) → per-doc count. Every join/agg keys on the
+    gram or the doc id; at corpus scale the gram key becomes
+    xxhash64(gram) (narrower shuffle key, same plan)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    t = F.col("_t")
+    raw_grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+        ),
+    )
+    raw = toks.filter(F.size(t) >= n).select(
+        "doc_id", F.posexplode(raw_grams).alias("pos", "g")
+    )
+    df_counts = (
+        raw.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    flagged = df_counts.filter(F.col("df") >= min_df).select("g")
+    covered = (
+        raw.join(flagged, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tok"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    base = toks.select("doc_id", F.size(t).cast("bigint").alias("n_tokens"))
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_covered"), F.lit(0)).cast("bigint").alias("n_covered"),
+        F.round(
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("boilerplate_frac"),
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stats table."""
     return docs.select(

@@ -2236,6 +2236,50 @@ def chunk_doc_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_boilerplate_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+               i -> struct_pack(pos := i - 1,
+                                g := array_to_string(w[i:i+2], ' ')))) AS u
+      FROM toks WHERE len(w) >= 3
+    ), grams AS (
+      SELECT doc_id, u.pos AS pos, u.g AS g FROM raw
+    ), flagged AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+      ) WHERE df >= 3
+    ), cov AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(range(pos, pos + 3)) AS tok
+        FROM grams JOIN flagged USING (g)
+      )
+    ), covc AS (
+      SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.w) AS n_tokens,
+           coalesce(c.n_covered, 0) AS n_covered,
+           round(CAST(coalesce(c.n_covered, 0) AS DOUBLE) / len(t.w), 6)
+             AS boilerplate_frac
+    FROM toks t LEFT JOIN covc c USING (doc_id)
+    """,
+)
+def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span screen: fraction of each doc's
+    tokens covered by a 3-gram appearing in ≥3 documents (boilerplate
+    detection, Lee et al. 2021). Shared-shingle DF stats + equi-join
+    on the gram — the dedup-cap shape, never all-pairs."""
+    from .operators import textops
+
+    return textops.boilerplate_coverage(
+        _t(spark, sf_dir, "documents"), n=3, min_df=3
+    )
+
+
+@register(
     "x_map_functions",
     oracle="""
     SELECT event_id,
@@ -3246,6 +3290,7 @@ _DRIVER_PRIORITY = [
     "stream_t8_windowed",
     "dedup_clusters_exact",
     "chunk_doc_spans",
+    "text_boilerplate_coverage",
     # --- no row in CORRECTNESS_r02.json (last verified round 1) ---
     "j_customers_without_orders",
     "j_parts_never_shipped",

@@ -352,6 +352,30 @@ def test_chunk_doc_spans_invariants(spark):
     assert len(by_doc[4]) == 2  # 33 tokens -> second (short) chunk
 
 
+def test_boilerplate_coverage_planted(spark):
+    """Three docs share a 5-token header (df=3 >= min_df); unique
+    tails are uncovered. A doc that is ONLY the header has coverage
+    1.0; disjoint docs have 0."""
+    header = "copyright acme corp all rights"
+    docs = spark.createDataFrame(
+        [
+            (1, header + " unique tail one aa bb"),
+            (2, header + " other tail two cc dd"),
+            (3, header),
+            (4, "completely different words here now then"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_covered, r.boilerplate_frac)
+           for r in textops.boilerplate_coverage(docs, n=3, min_df=3).collect()}
+    # header contributes 5 covered tokens to docs 1-3 (its 3 3-grams
+    # all have df=3); tails are unique (df=1)
+    assert got[3] == (5, 5, 1.0)
+    assert got[1] == (10, 5, 0.5)
+    assert got[2] == (10, 5, 0.5)
+    assert got[4] == (6, 0, 0.0)
+
+
 # -------------------------------------------------- repetition signals
 def test_repetition_signals_golden(spark):
     docs = spark.createDataFrame(
