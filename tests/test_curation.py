@@ -318,6 +318,37 @@ def test_pack_sequences_sharded_respects_capacity(spark):
     assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_pack_sequences_property_vs_local_greedy(spark):
+    """Property: Spark packing == the obvious single-machine greedy
+    fold for arbitrary token multisets (hypothesis-generated)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=60),
+        st.integers(min_value=100, max_value=1500),
+    )
+    def check(token_counts, capacity):
+        rows = [("g", i, t) for i, t in enumerate(token_counts)]
+        docs = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+        got = {
+            r.doc_id: r.seq_id
+            for r in curation.pack_sequences(docs, capacity=capacity).collect()
+        }
+        sid = acc = 0
+        want = {}
+        for i, t in enumerate(token_counts):
+            if acc and acc + t > capacity:
+                sid += 1
+                acc = 0
+            acc += t
+            want[i] = sid
+        assert got == want
+
+    check()
+
+
 # ------------------------------------------------------------ chunking
 def test_chunk_doc_spans_invariants(spark):
     docs = spark.createDataFrame(

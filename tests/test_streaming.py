@@ -50,6 +50,42 @@ def test_streaming_kill_counts_matches_batch(spark, log_dir):
     assert got == want
 
 
+def test_stream_static_enrichment_join_matches_batch(spark, log_dir):
+    """Stream-static join (the dimension-enrichment shape): the
+    streaming side joins a STATIC room-dim table per micro-batch;
+    final output equals the batch join regardless of batch
+    boundaries. (The static side is broadcast per micro-batch — the
+    same plan a Kafka-source stream would get.)"""
+    rooms = sorted(
+        r.room for r in log_dir["batch_df"].select("room").distinct().collect()
+    )
+    dim = spark.createDataFrame(
+        [(room, f"region-{i % 2}") for i, room in enumerate(rooms)],
+        "room string, region string",
+    )
+    stream = sp.stream_game_events(spark, _glob(log_dir["dir"]))
+    enriched = (
+        stream.filter(F.col("type") == "UserDeadEvent")
+        .join(F.broadcast(dim), "room")
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("deaths"))
+    )
+    out = sp.run_to_completion(enriched, "stream_enrich", "complete")
+    got = {(r.region): r.deaths for r in out.collect()}
+    want = {
+        r.region: r.deaths
+        for r in (
+            log_dir["batch_df"]
+            .filter(F.col("type") == "UserDeadEvent")
+            .join(dim, "room")
+            .groupBy("region")
+            .agg(F.count(F.lit(1)).alias("deaths"))
+            .collect()
+        )
+    }
+    assert got == want
+
+
 def test_streaming_fold_matches_batch_replay(spark, log_dir):
     stream = sp.stream_game_events(spark, _glob(log_dir["dir"]))
     out = sp.run_to_completion(sp.streaming_fold(stream), "stream_fold", "update")
