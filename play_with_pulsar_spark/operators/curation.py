@@ -39,6 +39,18 @@ from pyspark.sql import functions as F
 from .textops import exploded_ngrams, tokens
 
 
+def _md5_bucket(key_col: str, buckets: int, salt: str = ""):
+    """THE membership-hash contract shared by every deterministic
+    assignment here (split, mixing): first 8 hex digits of
+    md5(key‖salt) as an integer, mod ``buckets``. One definition so
+    engine code and the DuckDB oracles that reproduce it bit-for-bit
+    can never drift apart per-operator."""
+    key = F.col(key_col).cast("string")
+    if salt:
+        key = F.concat(key, F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % buckets
+
+
 def split_assignment(
     key_col: str = "doc_id",
     train: int = 80,
@@ -47,16 +59,11 @@ def split_assignment(
 ):
     """Column expr: deterministic split label from a stable key.
 
-    bucket = first 8 hex digits of md5(key) as an integer, mod
-    ``buckets``; label = train / val / test by threshold. Pure
-    function of the key — stable across runs, partitionings, and
-    engines (the oracle mirrors it exactly).
+    bucket = :func:`_md5_bucket`; label = train / val / test by
+    threshold. Pure function of the key — stable across runs,
+    partitionings, and engines (the oracle mirrors it exactly).
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % buckets
-    )
+    bucket = _md5_bucket(key_col, buckets)
     return (
         F.when(bucket < train, F.lit("train"))
         .when(bucket < train + val, F.lit("val"))
@@ -181,23 +188,27 @@ def weighted_domain_sample(
     ``rates`` is a plain dict for a handful of domains (compiled to a
     CASE expression) or a ``(group_col, rate)`` DataFrame for many —
     the DataFrame form broadcast-joins, so a million-domain rate table
-    never becomes a million-branch expression."""
-    salted = F.concat(F.col(key_col).cast("string"), F.lit(":mix"))
-    bucket = (
-        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint") % buckets
-    )
+    never becomes a million-branch expression.
+
+    The threshold is ``round(rate · buckets)`` — rounded, not
+    truncated, because e.g. 0.3·10⁶ is 299999.99999999994 in doubles
+    and a truncating cast would silently exclude the boundary bucket
+    (DuckDB's CAST rounds, so truncation would also desync the
+    oracle)."""
+    bucket = _md5_bucket(key_col, buckets, salt=":mix")
+
+    def thresh(rate_col):
+        return F.round(rate_col * buckets, 0).cast("bigint")
+
     if isinstance(rates, DataFrame):
         rated = docs.join(F.broadcast(rates), group_col, "left").withColumn(
             "_rate", F.coalesce(F.col("rate"), F.lit(default_rate))
         )
-        return (
-            rated.filter(bucket < (F.col("_rate") * buckets).cast("bigint"))
-            .drop("rate", "_rate")
-        )
+        return rated.filter(bucket < thresh(F.col("_rate"))).drop("rate", "_rate")
     rate = F.lit(default_rate)
     for dom, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == dom, F.lit(float(r))).otherwise(rate)
-    return docs.filter(bucket < (rate * buckets).cast("bigint"))
+    return docs.filter(bucket < thresh(rate))
 
 
 def chunk_doc_spans(
@@ -215,11 +226,18 @@ def chunk_doc_spans(
     tok_start = chunk_id·stride, covering every token; the final
     chunk is the only short one, and a document shorter than one
     chunk yields exactly one chunk. (Slice the text by span downstream
-    — keeping the output scalar keeps it oracle-hashable and cheap.) Pure JVM array expressions
+    — keeping the output scalar keeps it oracle-hashable and cheap.)
+    Requires ``0 < stride <= chunk_tokens`` — a larger stride would
+    silently leave gaps between chunks. Pure JVM array expressions
     (sequence → transform → explode on the materialized token
     array): the per-row fan-out is (n_tokens-chunk)/stride + 1 rows
     with NO shuffle — a narrow flatMap in the scan stage, which is
     the shape that survives corpus scale."""
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"chunk_doc_spans: need 0 < stride <= chunk_tokens, got "
+            f"stride={stride} chunk_tokens={chunk_tokens}"
+        )
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t")
     )
@@ -259,12 +277,15 @@ def pack_sequences(
     starts the next sequence (an oversized document occupies a
     sequence alone). Output adds ``seq_id`` (0-based per group).
 
-    Sequential-by-definition per group, so each group folds in one
-    vectorized pass (numpy cumsum-with-reset) inside ``applyInPandas``;
-    groups are the parallelism unit. At corpus scale a single domain
-    can exceed one task's memory — pass ``n_shards`` to split each
-    group into ``n_shards`` deterministic sub-groups (xxhash64 of the
-    order key) packed independently: output gains a ``shard`` column,
+    Sequential-by-definition per group (each bin decision depends on
+    the previous accumulator — a loop-carried dependency no cumsum
+    vectorizes), so each group folds in ONE Arrow-batched
+    ``applyInPandas`` call running a per-element Python loop; groups
+    are the parallelism unit AND the per-task cost bound. At corpus
+    scale a single domain both exceeds task memory and makes the
+    Python loop the hot path — pass ``n_shards`` to split each group
+    into ``n_shards`` deterministic sub-groups (xxhash64 of the order
+    key) packed independently: output gains a ``shard`` column,
     ``seq_id`` is 0-based per (group, shard), and at most
     ``n_shards - 1`` extra partially-filled sequences exist per group
     versus unsharded packing — the standard packing/parallelism

@@ -6,24 +6,34 @@ map topic becomes the updater, later subscribers fail and fall back
 to follower behavior, and broker-side fencing guarantees a zombie
 ex-leader cannot write after a takeover.
 
-Filesystem analog with the same three guarantees:
+Filesystem analog. The guarantee HIERARCHY matters — state safety
+comes from fencing, not from the lock:
 
-1. **Mutual exclusion** — acquisition is a single atomic
-   ``O_CREAT|O_EXCL`` create of the lock file: exactly one contender
-   wins, no TOCTOU window.
-2. **Liveness** — the leader heartbeats; a lease whose heartbeat is
-   older than ``ttl_s`` is STALE and may be taken over. Takeover
-   races serialize on ``os.rename`` (exactly one renamer of the same
-   inode succeeds), then the winner re-runs the atomic create.
-3. **Fencing** — every leadership generation gets a monotone
-   ``epoch`` (Pulsar's producer-epoch analog). Leader-only writes
-   call ``fence_check(epoch)`` first, so a paused-and-resumed
-   ex-leader (GC pause, partition) fails closed instead of
-   corrupting state.
+1. **Unique fencing epochs (the hard guarantee)** — an epoch is
+   minted by ``O_CREAT|O_EXCL`` of a durable ``gen.<n>`` marker
+   BEFORE the lock is published, so no two leaderships can ever
+   share an epoch, even across crashes mid-acquire or duplicate
+   lock winners. Every leader-only write calls
+   ``fence_check(epoch)`` first and fails closed.
+2. **Mutual exclusion (fast path)** — acquisition is an atomic
+   ``O_CREAT|O_EXCL`` create of the lock file, then a re-read
+   verify. Plain POSIX rename is path-based, so a takeover that
+   races a fresh acquisition can transiently leave two processes
+   believing they won; the verify shrinks that window and the epoch
+   guard (1) keeps state safe through it — same posture as
+   lease-based leaders on real coordination services.
+3. **Liveness** — the leader heartbeats WALL-CLOCK time
+   (``time.time``: comparable across processes and reboots —
+   ``time.monotonic`` is neither); a lease silent for ``ttl_s`` is
+   STALE and may be taken over. Takeovers serialize on ``os.rename``
+   (exactly one renamer of an inode succeeds).
 
 The lock file is IMMUTABLE for its generation — heartbeats go to an
 epoch-suffixed sidecar, so a zombie's late heartbeat can never
-clobber a successor's lock (it lands in a dead ``.hb.<old>`` file).
+clobber a successor's lock. Each successful acquisition reaps dead
+locks, superseded heartbeat sidecars, and old generation markers
+(always keeping the top ones, so a concurrent minter can never
+observe a lowered maximum and reuse an epoch).
 
 Single-host by construction (POSIX atomic create/rename). On a
 cluster, keep the PROTOCOL and swap the primitive: HDFS/S3A create
@@ -46,6 +56,11 @@ class StaleLeaderError(RuntimeError):
 class LeaderLease:
     """Exclusive lease with TTL takeover and fencing epochs."""
 
+    # generation markers kept behind the newest one (never reap the
+    # top ones: a concurrent minter reads max+1, and lowering the
+    # visible max could mint a duplicate epoch)
+    _GEN_KEEP = 5
+
     def __init__(self, path: str, ttl_s: float = 10.0) -> None:
         self.path = path
         self.ttl_s = ttl_s
@@ -54,9 +69,8 @@ class LeaderLease:
     def _lock(self) -> str:
         return self.path + ".lock"
 
-    @property
-    def _gen(self) -> str:
-        return self.path + ".gen"
+    def _gen_marker(self, n: int) -> str:
+        return self.path + f".gen.{n}"
 
     def _hb_file(self, epoch: int) -> str:
         return self.path + f".hb.{epoch}"
@@ -68,12 +82,42 @@ class LeaderLease:
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
-    def _read_gen(self) -> int:
-        try:
-            with open(self._gen) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            return 0
+    def _sibling_files(self, suffix_prefix: str) -> list[str]:
+        base = os.path.basename(self.path) + suffix_prefix
+        parent = os.path.dirname(self.path) or "."
+        if not os.path.isdir(parent):
+            return []
+        return [
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith(base)
+        ]
+
+    def _max_gen(self) -> int:
+        best = 0
+        for p in self._sibling_files(".gen."):
+            try:
+                best = max(best, int(p.rsplit(".gen.", 1)[1]))
+            except ValueError:
+                continue
+        return best
+
+    def _mint_epoch(self) -> int:
+        """Durably claim a NEVER-REUSED epoch: O_EXCL-create the
+        ``gen.<n>`` marker. The marker exists on disk before any lock
+        carrying the epoch is published, so a crash mid-acquire (or a
+        duplicate lock winner) can only orphan a number, never let
+        two leaderships share one."""
+        n = self._max_gen() + 1
+        while True:
+            try:
+                fd = os.open(
+                    self._gen_marker(n), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.close(fd)
+                return n
+            except FileExistsError:
+                n += 1
 
     def _last_beat(self, held: dict) -> float:
         try:
@@ -81,6 +125,27 @@ class LeaderLease:
                 return float(f.read().strip())
         except (FileNotFoundError, ValueError):
             return float(held.get("born", 0.0))
+
+    def _reap(self, my_epoch: int) -> None:
+        """Remove dead renamed locks, superseded heartbeat sidecars,
+        and generation markers well behind the tip."""
+        for p in self._sibling_files(".lock.dead."):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        for p in self._sibling_files(".hb."):
+            try:
+                if int(p.rsplit(".hb.", 1)[1]) < my_epoch:
+                    os.unlink(p)
+            except (ValueError, FileNotFoundError):
+                pass
+        for p in self._sibling_files(".gen."):
+            try:
+                if int(p.rsplit(".gen.", 1)[1]) <= my_epoch - self._GEN_KEEP:
+                    os.unlink(p)
+            except (ValueError, FileNotFoundError):
+                pass
 
     def current(self) -> dict | None:
         """{owner, epoch, born} of the live leader, or None."""
@@ -93,35 +158,37 @@ class LeaderLease:
         branch). A stale lease is taken over."""
         held = self._read_lock()
         if held is not None:
-            if time.monotonic() - self._last_beat(held) <= self.ttl_s:
+            if time.time() - self._last_beat(held) <= self.ttl_s:
                 return None
-            # stale: serialize the takeover — exactly one renamer wins
+            # stale: serialize the takeover — one renamer wins
             try:
                 os.rename(self._lock, self._lock + f".dead.{uuid.uuid4().hex[:8]}")
             except FileNotFoundError:
                 pass  # another contender already renamed (or released)
+        epoch = self._mint_epoch()  # durable + unique BEFORE publication
         try:
             fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            return None  # lost the post-takeover (or fresh) race
-        epoch = self._read_gen() + 1
+            return None  # lost the race; the minted marker is orphaned
+        me = {"owner": owner, "epoch": epoch, "born": time.time()}
         try:
-            os.write(
-                fd,
-                json.dumps(
-                    {"owner": owner, "epoch": epoch, "born": time.monotonic()}
-                ).encode(),
-            )
+            os.write(fd, json.dumps(me).encode())
         finally:
             os.close(fd)
-        # only the lock holder advances the generation counter
-        with open(self._gen, "w") as f:
-            f.write(str(epoch))
+        # verify: a racing takeover may have renamed our fresh lock
+        # away in the path-based window — if what's live isn't ours,
+        # report defeat (our epoch stays burned, fencing stays sound)
+        live = self._read_lock()
+        if live is None or live["epoch"] != epoch or live["owner"] != owner:
+            return None
+        self._reap(epoch)
         return epoch
 
     def fence_check(self, epoch: int) -> None:
         """Guard for every leader-only write: raises if this epoch has
-        been superseded (or the lease vanished)."""
+        been superseded (or the lease vanished). Epochs are globally
+        unique (durable O_EXCL minting), so a zombie can never collide
+        with a successor's epoch."""
         held = self._read_lock()
         if held is None or held["epoch"] != epoch:
             raise StaleLeaderError(
@@ -135,7 +202,7 @@ class LeaderLease:
         self.fence_check(epoch)
         tmp = self._hb_file(epoch) + ".tmp"
         with open(tmp, "w") as f:
-            f.write(repr(time.monotonic()))
+            f.write(repr(time.time()))
         os.replace(tmp, self._hb_file(epoch))
 
     def release(self, epoch: int) -> None:
@@ -148,7 +215,7 @@ class LeaderLease:
         compare-and-delete; coordination services can. The failure is
         a spurious leadership VACANCY (next tick re-elects), never a
         state write by the wrong leader — those are stopped by
-        fence_check's epoch guard."""
+        fence_check's unique-epoch guard."""
         held = self._read_lock()
         if held is not None and held["epoch"] == epoch:
             try:

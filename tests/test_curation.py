@@ -283,6 +283,28 @@ def test_time_rollup_levels_consistent(spark, sf_dir):
     assert dict(hour_by_day) == days
 
 
+def test_weighted_sample_nondyadic_rate_matches_local_md5(spark):
+    """The membership contract for a NON-dyadic rate (0.3·10⁶ is
+    299999.99999999994 in doubles): threshold must round to 300000,
+    not truncate to 299999 — verified against a local md5 replica."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(3000)], "doc_id long, source string"
+    )
+    got = {
+        r.doc_id
+        for r in curation.weighted_domain_sample(docs, {}, default_rate=0.3).collect()
+    }
+    want = {
+        i
+        for i in range(3000)
+        if int(hashlib.md5(f"{i}:mix".encode()).hexdigest()[:8], 16) % 1_000_000
+        < 300_000
+    }
+    assert got == want
+
+
 def test_weighted_sample_rates_dataframe_equals_dict(spark):
     docs = spark.createDataFrame(
         [(i, f"src{i % 4}") for i in range(1000)], "doc_id long, source string"
