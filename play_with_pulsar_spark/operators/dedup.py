@@ -180,17 +180,14 @@ def minhash_signatures(
     return sorted_grams.mapInPandas(kernel, schema="doc_id long, sig array<bigint>")
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, num_bands: int = 32, rows_per_band: int = 4
-) -> DataFrame:
-    """Band the signature, bucket-join per band, union the candidate
-    pairs. Only docs agreeing on a whole band ever meet in the join —
-    the all-pairs comparison never happens."""
-    # bucket = xxhash64 over the band's signature longs directly —
-    # no string casts/concat (smaller codegen, cheaper per row than
-    # hashing a concatenated string; band id is the first hash input
-    # so identical sig values in different bands never collide).
-    banded = signatures.select(
+def _banded(signatures: DataFrame, num_bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket) — one row per band per doc.
+
+    bucket = xxhash64 over the band's signature longs directly — no
+    string casts/concat (smaller codegen, cheaper per row than hashing
+    a concatenated string; band id is the first hash input so
+    identical sig values in different bands never collide)."""
+    return signatures.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -204,6 +201,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join per band, union the candidate
+    pairs. Only docs agreeing on a whole band ever meet in the join —
+    the all-pairs comparison never happens."""
+    banded = _banded(signatures, num_bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -241,6 +247,13 @@ def minhash_dedup_pairs(
     ).persist()
     sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=grams)
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands)
+    return _verify_jaccard(cands, grams, threshold)
+
+
+def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over CANDIDATE pairs only: join each side's
+    hashed shingles, count the agreement, filter by threshold. Cost is
+    O(candidate pairs × grams/doc), never all-pairs."""
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
@@ -264,6 +277,160 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a materialized index
+#
+# The 100 TB operational reality: the corpus is deduped ONCE, then
+# every new crawl batch must be screened against it. Re-running the
+# batch pipeline over corpus ∪ batch re-shingles and re-hashes the
+# full history every time — O(corpus) work per batch. The incremental
+# path materializes the per-doc shingle table (and, for the LSH form,
+# the minhash signatures) as an INDEX, and each batch does only
+# O(batch + matching-index-rows) join work. At cluster scale, write
+# the index bucketed BY the join key (`g` / band bucket) so the probe
+# join is shuffle-free on the index side and partition-pruned.
+# ---------------------------------------------------------------------------
+
+
+def build_ngram_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, g) hashed-shingle inverted index — the materialized
+    state for incremental exact-Jaccard dedup. O(corpus tokens) longs;
+    persist as parquet (bucketed by g at scale) and append each
+    accepted batch's rows to keep it current."""
+    return exploded_ngrams(docs, text_col, id_col, n).select(
+        "doc_id", F.xxhash64("g").alias("g")
+    )
+
+
+def _touching_new_pairs(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Join a (new-side rows) against b (all rows, flagged `is_new`)
+    on `keys`, emitting each qualifying pair exactly once as
+    (id_a < id_b). An old partner is always kept; a new partner only
+    from the lexicographically smaller initiator — that rule is what
+    stops new×new pairs being counted twice (once per direction)."""
+    cond = (F.col("a.doc_id") != F.col("b.doc_id")) & (
+        ~F.col("b.is_new") | (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return a.alias("a").join(b.alias("b"), cond).select(
+        F.least("a.doc_id", "b.doc_id").alias("id_a"),
+        F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+    )
+
+
+def incremental_jaccard_pairs(
+    index_grams: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a new batch and an indexed corpus
+    (plus new×new pairs), WITHOUT re-shingling the corpus.
+
+    Contract: returns exactly what ``ngram_jaccard_pairs`` on
+    corpus ∪ batch would return, restricted to pairs touching ≥1 new
+    doc. The stop-shingle cap is computed over the union (same
+    semantics as the batch run); at scale the per-shingle df is itself
+    a maintainable aggregate (index it next to the grams) rather than
+    a per-batch recount.
+    """
+    new_grams = build_ngram_index(new_docs, text_col, id_col, n)
+    all_grams = (
+        index_grams.select("doc_id", "g").withColumn("is_new", F.lit(False))
+        .unionByName(new_grams.withColumn("is_new", F.lit(True)))
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            all_grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("g")
+        )
+        all_grams = all_grams.join(rare, "g")
+    # three consumers (sizes, probe side, build side) — one scan each
+    # off the persisted capped table instead of re-tokenizing
+    all_grams = all_grams.persist()
+    inter = (
+        _touching_new_pairs(all_grams.filter(F.col("is_new")), all_grams, ["g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = all_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(grams, signatures) — the two tables to materialize for
+    incremental MinHash-LSH dedup. Signatures are deterministic in
+    (seed, shingles), so index rows computed in past batches stay
+    bit-identical to what a fresh run would produce — the property
+    the incremental == batch equality test pins."""
+    grams = build_ngram_index(docs, text_col, id_col, n)
+    sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=grams)
+    return grams, sigs
+
+
+def incremental_minhash_pairs(
+    index_grams: DataFrame,
+    index_sigs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup screen of a new batch against an indexed
+    corpus — the scale path. Only the BATCH is shingled and signed;
+    the corpus contributes pre-computed index rows. Candidates arise
+    from band-bucket collisions (new vs all), and exact Jaccard
+    verifies candidates only. Equals ``minhash_dedup_pairs`` on
+    corpus ∪ batch restricted to pairs touching ≥1 new doc (same
+    seed/geometry), which the test suite asserts.
+    """
+    rows_per_band = num_hashes // num_bands
+    new_grams = build_ngram_index(new_docs, text_col, id_col, n).persist()
+    new_sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=new_grams)
+    all_banded = (
+        _banded(index_sigs, num_bands, rows_per_band).withColumn("is_new", F.lit(False))
+        .unionByName(
+            _banded(new_sigs, num_bands, rows_per_band).withColumn("is_new", F.lit(True))
+        )
+        .persist()
+    )
+    cands = _touching_new_pairs(
+        all_banded.filter(F.col("is_new")), all_banded, ["band", "bucket"]
+    ).distinct()
+    grams = index_grams.select("doc_id", "g").unionByName(new_grams.select("doc_id", "g"))
+    return _verify_jaccard(cands, grams, threshold)
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:
