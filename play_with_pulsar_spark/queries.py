@@ -1215,6 +1215,27 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def stream_dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a REAL streaming query: the document batch
+    arrives as a stream, the stateful fingerprint aggregation
+    maintains (keep_id, n_copies) per distinct content, and the final
+    availableNow state hash-matches the batch oracle — the streaming
+    ingest-time dedup a training pipeline runs on arriving crawl
+    shards, streaming == batch verified by the driver itself."""
+    from .operators import dedup
+
+    path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    schema = spark.read.parquet(path).schema
+    return _run_streamed_fixture(spark, path, schema, dedup.exact_dedup, "stream_dedup")
+
+
 # Stop-shingle document-frequency cap for the PRODUCTION n-gram
 # Jaccard query. A shingle appearing in f docs creates f² candidate
 # pairs in the inverted-index self-join, so the cap bounds the join
@@ -3408,6 +3429,7 @@ _DRIVER_PRIORITY = [
     "text_pii_redaction",
     "dedup_incremental_jaccard",
     "dedup_incremental_minhash",
+    "stream_dedup_exact",
     "asof_latest_order",
     "split_train_val_test",
     "domain_topk_docs",

@@ -157,3 +157,20 @@ def test_q20ish_date_filter_pushed_and_semi(q):
 def test_q21ish_semi_and_anti_joins(q):
     plan = plans.formatted_plan(q("q21ish_sole_supplier_orders"))
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_pii_scan_zero_shuffle_single_codegen_stage(q):
+    # the PII screen is a pure narrow projection: regex count +
+    # sequential redaction must fuse into one codegen stage over the
+    # input partitioning — no Exchange anywhere at any corpus size
+    df = q("text_pii_redaction")
+    assert plans.count_shuffles(df) == 0
+    assert plans.codegen_stage_count(df) == 1
+
+
+def test_incremental_jaccard_caps_probe_fanout(q):
+    # the batch-vs-index probe must keep the frequency cap's partial
+    # aggregation (df count) map-side — the join fan-out bound is the
+    # scale contract of the incremental path
+    df = q("dedup_incremental_jaccard")
+    assert plans.has_partial_aggregation(df)
