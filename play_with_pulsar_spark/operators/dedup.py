@@ -341,6 +341,10 @@ def incremental_jaccard_pairs(
     semantics as the batch run); at scale the per-shingle df is itself
     a maintainable aggregate (index it next to the grams) rather than
     a per-batch recount.
+
+    Precondition (both incremental forms): batch doc_ids are disjoint
+    from the indexed corpus — re-screening an already-indexed id would
+    double that doc's shingle rows and skew its sizes.
     """
     new_grams = build_ngram_index(new_docs, text_col, id_col, n)
     all_grams = (

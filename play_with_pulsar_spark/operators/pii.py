@@ -53,8 +53,9 @@ def _c(col: Column | str) -> Column:
 
 
 def pii_count(col: Column | str, pattern: str) -> Column:
-    """Number of (non-overlapping) matches of one PII pattern."""
-    return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(0)))
+    """Number of (non-overlapping) matches of one PII pattern.
+    Long-typed to align with the DuckDB oracle's BIGINT ``len()``."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(0))).cast("long")
 
 
 def redact_pii(col: Column | str, patterns: dict[str, str] | None = None) -> Column:

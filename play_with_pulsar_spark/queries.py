@@ -1674,6 +1674,42 @@ def sim_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_jvm_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def sim_jvm_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact cosine top-10 as sim_bruteforce_topk, computed
+    ENTIRELY with built-in JVM higher-order functions (zip_with +
+    aggregate fold dot products, broadcast query side) — zero Python
+    workers in the plan, proving the vectorized kernel and the
+    declarative path agree bit-for-bit (identical oracle)."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.jvm_cosine_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=10, round_to=6
+    )
+
+
 @register("sim_lsh_topk", oracle=None)
 def sim_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH (16 tables × 4
@@ -3430,6 +3466,7 @@ _DRIVER_PRIORITY = [
     "dedup_incremental_jaccard",
     "dedup_incremental_minhash",
     "stream_dedup_exact",
+    "sim_jvm_cosine_topk",
     "asof_latest_order",
     "split_train_val_test",
     "domain_topk_docs",

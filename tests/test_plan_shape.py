@@ -174,3 +174,11 @@ def test_incremental_jaccard_caps_probe_fanout(q):
     # scale contract of the incremental path
     df = q("dedup_incremental_jaccard")
     assert plans.has_partial_aggregation(df)
+
+
+def test_jvm_cosine_topk_no_python_broadcast_join(q):
+    # the declarative cosine path must stay entirely JVM-side: no
+    # Python eval nodes anywhere, query side broadcast
+    p = plans.formatted_plan(q("sim_jvm_cosine_topk"))
+    assert "EvalPython" not in p and "InPandas" not in p
+    assert "BroadcastNestedLoopJoin" in p
