@@ -60,13 +60,15 @@ def jvm_cosine_topk(
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+    # zero-norm vectors have no defined cosine: exclude them outright
+    # (mirrored in the oracle) instead of letting NaN enter the rank
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).withColumn("qn", F.sqrt(dot("qv", "qv")))
+    ).withColumn("qn", F.sqrt(dot("qv", "qv"))).filter(F.col("qn") > 0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cn", F.sqrt(dot("cv", "cv")))
+    ).withColumn("cn", F.sqrt(dot("cv", "cv"))).filter(F.col("cn") > 0)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))

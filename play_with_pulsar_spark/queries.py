@@ -1679,10 +1679,10 @@ def sim_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 10
+      FROM embeddings WHERE vec_id < 10 AND list_dot_product(embedding, embedding) > 0
     ), c AS (
       SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings
+      FROM embeddings WHERE list_dot_product(embedding, embedding) > 0
     ), scored AS (
       SELECT query_id, neighbor_id,
              round(list_dot_product(qv, cv)
@@ -1701,7 +1701,9 @@ def sim_jvm_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENTIRELY with built-in JVM higher-order functions (zip_with +
     aggregate fold dot products, broadcast query side) — zero Python
     workers in the plan, proving the vectorized kernel and the
-    declarative path agree bit-for-bit (identical oracle)."""
+    declarative path agree bit-for-bit on the same rounded-rank
+    protocol (zero-norm vectors excluded on both sides — no defined
+    cosine, no NaN in the rank)."""
     from .operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
