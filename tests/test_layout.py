@@ -1,0 +1,86 @@
+"""File-skipping layout tests (operators/layout.py).
+
+The assertions run the same interval-intersection rule parquet footer
+pruning applies, over the actual per-file min/max of written files —
+so "this layout skips" is measured, not assumed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from play_with_pulsar_spark.operators import layout
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    # two independent-ish int columns with wide domains
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .withColumn("l_orderkey", F.col("l_orderkey").cast("long"))
+    )
+
+
+N_FILES = 8
+
+
+def _bounds(df, col):
+    r = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    return r["lo"], r["hi"]
+
+
+def test_range_clustering_prunes_leading_column(spark, li, tmp_path):
+    p = str(tmp_path / "by_orderkey")
+    layout.cluster_by_range(li, ["l_orderkey"], N_FILES).write.parquet(p)
+    stats = layout.file_minmax_stats(spark, p, ["l_orderkey", "l_partkey"])
+    assert stats.count() == N_FILES
+    lo, hi = _bounds(li, "l_orderkey")
+    width = (hi - lo) // 20 or 1
+    # a 5% range on the clustered column touches ~1 slice (+1 for a
+    # boundary straddle); the unclustered column is uniform per file
+    # and nothing is skippable — the single-sort failure mode
+    assert layout.files_matching_range(stats, "l_orderkey", lo, lo + width) <= 2
+    plo, phi = _bounds(li, "l_partkey")
+    pw = (phi - plo) // 20 or 1
+    assert layout.files_matching_range(stats, "l_partkey", plo, plo + pw) == N_FILES
+
+
+def test_zorder_prunes_both_columns(spark, li, tmp_path):
+    # rank-transform both domains into [0, 2^10) so the Morton code
+    # sees balanced bits, then cluster by the interleaved value
+    bits = 10
+    ok_lo, ok_hi = _bounds(li, "l_orderkey")
+    pk_lo, pk_hi = _bounds(li, "l_partkey")
+    scaled = li.select(
+        "l_orderkey",
+        "l_partkey",
+        layout.z_value_2d(
+            ((F.col("l_orderkey") - ok_lo) * ((1 << bits) - 1) / (ok_hi - ok_lo)).cast("long"),
+            ((F.col("l_partkey") - pk_lo) * ((1 << bits) - 1) / (pk_hi - pk_lo)).cast("long"),
+            bits=bits,
+        ).alias("z"),
+    )
+    p = str(tmp_path / "by_z")
+    layout.cluster_by_range(scaled, ["z"], N_FILES).write.parquet(p)
+    stats = layout.file_minmax_stats(spark, p, ["l_orderkey", "l_partkey"])
+    # a ~6% range on EITHER dimension now skips at least half the
+    # files (single-column sort gives 8/8 on the second dimension)
+    w_ok = (ok_hi - ok_lo) // 16 or 1
+    w_pk = (pk_hi - pk_lo) // 16 or 1
+    assert layout.files_matching_range(stats, "l_orderkey", ok_lo, ok_lo + w_ok) <= N_FILES // 2
+    assert layout.files_matching_range(stats, "l_partkey", pk_lo, pk_lo + w_pk) <= N_FILES // 2
+
+
+def test_z_value_locality_golden(spark):
+    """Morton-code golden: interleaving is exact and order-preserving
+    on a known grid."""
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 2), (3, 3)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", layout.z_value_2d("a", "b", bits=4).alias("z")).collect()
+    }
+    # z = interleave(a into even bits, b into odd bits)
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3, (2, 2): 12, (3, 3): 15}
