@@ -1380,6 +1380,46 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
+
+
+@register(
+    "profile_lineitem_stats",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows, count({c}) AS n_nonnull,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS min_val, CAST(max({c}) AS DOUBLE) AS max_val
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_lineitem_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE-statistics utility): per-column
+    row/non-null/distinct counts and min/max in ONE scan — all aggs
+    computed in a single pass, then unpivoted with stack(). Exact
+    count-distinct here for oracle parity (Expand ×|cols| over the
+    scan); the 100 TB form swaps in approx_count_distinct (HLL, no
+    Expand) — the engine-specific sketches are declared separately as
+    approx_stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    stacked = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return li.agg(*aggs).selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stacked}) AS (col_name, n_nonnull, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
+
+
 # The fixture corpus is synthetic word soup with no natural PII, so
 # the query deterministically plants PII derived from row data —
 # identical construction on both sides — and the operator under test
@@ -3469,6 +3509,7 @@ _DRIVER_PRIORITY = [
     "dedup_incremental_minhash",
     "stream_dedup_exact",
     "sim_jvm_cosine_topk",
+    "profile_lineitem_stats",
     "asof_latest_order",
     "split_train_val_test",
     "domain_topk_docs",
