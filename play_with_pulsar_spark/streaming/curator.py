@@ -1,0 +1,118 @@
+"""Continuous corpus curation: streaming ingest + incremental dedup.
+
+The end-to-end shape a training-data pipeline actually runs: crawl
+shards arrive as a stream; every micro-batch is screened for
+near-duplicates against everything ACCEPTED so far WITHOUT re-reading
+the corpus (the materialized shingle index from
+``operators.dedup.build_ngram_index`` carries all history); survivors
+are appended to the corpus and their shingles to the index, so the
+next batch screens against them too.
+
+Greedy first-writer-wins semantics (the standard streaming-dedup
+contract, matching ``exact_dedup``'s min-id convention within a
+batch):
+
+- a new doc that near-dups any ACCEPTED doc is rejected, whatever
+  the relative ids (acceptance time wins, not id order);
+- among near-dup pairs arriving in the SAME batch, the smaller
+  doc_id survives;
+- rejected docs are NOT indexed, so a later doc that resembles only
+  a rejected doc (and not its accepted ancestor) is accepted — the
+  greedy rule every sequential deduper (e.g. a Bloom/LSH gate in a
+  crawler) exhibits.
+
+State is two append-only parquet tables (``accepted/``, ``grams/``)
+— at cluster scale, bucket ``grams`` by ``g`` so each batch's probe
+join is shuffle-free on the index side, and compact periodically with
+``operators.layout.cluster_by_range``. ``foreachBatch`` gives
+exactly-once appends per micro-batch under Structured Streaming's
+checkpointing (batch id is the idempotence key).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import build_ngram_index, incremental_jaccard_pairs
+
+_GRAMS_SCHEMA = "doc_id long, g long"
+
+
+class StreamingCorpusCurator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        threshold: float = 0.8,
+        max_shingle_freq: int | None = 50,
+    ) -> None:
+        self.spark = spark
+        self.accepted_dir = os.path.join(base_dir, "accepted")
+        self.grams_dir = os.path.join(base_dir, "grams")
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+        self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
+
+    def _index(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(_GRAMS_SCHEMA).parquet(self.grams_dir)
+        except Exception:  # first batch: no index yet
+            return self.spark.createDataFrame([], _GRAMS_SCHEMA)
+
+    def accepted(self) -> DataFrame:
+        return self.spark.read.parquet(self.accepted_dir)
+
+    def _rejected_ids(self, pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
+        """Apply the greedy rule to the touching-new pair set.
+        ``pairs`` is (id_a < id_b); either side may be the new doc."""
+        a_new = pairs.join(new_ids.withColumnRenamed("nid", "id_a"), "id_a", "semi")
+        b_new = pairs.join(new_ids.withColumnRenamed("nid", "id_b"), "id_b", "semi")
+        both = a_new.join(
+            new_ids.withColumnRenamed("nid", "id_b"), "id_b", "semi"
+        ).select(F.col("id_b").alias("doc_id"))  # new-new: larger id loses
+        a_vs_old = a_new.join(
+            new_ids.withColumnRenamed("nid", "id_b"), "id_b", "anti"
+        ).select(F.col("id_a").alias("doc_id"))  # new id_a dups accepted id_b
+        b_vs_old = b_new.join(
+            new_ids.withColumnRenamed("nid", "id_a"), "id_a", "anti"
+        ).select(F.col("id_b").alias("doc_id"))  # new id_b dups accepted id_a
+        return both.unionByName(a_vs_old).unionByName(b_vs_old).distinct()
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: screen, reject, append survivors."""
+        docs = batch.persist()  # screened once, written once
+        pairs = incremental_jaccard_pairs(
+            self._index(),
+            docs,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            n=self.n,
+            threshold=self.threshold,
+            max_shingle_freq=self.max_shingle_freq,
+        )
+        new_ids = docs.select(F.col(self.id_col).alias("nid"))
+        rejected = self._rejected_ids(pairs, new_ids)
+        keep = docs.join(
+            rejected.withColumnRenamed("doc_id", self.id_col), self.id_col, "anti"
+        ).persist()
+        keep.write.mode("append").parquet(self.accepted_dir)
+        build_ngram_index(keep, self.text_col, self.id_col, self.n).write.mode(
+            "append"
+        ).parquet(self.grams_dir)
+        keep.unpersist()
+        docs.unpersist()
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str):
+        """Wire the curator into a streaming DataFrame; the returned
+        query appends exactly-once per micro-batch."""
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
