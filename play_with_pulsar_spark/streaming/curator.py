@@ -59,9 +59,11 @@ class StreamingCorpusCurator:
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
 
     def _index(self) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.schema(_GRAMS_SCHEMA).parquet(self.grams_dir)
-        except Exception:  # first batch: no index yet
+        except AnalysisException:  # PATH_NOT_FOUND: first batch, no index yet
             return self.spark.createDataFrame([], _GRAMS_SCHEMA)
 
     def accepted(self) -> DataFrame:
