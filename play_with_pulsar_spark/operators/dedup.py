@@ -18,6 +18,12 @@ Scale design (the whole point of these):
   pairs; the verify step computes true Jaccard only for candidates.
 - **simhash64** — 64-bit near-dup fingerprint; hamming-close
   signatures = near-dups. Vectorized numpy bit-count, Arrow-batched.
+- **build_ngram_index / build_minhash_index + incremental_*_pairs**
+  — the operational path: screen each new batch against MATERIALIZED
+  index tables instead of re-shingling the corpus (O(batch) work per
+  batch, not O(corpus)); equals the batch run on the union restricted
+  to touching-new pairs. ``streaming/curator.py`` wires this into a
+  foreachBatch continuous-curation pipeline.
 
 References: Broder, "On the resemblance and containment of
 documents" (1997); Leskovec/Rajaraman/Ullman MMDS ch.3 (minhash/LSH
