@@ -259,7 +259,19 @@ def minhash_dedup_pairs(
 def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over CANDIDATE pairs only: join each side's
     hashed shingles, count the agreement, filter by threshold. Cost is
-    O(candidate pairs × grams/doc), never all-pairs."""
+    O(candidate pairs × grams/doc), never all-pairs.
+
+    The gram table is first restricted (semi-join) to docs that
+    actually appear in a candidate pair, and that small table is what
+    the three consumers (sizes, both join sides) scan — one pass over
+    the full table instead of three, which is what keeps this viable
+    when ``grams`` is a corpus-scale index."""
+    ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    grams = grams.join(ids, "doc_id", "semi").persist()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
@@ -400,8 +412,13 @@ def build_minhash_index(
     incremental MinHash-LSH dedup. Signatures are deterministic in
     (seed, shingles), so index rows computed in past batches stay
     bit-identical to what a fresh run would produce — the property
-    the incremental == batch equality test pins."""
-    grams = build_ngram_index(docs, text_col, id_col, n)
+    the incremental == batch equality test pins.
+
+    The gram table is persisted: when the index is built inline (not
+    yet materialized to parquet) both the signature kernel and the
+    verify step consume it, and without the persist the corpus would
+    be re-tokenized per consumer."""
+    grams = build_ngram_index(docs, text_col, id_col, n).persist()
     sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=grams)
     return grams, sigs
 
