@@ -3460,6 +3460,17 @@ BENCH_WORKLOAD_NOTES = {
         "bands -> 64/16 (same recall target at threshold 0.8); r1-vs-r2+ "
         "timings compare different work"
     ),
+    "_total": (
+        "round 2 added 2 headline entries (20 total) and round 3 adds 7 "
+        "more (27 total: asof/pack/contamination/rollup/analytics-suite/"
+        "pii/incremental-minhash), so cross-round TOTALS compare "
+        "different workloads — compare per-query series instead"
+    ),
+    "dedup_incremental_minhash": (
+        "builds the corpus index INLINE (the declared query's contract); "
+        "the operational batch-vs-stored-index screen is ~2s at sf0.1 "
+        "(ROADMAP round-3 probes)"
+    ),
 }
 
 BENCH_QUERIES = [
