@@ -209,13 +209,37 @@ def _banded(signatures: DataFrame, num_bands: int, rows_per_band: int) -> DataFr
     )
 
 
+def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``max_bucket_size``
+    before the bucket self-join — the bucket-level twin of the
+    stop-shingle cap. A bucket with f members creates f² candidate
+    pairs, so one viral boilerplate cluster can dominate the whole
+    join; oversized buckets are near-identical content that exact
+    dedup (run it first) or a dedicated boilerplate pass should own,
+    not the pairwise path."""
+    small = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    return banded.join(small, ["band", "bucket"])
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_bands: int = 32, rows_per_band: int = 4
+    signatures: DataFrame,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join per band, union the candidate
     pairs. Only docs agreeing on a whole band ever meet in the join —
-    the all-pairs comparison never happens."""
+    the all-pairs comparison never happens. ``max_bucket_size``
+    additionally bounds the per-bucket join fan-out (see
+    ``_cap_buckets``); default None preserves exact recall."""
     banded = _banded(signatures, num_bands, rows_per_band)
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -239,6 +263,7 @@ def minhash_dedup_pairs(
     num_bands: int = 32,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     exact-Jaccard verification of candidates only. Returns verified
@@ -252,7 +277,7 @@ def minhash_dedup_pairs(
         "doc_id", F.xxhash64("g").alias("g")
     ).persist()
     sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=grams)
-    cands = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands)
+    cands = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands, max_bucket_size)
     return _verify_jaccard(cands, grams, threshold)
 
 
@@ -434,6 +459,7 @@ def incremental_minhash_pairs(
     num_bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup screen of a new batch against an indexed
     corpus — the scale path. Only the BATCH is shingled and signed;
@@ -453,6 +479,8 @@ def incremental_minhash_pairs(
         )
         .persist()
     )
+    if max_bucket_size is not None:
+        all_banded = _cap_buckets(all_banded, max_bucket_size)
     cands = _touching_new_pairs(
         all_banded.filter(F.col("is_new")), all_banded, ["band", "bucket"]
     ).distinct()

@@ -109,12 +109,14 @@ class StreamingCorpusCurator:
         keep.unpersist()
         docs.unpersist()
 
-    def attach(self, stream: DataFrame, checkpoint_dir: str):
+    def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger):
         """Wire the curator into a streaming DataFrame; the returned
-        query appends exactly-once per micro-batch."""
+        query appends exactly-once per micro-batch. ``trigger`` kwargs
+        pass through (default drain-and-stop ``availableNow``; use
+        ``processingTime='30 seconds'`` for a continuous curator)."""
         return (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
+            .trigger(**(trigger or {"availableNow": True}))
             .start()
         )

@@ -71,3 +71,24 @@ def test_minhash_index_parquet_roundtrip(spark, sf_dir, tmp_path):
         )
     )
     assert disk == mem and len(disk) > 0
+
+
+def test_lsh_bucket_cap_bounds_viral_cluster(spark):
+    """A 60-copy boilerplate cluster must not quadratically dominate
+    candidate generation: with max_bucket_size set, its intra-cluster
+    pairs are excluded while unrelated near-dup pairs are unaffected.
+    (Contract: run exact_dedup first — oversized buckets are
+    near-identical content the pairwise path should not own.)"""
+    viral = [(i, "spam " + " ".join(f"b{j}" for j in range(30))) for i in range(60)]
+    normal = [
+        (100, " ".join(f"n{j}" for j in range(30))),
+        (101, " ".join(f"n{j}" for j in range(30))),
+        (200, " ".join(f"m{j}" for j in range(30))),
+    ]
+    docs = spark.createDataFrame(viral + normal, "doc_id long, text string")
+    capped = dedup.minhash_dedup_pairs(docs, **GEOM, max_bucket_size=20)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got                      # normal pair survives
+    assert not any(a < 60 and b < 60 for a, b in got)  # viral pairs excluded
+    uncapped = dedup.minhash_dedup_pairs(docs, **GEOM)
+    assert sum(1 for r in uncapped.collect() if r.id_a < 60) == 60 * 59 / 2
