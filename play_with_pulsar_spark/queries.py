@@ -3514,58 +3514,9 @@ BENCH_QUERIES = [
 # code). Every query passes the identical local DuckDB comparison
 # (tests/test_oracle_parity.py) regardless of rotation position.
 _DRIVER_PRIORITY = [
-    # --- new in round 3 (never driver-verified) ---
-    "text_pii_redaction",
-    "dedup_incremental_jaccard",
-    "dedup_incremental_minhash",
-    "stream_dedup_exact",
-    "sim_jvm_cosine_topk",
-    "profile_lineitem_stats",
-    "asof_latest_order",
-    "split_train_val_test",
-    "domain_topk_docs",
-    "text_repetition_signals",
-    "text_benchmark_contamination",
-    "pack_training_sequences",
-    "mix_domain_weighted_sample",
-    "time_rollup_multires",
-    "w_analytics_suite",
-    "t8b_sliding_window",
-    "stream_t8_windowed",
-    "dedup_clusters_exact",
-    "chunk_doc_spans",
-    "text_boilerplate_coverage",
-    # --- no row in CORRECTNESS_r02.json (last verified round 1) ---
-    "j_customers_without_orders",
-    "j_parts_never_shipped",
-    "x16_json_extract",
-    "game_a1_room_scoreboard",
-    "game_a4a5_global_rank",
-    "game_p4_position_history",
-    "game_x3_obstacle_decode",
-    "game_s4_latest_event_per_room",
-    "chg_s6_tableview",
-    "chg_a4_global_sum",
-    "chg_w2_lru_top5",
-    "j2_kill_attribution",
-    "stream_a1_scoreboard",
-    "pipeline_curate_training_data",
-    "game_survival_first_life",
-    "game_bomb_effectiveness",
-    "game_room_activity_windows",
-    "fold_players_state",
-    "fold_time_travel",
-    "fold_scale_replay",
-    "fold_state_summary",
-    "text_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_lang_id",
-    "sim_bruteforce_topk",
-    "sim_lsh_topk",
-    "multimodal_features",
+    # --- new in round 4 (never driver-verified) ---
+    # (round-4 additions are registered at the front as they land)
+    # --- last driver row is round 1 (rolled past r3's 50-cap) ---
     "sim_ivf_topk",
     "q4_order_priority",
     "q6_revenue_forecast",
@@ -3575,6 +3526,57 @@ _DRIVER_PRIORITY = [
     "rollup_order_stats",
     "cube_event_stats",
     "grouping_sets_lineitem",
+    # --- last driver row is round 2 ---
+    "a1_scoreboard_kills",
+    "a3_latest_per_key",
+    "a4_global_scoreboard",
+    "a5_ranked_scoreboard",
+    "w2_recency_top5",
+    "s4_latest_message",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "t8_tumbling_window",
+    "w3_order_rank_per_customer",
+    "stream_s6_tableview",
+    "game_movement_heatmap",
+    "game_kd_ratio",
+    "fold_pos_players",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "text_token_counts",
+    "text_rolling_fingerprints",
+    "text_unigram_logprob",
+    "sessionize_events",
+    "pivot_event_counts",
+    "date_parts_orders",
+    "intersect_trading_nations",
+    "semi_customers_with_orders",
+    "count_distinct_parts_per_supplier",
+    "join_left_outer_order_counts",
+    "join_full_outer_nation_presence",
+    "theta_price_band_join",
+    "union_event_sources",
+    "median_value_per_type",
+    "approx_stats",
+    "text_tfidf_top_terms",
+    "q2ish_min_cost_supplier",
+    "dedup_clusters",
+    "x_map_functions",
+    "x_array_functions",
+    "q7_volume_shipping",
+    "q12ish_priority_shipping",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q19ish_disjunctive_predicates",
+    "q22ish_idle_customers",
+    "q8ish_market_share",
+    "q9ish_product_profit",
+    "q11ish_important_parts",
+    "q15ish_top_supplier",
+    "q16ish_supplier_part_counts",
+    "q20ish_excess_suppliers",
+    "q21ish_sole_supplier_orders",
 ]
 
 
