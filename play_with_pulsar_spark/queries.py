@@ -3471,6 +3471,12 @@ BENCH_WORKLOAD_NOTES = {
         "the operational batch-vs-stored-index screen is ~2s at sf0.1 "
         "(ROADMAP round-3 probes)"
     ),
+    "_total_r4": (
+        "round 4 adds dedup_embedding_lsh (28 total) — the hyperplane-"
+        "LSH blocked near-dup path, i.e. the plan that exists at 100 TB; "
+        "dedup_embedding_cosine stays for series continuity but times "
+        "the driver-collect ground-truth baseline"
+    ),
 }
 
 BENCH_QUERIES = [
@@ -3503,6 +3509,8 @@ BENCH_QUERIES = [
     "w_analytics_suite",
     "text_pii_redaction",
     "dedup_incremental_minhash",
+    # added round 4
+    "dedup_embedding_lsh",
 ]
 
 

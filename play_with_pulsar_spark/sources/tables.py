@@ -28,6 +28,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nano_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Parquet timestamp[us] WITHOUT timezone reads as TIMESTAMP_NTZ in
+    # Spark 4 (inferTimestampNTZ default). The engine and its DuckDB
+    # oracles both treat fixture timestamps as UTC wall time (the
+    # session tz is pinned to UTC in session.py), and several operators
+    # use LTZ-only expressions (unix_micros, window). Normalize to the
+    # session timestamp type at the scan boundary — a zero-cost cast
+    # under UTC, and the one place a cluster deployment would adjust if
+    # its fixtures carried real zones.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
