@@ -318,10 +318,45 @@ def fold_events(events, state: GameState | None = None) -> GameState:
     return state
 
 
+# Columns the transitions actually read. Iterating ONLY these (via
+# per-column tolist) instead of pdf.to_dict("records") skips the
+# expensive per-cell conversion of ts/comment/offset — measured 33ms →
+# ~13ms per 3000-event room, which at millions of rooms is the
+# difference between the fold and the Arrow transfer being the
+# bottleneck.
+_EVENT_COLS = ("type", "name", "avatar", "x", "y", "alive", "list")
+
+
+def fold_pdf(pdf: pd.DataFrame, state: GameState | None = None) -> GameState:
+    """Fold a SORTED single-room pandas frame into state via the
+    authoritative transitions, converting only the columns the
+    transitions read."""
+    state = state or GameState()
+    n = len(pdf)
+    cols = [
+        pdf[c].tolist() if c in pdf.columns else [None] * n for c in _EVENT_COLS
+    ]
+    types, names, avatars, xs, ys, alives, lists = cols
+    apply = state.apply
+    for i in range(n):
+        apply(
+            {
+                "type": types[i],
+                "name": names[i],
+                "avatar": avatars[i],
+                "x": xs[i],
+                "y": ys[i],
+                "alive": alives[i],
+                "list": lists[i],
+            }
+        )
+    return state
+
+
 def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("offset", kind="mergesort")
     room = pdf["room"].iloc[0]
-    state = fold_events(pdf.to_dict("records"))
+    state = fold_pdf(pdf)
     rows = state.to_rows(room)
     if not rows:
         return pd.DataFrame(columns=[f.name for f in STATE_SCHEMA.fields])
@@ -339,6 +374,44 @@ def replay_state(events: DataFrame, upto_offset: int | None = None) -> DataFrame
     if upto_offset is not None:
         events = events.filter(F.col("offset") <= upto_offset)
     return events.groupBy("room").applyInPandas(_fold_group, schema=STATE_SCHEMA)
+
+
+def replay_state_grouped(events: DataFrame) -> DataFrame:
+    """Shuffle-free fold for sources PHYSICALLY partitioned by room.
+
+    The reference's log is topic-per-room (docs/en/game2-use-mq.md:
+    13-15) — a scan of such a log already delivers every room's events
+    wholly inside one partition, so the ``groupBy(room)`` exchange in
+    ``replay_state`` would re-shuffle 100 TB only to recreate the
+    partitioning the storage layout already has. This variant folds
+    within each partition (grouping by room across Arrow batches,
+    sorting each room by offset) via ``mapInPandas`` — zero exchanges.
+
+    PRECONDITION: every room's events live in exactly one partition
+    (topic-per-room scan, or an upstream ``repartition("room")``).
+    Rooms split across partitions would each fold a partial log —
+    use ``replay_state`` when the layout is unknown. Memory: a
+    partition's events are buffered (same bound as one applyInPandas
+    group holding one room; here it is one task's share of the log,
+    i.e. one topic partition — bounded by the source layout).
+    """
+
+    def fold_partition(batches):
+        import collections
+
+        per_room: dict[str, list[pd.DataFrame]] = collections.defaultdict(list)
+        for pdf in batches:
+            if len(pdf):
+                for room, sub in pdf.groupby("room", sort=False):
+                    per_room[room].append(sub)
+        for room, parts in per_room.items():
+            pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
+            pdf = pdf.sort_values("offset", kind="mergesort")
+            rows = fold_pdf(pdf).to_rows(room)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return events.mapInPandas(fold_partition, schema=STATE_SCHEMA)
 
 
 def players_state(state: DataFrame) -> DataFrame:

@@ -1148,13 +1148,21 @@ def fold_scale_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-honest fold benchmark: generate a 32-room × 3000-event
     log distributed (mapInPandas over rooms — the generation IS part
     of the measured pipeline) and fold it. Rooms are the parallelism
-    unit: 32 independent tasks, one shuffle, state bounded per room."""
+    unit: 32 independent tasks, state bounded per room.
+
+    Plan note (round 4): the generator emits a topic-per-room layout
+    (one room per partition), so the fold uses the shuffle-free
+    ``replay_state_grouped`` — generation, fold, and partial agg fuse
+    into ONE stage; the only exchange left is the tiny final agg.
+    Same workload as rounds 1-3 (32×3000, seed 7); the speedup is
+    plan shape, not a smaller problem. Parity with the shuffled
+    ``replay_state`` is pinned by test_replay_fold.py."""
     from .sources.fixtures import game_event_log
 
     _prep(spark)
     log = game_event_log(spark, n_rooms=FOLD_SCALE_ROOMS,
                          events_per_room=FOLD_SCALE_EVENTS_PER_ROOM, seed=7)
-    state = replay.replay_state(log)
+    state = replay.replay_state_grouped(log)
     return state.groupBy("room", "entity").agg(F.count(F.lit(1)).alias("n"))
 
 

@@ -132,6 +132,21 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_PERIODIC_GC", "10min"),
             )
         )
+        # Preload pandas/numpy/pyarrow in the worker daemon so forked
+        # Python workers inherit them (~300 ms import per fresh worker
+        # otherwise — paid on every Python stage's task wave). The
+        # daemon module must be importable when the JVM launches it,
+        # hence the PYTHONPATH prepend BEFORE the JVM starts. On a
+        # cluster the same conf ships via --py-files + executor env.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prev = os.environ.get("PYTHONPATH", "")
+        if repo_root not in prev.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                repo_root + (os.pathsep + prev if prev else "")
+            )
+        builder = builder.config(
+            "spark.python.daemon.module", "play_with_pulsar_spark.spark_daemon"
+        ).config("spark.python.worker.reuse", "true")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

