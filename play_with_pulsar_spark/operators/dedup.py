@@ -50,6 +50,39 @@ _LOG = logging.getLogger(__name__)
 _MERSENNE = (1 << 31) - 1
 
 
+def _register_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Attach persisted intermediates to the result for later release.
+
+    The dedup operators persist small intermediates (batch grams,
+    banded signatures, candidate-restricted gram tables) that multiple
+    branches of one returned plan consume. The operators return LAZY
+    DataFrames, so they cannot unpersist before returning — the caller
+    hasn't executed anything yet. Instead the persisted handles ride
+    on the result; ``release_intermediates(df)`` frees them once the
+    caller has materialized what it needs. Long-lived sessions (the
+    streaming curator's per-batch loop) MUST call it — otherwise one
+    persisted table per batch accumulates until eviction churn."""
+    existing = list(getattr(result, "_pwp_cached", ())) + list(cached)
+    for src in cached:
+        existing.extend(getattr(src, "_pwp_cached", ()))
+    result._pwp_cached = existing
+    return result
+
+
+def release_intermediates(df: DataFrame) -> None:
+    """Unpersist every intermediate an operator cached for this result.
+
+    Call AFTER materializing (collect/write) — the plan stays valid
+    either way (Spark recomputes unpersisted parents), but releasing
+    early forfeits the reuse the persist existed for."""
+    for cached in getattr(df, "_pwp_cached", ()):
+        try:
+            cached.unpersist()
+        except Exception:  # session already stopped, etc. — releasing
+            pass  # storage is best-effort by design
+    df._pwp_cached = []
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical row per distinct content: min id + copy count."""
     return (
@@ -278,7 +311,7 @@ def minhash_dedup_pairs(
     ).persist()
     sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=grams)
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands, max_bucket_size)
-    return _verify_jaccard(cands, grams, threshold)
+    return _register_cached(_verify_jaccard(cands, grams, threshold), grams)
 
 
 def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
@@ -297,6 +330,7 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
         .distinct()
     )
     grams = grams.join(ids, "doc_id", "semi").persist()
+    restricted = grams  # registered on the result below
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
@@ -309,7 +343,7 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
-    return (
+    result = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -320,6 +354,7 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _register_cached(result, restricted)
 
 
 # ---------------------------------------------------------------------------
@@ -342,11 +377,60 @@ def build_ngram_index(
 ) -> DataFrame:
     """(doc_id, g) hashed-shingle inverted index — the materialized
     state for incremental exact-Jaccard dedup. O(corpus tokens) longs;
-    persist as parquet (bucketed by g at scale) and append each
-    accepted batch's rows to keep it current."""
+    materialize with ``write_ngram_index`` (bucketed by ``g``) and
+    append each accepted batch's rows to keep it current."""
     return exploded_ngrams(docs, text_col, id_col, n).select(
         "doc_id", F.xxhash64("g").alias("g")
     )
+
+
+def write_ngram_index(grams: DataFrame, table: str, n_buckets: int = 32) -> None:
+    """Materialize the shingle index bucketed+sorted by ``g``.
+
+    The probe join in ``incremental_jaccard_pairs`` is keyed on ``g``;
+    a g-bucketed index means the sort-merge fallback shuffles ONLY the
+    batch side into the index's existing layout (no Exchange, no sort
+    on the corpus-scale side — asserted in test_incremental_dedup).
+    At 100 TB this is the difference between moving the corpus every
+    batch and never moving it."""
+    from .bucketing import write_bucketed
+
+    write_bucketed(grams, table, ["g"], n_buckets=n_buckets)
+
+
+def write_minhash_index(
+    grams: DataFrame,
+    sigs: DataFrame,
+    prefix: str,
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the MinHash-LSH index as two bucketed tables:
+
+    - ``{prefix}_banded`` (doc_id, band, bucket) bucketed by
+      (band, bucket) — the candidate-probe side; a batch screen joins
+      it on exactly those keys, so the corpus side needs no Exchange.
+    - ``{prefix}_grams`` (doc_id, g) bucketed by doc_id — the verify
+      side; ``_verify_jaccard`` restricts it by candidate doc ids.
+
+    Appending an accepted batch = appending its grams and banded rows
+    (both deterministic in (seed, text) — the property the
+    incremental == batch equality test pins)."""
+    from .bucketing import write_bucketed
+
+    write_bucketed(grams, f"{prefix}_grams", ["doc_id"], n_buckets=n_buckets)
+    write_bucketed(
+        _banded(sigs, num_bands, rows_per_band),
+        f"{prefix}_banded",
+        ["band", "bucket"],
+        n_buckets=n_buckets,
+    )
+
+
+def read_minhash_index(spark, prefix: str) -> tuple[DataFrame, DataFrame]:
+    """(grams, banded) handles onto a ``write_minhash_index`` layout."""
+    return spark.table(f"{prefix}_grams"), spark.table(f"{prefix}_banded")
 
 
 def _touching_new_pairs(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
@@ -389,30 +473,75 @@ def incremental_jaccard_pairs(
     from the indexed corpus — re-screening an already-indexed id would
     double that doc's shingle rows and skew its sizes.
     """
-    new_grams = build_ngram_index(new_docs, text_col, id_col, n)
-    all_grams = (
-        index_grams.select("doc_id", "g").withColumn("is_new", F.lit(False))
-        .unionByName(new_grams.withColumn("is_new", F.lit(True)))
-    )
+    new_grams = build_ngram_index(new_docs, text_col, id_col, n).persist()
+    index_side = index_grams.select("doc_id", "g")
+    cached = [new_grams]
+
     if max_shingle_freq is not None:
-        rare = (
-            all_grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_freq)
+        # Stop-shingle cap over the UNION (identical semantics to the
+        # batch run). Formulated as a broadcast ANTI-join against the
+        # df > cap set: stop-shingles are FEW by construction (only
+        # boilerplate exceeds the cap), so the corpus side is filtered
+        # without being re-partitioned — its storage bucketing (see
+        # ``write_ngram_index``) survives into the probe join. The df
+        # recount is the one remaining O(corpus) aggregation; at scale
+        # maintain the per-shingle df as an indexed aggregate instead.
+        common = (
+            index_side.select("g").unionByName(new_grams.select("g"))
+            .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
             .select("g")
+            .persist()
         )
-        all_grams = all_grams.join(rare, "g")
-    # three consumers (sizes, probe side, build side) — one scan each
-    # off the persisted capped table instead of re-tokenizing
-    all_grams = all_grams.persist()
-    inter = (
-        _touching_new_pairs(all_grams.filter(F.col("is_new")), all_grams, ["g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cached.append(common)
+        index_side = index_side.join(F.broadcast(common), "g", "anti")
+        new_grams_f = new_grams.join(F.broadcast(common), "g", "anti")
+    else:
+        new_grams_f = new_grams
+
+    # Probe = (batch × index) ∪ (batch × batch): the index is NEVER
+    # unioned under the join, so its side keeps the storage layout —
+    # the batch side broadcasts (a crawl batch ≪ the corpus by the
+    # operator's premise; Catalyst falls back to shuffling ONLY the
+    # batch side into the index bucketing if it ever exceeds the
+    # broadcast threshold).
+    xi = (
+        index_side.alias("b")
+        .join(F.broadcast(new_grams_f).alias("a"), F.col("a.g") == F.col("b.g"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
     )
-    sizes = all_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    nn = (
+        new_grams_f.alias("a")
+        .join(
+            new_grams_f.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    inter = (
+        xi.unionByName(nn).groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    ).persist()
+    cached.append(inter)
+
+    # Sizes only for docs that appear in some pair (broadcast semi-
+    # join) — not an O(corpus) per-doc aggregation per batch.
+    ids = (
+        inter.select(F.col("id_a").alias("doc_id"))
+        .unionByName(inter.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    capped_union = index_side.unionByName(new_grams_f)
+    sizes = (
+        capped_union.join(F.broadcast(ids), "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
-    return (
+    result = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -423,6 +552,7 @@ def incremental_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _register_cached(result, *cached)
 
 
 def build_minhash_index(
@@ -450,7 +580,7 @@ def build_minhash_index(
 
 def incremental_minhash_pairs(
     index_grams: DataFrame,
-    index_sigs: DataFrame,
+    index_sigs: DataFrame | None,
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -460,6 +590,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    index_banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup screen of a new batch against an indexed
     corpus — the scale path. Only the BATCH is shingled and signed;
@@ -468,24 +599,66 @@ def incremental_minhash_pairs(
     verifies candidates only. Equals ``minhash_dedup_pairs`` on
     corpus ∪ batch restricted to pairs touching ≥1 new doc (same
     seed/geometry), which the test suite asserts.
+
+    Pass ``index_banded`` (a ``write_minhash_index`` table) to probe a
+    MATERIALIZED index: the stored layout is bucketed by the join key,
+    and since the batch side broadcasts, the corpus-side scan feeds
+    the candidate join with no Exchange at all (plan-asserted in
+    test_incremental_dedup). Otherwise ``index_sigs`` is banded
+    inline.
+
+    ``max_bucket_size`` must count index AND batch members per
+    bucket, so capping routes through the unioned table — an
+    O(index-banded-rows) scan; leave it None on the stored-index path
+    unless viral buckets are actually observed.
     """
     rows_per_band = num_hashes // num_bands
     new_grams = build_ngram_index(new_docs, text_col, id_col, n).persist()
     new_sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=new_grams)
-    all_banded = (
-        _banded(index_sigs, num_bands, rows_per_band).withColumn("is_new", F.lit(False))
-        .unionByName(
-            _banded(new_sigs, num_bands, rows_per_band).withColumn("is_new", F.lit(True))
-        )
-        .persist()
-    )
+    if index_banded is None:
+        index_banded = _banded(index_sigs, num_bands, rows_per_band)
+    new_banded = _banded(new_sigs, num_bands, rows_per_band).persist()
+    cached = [new_grams, new_banded]
+
     if max_bucket_size is not None:
+        all_banded = (
+            index_banded.withColumn("is_new", F.lit(False))
+            .unionByName(new_banded.withColumn("is_new", F.lit(True)))
+            .persist()
+        )
+        cached.append(all_banded)
         all_banded = _cap_buckets(all_banded, max_bucket_size)
-    cands = _touching_new_pairs(
-        all_banded.filter(F.col("is_new")), all_banded, ["band", "bucket"]
-    ).distinct()
+        cands = _touching_new_pairs(
+            all_banded.filter(F.col("is_new")), all_banded, ["band", "bucket"]
+        ).distinct()
+    else:
+        # batch × index (batch broadcast; index side keeps its stored
+        # bucketing, no Exchange) ∪ batch × batch
+        xi = (
+            index_banded.alias("b")
+            .join(
+                F.broadcast(new_banded).alias("a"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("id_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+            )
+        )
+        nn = (
+            new_banded.alias("a")
+            .join(
+                new_banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        )
+        cands = xi.unionByName(nn).distinct()
     grams = index_grams.select("doc_id", "g").unionByName(new_grams.select("doc_id", "g"))
-    return _verify_jaccard(cands, grams, threshold)
+    return _register_cached(_verify_jaccard(cands, grams, threshold), *cached)
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:

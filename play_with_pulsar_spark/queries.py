@@ -1382,10 +1382,13 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams, sigs = dedup.build_minhash_index(
         docs.filter(F.col("doc_id") % 5 != 0), num_hashes=64
     )
-    return dedup.incremental_minhash_pairs(
+    result = dedup.incremental_minhash_pairs(
         grams, sigs, docs.filter(F.col("doc_id") % 5 == 0),
         num_hashes=64, num_bands=16, threshold=0.8,
     )
+    # the inline-built index grams are persisted by build_minhash_index;
+    # ride them on the result so release_intermediates frees everything
+    return dedup._register_cached(result, grams)
 
 
 _PROFILE_COLS = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]

@@ -21,12 +21,22 @@ batch):
   greedy rule every sequential deduper (e.g. a Bloom/LSH gate in a
   crawler) exhibits.
 
-State is two append-only parquet tables (``accepted/``, ``grams/``)
+State is two parquet tables (``accepted/``, ``grams/``), each laid
+out as one ``ingest_batch=<id>`` partition directory per micro-batch
 — at cluster scale, bucket ``grams`` by ``g`` so each batch's probe
 join is shuffle-free on the index side, and compact periodically with
-``operators.layout.cluster_by_range``. ``foreachBatch`` gives
-exactly-once appends per micro-batch under Structured Streaming's
-checkpointing (batch id is the idempotence key).
+``operators.layout.cluster_by_range``.
+
+Exactly-once appends: ``foreachBatch`` is AT-LEAST-once (a retry
+after a partial commit re-delivers the same ``batch_id``), so each
+table writes its batch into a batch-id-named partition directory with
+``mode=overwrite`` — a replay overwrites the same directory instead
+of appending duplicate rows, and a batch whose ``_SUCCESS`` marker
+already exists is skipped outright. Duplicated appends would not just
+double rows: replayed doc_ids violate
+``incremental_jaccard_pairs``'s disjoint-id precondition (doubled
+shingle rows skew sizes and Jaccard), so idempotence here is a
+correctness requirement, not bookkeeping.
 """
 
 from __future__ import annotations
@@ -36,7 +46,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import build_ngram_index, incremental_jaccard_pairs
+from ..operators.dedup import (
+    build_ngram_index,
+    incremental_jaccard_pairs,
+    release_intermediates,
+)
 
 _GRAMS_SCHEMA = "doc_id long, g long"
 
@@ -62,12 +76,32 @@ class StreamingCorpusCurator:
         from pyspark.errors import AnalysisException
 
         try:
-            return self.spark.read.schema(_GRAMS_SCHEMA).parquet(self.grams_dir)
+            return self.spark.read.parquet(self.grams_dir).select("doc_id", "g")
         except AnalysisException:  # PATH_NOT_FOUND: first batch, no index yet
             return self.spark.createDataFrame([], _GRAMS_SCHEMA)
 
     def accepted(self) -> DataFrame:
-        return self.spark.read.parquet(self.accepted_dir)
+        """Accepted corpus (the ``ingest_batch`` layout column is an
+        implementation detail and is dropped)."""
+        return self.spark.read.parquet(self.accepted_dir).drop("ingest_batch")
+
+    def _batch_dir(self, base: str, batch_id: int) -> str:
+        return os.path.join(base, f"ingest_batch={batch_id}")
+
+    def _committed(self, base: str, batch_id: int) -> bool:
+        """True iff this batch's partition already committed (its
+        ``_SUCCESS`` marker exists). Checked through the Hadoop FS API
+        so object-store deployments behave like local runs."""
+        path = os.path.join(self._batch_dir(base, batch_id), "_SUCCESS")
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            )
+            return bool(fs.exists(hpath))
+        except Exception:
+            return os.path.exists(path)
 
     def _rejected_ids(self, pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
         """Apply the greedy rule to the touching-new pair set.
@@ -86,7 +120,13 @@ class StreamingCorpusCurator:
         return both.unionByName(a_vs_old).unionByName(b_vs_old).distinct()
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        """foreachBatch hook: screen, reject, append survivors."""
+        """foreachBatch hook: screen, reject, write survivors into this
+        batch's partition (idempotent on ``batch_id`` — see module
+        docstring)."""
+        acc_done = self._committed(self.accepted_dir, batch_id)
+        grams_done = self._committed(self.grams_dir, batch_id)
+        if acc_done and grams_done:  # full replay of a committed batch
+            return
         docs = batch.persist()  # screened once, written once
         pairs = incremental_jaccard_pairs(
             self._index(),
@@ -102,12 +142,19 @@ class StreamingCorpusCurator:
         keep = docs.join(
             rejected.withColumnRenamed("doc_id", self.id_col), self.id_col, "anti"
         ).persist()
-        keep.write.mode("append").parquet(self.accepted_dir)
-        build_ngram_index(keep, self.text_col, self.id_col, self.n).write.mode(
-            "append"
-        ).parquet(self.grams_dir)
+        # overwrite (not append) into the batch partition: a replay
+        # after a PARTIAL commit rewrites that directory cleanly
+        if not acc_done:
+            keep.write.mode("overwrite").parquet(
+                self._batch_dir(self.accepted_dir, batch_id)
+            )
+        if not grams_done:
+            build_ngram_index(keep, self.text_col, self.id_col, self.n).write.mode(
+                "overwrite"
+            ).parquet(self._batch_dir(self.grams_dir, batch_id))
         keep.unpersist()
         docs.unpersist()
+        release_intermediates(pairs)  # the screen's cached intermediates
 
     def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger):
         """Wire the curator into a streaming DataFrame; the returned

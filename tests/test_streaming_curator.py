@@ -73,3 +73,32 @@ def test_curator_batch_internal_chain_rule(spark, tmp_path):
     cur.process_batch(_docs(spark, [(21, _w(21)), (22, _w(21)), (23, _w(21))]), 0)
     kept = {r["doc_id"] for r in cur.accepted().collect()}
     assert kept == {21}
+
+
+def test_curator_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a committed batch_id
+    must not duplicate accepted rows or index grams (duplicated grams
+    would skew every later batch's Jaccard)."""
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"))
+    batch = _docs(spark, [(1, _w(1)), (2, _w(2))])
+    cur.process_batch(batch, 0)
+    first_accepted = sorted(r["doc_id"] for r in cur.accepted().collect())
+    first_grams = cur._index().count()
+
+    cur.process_batch(batch, 0)  # replay, same batch_id
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == first_accepted
+    assert cur._index().count() == first_grams
+
+    # a NEW batch id still appends
+    cur.process_batch(_docs(spark, [(3, _w(3))]), 1)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == [1, 2, 3]
+
+
+def test_curator_storage_released_per_batch(spark, tmp_path):
+    """The per-batch screen must leave no persisted RDDs behind — the
+    long-lived-session hygiene contract."""
+    spark.catalog.clearCache()
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"))
+    for i in range(3):
+        cur.process_batch(_docs(spark, [(10 + i, _w(10 + i))]), i)
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
