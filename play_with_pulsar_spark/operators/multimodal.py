@@ -127,6 +127,82 @@ def decode_wav(payload: bytes) -> np.ndarray:
     return np.frombuffer(raw, dtype="<i2").reshape(-1, ch)[:, 0].copy()
 
 
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 RGB → YCbCr (uint8, same shape)."""
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.stack([y, cb, cr], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 YCbCr → RGB (uint8, same shape)."""
+    y, cb, cr = (ycc[..., i].astype(np.float64) for i in range(3))
+    cb, cr = cb - 128.0, cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(T, H, W, 3) uint8 RGB → YUV4MPEG2 (y4m) bytes, C444 planar.
+
+    y4m is the uncompressed interchange format of the mjpegtools
+    lineage (public spec; what ffmpeg's ``-f yuv4mpeg`` emits): a
+    plain-text stream header, then per frame a ``FRAME\\n`` marker and
+    raw planar YCbCr. C444 keeps one chroma sample per pixel — no
+    subsampling, so the codec stays a pure reshape + colorspace
+    matrix and the round-trip error is the ±1 matrix rounding only."""
+    t, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()]
+    for i in range(t):
+        ycc = _rgb_to_ycbcr(frames[i])
+        out.append(b"FRAME\n")
+        out.append(ycc[..., 0].tobytes())
+        out.append(ycc[..., 1].tobytes())
+        out.append(ycc[..., 2].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 (C444 planar) → (T, H, W, 3) uint8 RGB."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace").split()
+    if not header or header[0] != "YUV4MPEG2":
+        raise ValueError("not a y4m payload")
+    w = h = None
+    colorspace = "C420jpeg"  # spec default when the C tag is absent
+    for tag in header[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("C"):
+            colorspace = tag
+    if colorspace != "C444":
+        raise NotImplementedError("only C444 (no chroma subsampling) supported")
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    plane = w * h
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)  # FRAME line (may carry params)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed y4m frame marker")
+        pos = fnl + 1
+        ycc = (
+            np.frombuffer(payload, np.uint8, count=3 * plane, offset=pos)
+            .reshape(3, h, w)
+            .transpose(1, 2, 0)
+        )
+        frames.append(_ycbcr_to_rgb(ycc))
+        pos += 3 * plane
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)
+
+
 def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table with REAL encoded blobs: BMP images
     (seeded pixel noise), WAV audio (sine + noise), and fake mp4 bytes
@@ -137,10 +213,12 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
         rng = np.random.RandomState(seed * 1009 + i)
         modality = ["image", "audio", "video"][i % 3]
         if modality == "image":
+            fmt = "bmp"
             w, h = 16 + i % 17, 12 + i % 13
             payload = encode_bmp(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
             width, height, dur = w, h, None
         elif modality == "audio":
+            fmt = "wav"
             rate = 8000
             n_samp = 400 + (i * 37) % 1200
             t = np.arange(n_samp)
@@ -151,12 +229,20 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
             ).astype(np.int16)
             payload = encode_wav(samples, rate)
             width, height, dur = None, None, int(n_samp * 1000 / rate)
-        else:
+        elif i % 6 == 2:  # video, REAL y4m (frames from seeded noise)
+            fmt = "y4m"
+            w, h = 8 + i % 9, 6 + i % 7
+            fps = 10
+            n_frames = 3 + i % 5
+            frames = rng.randint(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+            payload = encode_y4m(frames, fps=fps)
+            width, height, dur = w, h, int(n_frames * 1000 / fps)
+        else:  # video, mp4 — honest stub (no compressed codec here)
+            fmt = "mp4"
             hsh = hashlib.sha256(f"{seed}:{i}".encode()).digest()
             size = 1000 + (i * 37) % 3000
             payload = (hsh * (size // len(hsh) + 1))[:size]
             width, height, dur = 64 + i % 128, 48 + i % 96, 1000 + i * 250
-        fmt = {"image": "bmp", "audio": "wav", "video": "mp4"}[modality]
         rows.append(
             (i, modality, fmt, width, height, dur, len(payload), bytearray(payload))
         )
@@ -176,10 +262,12 @@ def decode_media(payload: bytes, fmt: str, strict: bool = True) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "wav":
         return decode_wav(payload)
+    if fmt == "y4m":
+        return decode_y4m(payload)
     if strict:
         raise NotImplementedError(
             f"no codec for {fmt!r} in this environment — install PIL/av for "
-            "compressed formats; bmp/wav decode natively"
+            "compressed formats; bmp/wav/y4m decode natively"
         )
     arr = np.frombuffer(payload[:4096], dtype=np.uint8).astype(np.float64)
     return arr
@@ -263,7 +351,12 @@ def resize_images(media: DataFrame, width: int, height: int, strict_decode: bool
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000, strict_decode: bool = False) -> DataFrame:
     """Frame sampling: one output row per sampled frame timestamp —
-    a flatMap shape (mapInPandas yielding more rows than input)."""
+    a flatMap shape (mapInPandas yielding more rows than input).
+
+    y4m inputs emit REAL frames: the sampled timestamp maps to a frame
+    index and the row carries that frame's raw RGB bytes. Codec-less
+    formats (mp4) keep the deterministic byte-slice fallback under
+    ``strict_decode=False`` so the plumbing stays exercised."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -274,11 +367,21 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000, strict_decode: b
                 pdf["media_id"], pdf["payload"], pdf["fmt"], pdf["duration_ms"]
             ):
                 arr = decode_media(bytes(payload), fmt, strict=strict_decode)
-                for t in range(0, int(dur or 0), every_ms):
+                dur = int(dur or 0)
+                if fmt == "y4m" and arr.ndim == 4 and len(arr):
+                    n_frames = len(arr)
+                    for t in range(0, dur, every_ms):
+                        idx = min(t * n_frames // max(dur, 1), n_frames - 1)
+                        ids.append(mid)
+                        ts.append(t)
+                        frames.append(bytearray(arr[idx].tobytes()))
+                    continue
+                flat = np.asarray(arr).ravel()
+                for t in range(0, dur, every_ms):
                     ids.append(mid)
                     ts.append(t)
-                    lo = (t * 7) % max(len(arr) - 16, 1)
-                    frames.append(bytearray(arr[lo : lo + 16].astype(np.uint8).tobytes()))
+                    lo = (t * 7) % max(len(flat) - 16, 1)
+                    frames.append(bytearray(flat[lo : lo + 16].astype(np.uint8).tobytes()))
             yield pd.DataFrame({"media_id": ids, "frame_ms": ts, "frame": frames})
 
     vids = media.filter(F.col("modality") == "video")
