@@ -308,8 +308,14 @@ def pack_sequences(
         seq = []
         sid = 0
         acc = 0
-        for t in toks:
-            if acc and acc + t > capacity:
+        # Bump on overflow for every row but the first — EXACTLY the
+        # recursive-CTE statement of the fold (anchor row always opens
+        # sequence 0; each later row bumps iff acc + t > capacity).
+        # An `if acc and ...` truthiness guard would diverge when the
+        # running total is 0: a zero-token document followed by an
+        # oversized one must still open a new sequence.
+        for i, t in enumerate(toks):
+            if i > 0 and acc + t > capacity:
                 sid += 1
                 acc = 0
             acc += t

@@ -26,7 +26,15 @@ comes from fencing, not from the lock:
    (``time.time``: comparable across processes and reboots —
    ``time.monotonic`` is neither); a lease silent for ``ttl_s`` is
    STALE and may be taken over. Takeovers serialize on ``os.rename``
-   (exactly one renamer of an inode succeeds).
+   (exactly one renamer of an inode succeeds). Because the rename is
+   path-based, a rival takeover can install a FRESH lock between a
+   contender's staleness check and its rename — the contender would
+   then depose a live, heartbeating leader. ``try_acquire`` re-reads
+   the lock immediately before renaming AND verifies the renamed
+   file's epoch afterwards, restoring a swept-up fresh lock via
+   ``os.link`` (which never overwrites). The microsecond residue of
+   the race costs at most one spurious re-election; state safety is
+   (1)'s job either way.
 
 The lock file is IMMUTABLE for its generation — heartbeats go to an
 epoch-suffixed sidecar, so a zombie's late heartbeat can never
@@ -160,11 +168,45 @@ class LeaderLease:
         if held is not None:
             if time.time() - self._last_beat(held) <= self.ttl_s:
                 return None
-            # stale: serialize the takeover — one renamer wins
+            # Stale: serialize the takeover — one renamer wins. The
+            # rename is PATH-based, so between observing staleness and
+            # renaming, a rival takeover can install a FRESH lock at
+            # the same path; blindly renaming would depose a live,
+            # heartbeating leader (state safety would still hold via
+            # fence_check failing closed, but liveness wouldn't).
+            # Shrink the window: re-read immediately before the
+            # rename, and VERIFY afterwards that the file we renamed
+            # away is the stale lock we measured — if a fresh lock got
+            # swept up, restore it (os.link refuses to overwrite, so a
+            # restore never clobbers an even-newer winner).
+            recheck = self._read_lock()
+            if recheck is None or recheck.get("epoch") != held.get("epoch"):
+                return None  # lock changed hands in the window
+            dead = self._lock + f".dead.{uuid.uuid4().hex[:8]}"
             try:
-                os.rename(self._lock, self._lock + f".dead.{uuid.uuid4().hex[:8]}")
+                os.rename(self._lock, dead)
             except FileNotFoundError:
                 pass  # another contender already renamed (or released)
+            else:
+                victim = None
+                try:
+                    with open(dead) as f:
+                        victim = json.loads(f.read())
+                except (OSError, ValueError):
+                    pass
+                if victim is not None and victim.get("epoch") != held.get("epoch"):
+                    # renamed a FRESH rival lock — put it back and yield
+                    try:
+                        os.link(dead, self._lock)
+                    except FileExistsError:
+                        pass  # an even newer lock exists; rival refetches
+                    except OSError:
+                        pass
+                    try:
+                        os.unlink(dead)
+                    except FileNotFoundError:
+                        pass
+                    return None
         epoch = self._mint_epoch()  # durable + unique BEFORE publication
         try:
             fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -444,3 +444,17 @@ def test_repetition_signals_golden(spark):
     assert got[1] == (5, pytest.approx(round(1 - 2 / 5, 6)), pytest.approx(0.5))
     assert got[2] == (1, 0.0, 0.0)
     assert got[3] == (3, 0.0, pytest.approx(round(1 / 2, 6)))
+
+
+def test_pack_sequences_zero_token_then_oversized(spark):
+    """A zero-token doc followed by an oversized doc: the oversized
+    doc opens a NEW sequence (recursive-CTE semantics; the old
+    truthiness guard kept it in the zero-token doc's sequence)."""
+    from play_with_pulsar_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("g", 1, 0), ("g", 2, 5000), ("g", 3, 100)],
+        "source string, doc_id long, n_tokens long",
+    )
+    rows = {r.doc_id: r.seq_id for r in pack_sequences(docs, capacity=2048).collect()}
+    assert rows == {1: 0, 2: 1, 3: 2}  # oversized doc isolated

@@ -77,3 +77,39 @@ def test_run_if_leader_single_executor(tmp_path):
     # at least one tick ran, and never two concurrently under one
     # epoch (epochs strictly increase because each winner releases)
     assert ran and sorted(set(ran)) == sorted(ran)
+
+
+def test_takeover_rename_does_not_depose_fresh_rival(tmp_path, monkeypatch):
+    """If a rival installs a FRESH lock between a contender's
+    staleness check and its rename, the contender must detect the
+    fresh epoch on the renamed file, restore it, and yield — a live
+    leader is never deposed by a stale-takeover race."""
+    import os as _os
+
+    lease = LeaderLease(str(tmp_path / "lease"), ttl_s=0.05)
+    stale_epoch = lease.try_acquire("old")
+    assert stale_epoch is not None
+    time.sleep(0.1)  # lease goes stale
+
+    rival = LeaderLease(str(tmp_path / "lease"), ttl_s=0.05)
+    real_rename = _os.rename
+    raced = {"done": False}
+
+    def racing_rename(src, dst):
+        # simulate the rival completing a takeover + fresh acquire in
+        # the window between the contender's recheck and its rename
+        if src == lease._lock and not raced["done"]:
+            raced["done"] = True
+            fresh = rival.try_acquire("rival")
+            assert fresh is not None
+            rival.heartbeat(fresh)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("play_with_pulsar_spark.operators.leader.os.rename", racing_rename)
+    got = lease.try_acquire("contender")
+    monkeypatch.undo()
+
+    assert got is None  # contender yields
+    live = lease.current()
+    assert live is not None and live["owner"] == "rival"  # rival survives
+    rival.fence_check(live["epoch"])  # and is NOT fenced
