@@ -910,15 +910,14 @@ def embedding_cosine_pairs_lsh(
     the defaults give ~93% recall at s=0.9 — the near-dup regime this
     targets (recall collapses at low thresholds by design; use the
     exact form as ground truth there)."""
-    from .similarity import hyperplane_signatures
+    from .similarity import hyperplane_signatures_multi
 
-    sigs = []
-    for t in range(num_tables):
-        s = hyperplane_signatures(emb, dim, num_planes, seed + t, id_col, vec_col)
-        sigs.append(s.withColumn("tbl", F.lit(t)))
-    allsig = sigs[0]
-    for s in sigs[1:]:
-        allsig = allsig.unionByName(s)
+    # all tables in ONE scan + ONE Python stage (was num_tables
+    # separate mapInPandas stages unioned — 8× the per-stage overhead
+    # for identical buckets)
+    allsig = hyperplane_signatures_multi(
+        emb, dim, num_planes, num_tables, seed, id_col, vec_col
+    )
     a = allsig.alias("a")
     b = allsig.alias("b")
     cand = (

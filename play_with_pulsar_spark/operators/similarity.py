@@ -363,6 +363,48 @@ def hyperplane_signatures(
     return v.mapInPandas(sign_partition, schema="vec_id long, bucket long")
 
 
+def hyperplane_signatures_multi(
+    df: DataFrame,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, tbl, bucket) for ALL tables in ONE pass.
+
+    Bit-identical to ``num_tables`` separate ``hyperplane_signatures``
+    calls with seeds ``seed+t`` (the per-table plane matrices are
+    constructed identically), but as a single scan + single Python
+    stage: one (N, tables·planes) matmul per Arrow batch instead of
+    ``num_tables`` full mapInPandas stages — per-stage worker overhead
+    and the source scan are paid once, which is the dominant cost when
+    tables ≫ 1."""
+    planes = np.concatenate(
+        [np.random.RandomState(seed + t).randn(num_planes, dim) for t in range(num_tables)]
+    )  # (T·P, dim)
+
+    def sign_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (m @ planes.T) > 0  # (N, T·P)
+            buckets = bits.reshape(len(pdf), num_tables, num_planes).astype(np.int64) @ weights  # (N, T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["nid"].to_numpy(), num_tables),
+                    "tbl": np.tile(np.arange(num_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    v = df.select(F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v"))
+    return v.mapInPandas(sign_partition, schema="vec_id long, tbl int, bucket long")
+
+
 def lsh_topk(
     spark: SparkSession,
     corpus: DataFrame,
@@ -379,19 +421,12 @@ def lsh_topk(
     hyperplane tables; candidates = bucket collisions in any table;
     exact cosine re-scoring of candidates only (numpy, Arrow-batched).
     Recall grows with tables; cost stays ~|collisions|, not |Q|·|C|."""
-    sig_c = []
-    sig_q = []
-    for t in range(num_tables):
-        sc = hyperplane_signatures(corpus, dim, num_planes, seed + t, id_col, vec_col)
-        sq = hyperplane_signatures(queries, dim, num_planes, seed + t, id_col, vec_col)
-        sig_c.append(sc.withColumn("tbl", F.lit(t)))
-        sig_q.append(sq.withColumn("tbl", F.lit(t)))
-    all_c = sig_c[0]
-    for s in sig_c[1:]:
-        all_c = all_c.unionByName(s)
-    all_q = sig_q[0]
-    for s in sig_q[1:]:
-        all_q = all_q.unionByName(s)
+    all_c = hyperplane_signatures_multi(
+        corpus, dim, num_planes, num_tables, seed, id_col, vec_col
+    )
+    all_q = hyperplane_signatures_multi(
+        queries, dim, num_planes, num_tables, seed, id_col, vec_col
+    )
 
     cand = (
         all_q.select(F.col("vec_id").alias("query_id"), "bucket", "tbl")

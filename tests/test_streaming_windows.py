@@ -11,6 +11,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from play_with_pulsar_spark.operators.relational import sessionize
@@ -21,7 +22,10 @@ from play_with_pulsar_spark.streaming.pipeline import run_to_completion
 RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        # driver fixture carries timestamp[us] without timezone
+        # (TIMESTAMP_NTZ in Spark 4); cast to the session timestamp
+        # below, mirroring sources/tables.py::load_table
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -36,9 +40,8 @@ def events_stream(spark, sf_dir, tmp_path):
     import os
 
     os.symlink(f"{sf_dir}/events.parquet", tmp_path / "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(RAW_SCHEMA).parquet(str(tmp_path))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def test_streaming_tumbling_window_matches_batch(spark, sf_dir, events_stream):
