@@ -81,6 +81,39 @@ def train_val_test_split(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train: int = 80,
+    val: int = 10,
+) -> DataFrame:
+    """(doc_id, cluster, split): train/val/test assignment keyed by the
+    near-dup CLUSTER, not the document.
+
+    A per-document hash split leaks: two near-duplicate documents can
+    land on opposite sides of the train/test boundary, and the model
+    is then evaluated on (near-)training data. Splitting on the
+    connected-component representative puts every member of a near-dup
+    cluster on the SAME side — the split is leakage-free by
+    construction while remaining a pure function of content
+    (deterministic across runs and engines).
+
+    Plan: pairs → ``dedup_clusters`` (pointer-jumping label
+    propagation, O(log diameter) rounds) → scalar md5 projection on
+    the cluster id. Singleton docs are their own cluster, so coverage
+    is total.
+    """
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(docs, pairs, id_col=id_col)
+    return clusters.select(
+        F.col(id_col),
+        "cluster",
+        split_assignment("cluster", train, val).alias("split"),
+    )
+
+
 def domain_topk(
     docs: DataFrame,
     group_col: str = "source",

@@ -82,6 +82,49 @@ def exploded_ngrams(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """(doc_id, start_tok, end_tok, df): token spans whose n-gram
+    occurs in ≥ ``min_df`` DISTINCT documents — boilerplate/memorized-
+    span mining, the span-level sibling of document near-dup. Typical
+    uses downstream: mask repeated spans before training, or feed the
+    per-doc duplicate-span density into a quality score.
+
+    Plan: positional gram explode (no array_distinct — positions are
+    the payload), map-side-combinable distinct-doc count per gram, one
+    equi-join back on the hashed gram. Cost is O(corpus tokens) rows
+    through one aggregation and one join, never pairwise; the gram df
+    table is the same maintainable aggregate the incremental dedup
+    index notes describe, so at 100 TB the screen can run against a
+    stored df table instead of recounting."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(n)]
+        ),
+    )
+    spans = toks.filter(F.size("_t") >= n).select(
+        "doc_id", F.posexplode(grams).alias("start_tok", "g")
+    ).withColumn("g", F.xxhash64("g"))
+    dfreq = (
+        spans.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    return spans.join(dfreq, "g").select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        (F.col("start_tok") + n - 1).cast("long").alias("end_tok"),
+        "df",
+    )
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Column-expression form (tokenizes inline). Prefer
     ``exploded_ngrams`` in operators — see ``ngrams_from_tokens``."""

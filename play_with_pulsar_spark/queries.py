@@ -3138,6 +3138,104 @@ def split_train_val_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks WHERE len(t) >= 3
+    ), capped AS (
+      SELECT doc_id, g FROM grams
+      QUALIFY count(*) OVER (PARTITION BY g) <= {_NGRAM_MAX_DF}
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS n, doc_id AS m FROM documents
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    ), clusters AS (
+      SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster,
+             CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 AS b
+      FROM clusters
+    )
+    """,
+)
+def split_leakage_safe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash split is keyed by
+    the near-dup CLUSTER representative, so near-duplicate documents
+    can never straddle the train/test boundary (the classic eval-
+    contamination failure of per-document splits). Engine: exact
+    capped-Jaccard pairs → pointer-jumping connected components →
+    scalar md5 projection on the cluster id; the oracle restates the
+    clustering as a recursive transitive closure."""
+    from .operators import curation, dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8, max_shingle_freq=_NGRAM_MAX_DF
+    )
+    return curation.leakage_safe_split(docs, pairs)
+
+
+@register(
+    "text_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), flat AS (
+      SELECT doc_id, u['s'] AS start_tok, u['s'] + 2 AS end_tok, u['g'] AS g
+      FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                 i -> {{'s': i - 1, 'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}})) AS u
+        FROM toks WHERE len(t) >= 3
+      )
+    ), dfreq AS (
+      SELECT g, count(DISTINCT doc_id) AS df FROM flat GROUP BY g
+    )
+    SELECT f.doc_id, CAST(f.start_tok AS BIGINT) AS start_tok,
+           CAST(f.end_tok AS BIGINT) AS end_tok, d.df
+    FROM flat f JOIN dfreq d USING (g)
+    WHERE d.df >= 4
+    """,
+)
+def text_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span mining: token spans whose trigram occurs in ≥4
+    distinct documents — boilerplate detection at span granularity
+    (mask-before-training / quality-signal input). One positional
+    explode, one distinct-doc count (map-side combinable), one
+    equi-join on the hashed gram."""
+    from .operators import textops
+
+    return textops.duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=3, min_df=4
+    )
+
+
+@register(
     "domain_topk_docs",
     oracle="""
     SELECT doc_id, source, n_chars, rank_in_domain FROM (
@@ -3534,7 +3632,8 @@ BENCH_QUERIES = [
 # (tests/test_oracle_parity.py) regardless of rotation position.
 _DRIVER_PRIORITY = [
     # --- new in round 4 (never driver-verified) ---
-    # (round-4 additions are registered at the front as they land)
+    "split_leakage_safe",
+    "text_duplicate_spans",
     # --- last driver row is round 1 (rolled past r3's 50-cap) ---
     "sim_ivf_topk",
     "q4_order_priority",

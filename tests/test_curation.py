@@ -458,3 +458,26 @@ def test_pack_sequences_zero_token_then_oversized(spark):
     )
     rows = {r.doc_id: r.seq_id for r in pack_sequences(docs, capacity=2048).collect()}
     assert rows == {1: 0, 2: 1, 3: 2}  # oversized doc isolated
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    """THE property: no near-dup pair may straddle the train/test
+    boundary — both members of every pair share a cluster, hence a
+    split."""
+    from play_with_pulsar_spark.operators import curation, dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_freq=50)
+    split = curation.leakage_safe_split(docs, pairs)
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    straddlers = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddlers == 0
+    assert pairs.count() > 0  # property non-vacuous
+    # total coverage: every doc gets exactly one assignment
+    assert split.count() == docs.count()
