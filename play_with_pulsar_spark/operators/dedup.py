@@ -118,12 +118,16 @@ def ngram_jaccard_pairs(
         "doc_id", F.xxhash64("g").alias("g")
     )
     if max_shingle_freq is not None:
-        rare = (
+        # drop stop-shingles via broadcast ANTI-join against the
+        # df > cap set: stop-shingles are FEW by construction, so the
+        # filter costs one broadcast instead of shuffling the full
+        # gram table against an almost-as-large "rare" set
+        common = (
             grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_freq)
+            .filter(F.col("df") > max_shingle_freq)
             .select("g")
         )
-        grams = grams.join(rare, "g")
+        grams = grams.join(F.broadcast(common), "g", "anti")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")

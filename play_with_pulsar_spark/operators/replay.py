@@ -461,11 +461,16 @@ def snapshot_states(events: DataFrame, every_k: int = 1000) -> DataFrame:
         room = pdf["room"].iloc[0]
         state = GameState()
         out = []
-        for ev in pdf.to_dict("records"):
-            state.apply(ev)
-            if (ev["offset"] + 1) % every_k == 0:
+        offsets = pdf["offset"].tolist()
+        # columnar segment fold between snapshot points (same kernel
+        # as the batch fold; avoids per-row dict materialization)
+        seg_start = 0
+        for i, off in enumerate(offsets):
+            if (off + 1) % every_k == 0:
+                fold_pdf(pdf.iloc[seg_start : i + 1], state)
+                seg_start = i + 1
                 out.append(
-                    {"room": room, "snap_offset": ev["offset"], "blob": pickle.dumps(state)}
+                    {"room": room, "snap_offset": off, "blob": pickle.dumps(state)}
                 )
         if not out:
             out.append({"room": room, "snap_offset": -1, "blob": pickle.dumps(GameState())})
@@ -499,7 +504,7 @@ def state_at(events: DataFrame, snapshots: DataFrame, upto_offset: int) -> DataF
         else:
             state, start = GameState(), -1
         evs = evs[evs["offset"] > start].sort_values("offset", kind="mergesort")
-        fold_events(evs.to_dict("records"), state)
+        fold_pdf(evs, state)
         rows = state.to_rows(room)
         return pd.DataFrame(rows if rows else [], columns=[f.name for f in STATE_SCHEMA.fields])
 
