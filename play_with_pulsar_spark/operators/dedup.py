@@ -665,6 +665,19 @@ def incremental_minhash_pairs(
     return _register_cached(_verify_jaccard(cands, grams, threshold), *cached)
 
 
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus AFTER near-dup dedup: one representative (min id)
+    per connected component — the terminal step that turns the pair
+    set into an actual deduplicated dataset. Docs in no pair are their
+    own singleton cluster and always survive. Semi-join keeps the
+    original row payload without duplicating columns."""
+    clusters = dedup_clusters(docs, pairs, id_col=id_col)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    return docs.join(keep, id_col, "semi")
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release a localCheckpoint's storage blocks NOW.
 

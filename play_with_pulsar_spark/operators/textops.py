@@ -82,6 +82,69 @@ def exploded_ngrams(
     )
 
 
+def gopher_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    — public heuristics; thresholds parameterized because the
+    defaults there assume web-scale documents): word-count bounds,
+    mean word length window, symbol-to-word ratio, alphabetic-word
+    ratio, minimum stopword evidence. Output carries every measured
+    signal, the keep verdict, and a deterministic comma-joined list
+    of failed rule names (``concat_ws`` skips the NULL non-failures
+    identically in Spark and DuckDB — the oracle mirrors the exact
+    expression tree).
+
+    All JVM column expressions over one tokenization — whole-stage
+    codegen, scan-bounded; at 100 TB this is a projection, not a job.
+    """
+    t = tokens(text_col)
+    docs = docs.select(
+        F.col(id_col), F.col(text_col), t.alias("_t")
+    )
+    n = F.size("_t").cast("bigint")
+    mean_len = (
+        F.aggregate(F.transform(F.col("_t"), F.length), F.lit(0), lambda a, x: a + x)
+        .cast("double") / n
+    )
+    symbol_ratio = (
+        F.size(F.filter(F.col("_t"), lambda x: x.contains("#") | x.contains("...")))
+        .cast("double") / n
+    )
+    alpha_ratio = (
+        F.size(F.filter(F.col("_t"), lambda x: x.rlike("[a-z]"))).cast("double") / n
+    )
+    n_stop = F.size(F.filter(F.col("_t"), lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    rules = [
+        (n < min_words, "too_few_words"),
+        (n > max_words, "too_many_words"),
+        (~((F.lit(min_mean_len) <= mean_len) & (mean_len <= max_mean_len)), "mean_word_len"),
+        (symbol_ratio > max_symbol_ratio, "symbol_ratio"),
+        (alpha_ratio < min_alpha_ratio, "alpha_ratio"),
+        (n_stop < min_stopwords, "stopwords"),
+    ]
+    failed = F.concat_ws(",", *[F.when(cond, F.lit(name)) for cond, name in rules])
+    return docs.select(
+        id_col,
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        (failed == "").alias("keep"),
+        failed.alias("failed_rules"),
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     text_col: str = "text",

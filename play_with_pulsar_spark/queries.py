@@ -3236,6 +3236,105 @@ def text_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mean_word_len,
+             CAST(len(list_filter(toks, x -> contains(x, '#')
+                                            OR contains(x, '...'))) AS DOUBLE)
+               / len(toks) AS symbol_ratio,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / len(toks) AS alpha_ratio,
+             CAST(len(list_filter(toks, x -> x IN {_STOPS})) AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_stopwords,
+           failed_rules = '' AS keep, failed_rules
+    FROM (
+      SELECT *,
+             concat_ws(',',
+               CASE WHEN n_words < 20 THEN 'too_few_words' END,
+               CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+               CASE WHEN NOT (2.0 <= mean_word_len AND mean_word_len <= 10.0)
+                    THEN 'mean_word_len' END,
+               CASE WHEN symbol_ratio > 0.1 THEN 'symbol_ratio' END,
+               CASE WHEN alpha_ratio < 0.8 THEN 'alpha_ratio' END,
+               CASE WHEN n_stopwords < 2 THEN 'stopwords' END) AS failed_rules
+      FROM sig
+    )
+    """,
+)
+def text_gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 heuristics): all
+    measured signals + keep verdict + failed-rule list, as pure JVM
+    column expressions over one tokenization — a projection on the
+    scan, no shuffle at any scale."""
+    from .operators import textops
+
+    return textops.gopher_quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks WHERE len(t) >= 3
+    ), capped AS (
+      SELECT doc_id, g FROM grams
+      QUALIFY count(*) OVER (PARTITION BY g) <= {_NGRAM_MAX_DF}
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS n, doc_id AS m FROM documents
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+    ), clusters AS (
+      SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster
+    """,
+)
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: near-dup pairs → connected
+    components → keep the min-id representative per cluster
+    (singletons survive untouched). The terminal dataset-producing
+    step of the dedup family."""
+    from .operators import dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8,
+        max_shingle_freq=_NGRAM_MAX_DF,
+    )
+    return dedup.dedup_survivors(docs, pairs)
+
+
+@register(
     "domain_topk_docs",
     oracle="""
     SELECT doc_id, source, n_chars, rank_in_domain FROM (
@@ -3634,6 +3733,8 @@ _DRIVER_PRIORITY = [
     # --- new in round 4 (never driver-verified) ---
     "split_leakage_safe",
     "text_duplicate_spans",
+    "text_gopher_quality",
+    "dedup_survivors",
     # --- last driver row is round 1 (rolled past r3's 50-cap) ---
     "sim_ivf_topk",
     "q4_order_priority",

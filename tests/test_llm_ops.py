@@ -292,3 +292,40 @@ def test_rolling_fingerprints_detect_near_dups(spark, docs):
     clean = [d for d in sorted(by_doc) if d not in dup_ids][:2]
     a, b = by_doc[clean[0]], by_doc[clean[1]]
     assert len(a & b) / min(len(a), len(b)) <= 0.2
+
+
+def test_gopher_filter_rules_and_reasons(spark):
+    """Each rule fires on a crafted violator; clean text keeps."""
+    from play_with_pulsar_spark.operators.textops import gopher_quality_filter
+
+    rows = [
+        (1, "the cat sat on the mat and the dog ran to the house "
+            "in the yard of the old man and a bird is on a tree"),   # clean
+        (2, "short text"),                                            # too few words
+        (3, " ".join(["#tag"] * 30)),                                 # symbols + no stopwords + no... alpha? '#tag' contains alpha
+        (4, " ".join(["12345"] * 25) + " the a of"),                  # alpha ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_filter(df).collect()}
+    assert got[1].keep and got[1].failed_rules == ""
+    assert not got[2].keep and "too_few_words" in got[2].failed_rules
+    assert not got[3].keep and "symbol_ratio" in got[3].failed_rules
+    assert not got[4].keep and "alpha_ratio" in got[4].failed_rules
+
+
+def test_dedup_survivors_keeps_representatives(spark, sf_dir):
+    """Survivors = exactly one doc (the min id) per near-dup cluster;
+    singletons all survive."""
+    from play_with_pulsar_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_freq=50)
+    surv = dedup.dedup_survivors(docs, pairs)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    n_clusters = clusters.select("cluster").distinct().count()
+    assert surv.count() == n_clusters
+    # every surviving id is its own cluster representative
+    ids = {r.doc_id for r in surv.select("doc_id").collect()}
+    reps = {r.cluster for r in clusters.select("cluster").distinct().collect()}
+    assert ids == reps
