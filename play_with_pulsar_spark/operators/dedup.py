@@ -333,7 +333,9 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
         .unionByName(cands.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    grams = grams.join(ids, "doc_id", "semi").persist()
+    # ids ≤ 2·|candidates| — tiny by the LSH premise; broadcasting it
+    # keeps the corpus-scale gram table un-shuffled in the semi-join
+    grams = grams.join(F.broadcast(ids), "doc_id", "semi").persist()
     restricted = grams  # registered on the result below
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
