@@ -47,12 +47,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    _banded,
     build_ngram_index,
     incremental_jaccard_pairs,
+    incremental_minhash_pairs,
+    minhash_signatures,
     release_intermediates,
 )
 
 _GRAMS_SCHEMA = "doc_id long, g long"
+_BANDED_SCHEMA = "doc_id long, band int, bucket long"
 
 
 class StreamingCorpusCurator:
@@ -65,20 +69,42 @@ class StreamingCorpusCurator:
         n: int = 3,
         threshold: float = 0.8,
         max_shingle_freq: int | None = 50,
+        screen: str = "jaccard",
+        num_hashes: int = 64,
+        num_bands: int = 16,
+        seed: int = 42,
     ) -> None:
+        """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
+        screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
+        screen: candidates only from band-bucket collisions against a
+        third state table ``banded/``, exact Jaccard verify of
+        candidates only — the cheaper screen when the accepted corpus
+        is large; recall follows the banding curve)."""
+        if screen not in ("jaccard", "minhash"):
+            raise ValueError(f"unknown screen {screen!r}")
         self.spark = spark
         self.accepted_dir = os.path.join(base_dir, "accepted")
         self.grams_dir = os.path.join(base_dir, "grams")
+        self.banded_dir = os.path.join(base_dir, "banded")
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
+        self.screen = screen
+        self.num_hashes, self.num_bands, self.seed = num_hashes, num_bands, seed
 
-    def _index(self) -> DataFrame:
+    def _read_state(self, path: str, schema: str) -> DataFrame:
         from pyspark.errors import AnalysisException
 
         try:
-            return self.spark.read.parquet(self.grams_dir).select("doc_id", "g")
-        except AnalysisException:  # PATH_NOT_FOUND: first batch, no index yet
-            return self.spark.createDataFrame([], _GRAMS_SCHEMA)
+            cols = [c.split()[0] for c in schema.split(",")]
+            return self.spark.read.parquet(path).select(*cols)
+        except AnalysisException:  # PATH_NOT_FOUND: first batch yet
+            return self.spark.createDataFrame([], schema)
+
+    def _index(self) -> DataFrame:
+        return self._read_state(self.grams_dir, _GRAMS_SCHEMA)
+
+    def _index_banded(self) -> DataFrame:
+        return self._read_state(self.banded_dir, _BANDED_SCHEMA)
 
     def accepted(self) -> DataFrame:
         """Accepted corpus (the ``ingest_batch`` layout column is an
@@ -123,20 +149,37 @@ class StreamingCorpusCurator:
         """foreachBatch hook: screen, reject, write survivors into this
         batch's partition (idempotent on ``batch_id`` — see module
         docstring)."""
+        minhash = self.screen == "minhash"
         acc_done = self._committed(self.accepted_dir, batch_id)
         grams_done = self._committed(self.grams_dir, batch_id)
-        if acc_done and grams_done:  # full replay of a committed batch
+        banded_done = not minhash or self._committed(self.banded_dir, batch_id)
+        if acc_done and grams_done and banded_done:  # committed replay
             return
         docs = batch.persist()  # screened once, written once
-        pairs = incremental_jaccard_pairs(
-            self._index(),
-            docs,
-            text_col=self.text_col,
-            id_col=self.id_col,
-            n=self.n,
-            threshold=self.threshold,
-            max_shingle_freq=self.max_shingle_freq,
-        )
+        if minhash:
+            pairs = incremental_minhash_pairs(
+                self._index(),
+                None,
+                docs,
+                text_col=self.text_col,
+                id_col=self.id_col,
+                n=self.n,
+                num_hashes=self.num_hashes,
+                num_bands=self.num_bands,
+                threshold=self.threshold,
+                seed=self.seed,
+                index_banded=self._index_banded(),
+            )
+        else:
+            pairs = incremental_jaccard_pairs(
+                self._index(),
+                docs,
+                text_col=self.text_col,
+                id_col=self.id_col,
+                n=self.n,
+                threshold=self.threshold,
+                max_shingle_freq=self.max_shingle_freq,
+            )
         new_ids = docs.select(F.col(self.id_col).alias("nid"))
         rejected = self._rejected_ids(pairs, new_ids)
         keep = docs.join(
@@ -152,6 +195,14 @@ class StreamingCorpusCurator:
             build_ngram_index(keep, self.text_col, self.id_col, self.n).write.mode(
                 "overwrite"
             ).parquet(self._batch_dir(self.grams_dir, batch_id))
+        if minhash and not banded_done:
+            keep_grams = build_ngram_index(keep, self.text_col, self.id_col, self.n)
+            keep_sigs = minhash_signatures(
+                None, num_hashes=self.num_hashes, seed=self.seed, grams=keep_grams
+            )
+            _banded(
+                keep_sigs, self.num_bands, self.num_hashes // self.num_bands
+            ).write.mode("overwrite").parquet(self._batch_dir(self.banded_dir, batch_id))
         keep.unpersist()
         docs.unpersist()
         release_intermediates(pairs)  # the screen's cached intermediates

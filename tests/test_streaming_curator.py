@@ -102,3 +102,26 @@ def test_curator_storage_released_per_batch(spark, tmp_path):
     for i in range(3):
         cur.process_batch(_docs(spark, [(10 + i, _w(10 + i))]), i)
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_curator_minhash_screen_matches_jaccard(spark, tmp_path):
+    """The LSH-blocked screen accepts/rejects identically to the exact
+    screen on this corpus (banding recall is 1.0 at these sizes) —
+    cross-batch rejection included."""
+    jac = StreamingCorpusCurator(spark, str(tmp_path / "jac"))
+    mh = StreamingCorpusCurator(spark, str(tmp_path / "mh"), screen="minhash")
+    batches = [
+        [(1, _w(1)), (2, _w(1)), (3, _w(3))],       # 2 dups 1 in-batch
+        [(4, _w(1)), (5, _w(5))],                   # 4 dups accepted 1
+        [(6, _w(3)), (7, _w(7))],                   # 6 dups accepted 3
+    ]
+    for i, rows in enumerate(batches):
+        jac.process_batch(_docs(spark, rows), i)
+        mh.process_batch(_docs(spark, rows), i)
+    kept_j = sorted(r["doc_id"] for r in jac.accepted().collect())
+    kept_m = sorted(r["doc_id"] for r in mh.accepted().collect())
+    assert kept_m == kept_j
+    assert kept_j == [1, 3, 5, 7]
+    # minhash replay is idempotent across all three state tables
+    mh.process_batch(_docs(spark, batches[2]), 2)
+    assert sorted(r["doc_id"] for r in mh.accepted().collect()) == kept_m
