@@ -1,0 +1,71 @@
+"""Regenerate PLANS.md: operator trees of the headline queries.
+
+Tree-only (the formatted node-detail section is dropped): the tree is
+what a plan audit reads — scan/exchange/join/codegen structure. Run
+after plan-affecting changes: ``python scripts/gen_plans.py``.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from play_with_pulsar_spark.queries import REGISTRY  # noqa: E402
+from play_with_pulsar_spark.session import get_spark  # noqa: E402
+
+TARGETS = [
+    ("dedup_minhash_lsh", "MinHash-LSH near-dup: JVM-hashed grams -> vectorized signature kernel -> banded bucket join (never all-pairs) -> candidate-only exact verify. Watch: the only corpus-scale exchanges are the gram/sig aggregations; the verify side is candidate-restricted."),
+    ("dedup_ngram_jaccard", "Exact capped-Jaccard: inverted-index self-join on xxhash64(shingle); stop-shingle cap = broadcast anti-join against the small df>cap set. Watch: no corpus shuffle for the cap."),
+    ("dedup_incremental_minhash", "Incremental LSH screen (inline-built index per the declared contract). Watch: candidates = (batch x index) U (batch x batch); the index side is never unioned under the join."),
+    ("dedup_embedding_lsh", "Hyperplane-LSH embedding near-dup: ONE multi-table signature stage, bucket-collision candidates, exact cosine on candidates only."),
+    ("fold_scale_replay", "Topic-per-room fold: generation, fold, and partial agg fuse into one stage (zero exchanges before the tiny final agg)."),
+    ("q3_shipping_priority", "TPC-H q3 shape. Watch: BroadcastHashJoin on the dim sides, partial aggregation before the exchange, PushedFilters/ReadSchema on the scans."),
+    ("asof_latest_order", "As-of join as union + ONE keyed exchange + window carry. Watch: no Join operator anywhere."),
+    ("sim_bruteforce_topk", "Brute-force cosine top-k: broadcast query side, per-partition numpy matmul, TakeOrdered — only k*partitions rows move."),
+]
+
+HEADER = """# PLANS — physical operator trees of the headline queries
+
+Generated at sf0.1 under the engine session (AQE on) by
+`scripts/gen_plans.py`; regenerate after plan-affecting changes.
+The note above each tree says what the audit should find there; the
+plan-shape tests (`tests/test_plan_shape.py`, `test_bucketing.py`,
+`test_incremental_dedup.py`) pin the load-bearing properties in CI.
+"""
+
+
+MAX_TREE_LINES = 120
+
+
+def tree_only(formatted: str) -> str:
+    # formatted = tree, blank line, then "(1) Node" detail section
+    cut = formatted.find("\n\n(1)")
+    tree = (formatted[:cut] if cut != -1 else formatted).strip()
+    lines = tree.splitlines()
+    if len(lines) > MAX_TREE_LINES:
+        dropped = len(lines) - MAX_TREE_LINES
+        lines = lines[:MAX_TREE_LINES] + [
+            f"... ({dropped} more lines — deep reuse of the same scan/"
+            "signature subtrees; run scripts/gen_plans.py and remove "
+            "MAX_TREE_LINES for the full tree)"
+        ]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen-plans")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = [HEADER]
+    for name, note in TARGETS:
+        df = REGISTRY[name].fn(spark, sf)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.append(f"## {name}\n\n{note}\n\n```\n{tree_only(plan)}\n```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
