@@ -274,12 +274,16 @@ def lsh_candidate_pairs(
     the all-pairs comparison never happens. ``max_bucket_size``
     additionally bounds the per-bucket join fan-out (see
     ``_cap_buckets``); default None preserves exact recall."""
-    banded = _banded(signatures, num_bands, rows_per_band)
+    # persist: the self-join consumes the banded table on BOTH sides —
+    # without it the signature kernel (mapInPandas + its exchange)
+    # executes twice (visible as two MapInPandas subtrees in PLANS.md)
+    cached = _banded(signatures, num_bands, rows_per_band).persist()
+    banded = cached
     if max_bucket_size is not None:
         banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    return _register_cached(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -287,7 +291,8 @@ def lsh_candidate_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+        .distinct(),
+        cached,
     )
 
 
@@ -360,7 +365,11 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _register_cached(result, restricted)
+    # propagate whatever the candidate generator persisted (banded
+    # tables etc.) — double release is harmless, a dropped handle leaks
+    return _register_cached(
+        result, restricted, *getattr(cands, "_pwp_cached", ())
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -933,10 +942,11 @@ def embedding_cosine_pairs_lsh(
 
     # all tables in ONE scan + ONE Python stage (was num_tables
     # separate mapInPandas stages unioned — 8× the per-stage overhead
-    # for identical buckets)
+    # for identical buckets); persisted because the self-join consumes
+    # it on both sides
     allsig = hyperplane_signatures_multi(
         emb, dim, num_planes, num_tables, seed, id_col, vec_col
-    )
+    ).persist()
     a = allsig.alias("a")
     b = allsig.alias("b")
     cand = (
@@ -953,12 +963,13 @@ def embedding_cosine_pairs_lsh(
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("eb"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
-    return (
+    return _register_cached(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", F.round(dot / (nrm(F.col("ea")) * nrm(F.col("eb"))), round_to))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b", "cosine"),
+        allsig,
     )
 
 
