@@ -473,6 +473,7 @@ def incremental_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between a new batch and an indexed corpus
     (plus new×new pairs), WITHOUT re-shingling the corpus.
@@ -515,14 +516,25 @@ def incremental_jaccard_pairs(
         new_grams_f = new_grams
 
     # Probe = (batch × index) ∪ (batch × batch): the index is NEVER
-    # unioned under the join, so its side keeps the storage layout —
-    # the batch side broadcasts (a crawl batch ≪ the corpus by the
-    # operator's premise; Catalyst falls back to shuffling ONLY the
-    # batch side into the index bucketing if it ever exceeds the
-    # broadcast threshold).
+    # unioned under the join, so its side keeps the storage layout.
+    # ``broadcast_batch=True`` (default) HINTS the batch side — a hint
+    # is binding, not advisory: it bypasses autoBroadcastJoinThreshold
+    # entirely, so a batch whose gram table exceeds executor memory /
+    # the 8 GB broadcast cap must pass ``broadcast_batch=False`` to
+    # get the sort-merge plan that shuffles only the batch side into
+    # the index bucketing. The ``!=`` guard keeps an (erroneous)
+    # batch/index id overlap from surfacing as a self-pair with
+    # jaccard 1.0 — the disjoint-id precondition still holds for
+    # CORRECT results, but a violation now degrades like the old
+    # union formulation did instead of self-rejecting documents.
+    probe = F.broadcast(new_grams_f) if broadcast_batch else new_grams_f
     xi = (
         index_side.alias("b")
-        .join(F.broadcast(new_grams_f).alias("a"), F.col("a.g") == F.col("b.g"))
+        .join(
+            probe.alias("a"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
         .select(
             F.least("a.doc_id", "b.doc_id").alias("id_a"),
             F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
@@ -606,6 +618,7 @@ def incremental_minhash_pairs(
     seed: int = 42,
     max_bucket_size: int | None = None,
     index_banded: DataFrame | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup screen of a new batch against an indexed
     corpus — the scale path. Only the BATCH is shingled and signed;
@@ -647,14 +660,19 @@ def incremental_minhash_pairs(
             all_banded.filter(F.col("is_new")), all_banded, ["band", "bucket"]
         ).distinct()
     else:
-        # batch × index (batch broadcast; index side keeps its stored
-        # bucketing, no Exchange) ∪ batch × batch
+        # batch × index ∪ batch × batch. The broadcast hint is BINDING
+        # (bypasses the threshold — see incremental_jaccard_pairs);
+        # pass broadcast_batch=False for giant batches to shuffle only
+        # the batch side into the index bucketing. != guard: an id
+        # overlap degrades instead of emitting jaccard-1.0 self-pairs.
+        probe = F.broadcast(new_banded) if broadcast_batch else new_banded
         xi = (
             index_banded.alias("b")
             .join(
-                F.broadcast(new_banded).alias("a"),
+                probe.alias("a"),
                 (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket")),
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
             )
             .select(
                 F.least("a.doc_id", "b.doc_id").alias("id_a"),

@@ -45,9 +45,13 @@ def _install_cache_invalidation_guard() -> None:
     try:
         import pyspark.worker as _w
         import pyspark.worker_util as _wu
-    except ImportError:
+
+        orig_setup = _wu.setup_spark_files
+    except Exception:
+        # monkeypatching a pyspark internal: ANY shape change in a
+        # future pyspark (module gone, function renamed) must degrade
+        # to stock behavior, never break worker startup
         return
-    orig_setup = _wu.setup_spark_files
     state = {"paths": None}
 
     def guarded_setup(infile):

@@ -91,20 +91,34 @@ class StreamingCorpusCurator:
         self.screen = screen
         self.num_hashes, self.num_bands, self.seed = num_hashes, num_bands, seed
 
-    def _read_state(self, path: str, schema: str) -> DataFrame:
+    def _read_state(
+        self, path: str, schema: str, exclude_batch: int | None = None
+    ) -> DataFrame:
+        """State read with the schema ENFORCED (a stray/corrupt file
+        fails at the read boundary, not as a mid-join cast error) and,
+        inside ``process_batch``, this batch's own partition EXCLUDED:
+        a replay after a partial commit must screen against exactly
+        the pre-batch state — rows this same batch already wrote would
+        violate the incremental screen's disjoint-id precondition and
+        skew every Jaccard (doubled gram rows score a true-0.5 pair
+        as 1.0+)."""
         from pyspark.errors import AnalysisException
 
+        full_schema = schema + ", ingest_batch int"
+        cols = [c.split()[0] for c in schema.split(",")]
         try:
-            cols = [c.split()[0] for c in schema.split(",")]
-            return self.spark.read.parquet(path).select(*cols)
+            df = self.spark.read.schema(full_schema).parquet(path)
         except AnalysisException:  # PATH_NOT_FOUND: first batch yet
             return self.spark.createDataFrame([], schema)
+        if exclude_batch is not None:
+            df = df.filter(F.col("ingest_batch") != exclude_batch)
+        return df.select(*cols)
 
-    def _index(self) -> DataFrame:
-        return self._read_state(self.grams_dir, _GRAMS_SCHEMA)
+    def _index(self, exclude_batch: int | None = None) -> DataFrame:
+        return self._read_state(self.grams_dir, _GRAMS_SCHEMA, exclude_batch)
 
-    def _index_banded(self) -> DataFrame:
-        return self._read_state(self.banded_dir, _BANDED_SCHEMA)
+    def _index_banded(self, exclude_batch: int | None = None) -> DataFrame:
+        return self._read_state(self.banded_dir, _BANDED_SCHEMA, exclude_batch)
 
     def accepted(self) -> DataFrame:
         """Accepted corpus (the ``ingest_batch`` layout column is an
@@ -158,7 +172,7 @@ class StreamingCorpusCurator:
         docs = batch.persist()  # screened once, written once
         if minhash:
             pairs = incremental_minhash_pairs(
-                self._index(),
+                self._index(exclude_batch=batch_id),
                 None,
                 docs,
                 text_col=self.text_col,
@@ -168,11 +182,11 @@ class StreamingCorpusCurator:
                 num_bands=self.num_bands,
                 threshold=self.threshold,
                 seed=self.seed,
-                index_banded=self._index_banded(),
+                index_banded=self._index_banded(exclude_batch=batch_id),
             )
         else:
             pairs = incremental_jaccard_pairs(
-                self._index(),
+                self._index(exclude_batch=batch_id),
                 docs,
                 text_col=self.text_col,
                 id_col=self.id_col,
@@ -191,18 +205,23 @@ class StreamingCorpusCurator:
             keep.write.mode("overwrite").parquet(
                 self._batch_dir(self.accepted_dir, batch_id)
             )
+        # one shingling of the kept docs feeds BOTH index writes
+        keep_grams = build_ngram_index(keep, self.text_col, self.id_col, self.n)
+        if minhash:
+            keep_grams = keep_grams.persist()
         if not grams_done:
-            build_ngram_index(keep, self.text_col, self.id_col, self.n).write.mode(
-                "overwrite"
-            ).parquet(self._batch_dir(self.grams_dir, batch_id))
+            keep_grams.write.mode("overwrite").parquet(
+                self._batch_dir(self.grams_dir, batch_id)
+            )
         if minhash and not banded_done:
-            keep_grams = build_ngram_index(keep, self.text_col, self.id_col, self.n)
             keep_sigs = minhash_signatures(
                 None, num_hashes=self.num_hashes, seed=self.seed, grams=keep_grams
             )
             _banded(
                 keep_sigs, self.num_bands, self.num_hashes // self.num_bands
             ).write.mode("overwrite").parquet(self._batch_dir(self.banded_dir, batch_id))
+        if minhash:
+            keep_grams.unpersist()
         keep.unpersist()
         docs.unpersist()
         release_intermediates(pairs)  # the screen's cached intermediates

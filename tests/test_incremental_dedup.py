@@ -142,10 +142,15 @@ def test_stored_ngram_index_smj_shuffles_batch_side_only(spark, sf_dir):
     the batch side is re-partitioned."""
     docs, corpus, new = _docs(spark, sf_dir)
     dedup.write_ngram_index(dedup.build_ngram_index(corpus), "pwp_test_ngidx")
+    # broadcast_batch=False is what actually forces the SMJ path — the
+    # F.broadcast hint is binding and would override a disabled
+    # threshold, so the conf alone would silently test nothing
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         stored = spark.table("pwp_test_ngidx")
-        probe = dedup.incremental_jaccard_pairs(stored, new, threshold=0.8)
+        probe = dedup.incremental_jaccard_pairs(
+            stored, new, threshold=0.8, broadcast_batch=False
+        )
         # isolate the candidate xi join: corpus-side scan of the
         # bucketed table must not sit under an Exchange. Textual check:
         # the executed plan's subtree between the bucketed scan and its
@@ -154,6 +159,7 @@ def test_stored_ngram_index_smj_shuffles_batch_side_only(spark, sf_dir):
         lines = plan_str.splitlines()
         scan_idx = [i for i, ln in enumerate(lines) if "pwp_test_ngidx" in ln and "Scan" in ln]
         assert scan_idx, plan_str
+        assert "SortMergeJoin" in plan_str, plan_str  # SMJ actually planned
         for i in scan_idx:
             # walk UP from the scan to the nearest join; no Exchange may
             # appear on that path (the scan's own operator chain)
@@ -161,7 +167,11 @@ def test_stored_ngram_index_smj_shuffles_batch_side_only(spark, sf_dir):
             while j > 0 and "Join" not in lines[j]:
                 assert "Exchange" not in lines[j], "\n".join(lines[max(0, j-4):i+1])
                 j -= 1
+        # and the SMJ result matches the broadcast-mode result
+        bc = dedup.incremental_jaccard_pairs(stored, new, threshold=0.8)
+        assert _pairs(probe) == _pairs(bc)
         dedup.release_intermediates(probe)
+        dedup.release_intermediates(bc)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS pwp_test_ngidx")

@@ -125,3 +125,39 @@ def test_curator_minhash_screen_matches_jaccard(spark, tmp_path):
     # minhash replay is idempotent across all three state tables
     mh.process_batch(_docs(spark, batches[2]), 2)
     assert sorted(r["doc_id"] for r in mh.accepted().collect()) == kept_m
+
+
+def test_curator_partial_commit_replay_consistent(spark, tmp_path):
+    """Crash between the grams write and the banded write: the replay
+    must screen against the PRE-batch state (its own committed
+    partitions excluded), reach the same keep decision, and complete
+    the missing banded partition for exactly the kept docs."""
+    import shutil
+
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"), screen="minhash")
+    cur.process_batch(_docs(spark, [(1, _w(1)), (2, _w(2))]), 0)
+    batch1 = _docs(spark, [(3, _w(1)), (4, _w(4))])  # 3 dups accepted 1
+    cur.process_batch(batch1, 1)
+    kept_before = sorted(r["doc_id"] for r in cur.accepted().collect())
+    assert kept_before == [1, 2, 4]
+
+    # simulate the partial commit: banded partition of batch 1 lost
+    shutil.rmtree(cur._batch_dir(cur.banded_dir, 1))
+    cur.process_batch(batch1, 1)  # redelivery
+
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == kept_before
+    banded_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(cur._batch_dir(cur.banded_dir, 1))
+        .select("doc_id").distinct().collect()
+    }
+    assert banded_docs == {4}  # exactly batch 1's kept docs
+    # grams state has ONE copy of each kept doc's shingles (no dup skew)
+    grams = cur._index()
+    per_doc = {r["doc_id"]: r["cnt"] for r in
+               grams.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
+    ref = {r["doc_id"]: r["cnt"] for r in
+           __import__("play_with_pulsar_spark.operators.dedup", fromlist=["build_ngram_index"])
+           .build_ngram_index(_docs(spark, [(1, _w(1)), (2, _w(2)), (4, _w(4))]))
+           .groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
+    assert per_doc == ref
