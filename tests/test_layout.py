@@ -64,12 +64,15 @@ def test_zorder_prunes_both_columns(spark, li, tmp_path):
     p = str(tmp_path / "by_z")
     layout.cluster_by_range(scaled, ["z"], N_FILES).write.parquet(p)
     stats = layout.file_minmax_stats(spark, p, ["l_orderkey", "l_partkey"])
-    # a ~6% range on EITHER dimension now skips at least half the
-    # files (single-column sort gives 8/8 on the second dimension)
+    # a ~6% range on EITHER dimension now skips roughly half the files
+    # (single-column sort gives 8/8 on the second dimension). +1 slack:
+    # repartitionByRange SAMPLES its boundaries with an RDD-id-seeded
+    # sampler, so slice edges jitter by one file between sessions.
     w_ok = (ok_hi - ok_lo) // 16 or 1
     w_pk = (pk_hi - pk_lo) // 16 or 1
-    assert layout.files_matching_range(stats, "l_orderkey", ok_lo, ok_lo + w_ok) <= N_FILES // 2
-    assert layout.files_matching_range(stats, "l_partkey", pk_lo, pk_lo + w_pk) <= N_FILES // 2
+    bound = N_FILES // 2 + 1
+    assert layout.files_matching_range(stats, "l_orderkey", ok_lo, ok_lo + w_ok) <= bound
+    assert layout.files_matching_range(stats, "l_partkey", pk_lo, pk_lo + w_pk) <= bound
 
 
 def test_z_value_locality_golden(spark):
