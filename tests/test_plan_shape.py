@@ -182,3 +182,18 @@ def test_jvm_cosine_topk_no_python_broadcast_join(q):
     p = plans.formatted_plan(q("sim_jvm_cosine_topk"))
     assert "EvalPython" not in p and "InPandas" not in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_fold_scale_replay_single_exchange(q):
+    # the round-4 plan contract: generation + fold + partial agg fuse
+    # into ONE stage over the topic-per-room layout; the only exchange
+    # left is the tiny final aggregation
+    df = q("fold_scale_replay")
+    assert plans.count_shuffles(df) <= 1, plans.formatted_plan(df)
+
+
+def test_gopher_quality_is_projection_only(q):
+    # quality rules are a scalar projection on the scan — zero
+    # exchanges at any corpus size
+    df = q("text_gopher_quality")
+    assert plans.count_shuffles(df) == 0, plans.formatted_plan(df)
