@@ -488,6 +488,9 @@ def incremental_jaccard_pairs(
     Precondition (both incremental forms): batch doc_ids are disjoint
     from the indexed corpus — re-screening an already-indexed id would
     double that doc's shingle rows and skew its sizes.
+
+    ``broadcast_batch``: see ``incremental_minhash_pairs`` — the hint
+    is BINDING; pass False for batches too large to broadcast.
     """
     new_grams = build_ngram_index(new_docs, text_col, id_col, n).persist()
     index_side = index_grams.select("doc_id", "g")
@@ -522,11 +525,13 @@ def incremental_jaccard_pairs(
     # entirely, so a batch whose gram table exceeds executor memory /
     # the 8 GB broadcast cap must pass ``broadcast_batch=False`` to
     # get the sort-merge plan that shuffles only the batch side into
-    # the index bucketing. The ``!=`` guard keeps an (erroneous)
-    # batch/index id overlap from surfacing as a self-pair with
-    # jaccard 1.0 — the disjoint-id precondition still holds for
-    # CORRECT results, but a violation now degrades like the old
-    # union formulation did instead of self-rejecting documents.
+    # the index bucketing. The ``!=`` guard drops the nonsense
+    # self-rows an (erroneous) batch/index id overlap would emit —
+    # note it does NOT repair an overlap: duplicated gram rows still
+    # double-count intersections for the doc's CROSS pairs (a
+    # true-1.0 pair scores ~2.0 → over-rejection of neighbors), which
+    # is exactly why the disjoint-id precondition exists and why the
+    # curator excludes its own batch partition on replay.
     probe = F.broadcast(new_grams_f) if broadcast_batch else new_grams_f
     xi = (
         index_side.alias("b")
@@ -639,6 +644,15 @@ def incremental_minhash_pairs(
     bucket, so capping routes through the unioned table — an
     O(index-banded-rows) scan; leave it None on the stored-index path
     unless viral buckets are actually observed.
+
+    ``broadcast_batch`` (both incremental functions): True HINTS the
+    batch side into the candidate join. The hint is BINDING — it
+    bypasses ``autoBroadcastJoinThreshold``, so a batch too large to
+    broadcast must pass False to get the sort-merge plan (only the
+    batch side shuffles into the index layout). On the capped path
+    the hint attaches to the new side of the union self-join; the
+    union itself still re-partitions the index side (the cost of
+    exact per-bucket counting).
     """
     rows_per_band = num_hashes // num_bands
     new_grams = build_ngram_index(new_docs, text_col, id_col, n).persist()
@@ -656,15 +670,20 @@ def incremental_minhash_pairs(
         )
         cached.append(all_banded)
         all_banded = _cap_buckets(all_banded, max_bucket_size)
+        new_side = all_banded.filter(F.col("is_new"))
+        if broadcast_batch:
+            new_side = F.broadcast(new_side)
         cands = _touching_new_pairs(
-            all_banded.filter(F.col("is_new")), all_banded, ["band", "bucket"]
+            new_side, all_banded, ["band", "bucket"]
         ).distinct()
     else:
         # batch × index ∪ batch × batch. The broadcast hint is BINDING
         # (bypasses the threshold — see incremental_jaccard_pairs);
         # pass broadcast_batch=False for giant batches to shuffle only
-        # the batch side into the index bucketing. != guard: an id
-        # overlap degrades instead of emitting jaccard-1.0 self-pairs.
+        # the batch side into the index bucketing. != guard: drops
+        # nonsense self-rows under an id overlap (the overlap's real
+        # damage — double-counted cross-pair intersections — is the
+        # disjoint-id precondition's to prevent, see above).
         probe = F.broadcast(new_banded) if broadcast_batch else new_banded
         xi = (
             index_banded.alias("b")

@@ -55,8 +55,8 @@ from ..operators.dedup import (
     release_intermediates,
 )
 
-_GRAMS_SCHEMA = "doc_id long, g long"
-_BANDED_SCHEMA = "doc_id long, band int, bucket long"
+# default (id_type="long") state schemas; instances derive their own
+# from the declared id type (self.grams_schema / self.banded_schema)
 
 
 class StreamingCorpusCurator:
@@ -73,13 +73,20 @@ class StreamingCorpusCurator:
         num_hashes: int = 64,
         num_bands: int = 16,
         seed: int = 42,
+        id_type: str = "long",
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
         screen: candidates only from band-bucket collisions against a
         third state table ``banded/``, exact Jaccard verify of
         candidates only — the cheaper screen when the accepted corpus
-        is large; recall follows the banding curve)."""
+        is large; recall follows the banding curve).
+
+        ``id_type``: Spark type name of the document id column — the
+        state tables are read back with an ENFORCED schema (see
+        ``_read_state``), so a non-long id (string crawl ids, …) must
+        be declared here or every post-first-batch read fails with a
+        parquet conversion error."""
         if screen not in ("jaccard", "minhash"):
             raise ValueError(f"unknown screen {screen!r}")
         self.spark = spark
@@ -90,6 +97,8 @@ class StreamingCorpusCurator:
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
         self.screen = screen
         self.num_hashes, self.num_bands, self.seed = num_hashes, num_bands, seed
+        self.grams_schema = f"doc_id {id_type}, g long"
+        self.banded_schema = f"doc_id {id_type}, band int, bucket long"
 
     def _read_state(
         self, path: str, schema: str, exclude_batch: int | None = None
@@ -115,10 +124,10 @@ class StreamingCorpusCurator:
         return df.select(*cols)
 
     def _index(self, exclude_batch: int | None = None) -> DataFrame:
-        return self._read_state(self.grams_dir, _GRAMS_SCHEMA, exclude_batch)
+        return self._read_state(self.grams_dir, self.grams_schema, exclude_batch)
 
     def _index_banded(self, exclude_batch: int | None = None) -> DataFrame:
-        return self._read_state(self.banded_dir, _BANDED_SCHEMA, exclude_batch)
+        return self._read_state(self.banded_dir, self.banded_schema, exclude_batch)
 
     def accepted(self) -> DataFrame:
         """Accepted corpus (the ``ingest_batch`` layout column is an
@@ -205,9 +214,12 @@ class StreamingCorpusCurator:
             keep.write.mode("overwrite").parquet(
                 self._batch_dir(self.accepted_dir, batch_id)
             )
-        # one shingling of the kept docs feeds BOTH index writes
+        # one shingling of the kept docs feeds BOTH index writes;
+        # persist only when both consumers will actually run (a
+        # partial-commit replay may have one write left)
         keep_grams = build_ngram_index(keep, self.text_col, self.id_col, self.n)
-        if minhash:
+        two_consumers = minhash and not grams_done and not banded_done
+        if two_consumers:
             keep_grams = keep_grams.persist()
         if not grams_done:
             keep_grams.write.mode("overwrite").parquet(
@@ -220,7 +232,7 @@ class StreamingCorpusCurator:
             _banded(
                 keep_sigs, self.num_bands, self.num_hashes // self.num_bands
             ).write.mode("overwrite").parquet(self._batch_dir(self.banded_dir, batch_id))
-        if minhash:
+        if two_consumers:
             keep_grams.unpersist()
         keep.unpersist()
         docs.unpersist()

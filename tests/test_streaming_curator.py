@@ -156,8 +156,9 @@ def test_curator_partial_commit_replay_consistent(spark, tmp_path):
     grams = cur._index()
     per_doc = {r["doc_id"]: r["cnt"] for r in
                grams.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
+    from play_with_pulsar_spark.operators.dedup import build_ngram_index
+
     ref = {r["doc_id"]: r["cnt"] for r in
-           __import__("play_with_pulsar_spark.operators.dedup", fromlist=["build_ngram_index"])
-           .build_ngram_index(_docs(spark, [(1, _w(1)), (2, _w(2)), (4, _w(4))]))
+           build_ngram_index(_docs(spark, [(1, _w(1)), (2, _w(2)), (4, _w(4))]))
            .groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
     assert per_doc == ref
