@@ -238,6 +238,32 @@ class StreamingCorpusCurator:
         docs.unpersist()
         release_intermediates(pairs)  # the screen's cached intermediates
 
+    def export_bucketed_index(self, prefix: str, n_buckets: int = 32) -> None:
+        """One-way export of the accumulated dedup state into the
+        bucketed catalog layout batch probes consume
+        (``dedup.write_ngram_index`` / the ``write_minhash_index``
+        naming): grams bucketed by ``g`` as ``{prefix}_grams_by_g``,
+        and — for the minhash screen — the banded table bucketed by
+        ``(band, bucket)`` as ``{prefix}_banded``.
+
+        This is the compaction story without mutating streaming state:
+        the per-batch ``ingest_batch=*`` partitions stay the curator's
+        source of truth (small, append-only, idempotent), while
+        downstream batch screens read the bucketed export whose probe
+        joins need no Exchange on the corpus side. Re-run periodically
+        (or from a scheduled job) to refresh; ``saveAsTable`` with
+        overwrite makes each export atomic at the catalog level."""
+        from ..operators.bucketing import write_bucketed
+
+        write_bucketed(self._index(), f"{prefix}_grams_by_g", ["g"], n_buckets=n_buckets)
+        if self.screen == "minhash":
+            write_bucketed(
+                self._index_banded(),
+                f"{prefix}_banded",
+                ["band", "bucket"],
+                n_buckets=n_buckets,
+            )
+
     def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger):
         """Wire the curator into a streaming DataFrame; the returned
         query appends exactly-once per micro-batch. ``trigger`` kwargs

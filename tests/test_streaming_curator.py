@@ -162,3 +162,37 @@ def test_curator_partial_commit_replay_consistent(spark, tmp_path):
            build_ngram_index(_docs(spark, [(1, _w(1)), (2, _w(2)), (4, _w(4))]))
            .groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
     assert per_doc == ref
+
+
+def test_curator_export_bucketed_index_probe(spark, tmp_path):
+    """The exported bucketed tables drive the SAME screening decision
+    as the curator's live state — the streaming->batch index bridge."""
+    from play_with_pulsar_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        release_intermediates,
+    )
+
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"), screen="minhash")
+    cur.process_batch(_docs(spark, [(1, _w(1)), (2, _w(2))]), 0)
+    cur.export_bucketed_index("pwp_cur_export")
+    try:
+        grams = spark.table("pwp_cur_export_grams_by_g")
+        banded = spark.table("pwp_cur_export_banded")
+        batch = _docs(spark, [(3, _w(1)), (4, _w(4))])
+        stored = incremental_minhash_pairs(
+            grams, None, batch, index_banded=banded,
+            num_hashes=cur.num_hashes, num_bands=cur.num_bands,
+            threshold=cur.threshold, seed=cur.seed,
+        )
+        live = incremental_minhash_pairs(
+            cur._index(), None, batch, index_banded=cur._index_banded(),
+            num_hashes=cur.num_hashes, num_bands=cur.num_bands,
+            threshold=cur.threshold, seed=cur.seed,
+        )
+        key = lambda df: sorted((r.id_a, r.id_b) for r in df.collect())  # noqa: E731
+        assert key(stored) == key(live) and len(key(live)) > 0
+        release_intermediates(stored)
+        release_intermediates(live)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pwp_cur_export_grams_by_g")
+        spark.sql("DROP TABLE IF EXISTS pwp_cur_export_banded")
