@@ -78,3 +78,23 @@ def test_fold_prefix_composition(events, cut):
 @given(st.lists(event_strategy, max_size=80))
 def test_fold_is_deterministic(events):
     assert fold_events(events) == fold_events(list(events))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(event_strategy, max_size=120))
+def test_fold_pdf_equals_fold_events_on_adversarial_sequences(events):
+    """The columnar kernel (fold_pdf) is the SAME fold as the
+    dict-based reference on arbitrary event sequences — including
+    hostile dead/revive interleavings, out-of-grid moves, duplicate
+    bombs, and empty/None obstacle lists the generator never emits."""
+    import pandas as pd
+
+    from play_with_pulsar_spark.operators.replay import fold_pdf
+
+    expected = fold_events(events)
+    if events:
+        got = fold_pdf(pd.DataFrame(events))
+    else:
+        got = fold_pdf(pd.DataFrame(columns=["type", "name", "avatar",
+                                             "x", "y", "alive", "list"]))
+    assert got == expected
