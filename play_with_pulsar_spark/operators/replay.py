@@ -376,7 +376,28 @@ def replay_state(events: DataFrame, upto_offset: int | None = None) -> DataFrame
     return events.groupBy("room").applyInPandas(_fold_group, schema=STATE_SCHEMA)
 
 
-def replay_state_grouped(events: DataFrame) -> DataFrame:
+def assert_rooms_not_split(events: DataFrame) -> None:
+    """Validate the ``replay_state_grouped`` precondition: every room's
+    events live in exactly ONE partition. One narrow pass (room +
+    partition id, partial-aggregated); raises with the offending rooms
+    if the layout is wrong. Run it when adopting a NEW source layout —
+    a split room would otherwise fold partial logs silently."""
+    split = (
+        events.select("room", F.spark_partition_id().alias("pid"))
+        .groupBy("room")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+        .filter(F.col("n_parts") > 1)
+    )
+    bad = [r.room for r in split.limit(5).collect()]
+    if bad:
+        raise ValueError(
+            "rooms split across partitions (topic-per-room precondition "
+            f"violated), e.g. {bad}: use replay_state (shuffled) or "
+            "repartition('room') first"
+        )
+
+
+def replay_state_grouped(events: DataFrame, verify_layout: bool = False) -> DataFrame:
     """Shuffle-free fold for sources PHYSICALLY partitioned by room.
 
     The reference's log is topic-per-room (docs/en/game2-use-mq.md:
@@ -394,7 +415,14 @@ def replay_state_grouped(events: DataFrame) -> DataFrame:
     partition's events are buffered (same bound as one applyInPandas
     group holding one room; here it is one task's share of the log,
     i.e. one topic partition — bounded by the source layout).
+
+    ``verify_layout=True`` runs :func:`assert_rooms_not_split` first
+    (one extra narrow pass) — use when adopting a new source layout;
+    leave False on layouts already proven (the generator's, a
+    topic-per-room scan) to keep the zero-extra-pass plan.
     """
+    if verify_layout:
+        assert_rooms_not_split(events)
 
     def fold_partition(batches):
         import collections

@@ -339,3 +339,23 @@ def test_fold_pdf_matches_fold_events():
     expected = fold_events(evs)
     got = fold_pdf(pd.DataFrame(evs))
     assert got == expected
+
+
+def test_grouped_fold_layout_verification(spark):
+    """verify_layout accepts the generator's topic-per-room layout and
+    rejects a layout where rooms straddle partitions."""
+    import pytest as _pytest
+
+    from play_with_pulsar_spark.operators.replay import (
+        assert_rooms_not_split,
+        replay_state_grouped,
+    )
+    from play_with_pulsar_spark.sources.fixtures import game_event_log
+
+    log = game_event_log(spark, n_rooms=4, events_per_room=100, seed=5)
+    assert_rooms_not_split(log)  # generator layout: one room per task
+    assert replay_state_grouped(log, verify_layout=True).count() > 0
+
+    shuffled = log.repartition(8)  # round-robin: rooms split
+    with _pytest.raises(ValueError, match="split across partitions"):
+        replay_state_grouped(shuffled, verify_layout=True)
