@@ -42,7 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.replay import STATE_SCHEMA, GameState, fold_events
+from ..operators.replay import STATE_SCHEMA, GameState, fold_pdf
 from ..schema import GAME_EVENT_SCHEMA
 
 
@@ -120,7 +120,7 @@ def _fold_with_state(key, pdf_iter, state: GroupState):
     batches = [pdf for pdf in pdf_iter if not pdf.empty]
     if batches:
         events = pd.concat(batches).sort_values("offset", kind="mergesort")
-        fold_events(events.to_dict("records"), gs)
+        fold_pdf(events, gs)  # columnar kernel — same fold as batch
     state.update((pickle.dumps(gs),))
     rows = gs.to_rows(room)
     if rows:
