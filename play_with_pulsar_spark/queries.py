@@ -3235,6 +3235,91 @@ def text_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _greedy_curation_oracle() -> str:
+    """Unrolled 3-stage SQL statement of the streaming curator's
+    greedy first-writer-wins fold (streaming/curator.py): per batch k,
+    capped-Jaccard pairs over accepted ∪ batch, edge-wise rejection
+    (both-new → larger id loses; vs-accepted → the new doc loses),
+    survivors join the accepted set the NEXT stage screens against.
+    Membership tests reduce to ``doc_id % 3`` because stage k's gram
+    union contains only accepted docs and batch k."""
+    stage = """u{k} AS (
+      SELECT doc_id, g FROM grams_all
+      WHERE doc_id IN (SELECT doc_id FROM a{prev}) OR doc_id % 3 = {k}
+    ), c{k} AS (
+      SELECT doc_id, g FROM u{k}
+      QUALIFY count(*) OVER (PARTITION BY g) <= {cap}
+    ), s{k} AS (
+      SELECT doc_id, count(*) AS n FROM c{k} GROUP BY doc_id
+    ), i{k} AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM c{k} a JOIN c{k} b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), p{k} AS (
+      SELECT id_a, id_b FROM i{k}
+      JOIN s{k} sa ON id_a = sa.doc_id
+      JOIN s{k} sb ON id_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    ), rej{k} AS (
+      SELECT DISTINCT d AS doc_id FROM (
+        SELECT CASE
+          WHEN id_a % 3 = {k} AND id_b % 3 = {k} THEN id_b
+          WHEN id_a % 3 = {k} THEN id_a
+          WHEN id_b % 3 = {k} THEN id_b
+        END AS d FROM p{k}
+      ) WHERE d IS NOT NULL
+    ), a{k} AS (
+      SELECT doc_id FROM a{prev}
+      UNION ALL
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = {k}
+        AND doc_id NOT IN (SELECT doc_id FROM rej{k})
+    )"""
+    stages = ",\n    ".join(
+        stage.format(k=k, prev="_empty" if k == 0 else k - 1, cap=_NGRAM_MAX_DF)
+        for k in (0, 1, 2)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams_all AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks WHERE len(t) >= 3
+    ), a_empty AS (
+      SELECT doc_id FROM documents WHERE 1 = 0
+    ), {stages}
+    SELECT doc_id FROM a2
+    """
+
+
+@register("pipeline_streaming_curation", oracle=_greedy_curation_oracle())
+def pipeline_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming curation, hash-checked: the documents
+    table arrives as three micro-batches (doc_id % 3, in order)
+    through the REAL StreamingCorpusCurator — incremental capped-
+    Jaccard screen against the materialized index, greedy
+    first-writer-wins rejection, idempotent per-batch state commits —
+    and the accepted corpus must equal the oracle's unrolled
+    recursive statement of the same greedy fold. This puts the whole
+    operational loop (not just its operators) under the driver's
+    hash gate."""
+    import tempfile
+
+    from .streaming.curator import StreamingCorpusCurator
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="pwp_curation_q_")
+    cur = StreamingCorpusCurator(
+        spark, base, threshold=0.8, max_shingle_freq=_NGRAM_MAX_DF
+    )
+    for k in range(3):
+        cur.process_batch(docs.filter(F.col("doc_id") % 3 == k), k)
+    return cur.accepted().select("doc_id")
+
+
 @register(
     "text_gopher_quality",
     oracle=f"""
@@ -3735,6 +3820,7 @@ _DRIVER_PRIORITY = [
     "text_duplicate_spans",
     "text_gopher_quality",
     "dedup_survivors",
+    "pipeline_streaming_curation",
     # --- last driver row is round 1 (rolled past r3's 50-cap) ---
     "sim_ivf_topk",
     "q4_order_priority",
