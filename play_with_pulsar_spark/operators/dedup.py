@@ -415,11 +415,12 @@ def write_ngram_index(grams: DataFrame, table: str, n_buckets: int = 32) -> None
 
 def write_minhash_index(
     grams: DataFrame,
-    sigs: DataFrame,
+    sigs: DataFrame | None,
     prefix: str,
     num_bands: int = 16,
     rows_per_band: int = 4,
     n_buckets: int = 32,
+    banded: DataFrame | None = None,
 ) -> None:
     """Materialize the MinHash-LSH index as two bucketed tables:
 
@@ -431,12 +432,18 @@ def write_minhash_index(
 
     Appending an accepted batch = appending its grams and banded rows
     (both deterministic in (seed, text) — the property the
-    incremental == batch equality test pins)."""
+    incremental == batch equality test pins).
+
+    Pass ``banded`` to materialize an ALREADY-banded table (e.g. the
+    streaming curator's accumulated state) instead of banding
+    ``sigs`` here."""
     from .bucketing import write_bucketed
 
     write_bucketed(grams, f"{prefix}_grams", ["doc_id"], n_buckets=n_buckets)
+    if banded is None:
+        banded = _banded(sigs, num_bands, rows_per_band)
     write_bucketed(
-        _banded(sigs, num_bands, rows_per_band),
+        banded,
         f"{prefix}_banded",
         ["band", "bucket"],
         n_buckets=n_buckets,

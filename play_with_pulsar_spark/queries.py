@@ -3309,15 +3309,23 @@ def pipeline_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.curator import StreamingCorpusCurator
 
+    import shutil
+
     _prep(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="pwp_curation_q_")
-    cur = StreamingCorpusCurator(
-        spark, base, threshold=0.8, max_shingle_freq=_NGRAM_MAX_DF
-    )
-    for k in range(3):
-        cur.process_batch(docs.filter(F.col("doc_id") % 3 == k), k)
-    return cur.accepted().select("doc_id")
+    try:
+        cur = StreamingCorpusCurator(
+            spark, base, threshold=0.8, max_shingle_freq=_NGRAM_MAX_DF
+        )
+        for k in range(3):
+            cur.process_batch(docs.filter(F.col("doc_id") % 3 == k), k)
+        # materialize the (small) accepted id set so the state dir can
+        # be deleted — a lazy frame over it would dangle
+        ids = [(r.doc_id,) for r in cur.accepted().select("doc_id").collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(ids, "doc_id long")
 
 
 @register(

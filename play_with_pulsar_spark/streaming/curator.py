@@ -238,31 +238,82 @@ class StreamingCorpusCurator:
         docs.unpersist()
         release_intermediates(pairs)  # the screen's cached intermediates
 
+    def _committed_batch_dirs(self, base: str) -> list[str]:
+        """Partition directories of ``base`` whose ``_SUCCESS`` marker
+        exists — the committed subset a concurrent reader may trust
+        (a live micro-batch's partial partition is excluded)."""
+        dirs: list[str] = []
+        try:
+            jvm = self.spark._jvm
+            hbase = jvm.org.apache.hadoop.fs.Path(base)
+            fs = hbase.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if not fs.exists(hbase):
+                return []
+            for status in fs.listStatus(hbase):
+                p = status.getPath()
+                if status.isDirectory() and p.getName().startswith("ingest_batch="):
+                    if fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+                        dirs.append(p.toString())
+        except Exception:
+            if os.path.isdir(base):
+                for d in os.listdir(base):
+                    full = os.path.join(base, d)
+                    if d.startswith("ingest_batch=") and os.path.exists(
+                        os.path.join(full, "_SUCCESS")
+                    ):
+                        dirs.append(full)
+        return dirs
+
+    def _read_committed(self, base: str, schema: str) -> DataFrame:
+        dirs = self._committed_batch_dirs(base)
+        cols = [c.split()[0] for c in schema.split(",")]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema + ", ingest_batch int")
+            .option("basePath", base)
+            .parquet(*dirs)
+            .select(*cols)
+        )
+
     def export_bucketed_index(self, prefix: str, n_buckets: int = 32) -> None:
         """One-way export of the accumulated dedup state into the
-        bucketed catalog layout batch probes consume
-        (``dedup.write_ngram_index`` / the ``write_minhash_index``
-        naming): grams bucketed by ``g`` as ``{prefix}_grams_by_g``,
-        and — for the minhash screen — the banded table bucketed by
-        ``(band, bucket)`` as ``{prefix}_banded``.
+        bucketed catalog layout batch probes consume, matching the
+        canonical writers exactly: the jaccard screen exports
+        ``{prefix}_grams_by_g`` via ``dedup.write_ngram_index``
+        (bucketed by ``g`` — the jaccard probe's join key); the
+        minhash screen exports the ``dedup.write_minhash_index``
+        pair — ``{prefix}_grams`` bucketed by ``doc_id`` (the verify
+        side's join key) and ``{prefix}_banded`` bucketed by
+        ``(band, bucket)`` — readable with ``dedup.read_minhash_index``.
+
+        Only COMMITTED batch partitions are read (``_SUCCESS``
+        present), so a scheduled export racing a live micro-batch can
+        never ship a partial batch's rows.
 
         This is the compaction story without mutating streaming state:
-        the per-batch ``ingest_batch=*`` partitions stay the curator's
-        source of truth (small, append-only, idempotent), while
-        downstream batch screens read the bucketed export whose probe
-        joins need no Exchange on the corpus side. Re-run periodically
-        (or from a scheduled job) to refresh; ``saveAsTable`` with
-        overwrite makes each export atomic at the catalog level."""
-        from ..operators.bucketing import write_bucketed
+        the per-batch partitions stay the source of truth. NOTE:
+        ``mode=overwrite`` + ``saveAsTable`` is drop-then-recreate,
+        NOT an atomic swap — a reader mid-scan during a refresh can
+        see a missing table. Export to a fresh versioned prefix and
+        flip consumers, or schedule refreshes in a maintenance
+        window."""
+        from ..operators.dedup import write_minhash_index, write_ngram_index
 
-        write_bucketed(self._index(), f"{prefix}_grams_by_g", ["g"], n_buckets=n_buckets)
+        grams = self._read_committed(self.grams_dir, self.grams_schema)
         if self.screen == "minhash":
-            write_bucketed(
-                self._index_banded(),
-                f"{prefix}_banded",
-                ["band", "bucket"],
+            banded = self._read_committed(self.banded_dir, self.banded_schema)
+            write_minhash_index(
+                grams,
+                None,
+                prefix,
+                num_bands=self.num_bands,
+                rows_per_band=self.num_hashes // self.num_bands,
                 n_buckets=n_buckets,
+                banded=banded,
             )
+        else:
+            write_ngram_index(grams, f"{prefix}_grams_by_g", n_buckets=n_buckets)
 
     def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger):
         """Wire the curator into a streaming DataFrame; the returned

@@ -172,12 +172,17 @@ def test_curator_export_bucketed_index_probe(spark, tmp_path):
         release_intermediates,
     )
 
+    from play_with_pulsar_spark.operators.dedup import read_minhash_index
+
     cur = StreamingCorpusCurator(spark, str(tmp_path / "c"), screen="minhash")
     cur.process_batch(_docs(spark, [(1, _w(1)), (2, _w(2))]), 0)
+    # an uncommitted (partial) partition must NOT reach the export
+    import os as _os
+    partial = cur._batch_dir(cur.grams_dir, 99)
+    _os.makedirs(partial, exist_ok=True)  # no _SUCCESS marker
     cur.export_bucketed_index("pwp_cur_export")
     try:
-        grams = spark.table("pwp_cur_export_grams_by_g")
-        banded = spark.table("pwp_cur_export_banded")
+        grams, banded = read_minhash_index(spark, "pwp_cur_export")
         batch = _docs(spark, [(3, _w(1)), (4, _w(4))])
         stored = incremental_minhash_pairs(
             grams, None, batch, index_banded=banded,
@@ -194,5 +199,5 @@ def test_curator_export_bucketed_index_probe(spark, tmp_path):
         release_intermediates(stored)
         release_intermediates(live)
     finally:
-        spark.sql("DROP TABLE IF EXISTS pwp_cur_export_grams_by_g")
+        spark.sql("DROP TABLE IF EXISTS pwp_cur_export_grams")
         spark.sql("DROP TABLE IF EXISTS pwp_cur_export_banded")
