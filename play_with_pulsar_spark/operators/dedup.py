@@ -74,7 +74,14 @@ def release_intermediates(df: DataFrame) -> None:
 
     Call AFTER materializing (collect/write) — the plan stays valid
     either way (Spark recomputes unpersisted parents), but releasing
-    early forfeits the reuse the persist existed for."""
+    early forfeits the reuse the persist existed for.
+
+    Call it on the EXACT DataFrame the operator returned: the cached
+    handles ride as a Python attribute, which no DataFrame
+    transformation propagates — ``release_intermediates(result
+    .filter(...))`` is a silent no-op that leaks the persisted
+    intermediates for the session's lifetime. Capture the original
+    handle before deriving new frames."""
     for cached in getattr(df, "_pwp_cached", ()):
         try:
             cached.unpersist()
@@ -438,6 +445,9 @@ def write_minhash_index(
     streaming curator's accumulated state) instead of banding
     ``sigs`` here."""
     from .bucketing import write_bucketed
+
+    if sigs is None and banded is None:
+        raise ValueError("write_minhash_index: pass sigs or banded")
 
     write_bucketed(grams, f"{prefix}_grams", ["doc_id"], n_buckets=n_buckets)
     if banded is None:

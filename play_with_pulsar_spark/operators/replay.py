@@ -333,8 +333,15 @@ def fold_pdf(pdf: pd.DataFrame, state: GameState | None = None) -> GameState:
     transitions read."""
     state = state or GameState()
     n = len(pdf)
+    # a frame LACKING a column folds as if every event omitted that
+    # key — for ``alive`` the dict-based fold defaults a missing key
+    # to True (event.go:31-43's zero-value semantics), so the columnar
+    # default must be True too, not None (None folds players as dead)
     cols = [
-        pdf[c].tolist() if c in pdf.columns else [None] * n for c in _EVENT_COLS
+        pdf[c].tolist()
+        if c in pdf.columns
+        else ([True] * n if c == "alive" else [None] * n)
+        for c in _EVENT_COLS
     ]
     types, names, avatars, xs, ys, alives, lists = cols
     apply = state.apply

@@ -3823,23 +3823,74 @@ BENCH_QUERIES = [
 # code). Every query passes the identical local DuckDB comparison
 # (tests/test_oracle_parity.py) regardless of rotation position.
 _DRIVER_PRIORITY = [
-    # --- new in round 4 (never driver-verified) ---
-    "split_leakage_safe",
-    "text_duplicate_spans",
-    "text_gopher_quality",
-    "dedup_survivors",
-    "pipeline_streaming_curation",
-    # --- last driver row is round 1 (rolled past r3's 50-cap) ---
-    "sim_ivf_topk",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "rollup_order_stats",
-    "cube_event_stats",
-    "grouping_sets_lineitem",
+    # --- new in round 5 (never driver-verified) go here, first ---
     # --- last driver row is round 2 ---
+    "x_array_functions",
+    "q7_volume_shipping",
+    "q12ish_priority_shipping",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q19ish_disjunctive_predicates",
+    "q22ish_idle_customers",
+    "q8ish_market_share",
+    "q9ish_product_profit",
+    "q11ish_important_parts",
+    "q15ish_top_supplier",
+    "q16ish_supplier_part_counts",
+    "q20ish_excess_suppliers",
+    "q21ish_sole_supplier_orders",
+    # --- last driver row is round 3 ---
+    "j_customers_without_orders",
+    "j_parts_never_shipped",
+    "x16_json_extract",
+    "game_a1_room_scoreboard",
+    "game_a4a5_global_rank",
+    "game_p4_position_history",
+    "game_x3_obstacle_decode",
+    "game_s4_latest_event_per_room",
+    "chg_s6_tableview",
+    "chg_a4_global_sum",
+    "chg_w2_lru_top5",
+    "j2_kill_attribution",
+    "stream_a1_scoreboard",
+    "pipeline_curate_training_data",
+    "game_survival_first_life",
+    "game_bomb_effectiveness",
+    "game_room_activity_windows",
+    "fold_players_state",
+    "fold_time_travel",
+    "fold_scale_replay",
+    "fold_state_summary",
+    "text_stats",
+    "dedup_exact",
+    "stream_dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental_jaccard",
+    "dedup_incremental_minhash",
+    "profile_lineitem_stats",
+    "text_pii_redaction",
+    "dedup_simhash",
+    "text_lang_id",
+    "sim_bruteforce_topk",
+    "sim_jvm_cosine_topk",
+    "sim_lsh_topk",
+    "multimodal_features",
+    "dedup_clusters_exact",
+    "chunk_doc_spans",
+    "text_boilerplate_coverage",
+    "asof_latest_order",
+    "split_train_val_test",
+    "domain_topk_docs",
+    "text_repetition_signals",
+    "text_benchmark_contamination",
+    "pack_training_sequences",
+    "mix_domain_weighted_sample",
+    "time_rollup_multires",
+    "stream_t8_windowed",
+    "w_analytics_suite",
+    "t8b_sliding_window",
+    # --- last driver row is round 4 ---
     "a1_scoreboard_kills",
     "a3_latest_per_key",
     "a4_global_scoreboard",
@@ -3860,6 +3911,15 @@ _DRIVER_PRIORITY = [
     "text_token_counts",
     "text_rolling_fingerprints",
     "text_unigram_logprob",
+    "sim_ivf_topk",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "rollup_order_stats",
+    "cube_event_stats",
+    "grouping_sets_lineitem",
     "sessionize_events",
     "pivot_event_counts",
     "date_parts_orders",
@@ -3876,20 +3936,11 @@ _DRIVER_PRIORITY = [
     "q2ish_min_cost_supplier",
     "dedup_clusters",
     "x_map_functions",
-    "x_array_functions",
-    "q7_volume_shipping",
-    "q12ish_priority_shipping",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q19ish_disjunctive_predicates",
-    "q22ish_idle_customers",
-    "q8ish_market_share",
-    "q9ish_product_profit",
-    "q11ish_important_parts",
-    "q15ish_top_supplier",
-    "q16ish_supplier_part_counts",
-    "q20ish_excess_suppliers",
-    "q21ish_sole_supplier_orders",
+    "split_leakage_safe",
+    "text_duplicate_spans",
+    "pipeline_streaming_curation",
+    "text_gopher_quality",
+    "dedup_survivors",
 ]
 
 

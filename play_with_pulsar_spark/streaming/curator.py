@@ -82,6 +82,15 @@ class StreamingCorpusCurator:
         candidates only — the cheaper screen when the accepted corpus
         is large; recall follows the banding curve).
 
+        ``max_shingle_freq`` applies ONLY to the jaccard screen. The
+        minhash screen ignores it entirely: signatures and the exact
+        Jaccard verify both run on UNCAPPED grams, so the two screens
+        differ not just in LSH recall but in the Jaccard scores
+        themselves (a stop-shingle shared by many docs counts toward
+        minhash-screen similarity but not capped-jaccard similarity).
+        Decisions from the two screens are therefore not comparable
+        doc-by-doc when a cap is set.
+
         ``id_type``: Spark type name of the document id column — the
         state tables are read back with an ENFORCED schema (see
         ``_read_state``), so a non-long id (string crawl ids, …) must
