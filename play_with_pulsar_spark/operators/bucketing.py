@@ -22,12 +22,45 @@ def write_bucketed(
     keys: Sequence[str],
     n_buckets: int = 16,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
-    """Materialize as a bucketed (and bucket-sorted) catalog table."""
+    """Materialize as a bucketed (and bucket-sorted) catalog table.
+
+    With ``path`` the table is EXTERNAL: its files live at a stable
+    location the caller owns, so the data outlives the session catalog
+    (an in-memory catalog forgets the table name on restart, the files
+    remain) and a later session can re-attach via
+    ``register_bucketed``. DROP TABLE then removes only the catalog
+    entry, never the files."""
     w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    schema: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Re-attach an external bucketed layout written by
+    ``write_bucketed(..., path=...)`` to a (possibly fresh) session
+    catalog — bucket metadata lives in the catalog, not the files, so
+    a restart needs this DDL to keep getting shuffle-free probe joins
+    on the stored index."""
+    keylist = ", ".join(keys)
+    sorted_by = f"SORTED BY ({keylist}) " if sort else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema}) USING PARQUET "
+        f"CLUSTERED BY ({keylist}) {sorted_by}INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
 
 
 def bucketed_join(

@@ -406,7 +406,9 @@ def build_ngram_index(
     )
 
 
-def write_ngram_index(grams: DataFrame, table: str, n_buckets: int = 32) -> None:
+def write_ngram_index(
+    grams: DataFrame, table: str, n_buckets: int = 32, path: str | None = None
+) -> None:
     """Materialize the shingle index bucketed+sorted by ``g``.
 
     The probe join in ``incremental_jaccard_pairs`` is keyed on ``g``;
@@ -414,10 +416,13 @@ def write_ngram_index(grams: DataFrame, table: str, n_buckets: int = 32) -> None
     batch side into the index's existing layout (no Exchange, no sort
     on the corpus-scale side — asserted in test_incremental_dedup).
     At 100 TB this is the difference between moving the corpus every
-    batch and never moving it."""
+    batch and never moving it.
+
+    ``path`` makes the table external (files survive the session
+    catalog — see ``bucketing.write_bucketed``)."""
     from .bucketing import write_bucketed
 
-    write_bucketed(grams, table, ["g"], n_buckets=n_buckets)
+    write_bucketed(grams, table, ["g"], n_buckets=n_buckets, path=path)
 
 
 def write_minhash_index(
@@ -428,6 +433,7 @@ def write_minhash_index(
     rows_per_band: int = 4,
     n_buckets: int = 32,
     banded: DataFrame | None = None,
+    path_prefix: str | None = None,
 ) -> None:
     """Materialize the MinHash-LSH index as two bucketed tables:
 
@@ -449,7 +455,13 @@ def write_minhash_index(
     if sigs is None and banded is None:
         raise ValueError("write_minhash_index: pass sigs or banded")
 
-    write_bucketed(grams, f"{prefix}_grams", ["doc_id"], n_buckets=n_buckets)
+    write_bucketed(
+        grams,
+        f"{prefix}_grams",
+        ["doc_id"],
+        n_buckets=n_buckets,
+        path=None if path_prefix is None else f"{path_prefix}_grams",
+    )
     if banded is None:
         banded = _banded(sigs, num_bands, rows_per_band)
     write_bucketed(
@@ -457,6 +469,7 @@ def write_minhash_index(
         f"{prefix}_banded",
         ["band", "bucket"],
         n_buckets=n_buckets,
+        path=None if path_prefix is None else f"{path_prefix}_banded",
     )
 
 

@@ -3328,6 +3328,49 @@ def pipeline_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(ids, "doc_id long")
 
 
+@register("pipeline_curation_compacted", oracle=_greedy_curation_oracle())
+def pipeline_curation_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME end-to-end streaming curation fold as
+    ``pipeline_streaming_curation`` — same batches, same oracle — but
+    with state compaction firing after EVERY micro-batch
+    (``compact_after=0``): each batch's screen runs against the
+    compacted bucketed tier (+ at most one live dir), every committed
+    directory is folded through the versioned-manifest cutover, and
+    the accepted corpus must still hash-match the greedy oracle. This
+    puts the compaction machinery itself — fold, atomic flip, covered-
+    partition exclusion, directory cleanup — under the driver's hash
+    gate, not just under pytest."""
+    import shutil
+    import tempfile
+
+    from .streaming.curator import StreamingCorpusCurator
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="pwp_curation_cq_")
+    try:
+        cur = StreamingCorpusCurator(
+            spark,
+            base,
+            threshold=0.8,
+            max_shingle_freq=_NGRAM_MAX_DF,
+            compact_after=0,
+            n_buckets=8,
+        )
+        for k in range(3):
+            cur.process_batch(docs.filter(F.col("doc_id") % 3 == k), k)
+        man = cur._manifest()
+        assert man is not None and man["covered_upto"] == 2  # it really ran
+        ids = [(r.doc_id,) for r in cur.accepted().select("doc_id").collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        for v in range(4):  # external-table catalog entries are per-run
+            spark.sql(
+                f"DROP TABLE IF EXISTS {cur.catalog_prefix}_v{v}_grams_by_g"
+            )
+    return spark.createDataFrame(ids, "doc_id long")
+
+
 @register(
     "text_gopher_quality",
     oracle=f"""
@@ -3824,6 +3867,7 @@ BENCH_QUERIES = [
 # (tests/test_oracle_parity.py) regardless of rotation position.
 _DRIVER_PRIORITY = [
     # --- new in round 5 (never driver-verified) go here, first ---
+    "pipeline_curation_compacted",
     # --- last driver row is round 2 ---
     "x_array_functions",
     "q7_volume_shipping",

@@ -21,27 +21,53 @@ batch):
   greedy rule every sequential deduper (e.g. a Bloom/LSH gate in a
   crawler) exhibits.
 
-State is two parquet tables (``accepted/``, ``grams/``), each laid
-out as one ``ingest_batch=<id>`` partition directory per micro-batch
-— at cluster scale, bucket ``grams`` by ``g`` so each batch's probe
-join is shuffle-free on the index side, and compact periodically with
-``operators.layout.cluster_by_range``.
+State layout — two (three with the minhash screen) parquet tables
+(``accepted/``, ``grams/``, ``banded/``), each one
+``ingest_batch=<id>`` partition directory per micro-batch, PLUS a
+compacted tier: a long-running stream would otherwise accumulate one
+directory per micro-batch forever, and the per-batch file-listing
+cost of every state read grows with stream age — the one part of the
+per-batch design that does NOT scale with time. ``compact()``
+(threshold-triggered via ``compact_after``) folds all committed batch
+directories into versioned EXTERNAL bucketed tables in the canonical
+catalog layout (``dedup.write_ngram_index`` /
+``dedup.write_minhash_index`` — the same layout batch probes
+consume), commits by atomically flipping a manifest pointer
+(``COMPACTED.json``, write-temp + ``os.replace`` like
+``operators.matview``), and only then deletes the folded
+directories. Steady state: ≤ ``compact_after`` live batch dirs + one
+compacted version (plus one retained predecessor for reader grace),
+regardless of stream age. Crash anywhere mid-compaction leaves the
+previous manifest live and every batch directory intact; a re-run
+folds the same rows again (the write is idempotent per version
+directory) — screening decisions are identical before, during, and
+after, which the compaction tests pin.
 
 Exactly-once appends: ``foreachBatch`` is AT-LEAST-once (a retry
 after a partial commit re-delivers the same ``batch_id``), so each
 table writes its batch into a batch-id-named partition directory with
 ``mode=overwrite`` — a replay overwrites the same directory instead
 of appending duplicate rows, and a batch whose ``_SUCCESS`` marker
-already exists is skipped outright. Duplicated appends would not just
-double rows: replayed doc_ids violate
+already exists (or that compaction already folded — the manifest
+remembers ``covered_upto``) is skipped outright. Duplicated appends
+would not just double rows: replayed doc_ids violate
 ``incremental_jaccard_pairs``'s disjoint-id precondition (doubled
 shingle rows skew sizes and Jaccard), so idempotence here is a
 correctness requirement, not bookkeeping.
+
+Batch ids are assumed monotone per checkpoint (structured streaming's
+epoch ids; sequential micro-batches). Restarting against a FRESH
+checkpoint resets the ids and breaks replay detection — that was
+already true of the per-batch ``_SUCCESS`` skip and is inherited by
+the ``covered_upto`` watermark.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,6 +100,9 @@ class StreamingCorpusCurator:
         num_bands: int = 16,
         seed: int = 42,
         id_type: str = "long",
+        compact_after: int | None = None,
+        n_buckets: int = 32,
+        catalog_prefix: str | None = None,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -95,26 +124,69 @@ class StreamingCorpusCurator:
         state tables are read back with an ENFORCED schema (see
         ``_read_state``), so a non-long id (string crawl ids, …) must
         be declared here or every post-first-batch read fails with a
-        parquet conversion error."""
+        parquet conversion error.
+
+        ``compact_after``: fold committed batch directories into the
+        compacted tier whenever more than this many have accumulated
+        (checked after each batch); ``None`` = only on explicit
+        ``compact()`` calls. Compaction cost is O(accepted corpus) —
+        size the threshold so it amortizes (e.g. hourly, not
+        per-batch).
+
+        ``catalog_prefix``: session-catalog name prefix for the
+        compacted bucketed tables (a valid SQL identifier). Defaults
+        to a stable hash of ``base_dir`` so restarts re-attach to the
+        same names."""
         if screen not in ("jaccard", "minhash"):
             raise ValueError(f"unknown screen {screen!r}")
         self.spark = spark
+        self.base_dir = base_dir
         self.accepted_dir = os.path.join(base_dir, "accepted")
         self.grams_dir = os.path.join(base_dir, "grams")
         self.banded_dir = os.path.join(base_dir, "banded")
+        self.compacted_dir = os.path.join(base_dir, "compacted")
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
         self.screen = screen
         self.num_hashes, self.num_bands, self.seed = num_hashes, num_bands, seed
         self.grams_schema = f"doc_id {id_type}, g long"
         self.banded_schema = f"doc_id {id_type}, band int, bucket long"
+        self.compact_after = compact_after
+        self.n_buckets = n_buckets
+        self.catalog_prefix = catalog_prefix or (
+            "pwp_curator_" + hashlib.md5(base_dir.encode()).hexdigest()[:8]
+        )
+
+    # ------------------------------------------------------------------
+    # compacted-tier manifest
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base_dir, "COMPACTED.json")
+
+    def _manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _covered_upto(self) -> int:
+        man = self._manifest()
+        return man["covered_upto"] if man else -1
+
+    # ------------------------------------------------------------------
+    # state reads
 
     def _read_state(
         self, path: str, schema: str, exclude_batch: int | None = None
     ) -> DataFrame:
-        """State read with the schema ENFORCED (a stray/corrupt file
-        fails at the read boundary, not as a mid-join cast error) and,
-        inside ``process_batch``, this batch's own partition EXCLUDED:
+        """Live-tier state read with the schema ENFORCED (a stray or
+        corrupt file fails at the read boundary, not as a mid-join cast
+        error), compaction-covered partitions EXCLUDED (their rows
+        moved to the compacted tier; the directories only still exist
+        in the crash window between manifest flip and cleanup), and —
+        inside ``process_batch`` — this batch's own partition EXCLUDED:
         a replay after a partial commit must screen against exactly
         the pre-batch state — rows this same batch already wrote would
         violate the incremental screen's disjoint-id precondition and
@@ -128,28 +200,107 @@ class StreamingCorpusCurator:
             df = self.spark.read.schema(full_schema).parquet(path)
         except AnalysisException:  # PATH_NOT_FOUND: first batch yet
             return self.spark.createDataFrame([], schema)
+        upto = self._covered_upto()
+        if upto >= 0:
+            # partition column ⇒ covered dirs are PRUNED, not scanned
+            df = df.filter(F.col("ingest_batch") > upto)
         if exclude_batch is not None:
             df = df.filter(F.col("ingest_batch") != exclude_batch)
         return df.select(*cols)
 
+    def _compacted_state(self, kind: str) -> DataFrame | None:
+        """Compacted-tier DataFrame (``kind`` in ``grams``/``banded``),
+        or None before the first compaction. Resolution order: session
+        catalog (bucketed — shuffle-free probe joins), re-register the
+        external table on a fresh session, last-resort plain parquet
+        read of the manifest path (correct, loses bucket metadata)."""
+        man = self._manifest()
+        if man is None or man.get(kind) is None:
+            return None
+        ent = man[kind]
+        schema = self.grams_schema if kind == "grams" else self.banded_schema
+        cols = [c.split()[0] for c in schema.split(",")]
+        try:
+            return self.spark.table(ent["table"]).select(*cols)
+        except Exception:
+            pass
+        try:
+            from ..operators.bucketing import register_bucketed
+
+            register_bucketed(
+                self.spark,
+                ent["table"],
+                schema,
+                ent["keys"],
+                man["n_buckets"],
+                ent["path"],
+            )
+            return self.spark.table(ent["table"]).select(*cols)
+        except Exception:
+            return (
+                self.spark.read.schema(schema).parquet(ent["path"]).select(*cols)
+            )
+
+    def _with_compacted(self, live: DataFrame, kind: str) -> DataFrame:
+        comp = self._compacted_state(kind)
+        return live if comp is None else comp.unionByName(live)
+
     def _index(self, exclude_batch: int | None = None) -> DataFrame:
-        return self._read_state(self.grams_dir, self.grams_schema, exclude_batch)
+        live = self._read_state(self.grams_dir, self.grams_schema, exclude_batch)
+        return self._with_compacted(live, "grams")
 
     def _index_banded(self, exclude_batch: int | None = None) -> DataFrame:
-        return self._read_state(self.banded_dir, self.banded_schema, exclude_batch)
+        live = self._read_state(self.banded_dir, self.banded_schema, exclude_batch)
+        return self._with_compacted(live, "banded")
 
     def accepted(self) -> DataFrame:
-        """Accepted corpus (the ``ingest_batch`` layout column is an
-        implementation detail and is dropped)."""
-        return self.spark.read.parquet(self.accepted_dir).drop("ingest_batch")
+        """Accepted corpus: compacted tier + COMMITTED live batch
+        partitions only (``_SUCCESS`` present — a reader concurrent
+        with a live micro-batch, or after a crash before replay, never
+        observes a partial batch's rows). The ``ingest_batch`` layout
+        column is an implementation detail and is dropped."""
+        man = self._manifest()
+        upto = man["covered_upto"] if man else -1
+        dirs = [
+            d
+            for d in self._committed_batch_dirs(self.accepted_dir)
+            if self._batch_id_of(d) > upto
+        ]
+        live = None
+        if dirs:
+            live = (
+                self.spark.read.option("basePath", self.accepted_dir)
+                .parquet(*dirs)
+                .drop("ingest_batch")
+            )
+        comp = None
+        if man is not None:
+            comp = self.spark.read.parquet(man["accepted_path"])
+        if live is None and comp is None:
+            # preserves the pre-compaction error contract: reading an
+            # empty curator raises PATH_NOT_FOUND, not silent-empty
+            return self.spark.read.parquet(self.accepted_dir).drop("ingest_batch")
+        if comp is None:
+            return live
+        return comp if live is None else comp.unionByName(live)
+
+    # ------------------------------------------------------------------
+    # batch-commit bookkeeping
 
     def _batch_dir(self, base: str, batch_id: int) -> str:
         return os.path.join(base, f"ingest_batch={batch_id}")
 
+    @staticmethod
+    def _batch_id_of(path: str) -> int:
+        return int(path.rstrip("/").rsplit("ingest_batch=", 1)[1])
+
     def _committed(self, base: str, batch_id: int) -> bool:
-        """True iff this batch's partition already committed (its
-        ``_SUCCESS`` marker exists). Checked through the Hadoop FS API
-        so object-store deployments behave like local runs."""
+        """True iff this batch's partition already committed — its
+        ``_SUCCESS`` marker exists, or compaction folded (and deleted)
+        it. Checked through the Hadoop FS API so object-store
+        deployments behave like local runs."""
+        if batch_id <= self._covered_upto():
+            return True
         path = os.path.join(self._batch_dir(base, batch_id), "_SUCCESS")
         try:
             jvm = self.spark._jvm
@@ -180,7 +331,8 @@ class StreamingCorpusCurator:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: screen, reject, write survivors into this
         batch's partition (idempotent on ``batch_id`` — see module
-        docstring)."""
+        docstring), then fold state if the compaction threshold is
+        crossed."""
         minhash = self.screen == "minhash"
         acc_done = self._committed(self.accepted_dir, batch_id)
         grams_done = self._committed(self.grams_dir, batch_id)
@@ -246,6 +398,7 @@ class StreamingCorpusCurator:
         keep.unpersist()
         docs.unpersist()
         release_intermediates(pairs)  # the screen's cached intermediates
+        self.maybe_compact()
 
     def _committed_batch_dirs(self, base: str) -> list[str]:
         """Partition directories of ``base`` whose ``_SUCCESS`` marker
@@ -273,8 +426,51 @@ class StreamingCorpusCurator:
                         dirs.append(full)
         return dirs
 
-    def _read_committed(self, base: str, schema: str) -> DataFrame:
-        dirs = self._committed_batch_dirs(base)
+    def _batch_dirs(self, base: str) -> list[str]:
+        """ALL ``ingest_batch=`` directories of ``base`` (committed or
+        not) — compaction safety checks need to see partial ones."""
+        try:
+            jvm = self.spark._jvm
+            hbase = jvm.org.apache.hadoop.fs.Path(base)
+            fs = hbase.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if not fs.exists(hbase):
+                return []
+            return [
+                s.getPath().toString()
+                for s in fs.listStatus(hbase)
+                if s.isDirectory()
+                and s.getPath().getName().startswith("ingest_batch=")
+            ]
+        except Exception:
+            if not os.path.isdir(base):
+                return []
+            return [
+                os.path.join(base, d)
+                for d in os.listdir(base)
+                if d.startswith("ingest_batch=")
+                and os.path.isdir(os.path.join(base, d))
+            ]
+
+    def _delete_dir(self, path: str) -> None:
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+
+    def _read_committed(
+        self, base: str, schema: str, lo: int = -1, hi: int | None = None
+    ) -> DataFrame:
+        """Committed live-tier rows with ``lo < ingest_batch <= hi``."""
+        dirs = [
+            d
+            for d in self._committed_batch_dirs(base)
+            if self._batch_id_of(d) > lo
+            and (hi is None or self._batch_id_of(d) <= hi)
+        ]
         cols = [c.split()[0] for c in schema.split(",")]
         if not dirs:
             return self.spark.createDataFrame([], schema)
@@ -284,6 +480,199 @@ class StreamingCorpusCurator:
             .parquet(*dirs)
             .select(*cols)
         )
+
+    # ------------------------------------------------------------------
+    # compaction
+
+    def _state_tables(self) -> list[str]:
+        tables = [self.accepted_dir, self.grams_dir]
+        if self.screen == "minhash":
+            tables.append(self.banded_dir)
+        return tables
+
+    def maybe_compact(self) -> bool:
+        """Compact iff more than ``compact_after`` committed batch
+        directories have accumulated since the last compaction."""
+        if self.compact_after is None:
+            return False
+        upto = self._covered_upto()
+        residual = [
+            d
+            for d in self._committed_batch_dirs(self.grams_dir)
+            if self._batch_id_of(d) > upto
+        ]
+        if len(residual) <= self.compact_after:
+            return False
+        return self.compact()
+
+    def compact(self) -> bool:
+        """Fold every FULLY-committed batch directory into the
+        compacted tier: versioned external bucketed tables in the
+        canonical ``write_ngram_index`` / ``write_minhash_index``
+        layout, committed by an atomic manifest flip, folded
+        directories deleted only after the flip.
+
+        Crash-safe at every step: before the flip the previous
+        manifest (or none) stays live and all directories remain — a
+        replayed ``process_batch`` or a re-run ``compact()`` sees
+        unchanged state; after the flip, reads exclude covered
+        partitions (watermark filter) whether or not their directories
+        were cleaned up yet. One predecessor version is retained for
+        lazy-DataFrame reader grace, older versions are dropped.
+
+        Returns False when there is nothing new to fold."""
+        from ..operators.dedup import write_minhash_index, write_ngram_index
+
+        man = self._manifest()
+        old_upto = man["covered_upto"] if man else -1
+        version = man["version"] + 1 if man else 0
+        # a batch counts only when committed in EVERY state table —
+        # a partially-committed batch (crash mid-process_batch, not
+        # yet replayed) must neither fold nor sit below the watermark
+        per_table = [
+            {self._batch_id_of(d) for d in self._committed_batch_dirs(b)}
+            for b in self._state_tables()
+        ]
+        fully = set.intersection(*per_table) if per_table else set()
+        fully = {i for i in fully if i > old_upto}
+        if not fully:
+            self._cleanup_covered(old_upto)  # resume an interrupted cleanup
+            return False
+        new_upto = max(fully)
+        present = {
+            self._batch_id_of(d)
+            for base in self._state_tables()
+            for d in self._batch_dirs(base)
+            if old_upto < self._batch_id_of(d) <= new_upto
+        }
+        partial = present - fully
+        if partial:
+            raise RuntimeError(
+                f"batches {sorted(partial)} are partially committed below "
+                f"the compaction watermark {new_upto}; replay them (restart "
+                "the stream) before compacting"
+            )
+
+        vdir = os.path.join(self.compacted_dir, f"v{version}")
+        self._delete_dir(vdir)  # leftovers of a crashed attempt at v<k>
+        pfx = f"{self.catalog_prefix}_v{version}"
+
+        # accepted corpus: previous compacted + newly covered batches
+        acc_path = os.path.join(vdir, "accepted")
+        acc_dirs = [
+            d
+            for d in self._committed_batch_dirs(self.accepted_dir)
+            if old_upto < self._batch_id_of(d) <= new_upto
+        ]
+        acc_new = (
+            self.spark.read.option("basePath", self.accepted_dir)
+            .parquet(*acc_dirs)
+            .drop("ingest_batch")
+        )
+        if man is not None:
+            acc_new = self.spark.read.parquet(man["accepted_path"]).unionByName(
+                acc_new
+            )
+        acc_new.write.mode("overwrite").parquet(acc_path)
+
+        # shingle index (+ banded) in the canonical bucketed layout
+        grams_full = self._read_committed(
+            self.grams_dir, self.grams_schema, old_upto, new_upto
+        )
+        comp_grams = self._compacted_state("grams")
+        if comp_grams is not None:
+            grams_full = comp_grams.unionByName(grams_full)
+        manifest = {
+            "version": version,
+            "covered_upto": new_upto,
+            "n_buckets": self.n_buckets,
+            "accepted_path": acc_path,
+            "banded": None,
+        }
+        if self.screen == "minhash":
+            banded_full = self._read_committed(
+                self.banded_dir, self.banded_schema, old_upto, new_upto
+            )
+            comp_banded = self._compacted_state("banded")
+            if comp_banded is not None:
+                banded_full = comp_banded.unionByName(banded_full)
+            write_minhash_index(
+                grams_full,
+                None,
+                pfx,
+                num_bands=self.num_bands,
+                rows_per_band=self.num_hashes // self.num_bands,
+                n_buckets=self.n_buckets,
+                banded=banded_full,
+                path_prefix=os.path.join(vdir, "idx"),
+            )
+            manifest["grams"] = {
+                "table": f"{pfx}_grams",
+                "path": os.path.join(vdir, "idx_grams"),
+                "keys": ["doc_id"],
+            }
+            manifest["banded"] = {
+                "table": f"{pfx}_banded",
+                "path": os.path.join(vdir, "idx_banded"),
+                "keys": ["band", "bucket"],
+            }
+        else:
+            write_ngram_index(
+                grams_full,
+                f"{pfx}_grams_by_g",
+                n_buckets=self.n_buckets,
+                path=os.path.join(vdir, "grams_by_g"),
+            )
+            manifest["grams"] = {
+                "table": f"{pfx}_grams_by_g",
+                "path": os.path.join(vdir, "grams_by_g"),
+                "keys": ["g"],
+            }
+
+        # commit: write-temp + os.replace = atomic pointer flip (POSIX)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)
+
+        self._cleanup_covered(new_upto)
+        self._drop_old_versions(version)
+        return True
+
+    def _cleanup_covered(self, upto: int) -> None:
+        """Delete batch directories the compacted tier now carries.
+        Idempotent — also finishes a cleanup a crash interrupted (reads
+        exclude covered partitions either way, via the watermark)."""
+        for base in self._state_tables():
+            for d in self._batch_dirs(base):
+                if self._batch_id_of(d) <= upto:
+                    self._delete_dir(d)
+
+    def _drop_old_versions(self, current: int) -> None:
+        """Retain the current compacted version plus ONE predecessor
+        (reader grace for lazy DataFrames resolved pre-flip, mirroring
+        ``matview``); drop catalog entries and files of anything
+        older."""
+        if not os.path.isdir(self.compacted_dir):
+            return
+        for d in os.listdir(self.compacted_dir):
+            if not d.startswith("v"):
+                continue
+            try:
+                v = int(d[1:])
+            except ValueError:
+                continue
+            if v <= current - 2:
+                old_pfx = f"{self.catalog_prefix}_v{v}"
+                for suffix in ("_grams", "_banded", "_grams_by_g"):
+                    try:
+                        self.spark.sql(f"DROP TABLE IF EXISTS {old_pfx}{suffix}")
+                    except Exception:
+                        pass
+                self._delete_dir(os.path.join(self.compacted_dir, d))
+
+    # ------------------------------------------------------------------
+    # batch-catalog bridge
 
     def export_bucketed_index(self, prefix: str, n_buckets: int = 32) -> None:
         """One-way export of the accumulated dedup state into the
@@ -296,22 +685,33 @@ class StreamingCorpusCurator:
         side's join key) and ``{prefix}_banded`` bucketed by
         ``(band, bucket)`` — readable with ``dedup.read_minhash_index``.
 
-        Only COMMITTED batch partitions are read (``_SUCCESS``
-        present), so a scheduled export racing a live micro-batch can
-        never ship a partial batch's rows.
+        Only COMMITTED state is read — the compacted tier plus live
+        batch partitions whose ``_SUCCESS`` marker exists — so a
+        scheduled export racing a live micro-batch can never ship a
+        partial batch's rows.
 
-        This is the compaction story without mutating streaming state:
-        the per-batch partitions stay the source of truth. NOTE:
-        ``mode=overwrite`` + ``saveAsTable`` is drop-then-recreate,
-        NOT an atomic swap — a reader mid-scan during a refresh can
-        see a missing table. Export to a fresh versioned prefix and
-        flip consumers, or schedule refreshes in a maintenance
-        window."""
+        NOTE: ``mode=overwrite`` + ``saveAsTable`` is
+        drop-then-recreate, NOT an atomic swap — a reader mid-scan
+        during a refresh can see a missing table. Export to a fresh
+        versioned prefix and flip consumers, or schedule refreshes in
+        a maintenance window. (The curator's own compacted tier does
+        exactly that — versioned prefixes + manifest flip — so with
+        ``compact_after`` set, consumers can read the compacted tables
+        directly instead of exporting.)"""
         from ..operators.dedup import write_minhash_index, write_ngram_index
 
-        grams = self._read_committed(self.grams_dir, self.grams_schema)
+        upto = self._covered_upto()
+        grams = self._read_committed(self.grams_dir, self.grams_schema, lo=upto)
+        comp = self._compacted_state("grams")
+        if comp is not None:
+            grams = comp.unionByName(grams)
         if self.screen == "minhash":
-            banded = self._read_committed(self.banded_dir, self.banded_schema)
+            banded = self._read_committed(
+                self.banded_dir, self.banded_schema, lo=upto
+            )
+            comp_b = self._compacted_state("banded")
+            if comp_b is not None:
+                banded = comp_b.unionByName(banded)
             write_minhash_index(
                 grams,
                 None,

@@ -201,3 +201,230 @@ def test_curator_export_bucketed_index_probe(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS pwp_cur_export_grams")
         spark.sql("DROP TABLE IF EXISTS pwp_cur_export_banded")
+
+
+# ----------------------------------------------------------------------
+# compaction tier
+
+
+def _dirs_of(base):
+    import os
+
+    if not os.path.isdir(base):
+        return []
+    return [d for d in os.listdir(base) if d.startswith("ingest_batch=")]
+
+
+def test_compaction_bounds_dirs_same_decisions(spark, tmp_path):
+    """N batches with threshold-triggered compaction end at <=K live
+    dirs per state table, and every accept/reject decision matches an
+    uncompacted curator fed the identical stream."""
+    plain = StreamingCorpusCurator(spark, str(tmp_path / "plain"))
+    comp = StreamingCorpusCurator(
+        spark, str(tmp_path / "comp"), compact_after=2, n_buckets=4
+    )
+    batches = [
+        [(1, _w(1)), (2, _w(2))],
+        [(10, _w(1)), (11, _w(11))],      # 10 dups accepted 1
+        [(20, _w(11)), (21, _w(21))],     # 20 dups accepted 11
+        [(30, _w(21)), (31, _w(31))],     # 30 dups accepted 21
+        [(40, _w(2)), (41, _w(41))],      # 40 dups accepted 2 (from the
+                                          # COMPACTED tier by now)
+        [(50, _w(31)), (51, _w(51))],
+    ]
+    for i, rows in enumerate(batches):
+        plain.process_batch(_docs(spark, rows), i)
+        comp.process_batch(_docs(spark, rows), i)
+    kept_plain = sorted(r["doc_id"] for r in plain.accepted().collect())
+    kept_comp = sorted(r["doc_id"] for r in comp.accepted().collect())
+    assert kept_comp == kept_plain == [1, 2, 11, 21, 31, 41, 51]
+    # uncompacted: one dir per batch; compacted: bounded by threshold
+    assert len(_dirs_of(plain.grams_dir)) == 6
+    for base in (comp.accepted_dir, comp.grams_dir):
+        assert len(_dirs_of(base)) <= 2
+    man = comp._manifest()
+    assert man is not None and man["covered_upto"] >= 3
+    # the index tiers agree row-for-row with the uncompacted state
+    a = sorted((r.doc_id, r.g) for r in comp._index().collect())
+    b = sorted((r.doc_id, r.g) for r in plain._index().collect())
+    assert a == b
+
+
+def test_compaction_minhash_screen(spark, tmp_path):
+    """Same bound + same decisions for the three-table minhash screen."""
+    plain = StreamingCorpusCurator(spark, str(tmp_path / "p"), screen="minhash")
+    comp = StreamingCorpusCurator(
+        spark, str(tmp_path / "m"), screen="minhash", compact_after=1, n_buckets=4
+    )
+    batches = [
+        [(1, _w(1)), (2, _w(1)), (3, _w(3))],
+        [(4, _w(1)), (5, _w(5))],
+        [(6, _w(3)), (7, _w(7))],
+        [(8, _w(5)), (9, _w(9))],
+    ]
+    for i, rows in enumerate(batches):
+        plain.process_batch(_docs(spark, rows), i)
+        comp.process_batch(_docs(spark, rows), i)
+    kept_p = sorted(r["doc_id"] for r in plain.accepted().collect())
+    kept_c = sorted(r["doc_id"] for r in comp.accepted().collect())
+    assert kept_c == kept_p == [1, 3, 5, 7, 9]
+    for base in (comp.accepted_dir, comp.grams_dir, comp.banded_dir):
+        assert len(_dirs_of(base)) <= 1
+    # banded tier intact: a dup of a long-compacted doc still rejects
+    comp.process_batch(_docs(spark, [(100, _w(1)), (101, _w(101))]), 4)
+    kept = sorted(r["doc_id"] for r in comp.accepted().collect())
+    assert 100 not in kept and 101 in kept
+
+
+def test_compaction_replay_after_partial_compaction(spark, tmp_path):
+    """Crash DURING compaction (before the manifest flip): state reads
+    are unchanged, a replayed batch reaches the same decisions, and a
+    re-run compact() completes. Crash AFTER the flip (before cleanup):
+    reads exclude covered dirs via the watermark — no double-count —
+    and the interrupted cleanup resumes."""
+    import json
+    import os
+    import shutil
+
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"), n_buckets=4)
+    batches = [
+        [(1, _w(1)), (2, _w(2))],
+        [(10, _w(1)), (11, _w(11))],
+        [(20, _w(11)), (21, _w(21))],
+    ]
+    for i, rows in enumerate(batches):
+        cur.process_batch(_docs(spark, rows), i)
+    kept_before = sorted(r["doc_id"] for r in cur.accepted().collect())
+    assert kept_before == [1, 2, 11, 21]
+    grams_before = sorted((r.doc_id, r.g) for r in cur._index().collect())
+
+    # ---- crash BEFORE the flip: vdir written, manifest absent
+    vdir = os.path.join(cur.compacted_dir, "v0")
+    from play_with_pulsar_spark.operators.dedup import write_ngram_index
+
+    write_ngram_index(
+        cur._read_committed(cur.grams_dir, cur.grams_schema, -1, 2),
+        f"{cur.catalog_prefix}_v0_grams_by_g",
+        n_buckets=4,
+        path=os.path.join(vdir, "grams_by_g"),
+    )
+    assert cur._manifest() is None
+    assert sorted((r.doc_id, r.g) for r in cur._index().collect()) == grams_before
+    # replay of a committed batch is still a no-op
+    cur.process_batch(_docs(spark, batches[2]), 2)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == kept_before
+    # the re-run completes from scratch (clears the leftover vdir)
+    assert cur.compact() is True
+    assert sorted((r.doc_id, r.g) for r in cur._index().collect()) == grams_before
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == kept_before
+
+    # ---- crash AFTER the flip, before cleanup: resurrect a covered dir
+    man = cur._manifest()
+    assert man["covered_upto"] == 2
+    zombie = cur._batch_dir(cur.grams_dir, 0)
+    os.makedirs(zombie, exist_ok=True)
+    # stage a fake committed copy of batch 0's grams (double-count bait)
+    src = StreamingCorpusCurator(spark, str(tmp_path / "c2"), n_buckets=4)
+    src.process_batch(_docs(spark, batches[0]), 0)
+    for f in os.listdir(src._batch_dir(src.grams_dir, 0)):
+        shutil.copy(os.path.join(src._batch_dir(src.grams_dir, 0), f), zombie)
+    # watermark filter: the zombie's rows must NOT be read twice
+    assert sorted((r.doc_id, r.g) for r in cur._index().collect()) == grams_before
+    # replay of covered batch 0 is a no-op even though dirs were cleaned
+    cur.process_batch(_docs(spark, batches[0]), 0)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == kept_before
+    # next compact() resumes the interrupted cleanup
+    cur.compact()
+    assert _dirs_of(cur.grams_dir) == []
+
+    # decisions against compacted-only state: dup of doc 1 rejected
+    cur.process_batch(_docs(spark, [(30, _w(1)), (31, _w(31))]), 3)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == kept_before + [31]
+
+
+def test_compaction_partial_batch_handling(spark, tmp_path):
+    """A TRAILING partially-committed batch (crash mid-batch, not yet
+    replayed) stays above the watermark — compaction folds only the
+    fully-committed prefix. A partial batch BELOW a later committed
+    one (should be impossible under sequential micro-batches) aborts
+    compaction instead of silently folding around it."""
+    import os
+    import shutil
+
+    import pytest
+
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"), n_buckets=4)
+    for i in range(3):
+        cur.process_batch(_docs(spark, [(i + 1, _w(i + 1))]), i)
+
+    def break_batch(bid):
+        shutil.rmtree(cur._batch_dir(cur.accepted_dir, bid))
+        os.makedirs(cur._batch_dir(cur.accepted_dir, bid))  # no _SUCCESS
+
+    # trailing partial: batch 2 broken -> fold covers only 0..1
+    break_batch(2)
+    assert cur.compact() is True
+    assert cur._manifest()["covered_upto"] == 1
+    # replaying batch 2 completes it; state is whole again
+    cur.process_batch(_docs(spark, [(3, _w(3))]), 2)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == [1, 2, 3]
+
+    # partial BELOW a committed batch: 3 broken, 4 committed -> refuse
+    cur.process_batch(_docs(spark, [(4, _w(4))]), 3)
+    cur.process_batch(_docs(spark, [(5, _w(5))]), 4)
+    break_batch(3)
+    with pytest.raises(RuntimeError, match="partially committed"):
+        cur.compact()
+    # after replay the batch re-commits and compaction succeeds
+    cur.process_batch(_docs(spark, [(4, _w(4))]), 3)
+    assert cur.compact() is True
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == [1, 2, 3, 4, 5]
+
+
+def test_compaction_fresh_session_reattach(spark, tmp_path):
+    """A curator constructed anew over an existing compacted state dir
+    (the restart path) reads the compacted tier and keeps screening
+    correctly, even though the session catalog may not know the
+    tables; catalog re-registration restores the bucketed read."""
+    base = str(tmp_path / "c")
+    cur = StreamingCorpusCurator(spark, base, compact_after=0, n_buckets=4)
+    cur.process_batch(_docs(spark, [(1, _w(1)), (2, _w(2))]), 0)
+    man = cur._manifest()
+    assert man is not None  # compact_after=0 folds every batch
+    # drop the catalog entry to simulate a fresh session's catalog
+    spark.sql(f"DROP TABLE IF EXISTS {man['grams']['table']}")
+
+    cur2 = StreamingCorpusCurator(spark, base, compact_after=0, n_buckets=4)
+    cur2.process_batch(_docs(spark, [(3, _w(1)), (4, _w(4))]), 1)  # 3 dups 1
+    assert sorted(r["doc_id"] for r in cur2.accepted().collect()) == [1, 2, 4]
+    # the re-registered table is back in the catalog as a bucketed table
+    man2 = cur2._manifest()
+    desc = spark.sql(f"DESCRIBE EXTENDED {man2['grams']['table']}").collect()
+    text = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+    assert "Bucket Columns" in text
+
+
+def test_compaction_export_includes_compacted_tier(spark, tmp_path):
+    """export_bucketed_index after compaction must carry the FULL
+    corpus (compacted + residual), not just live batch dirs."""
+    from play_with_pulsar_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        release_intermediates,
+    )
+
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"), n_buckets=4)
+    cur.process_batch(_docs(spark, [(1, _w(1)), (2, _w(2))]), 0)
+    cur.compact()
+    cur.process_batch(_docs(spark, [(3, _w(3))]), 1)  # residual dir
+    cur.export_bucketed_index("pwp_cur_comp_export", n_buckets=4)
+    try:
+        grams = spark.table("pwp_cur_comp_export_grams_by_g")
+        docs = {r["doc_id"] for r in grams.select("doc_id").distinct().collect()}
+        assert docs == {1, 2, 3}
+        batch = _docs(spark, [(9, _w(1))])
+        pairs = incremental_jaccard_pairs(grams, batch, max_shingle_freq=None)
+        got = [(r.id_a, r.id_b) for r in pairs.collect()]
+        release_intermediates(pairs)
+        assert got == [(1, 9)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pwp_cur_comp_export_grams_by_g")
