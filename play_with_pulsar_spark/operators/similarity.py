@@ -223,6 +223,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN (the FAISS coarse-quantization design,
     Spark-distributed): corpus vectors live in their nearest-centroid
@@ -256,6 +257,10 @@ def ivf_topk(
         .withColumn("sim", dot / (norm(F.col("qvec")) * norm(F.col("cvec"))))
         .select("query_id", "neighbor_id", "sim")
     )
+    if round_to is not None:
+        # rank by the ROUNDED sim (same protocol as brute_force_topk)
+        # so an oracle summing in a different order ranks identically
+        scored = scored.withColumn("sim", F.round(F.col("sim"), round_to))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
@@ -416,6 +421,7 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: union of ``num_tables`` independent
     hyperplane tables; candidates = bucket collisions in any table;
@@ -450,5 +456,7 @@ def lsh_topk(
         .withColumn("sim", dot / (norm(F.col("qvec")) * norm(F.col("cvec"))))
         .select("query_id", "neighbor_id", "sim")
     )
+    if round_to is not None:
+        scored = scored.withColumn("sim", F.round(F.col("sim"), round_to))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

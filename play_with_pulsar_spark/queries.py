@@ -1812,6 +1812,95 @@ def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Hash-checked ANN twins. The rows-only sim_ivf_topk / sim_lsh_topk
+# queries get oracle-checked companions on a CLUSTERED fixture both
+# engines derive deterministically from the embeddings table:
+# cluster c = vec_id % 8, vector = one_hot(8c) + 0.05 * embedding.
+# Geometry: centers are orthogonal unit vectors, the jitter norm is
+# ~0.1, so within-cluster cosine is ~0.99 and cross-cluster ~|0.01| —
+# every true top-5 neighbor is in the query's own cluster (>=62
+# members per cluster at every SF). The ANN methods' candidate sets
+# provably cover the cluster (IVF: near-identical vectors land in the
+# same k-means cell whatever the fit, and the query probes it first;
+# LSH: 16 tables x 4 planes ⇒ P(miss a ~0.99-similar pair) < 1e-9,
+# and the pipeline is seeded/deterministic) — so candidates ⊇ exact
+# top-5 and the candidate-restricted exact re-score EQUALS the exact
+# top-5: the recall property becomes a value-hash equality the driver
+# checks, not a rows-only count.
+
+
+def _ann_clustered_oracle(k: int = 5) -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             [ (CASE WHEN i = (vec_id % 8) * 8 + 1 THEN 1.0 ELSE 0.0 END)
+               + 0.05 * CAST(embedding[i] AS DOUBLE)
+               FOR i IN generate_series(1, 64) ] AS vec
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, vec AS cv FROM v
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+def _clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the clustered fixture (same expression as the
+    oracle CTE ``v``, 1-based positions in both engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ctr = (F.col("vec_id") % 8) * 8 + 1
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.when(i == ctr, F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.lit(0.05) * F.element_at(F.col("embedding"), i).cast("double"),
+    )
+    return emb.select("vec_id", vec.alias("embedding"))
+
+
+@register("sim_ivf_topk_clustered", oracle=_ann_clustered_oracle())
+def sim_ivf_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN under the driver's HASH gate: on the clustered
+    fixture the probed cells provably contain every true neighbor, so
+    the IVF result must equal the oracle's exact cosine top-5 —
+    value-for-value, not just row counts. Rank protocol: round(sim,6)
+    with neighbor_id tiebreak, like the exact sim queries."""
+    from .operators import similarity
+
+    v = _clustered_embeddings(spark, sf_dir)
+    return similarity.ivf_topk(
+        spark, corpus=v, queries=v.filter(F.col("vec_id") < 10),
+        k=5, n_cells=8, nprobe=4, round_to=6,
+    )
+
+
+@register("sim_lsh_topk_clustered", oracle=_ann_clustered_oracle())
+def sim_lsh_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN under the driver's HASH gate: seeded
+    deterministic planes; on the clustered fixture the 16-table union
+    of bucket collisions covers the query's cluster, so the
+    candidate-restricted exact re-score must equal the oracle's exact
+    cosine top-5."""
+    from .operators import similarity
+
+    v = _clustered_embeddings(spark, sf_dir)
+    return similarity.lsh_topk(
+        spark, corpus=v, queries=v.filter(F.col("vec_id") < 10),
+        dim=64, k=5, num_planes=4, num_tables=16, round_to=6,
+    )
+
+
 # =====================================================================
 # Relational completeness batch 2 (SURVEY §2.12): semi/anti joins,
 # conditional aggregation, rollup/cube/grouping sets, sessionization,
@@ -2284,12 +2373,60 @@ def median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantile sketches (HLL++ / KLL) — the
     100 TB cardinality tools; engine-specific sketches ⇒ rows-only
-    check (bounds asserted in tests)."""
+    check (bounds asserted in tests and, hash-checked, in
+    ``approx_stats_bounded``)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_median"),
     )
+
+
+@register(
+    "approx_stats_bounded",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           round(quantile_cont(value, 0.5), 6) AS exact_median
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_stats_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checked twin of ``approx_stats``: returns the EXACT
+    per-group stats (oracle-compared value-for-value) and, before
+    returning, asserts the approximate sketches land inside their
+    error bounds against those exact values — HLL++ within 3·rsd
+    (rsd=0.05 ⇒ 15%), percentile_approx inside the exact p45..p55
+    band (its default-accuracy rank error is ~0.01%, far tighter).
+    Both sketches are deterministic given the data, so this is a
+    stable gate, not a flaky one: a sketch regression fails the query
+    (the driver records an err), while the returned values stay
+    SQL-exact."""
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_median"),
+        F.round(F.expr("percentile(value, 0.45)"), 6).alias("_p45"),
+        F.round(F.expr("percentile(value, 0.55)"), 6).alias("_p55"),
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx_users"),
+        F.percentile_approx("value", 0.5).alias("_approx_median"),
+    )
+    joined = exact.join(approx, "event_type")
+    bad = joined.filter(
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            > 0.15 * F.col("exact_users")
+        )
+        | (F.col("_approx_median") < F.col("_p45"))
+        | (F.col("_approx_median") > F.col("_p55"))
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"approx sketches out of bounds for {bad} event_type groups"
+        )
+    return exact.select("event_type", "exact_users", "exact_median")
 
 
 @register(
@@ -3868,6 +4005,9 @@ BENCH_QUERIES = [
 _DRIVER_PRIORITY = [
     # --- new in round 5 (never driver-verified) go here, first ---
     "pipeline_curation_compacted",
+    "sim_ivf_topk_clustered",
+    "sim_lsh_topk_clustered",
+    "approx_stats_bounded",
     # --- last driver row is round 2 ---
     "x_array_functions",
     "q7_volume_shipping",
