@@ -1026,14 +1026,25 @@ def embedding_cosine_pairs_lsh(
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("ea"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("eb"))
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # norms are per-VECTOR, not per-pair: compute each once in the
+    # (broadcastable) vector table instead of re-folding two
+    # transform+aggregate traversals for every candidate pair — the
+    # re-score is the dominant cost at low thresholds where LSH prunes
+    # little, and this cuts its array traversals 3x. The arithmetic is
+    # unchanged (same sqrt-of-fold per vector, same dot/(na*nb)
+    # division), so results are bit-identical to the per-pair form.
     nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    vecs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nv", nrm(F.col("v")))
+    va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("ea"), F.col("nv").alias("na"))
+    vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("eb"), F.col("nv").alias("nb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     return _register_cached(
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(dot / (nrm(F.col("ea")) * nrm(F.col("eb"))), round_to))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), round_to))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine"),
         allsig,
