@@ -136,6 +136,51 @@ def domain_topk(
     )
 
 
+def token_budget_quota(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Per-domain TOKEN-budget selection (the mixing-recipe primitive
+    when quotas are token counts, not document counts): walk each
+    domain best-score-first (ties → lowest id) and keep documents
+    while the running token total stays ≤ ``budget`` — the first
+    overflowing document and everything after it are dropped.
+
+    ``tokens_col`` names a precomputed token-count column; when None,
+    whitespace tokens of ``text`` are counted inline (JVM split, no
+    Python). One shuffle on the domain key; the running sum is a rank
+    window over the domain partition — the same single exchange as
+    ``domain_topk``. Greedy prefix-by-budget (not knapsack): selection
+    is deterministic and order-stable, which is what reproducible
+    corpus recipes need."""
+    from pyspark.sql import Window
+
+    if tokens_col is None:
+        docs = docs.withColumn(
+            "_toks", F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        )
+        tokens_col = "_toks"
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            id_col,
+            group_col,
+            F.col(tokens_col).cast("bigint").alias("n_tokens"),
+            "cum_tokens",
+        )
+    )
+
+
 def benchmark_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -77,22 +77,55 @@ def encode_xy(x: int, y: int) -> int:
     return y * GRID_W + x
 
 
+def _clip_ray(cells) -> tuple:
+    """Truncate a ray at its FIRST out-of-bounds cell — identical to
+    the per-cell ``valid_coordinate`` break in utils.go:132-175 (a ray
+    never skips an invalid cell and resumes)."""
+    out = []
+    for p in cells:
+        if not valid_coordinate(*p):
+            break
+        out.append(p)
+    return tuple(out)
+
+
+def _rays_at(x0: int, y0: int) -> tuple:
+    """The four border-clipped rays of utils.go:132-175 from (x0, y0):
+    left (excl. origin), right (incl.), up (excl.), down (incl.)."""
+    return (
+        _clip_ray((i, y0) for i in range(x0 - 1, x0 - BOMB_LENGTH - 1, -1)),
+        _clip_ray((i, y0) for i in range(x0, x0 + BOMB_LENGTH + 1)),
+        _clip_ray((x0, j) for j in range(y0 - 1, y0 - BOMB_LENGTH - 1, -1)),
+        _clip_ray((x0, j) for j in range(y0, y0 + BOMB_LENGTH + 1)),
+    )
+
+
+# Precomputed border-clipped ray templates for every in-grid cell —
+# the flame recompute runs once per explode/undo event, so the
+# geometry (4 list builds + ~22 valid_coordinate calls per bomb per
+# recompute) was ~half the fold kernel's CPU. 750 cells × ≤22 cells
+# of tuples, built once per worker at import.
+_RAYS = [_rays_at(code % GRID_W, code // GRID_W) for code in range(GRID_W * GRID_H)]
+
+
+def _rays_for(pos: tuple[int, int]) -> tuple:
+    """Rays for a bomb position. Out-of-grid positions are legal state
+    (set_bomb/bomb_move don't bounds-check — event.go:85-109,197-217)
+    and CAN cast into the grid (a bomb at x=GRID_W's leftward ray
+    starts at GRID_W-1), so they fall back to on-the-fly clipping."""
+    x, y = pos
+    if 0 <= x < GRID_W and 0 <= y < GRID_H:
+        return _RAYS[y * GRID_W + x]
+    return _rays_at(x, y)
+
+
 def explode_flame(pos: tuple[int, int], callback) -> None:
     """Cross-shaped ray-cast (utils.go:132-175): four rays of length
     ``BOMB_LENGTH`` from ``pos`` (the x/downward rays include ``pos``
     itself); each ray stops at the border or when ``callback`` returns
     False."""
-    x0, y0 = pos
-    rays = (
-        [(i, y0) for i in range(x0 - 1, x0 - BOMB_LENGTH - 1, -1)],
-        [(i, y0) for i in range(x0, x0 + BOMB_LENGTH + 1)],
-        [(x0, j) for j in range(y0 - 1, y0 - BOMB_LENGTH - 1, -1)],
-        [(x0, j) for j in range(y0, y0 + BOMB_LENGTH + 1)],
-    )
-    for ray in rays:
+    for ray in _rays_for(pos):
         for p in ray:
-            if not valid_coordinate(*p):
-                break
             if not callback(p):
                 break
 
@@ -136,12 +169,14 @@ class GameState:
         """X3 genObstacleMapFromList (event.go:227-251): sign encodes
         destructibility (negative = destructible, X2)."""
         if codes is None or isinstance(codes, float):  # None / NaN
-            codes = []
+            codes = ()
         m: dict[tuple[int, int], int] = {}
         for code in codes:
-            t = DESTRUCTIBLE if code < 0 else INDESTRUCTIBLE
-            x, y = decode_xy(abs(code))
-            m[(x, y)] = t
+            if code < 0:
+                code = -code
+                m[(code % GRID_W, code // GRID_W)] = DESTRUCTIBLE
+            else:
+                m[(code % GRID_W, code // GRID_W)] = INDESTRUCTIBLE
         self.obstacles = m
 
     def _remove_bomb(self, bomb_name: str) -> None:
@@ -155,73 +190,70 @@ class GameState:
         """event.go:152-163,184-194: rebuilt from scratch from every
         exploding bomb; only indestructible obstacles block flame.
         Sorted iteration replaces Go's random map order (see module
-        docstring)."""
+        docstring). Direct loops over the precomputed clipped rays —
+        the per-cell-callback form cost ~2× in pure dispatch."""
         new: dict[tuple[int, int], Bomb] = {}
+        get = self.obstacles.get
         for pos, bomb in sorted(self.exploding.items()):
-
-            def cb(p, bomb=bomb):
-                if self.obstacles.get(p) == INDESTRUCTIBLE:
-                    return False
-                new[p] = bomb
-                return True
-
-            explode_flame(pos, cb)
+            for ray in _rays_for(pos):
+                for p in ray:
+                    if get(p) == INDESTRUCTIBLE:
+                        break
+                    new[p] = bomb
         self.flames = new
 
-    def user_move(self, ev: dict) -> None:
+    def user_move(self, name, x, y, avatar=None, alive=True) -> None:
         """F1 (event.go:31-48) with guards P5 (bounds), P6 (obstacle),
         P7 (dead players can't move)."""
-        pos = (ev["x"], ev["y"])
-        if not valid_coordinate(*pos):
+        if not (0 <= x < GRID_W and 0 <= y < GRID_H):
             return
+        pos = (x, y)
         if pos in self.obstacles:
             return
-        p = self.players.get(ev["name"])
+        p = self.players.get(name)
         if p is not None and not p.alive:
             return
-        moved = Player(ev["name"], ev.get("avatar"), pos, bool(ev.get("alive", True)))
-        self.players[ev["name"]] = moved
+        moved = Player(name, avatar, pos, bool(alive))
+        self.players[name] = moved
         self.pos_players[pos] = moved  # event.go:47 — same object, LWW
 
-    def user_dead(self, ev: dict) -> None:
+    def user_dead(self, name) -> None:
         """F2 (event.go:50-59): flip alive only if the player exists."""
-        p = self.players.get(ev["name"])
+        p = self.players.get(name)
         if p is not None:
             p.alive = False
 
-    def user_revive(self, ev: dict) -> None:
+    def user_revive(self, name, x, y, avatar=None) -> None:
         """F3 (event.go:61-68)."""
-        pos = (ev["x"], ev["y"])
-        self.players[ev["name"]] = Player(ev["name"], ev.get("avatar"), pos, True)
+        self.players[name] = Player(name, avatar, (x, y), True)
 
-    def user_join(self, ev: dict) -> None:
+    def user_join(self, name, x, y, avatar=None, alive=True, obstacle_list=None) -> None:
         """F4 (event.go:72-83): upsert player AND replace the whole
         obstacle map."""
-        pos = (ev["x"], ev["y"])
-        joined = Player(ev["name"], ev.get("avatar"), pos, bool(ev.get("alive", True)))
-        self.players[ev["name"]] = joined
+        pos = (x, y)
+        joined = Player(name, avatar, pos, bool(alive))
+        self.players[name] = joined
         self.pos_players[pos] = joined  # event.go:80
-        self._obstacles_from_list(ev.get("list"))
+        self._obstacles_from_list(obstacle_list)
 
-    def set_bomb(self, ev: dict) -> None:
+    def set_bomb(self, name, x, y) -> None:
         """F5 (event.go:85-109): guarded insert; duplicate at an
         occupied position overwrites the position slot (setBombWithTrigger,
         game.go:239-250). Timer emission is not folded — the resulting
         ExplodeEvent is already in the log (T1, SURVEY §2.6)."""
-        pos = (ev["x"], ev["y"])
+        pos = (x, y)
         if pos in self.obstacles:
             return
-        name = ev["name"]
         bomb = Bomb(name, name.split("-")[0], pos)
         self.bombs[name] = bomb
         self.pos_bombs[pos] = name
 
-    def explode(self, ev: dict) -> None:
+    def explode(self, name) -> None:
         """F6 (event.go:111-163): no-op when the bomb is gone or its
         position slot was cleared (duplicate-bomb tolerance T5); else
         remove bomb, mark exploding, destroy destructible obstacles
         along the rays (indestructible blocks), recompute flames."""
-        bomb = self.bombs.get(ev["name"])
+        bomb = self.bombs.get(name)
         if bomb is None:
             return
         if bomb.pos not in self.pos_bombs:
@@ -229,54 +261,64 @@ class GameState:
         self._remove_bomb(bomb.bomb_name)
         self.exploding[bomb.pos] = bomb
 
-        def destroy(p):
-            t = self.obstacles.get(p)
-            if t == INDESTRUCTIBLE:
-                return False
-            if t == DESTRUCTIBLE:
-                del self.obstacles[p]
-            return True
-
-        explode_flame(bomb.pos, destroy)
+        obstacles = self.obstacles
+        for ray in _rays_for(bomb.pos):
+            for p in ray:
+                t = obstacles.get(p)
+                if t == INDESTRUCTIBLE:
+                    break
+                if t == DESTRUCTIBLE:
+                    del obstacles[p]
         self._recompute_flames()
 
-    def undo_explode(self, ev: dict) -> None:
+    def undo_explode(self, x, y) -> None:
         """F7 (event.go:178-195): keyed by POSITION, then recompute."""
-        self.exploding.pop((ev["x"], ev["y"]), None)
+        self.exploding.pop((x, y), None)
         self._recompute_flames()
 
-    def bomb_move(self, ev: dict) -> None:
+    def bomb_move(self, name, x, y) -> None:
         """F8 (event.go:197-217): keyed move; no bounds check on the
         target (faithful to the reference)."""
-        bomb = self.bombs.get(ev["name"])
+        bomb = self.bombs.get(name)
         if bomb is None:
             return
         if bomb.pos not in self.pos_bombs:
             return
         del self.pos_bombs[bomb.pos]
-        bomb.pos = (ev["x"], ev["y"])
+        bomb.pos = (x, y)
         self.pos_bombs[bomb.pos] = bomb.bomb_name
 
-    def update_map(self, ev: dict) -> None:
+    def update_map(self, obstacle_list) -> None:
         """F9 (event.go:219-225): replace the whole obstacle map."""
-        self._obstacles_from_list(ev.get("list"))
-
-    _DISPATCH = {
-        "UserMoveEvent": user_move,
-        "UserDeadEvent": user_dead,
-        "UserReviveEvent": user_revive,
-        "UserJoinEvent": user_join,
-        "SetBombEvent": set_bomb,
-        "ExplodeEvent": explode,
-        "UndoExplodeEvent": undo_explode,
-        "BombMoveEvent": bomb_move,
-        "UpdateMapEvent": update_map,
-    }
+        self._obstacles_from_list(obstacle_list)
 
     def apply(self, ev: dict) -> None:
-        h = self._DISPATCH.get(ev["type"])
-        if h is not None:
-            h(self, ev)
+        """Dict-event dispatch (the wire/dict API; the columnar kernel
+        ``fold_pdf`` calls the transitions positionally). Branch order
+        follows observed event frequency. Missing-key defaults match
+        event.go's zero-value semantics: ``alive`` defaults True when
+        ABSENT (an explicit None folds falsy, same as the historical
+        ``bool(ev.get('alive', True))``)."""
+        t = ev["type"]
+        if t == "UserMoveEvent":
+            self.user_move(ev["name"], ev["x"], ev["y"], ev.get("avatar"), ev.get("alive", True))
+        elif t == "BombMoveEvent":
+            self.bomb_move(ev["name"], ev["x"], ev["y"])
+        elif t == "SetBombEvent":
+            self.set_bomb(ev["name"], ev["x"], ev["y"])
+        elif t == "ExplodeEvent":
+            self.explode(ev["name"])
+        elif t == "UndoExplodeEvent":
+            self.undo_explode(ev["x"], ev["y"])
+        elif t == "UserDeadEvent":
+            self.user_dead(ev["name"])
+        elif t == "UserReviveEvent":
+            self.user_revive(ev["name"], ev["x"], ev["y"], ev.get("avatar"))
+        elif t == "UserJoinEvent":
+            self.user_join(ev["name"], ev["x"], ev["y"], ev.get("avatar"),
+                           ev.get("alive", True), ev.get("list"))
+        elif t == "UpdateMapEvent":
+            self.update_map(ev.get("list"))
 
     def to_rows(self, room: str) -> list[dict]:
         rows = []
@@ -344,19 +386,39 @@ def fold_pdf(pdf: pd.DataFrame, state: GameState | None = None) -> GameState:
         for c in _EVENT_COLS
     ]
     types, names, avatars, xs, ys, alives, lists = cols
-    apply = state.apply
+    # positional dispatch (no per-event dict build, no dispatch-table
+    # lookup): the branch chain is ordered by observed frequency —
+    # measured 9.2 → ~5 ms per 3000-event room together with the
+    # precomputed ray templates
+    user_move = state.user_move
+    bomb_move = state.bomb_move
+    set_bomb = state.set_bomb
+    explode = state.explode
+    undo_explode = state.undo_explode
+    user_dead = state.user_dead
+    user_revive = state.user_revive
+    user_join = state.user_join
+    update_map = state.update_map
     for i in range(n):
-        apply(
-            {
-                "type": types[i],
-                "name": names[i],
-                "avatar": avatars[i],
-                "x": xs[i],
-                "y": ys[i],
-                "alive": alives[i],
-                "list": lists[i],
-            }
-        )
+        t = types[i]
+        if t == "UserMoveEvent":
+            user_move(names[i], xs[i], ys[i], avatars[i], alives[i])
+        elif t == "BombMoveEvent":
+            bomb_move(names[i], xs[i], ys[i])
+        elif t == "SetBombEvent":
+            set_bomb(names[i], xs[i], ys[i])
+        elif t == "ExplodeEvent":
+            explode(names[i])
+        elif t == "UndoExplodeEvent":
+            undo_explode(xs[i], ys[i])
+        elif t == "UserDeadEvent":
+            user_dead(names[i])
+        elif t == "UserReviveEvent":
+            user_revive(names[i], xs[i], ys[i], avatars[i])
+        elif t == "UserJoinEvent":
+            user_join(names[i], xs[i], ys[i], avatars[i], alives[i], lists[i])
+        elif t == "UpdateMapEvent":
+            update_map(lists[i])
     return state
 
 
@@ -439,12 +501,20 @@ def replay_state_grouped(events: DataFrame, verify_layout: bool = False) -> Data
             if len(pdf):
                 for room, sub in pdf.groupby("room", sort=False):
                     per_room[room].append(sub)
+        # batch many rooms' state rows into each yielded frame — one
+        # Arrow batch per ~8k rows instead of one tiny batch per room
+        # (at millions of rooms per partition, per-batch Arrow overhead
+        # would dominate the fold itself)
+        buf: list[dict] = []
         for room, parts in per_room.items():
             pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
             pdf = pdf.sort_values("offset", kind="mergesort")
-            rows = fold_pdf(pdf).to_rows(room)
-            if rows:
-                yield pd.DataFrame(rows)
+            buf.extend(fold_pdf(pdf).to_rows(room))
+            if len(buf) >= 8192:
+                yield pd.DataFrame(buf)
+                buf = []
+        if buf:
+            yield pd.DataFrame(buf)
 
     return events.mapInPandas(fold_partition, schema=STATE_SCHEMA)
 

@@ -1166,6 +1166,32 @@ def fold_scale_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.groupBy("room", "entity").agg(F.count(F.lit(1)).alias("n"))
 
 
+# XL fold workload (round 5) — the legacy 32×3000 entry is kept for
+# series continuity, but at 96k events its wall time is dominated by
+# the ~0.2 s Python-stage scheduling floor (96k / 0.2 s caps the
+# METRIC at ~480k ev/s even for a zero-cost kernel). 32×12000 = 384k
+# events amortizes the floor so fold_events_per_sec_xl tracks the
+# kernel, not the scheduler.
+FOLD_XL_ROOMS = 32
+FOLD_XL_EVENTS_PER_ROOM = 12000
+
+
+@register("fold_scale_replay_xl", oracle=None)
+def fold_scale_replay_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fold benchmark at 4× the legacy event volume (384k events,
+    same 32-room shape, seed 7): distributed generation + shuffle-free
+    grouped fold + tiny final agg, one stage before the agg exchange.
+    Exists so the tracked events/s number measures the fold kernel
+    rather than the fixed per-stage floor (see constant note)."""
+    from .sources.fixtures import game_event_log
+
+    _prep(spark)
+    log = game_event_log(spark, n_rooms=FOLD_XL_ROOMS,
+                         events_per_room=FOLD_XL_EVENTS_PER_ROOM, seed=7)
+    state = replay.replay_state_grouped(log)
+    return state.groupBy("room", "entity").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register("fold_state_summary", oracle=None)
 def fold_state_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full materialized state (players+bombs+obstacles+flames)
@@ -3629,6 +3655,36 @@ def domain_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quota_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    ) WHERE cum_tokens <= 800
+    """,
+)
+def quota_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain TOKEN-budget quota (mixing recipes quota tokens, not
+    doc counts): greedy best-first prefix per source while the running
+    token sum stays ≤ 800. Same single domain-key exchange as the
+    top-k quota; the budget walk is a rank-window running sum."""
+    from .operators import curation
+
+    return curation.token_budget_quota(
+        _t(spark, sf_dir, "documents"), budget=800
+    )
+
+
+@register(
     "text_repetition_signals",
     oracle=f"""
     WITH toks AS (
@@ -3958,6 +4014,13 @@ BENCH_WORKLOAD_NOTES = {
         "dedup_embedding_cosine stays for series continuity but times "
         "the driver-collect ground-truth baseline"
     ),
+    "_total_r5": (
+        "round 5 adds fold_scale_replay_xl (29 total): same fold "
+        "pipeline at 384k events (4x) so the events/s metric clears the "
+        "~0.2s per-stage floor that caps the legacy 96k entry at ~480k "
+        "ev/s regardless of kernel speed; fold_scale_replay stays for "
+        "series continuity"
+    ),
 }
 
 BENCH_QUERIES = [
@@ -3992,6 +4055,8 @@ BENCH_QUERIES = [
     "dedup_incremental_minhash",
     # added round 4
     "dedup_embedding_lsh",
+    # added round 5
+    "fold_scale_replay_xl",
 ]
 
 
@@ -4004,6 +4069,8 @@ BENCH_QUERIES = [
 # (tests/test_oracle_parity.py) regardless of rotation position.
 _DRIVER_PRIORITY = [
     # --- new in round 5 (never driver-verified) go here, first ---
+    "quota_token_budget",
+    "fold_scale_replay_xl",
     "pipeline_curation_compacted",
     "sim_ivf_topk_clustered",
     "sim_lsh_topk_clustered",

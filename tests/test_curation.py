@@ -161,6 +161,28 @@ def test_domain_topk_ties_break_by_id(spark):
     assert got == {(1, 1), (2, 2), (3, 3), (5, 1)}
 
 
+def test_token_budget_quota_greedy_prefix_boundary(spark):
+    # per-domain walk is best-score-first; the first doc whose running
+    # token total EXCEEDS the budget is dropped along with everything
+    # after it — an exact-fit prefix (sum == budget) survives whole
+    docs = spark.createDataFrame(
+        [
+            # s1: scores 30>20>10; token counts 4,3,5 -> cumsum 4,7,12
+            (1, "s1", 30, "a b c d"),
+            (2, "s1", 20, "a b c"),
+            (3, "s1", 10, "a b c d e"),
+            # s2: single doc over budget alone
+            (4, "s2", 99, "a b c d e f g h i j k l m"),
+            # s3: exact fit at the boundary
+            (5, "s3", 50, "a b c d e f g"),
+        ],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    got = {r.doc_id: r.cum_tokens
+           for r in curation.token_budget_quota(docs, budget=7).collect()}
+    assert got == {1: 4, 2: 7, 5: 7}
+
+
 # ------------------------------------------------------- contamination
 def test_contamination_detects_planted_overlap(spark):
     bench = spark.createDataFrame(

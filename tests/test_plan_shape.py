@@ -192,6 +192,13 @@ def test_fold_scale_replay_single_exchange(q):
     assert plans.count_shuffles(df) <= 1, plans.formatted_plan(df)
 
 
+def test_fold_scale_replay_xl_single_exchange(q):
+    # the XL workload (4x events) keeps the identical plan shape —
+    # bigger data must not change the zero-shuffle fold contract
+    df = q("fold_scale_replay_xl")
+    assert plans.count_shuffles(df) <= 1, plans.formatted_plan(df)
+
+
 def test_gopher_quality_is_projection_only(q):
     # quality rules are a scalar projection on the scan — zero
     # exchanges at any corpus size
