@@ -161,32 +161,42 @@ def main() -> None:
         n_xl = FOLD_XL_ROOMS * FOLD_XL_EVENTS_PER_ROOM
         fold_events_per_sec_xl = round(n_xl / timings["fold_scale_replay_xl"], 1)
 
-    # pure fold: cache the XL log once (materialized, still one room
-    # per partition), then time ONLY the grouped fold + tiny agg —
-    # generation and fixture Arrow ingest excluded
+    # pure fold: write the XL log to local parquet ONCE (partitioned
+    # by room so the scan keeps the topic-per-room layout), then time
+    # ONLY scan + grouped fold + tiny agg — generation excluded. A
+    # parquet scan is repeatable where an executor cache can silently
+    # evict after the memory pressure of the main passes (observed:
+    # the same "pure" measure swung 437k↔784k ev/s when cache-backed).
     fold_pure_events_per_sec = None
     try:
+        import shutil
+        import tempfile
+
         from play_with_pulsar_spark.operators import replay as _replay
         from play_with_pulsar_spark.sources.fixtures import game_event_log
         from pyspark.sql import functions as F
 
-        log = game_event_log(
-            spark, n_rooms=FOLD_XL_ROOMS,
-            events_per_room=FOLD_XL_EVENTS_PER_ROOM, seed=7,
-        ).persist()
-        log.count()  # materialize the cache before timing
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            (
-                _replay.replay_state_grouped(log)
-                .groupBy("room", "entity")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .write.format("noop").mode("overwrite").save()
+        tmp = tempfile.mkdtemp(prefix="pwp_fold_bench_")
+        try:
+            game_event_log(
+                spark, n_rooms=FOLD_XL_ROOMS,
+                events_per_room=FOLD_XL_EVENTS_PER_ROOM, seed=7,
+            ).write.mode("overwrite").partitionBy("room").parquet(tmp)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                (
+                    _replay.replay_state_grouped(spark.read.parquet(tmp))
+                    .groupBy("room", "entity")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .write.format("noop").mode("overwrite").save()
+                )
+                best = min(best, time.perf_counter() - t0)
+            fold_pure_events_per_sec = round(
+                FOLD_XL_ROOMS * FOLD_XL_EVENTS_PER_ROOM / best, 1
             )
-            best = min(best, time.perf_counter() - t0)
-        log.unpersist()
-        fold_pure_events_per_sec = round(FOLD_XL_ROOMS * FOLD_XL_EVENTS_PER_ROOM / best, 1)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     except Exception:
         pass  # throughput extras must never sink the headline numbers
 

@@ -1343,6 +1343,45 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_identical",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sigs AS (
+      SELECT doc_id, md5(string_agg(g, chr(10) ORDER BY g)) AS sig FROM (
+        SELECT doc_id, unnest(list_distinct(
+                 list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        FROM toks WHERE len(t) >= 3
+      ) GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked twin for the MinHash-LSH family: the FULL pipeline
+    (shingle → sign → band → candidate join → exact-Jaccard verify) at
+    threshold 1.0, where recall is provably 1 — identical shingle SETS
+    give identical signatures, which collide in EVERY band, and the
+    exact verify keeps only Jaccard == 1.0 (a non-identical pair's
+    Jaccard is ≤ 1 − 1/|union| < 1). The oracle computes the same
+    identical-shingle-set pairs by canonical signature (sorted distinct
+    3-grams, newline-joined — tokens are whitespace-split so no gram
+    can contain the separator). Turns the minhash family's rows-only
+    recall bound into a driver value-hash equality on its own pipeline."""
+    from .operators import dedup
+
+    pairs = dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=64, num_bands=16,
+        threshold=1.0,
+    )
+    return dedup._register_cached(
+        pairs.select("id_a", "id_b"), *getattr(pairs, "_pwp_cached", ())
+    )
+
+
 # Both incremental-dedup queries split the fixture corpus into an
 # "already indexed" part (doc_id % 5 != 0) and a "new crawl batch"
 # (doc_id % 5 == 0); the operators must return exactly the batch-run
@@ -4069,6 +4108,7 @@ BENCH_QUERIES = [
 # (tests/test_oracle_parity.py) regardless of rotation position.
 _DRIVER_PRIORITY = [
     # --- new in round 5 (never driver-verified) go here, first ---
+    "dedup_minhash_identical",
     "quota_token_budget",
     "fold_scale_replay_xl",
     "pipeline_curation_compacted",

@@ -18,6 +18,8 @@ TARGETS = [
     ("dedup_incremental_minhash", "Incremental LSH screen (inline-built index per the declared contract). Watch: candidates = (batch x index) U (batch x batch); the index side is never unioned under the join."),
     ("dedup_embedding_lsh", "Hyperplane-LSH embedding near-dup: ONE multi-table signature stage, bucket-collision candidates, exact cosine on candidates only."),
     ("fold_scale_replay", "Topic-per-room fold: generation, fold, and partial agg fuse into one stage (zero exchanges before the tiny final agg)."),
+    ("fold_scale_replay_xl", "Same fold contract at 4x events (384k) - bigger data must not change the zero-shuffle shape."),
+    ("quota_token_budget", "Per-domain token-budget quota: ONE exchange on the domain key; running sum + filter ride the same window sort."),
     ("q3_shipping_priority", "TPC-H q3 shape. Watch: BroadcastHashJoin on the dim sides, partial aggregation before the exchange, PushedFilters/ReadSchema on the scans."),
     ("asof_latest_order", "As-of join as union + ONE keyed exchange + window carry. Watch: no Join operator anywhere."),
     ("sim_bruteforce_topk", "Brute-force cosine top-k: broadcast query side, per-partition numpy matmul, TakeOrdered — only k*partitions rows move."),
