@@ -173,3 +173,32 @@ def write_event_log(events: DataFrame, path: str, mode: str = "append") -> None:
 def read_event_log(spark: SparkSession, path: str) -> DataFrame:
     """S3: full scan from earliest, explicit schema."""
     return spark.read.schema(GAME_EVENT_SCHEMA).parquet(path)
+
+
+def write_event_log_bucketed(
+    events: DataFrame,
+    table: str,
+    n_buckets: int = 256,
+    path: str | None = None,
+) -> None:
+    """S1 at catalog scale: the event log as a bucketed table —
+    ``bucketBy(n, room)`` + within-bucket ``sortBy(room, offset)``.
+
+    Why this layout exists: ``replay_state`` is ``groupBy(room)
+    .applyInPandas`` — over an arbitrary parquet layout that is a
+    corpus-wide Exchange per replay. Over a table bucketed by room,
+    Spark's FlatMapGroupsInPandas sees its ClusteredDistribution(room)
+    already satisfied by the scan's bucketing and plans NO Exchange at
+    all (plan-asserted in test_bucketing.py) — the batch analog of the
+    broker's topic-per-room co-location (pulsar.go:90-107): partition
+    once at write time, replay shuffle-free forever after. Within-
+    bucket sort by (room, offset) keeps each room's log contiguous and
+    ordered on disk. Pass ``path`` for an EXTERNAL table that outlives
+    the session catalog (re-attach via ``bucketing.register_bucketed``).
+    """
+    w = events.write.mode("overwrite").bucketBy(n_buckets, "room").sortBy(
+        "room", "offset"
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
