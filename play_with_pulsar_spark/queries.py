@@ -1343,6 +1343,14 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE (round 5): a simhash twin on the minhash-twin pattern is NOT
+# constructible. Hamming-0 simhash pairs are not identical-multiset
+# pairs — simhash is a per-bit majority VOTE, and two similar-but-
+# distinct docs flip no sign when the tallies are away from zero
+# (measured: 4 hamming-0 pairs at sf0.01, 41 at sf0.1, across
+# all-distinct token multisets). Reproducing the signature in SQL
+# would require xxhash64 in DuckDB. The simhash family keeps its
+# pytest gates (vectorized kernel == per-doc grouped reference).
 @register(
     "dedup_minhash_identical",
     oracle=f"""
