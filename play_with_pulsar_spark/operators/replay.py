@@ -432,17 +432,37 @@ def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _project_fold_columns(events: DataFrame) -> DataFrame:
+    """Keep only the columns the fold reads (room, offset, and the
+    transition inputs). The scan-side projection cuts what crosses the
+    shuffle/Arrow boundary — the dead ``ts``/``comment`` columns and
+    their timestamp→datetime64 conversion never reach the Python
+    worker."""
+    keep = ["room", "offset"] + [c for c in _EVENT_COLS if c in events.columns]
+    return events.select(*keep)
+
+
+# (measured: the pruning is ~10% off the pure fold wall at 3M events
+# on local parquet — modest here because the dropped columns are 2 of
+# 11; on a wide production envelope or across a real shuffle the
+# saving scales with what was dropped)
+
+
 def replay_state(events: DataFrame, upto_offset: int | None = None) -> DataFrame:
     """Time-travel query: materialized state as of ``upto_offset``
     (inclusive), per room (SURVEY §3.2 — watch.go:43-85's re-fold).
 
-    Plan: offset filter (pushed to the scan) → shuffle on room →
-    per-room Arrow-batched fold. Returns the tagged state table
-    (``STATE_SCHEMA``).
+    Plan: offset filter (pushed to the scan) → column-pruned shuffle
+    on room → per-room Arrow-batched fold. Returns the tagged state
+    table (``STATE_SCHEMA``).
     """
     if upto_offset is not None:
         events = events.filter(F.col("offset") <= upto_offset)
-    return events.groupBy("room").applyInPandas(_fold_group, schema=STATE_SCHEMA)
+    return (
+        _project_fold_columns(events)
+        .groupBy("room")
+        .applyInPandas(_fold_group, schema=STATE_SCHEMA)
+    )
 
 
 def assert_rooms_not_split(events: DataFrame) -> None:
@@ -492,6 +512,7 @@ def replay_state_grouped(events: DataFrame, verify_layout: bool = False) -> Data
     """
     if verify_layout:
         assert_rooms_not_split(events)
+    events = _project_fold_columns(events)
 
     def fold_partition(batches):
         import collections
@@ -561,6 +582,8 @@ def snapshot_states(events: DataFrame, every_k: int = 1000) -> DataFrame:
     starts from the nearest snapshot ≤ k (``state_at``)."""
     import pickle
 
+    events = _project_fold_columns(events)
+
     def snap(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("offset", kind="mergesort")
         room = pdf["room"].iloc[0]
@@ -599,7 +622,7 @@ def state_at(events: DataFrame, snapshots: DataFrame, upto_offset: int) -> DataF
         .agg(F.max_by(F.struct("snap_offset", "blob"), "snap_offset").alias("s"))
         .select("room", F.col("s.snap_offset").alias("snap_offset"), F.col("s.blob").alias("blob"))
     )
-    tail = events.filter(F.col("offset") <= upto_offset)
+    tail = _project_fold_columns(events.filter(F.col("offset") <= upto_offset))
 
     def fold_tail(key, evs: pd.DataFrame, snaps: pd.DataFrame):
         room = key[0]
