@@ -176,17 +176,29 @@ def main() -> None:
         from play_with_pulsar_spark.sources.fixtures import game_event_log
         from pyspark.sql import functions as F
 
+        from play_with_pulsar_spark.sources.event_log import (
+            read_event_log,
+            write_event_log,
+        )
+
         tmp = tempfile.mkdtemp(prefix="pwp_fold_bench_")
         try:
-            game_event_log(
-                spark, n_rooms=FOLD_XL_ROOMS,
-                events_per_room=FOLD_XL_EVENTS_PER_ROOM, seed=7,
-            ).write.mode("overwrite").partitionBy("room").parquet(tmp)
+            write_event_log(
+                game_event_log(
+                    spark, n_rooms=FOLD_XL_ROOMS,
+                    events_per_room=FOLD_XL_EVENTS_PER_ROOM, seed=7,
+                ),
+                tmp,
+                mode="overwrite",
+            )
+            # schema-explicit read built ONCE outside the timed reps
+            # (an inferred read would re-run footer inference per rep)
+            log = read_event_log(spark, tmp)
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 (
-                    _replay.replay_state_grouped(spark.read.parquet(tmp))
+                    _replay.replay_state_grouped(log)
                     .groupBy("room", "entity")
                     .agg(F.count(F.lit(1)).alias("n"))
                     .write.format("noop").mode("overwrite").save()

@@ -160,9 +160,9 @@ def token_budget_quota(
     from pyspark.sql import Window
 
     if tokens_col is None:
-        docs = docs.withColumn(
-            "_toks", F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-        )
+        from .textops import token_count
+
+        docs = docs.withColumn("_toks", token_count("text"))
         tokens_col = "_toks"
     w = (
         Window.partitionBy(group_col)

@@ -119,15 +119,6 @@ def _rays_for(pos: tuple[int, int]) -> tuple:
     return _rays_at(x, y)
 
 
-def explode_flame(pos: tuple[int, int], callback) -> None:
-    """Cross-shaped ray-cast (utils.go:132-175): four rays of length
-    ``BOMB_LENGTH`` from ``pos`` (the x/downward rays include ``pos``
-    itself); each ray stops at the border or when ``callback`` returns
-    False."""
-    for ray in _rays_for(pos):
-        for p in ray:
-            if not callback(p):
-                break
 
 
 @dataclass

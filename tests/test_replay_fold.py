@@ -341,6 +341,45 @@ def test_fold_pdf_matches_fold_events():
     assert got == expected
 
 
+def test_every_event_type_dispatches_identically_in_both_chains():
+    """apply() (dict chain) and fold_pdf (positional chain) are
+    hand-duplicated branch lists — this pins that EVERY event type
+    reaches the same transition with the same defaults through both,
+    independent of what any generator happens to emit. A type added to
+    one chain but not the other, or a drifted default, fails here on a
+    one-event fold."""
+    import pandas as pd
+
+    from play_with_pulsar_spark.operators.replay import fold_events, fold_pdf
+
+    base = [
+        dict(offset=0, room="r", ts=None, type="UserJoinEvent", name="a",
+             avatar="f", comment="", x=3, y=4, alive=True, list=[-100, 200]),
+        dict(offset=1, room="r", ts=None, type="SetBombEvent", name="a-b1",
+             avatar=None, comment="", x=3, y=4, alive=True, list=None),
+    ]
+    per_type = [
+        dict(type="UserMoveEvent", name="a", x=4, y=4, alive=True),
+        dict(type="UserMoveEvent", name="ghost", x=5, y=5, alive=None),
+        dict(type="UserDeadEvent", name="a", x=0, y=0),
+        dict(type="UserReviveEvent", name="a", x=6, y=6),
+        dict(type="UserJoinEvent", name="b", x=1, y=1, alive=False,
+             list=[50, -60]),
+        dict(type="SetBombEvent", name="b-b2", x=1, y=1),
+        dict(type="BombMoveEvent", name="a-b1", x=2, y=4),
+        dict(type="ExplodeEvent", name="a-b1", x=0, y=0),
+        dict(type="UndoExplodeEvent", name=None, x=2, y=4),
+        dict(type="UpdateMapEvent", name=None, x=0, y=0, list=[7, -8]),
+        dict(type="NotARealEvent", name="a", x=1, y=1),  # both must skip
+    ]
+    for extra in per_type:
+        ev = dict(offset=2, room="r", ts=None, avatar="g", comment="",
+                  x=0, y=0, alive=True, list=None)
+        ev.update(extra)
+        seq = base + [ev]
+        assert fold_pdf(pd.DataFrame(seq)) == fold_events(seq), ev["type"]
+
+
 def test_grouped_fold_layout_verification(spark):
     """verify_layout accepts the generator's topic-per-room layout and
     rejects a layout where rooms straddle partitions."""
