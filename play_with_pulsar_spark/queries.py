@@ -2476,30 +2476,36 @@ def approx_stats_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the driver records an err), while the returned values stay
     SQL-exact."""
     ev = _t(spark, sf_dir, "events")
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_median"),
-        F.round(F.expr("percentile(value, 0.45)"), 6).alias("_p45"),
-        F.round(F.expr("percentile(value, 0.55)"), 6).alias("_p55"),
-    )
-    approx = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx_users"),
-        F.percentile_approx("value", 0.5).alias("_approx_median"),
-    )
-    joined = exact.join(approx, "event_type")
-    bad = joined.filter(
-        (
-            F.abs(F.col("_approx_users") - F.col("exact_users"))
-            > 0.15 * F.col("exact_users")
+    # ONE scan + ONE aggregation computes exact AND approx together;
+    # the handful of per-event_type rows is collected once, the sketch
+    # bounds are checked driver-side, and the returned frame is built
+    # from the same collected exact values (so the gate costs nothing
+    # beyond the single agg — the earlier form ran the exact agg twice
+    # plus an eager gate count)
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_median"),
+            F.round(F.expr("percentile(value, 0.45)"), 6).alias("_p45"),
+            F.round(F.expr("percentile(value, 0.55)"), 6).alias("_p55"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("_approx_users"),
+            F.percentile_approx("value", 0.5).alias("_approx_median"),
         )
-        | (F.col("_approx_median") < F.col("_p45"))
-        | (F.col("_approx_median") > F.col("_p55"))
-    ).count()
+        .collect()
+    )
+    bad = [
+        r.event_type
+        for r in rows
+        if abs(r._approx_users - r.exact_users) > 0.15 * r.exact_users
+        or not (r._p45 <= r._approx_median <= r._p55)
+    ]
     if bad:
-        raise AssertionError(
-            f"approx sketches out of bounds for {bad} event_type groups"
-        )
-    return exact.select("event_type", "exact_users", "exact_median")
+        raise AssertionError(f"approx sketches out of bounds for {bad}")
+    return spark.createDataFrame(
+        [(r.event_type, r.exact_users, r.exact_median) for r in rows],
+        "event_type string, exact_users bigint, exact_median double",
+    )
 
 
 @register(
@@ -3558,15 +3564,18 @@ def pipeline_curation_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="pwp_curation_cq_")
+    # constructor does no filesystem work — hoisted above the try so
+    # the finally block's `cur` reference can never be unbound (an
+    # unbound NameError there would mask the real failure)
+    cur = StreamingCorpusCurator(
+        spark,
+        base,
+        threshold=0.8,
+        max_shingle_freq=_NGRAM_MAX_DF,
+        compact_after=0,
+        n_buckets=8,
+    )
     try:
-        cur = StreamingCorpusCurator(
-            spark,
-            base,
-            threshold=0.8,
-            max_shingle_freq=_NGRAM_MAX_DF,
-            compact_after=0,
-            n_buckets=8,
-        )
         for k in range(3):
             cur.process_batch(docs.filter(F.col("doc_id") % 3 == k), k)
         man = cur._manifest()

@@ -165,11 +165,22 @@ class StreamingCorpusCurator:
         return os.path.join(self.base_dir, "COMPACTED.json")
 
     def _manifest(self) -> dict | None:
+        """None = never compacted (no manifest file). A PRESENT but
+        unparseable manifest raises instead: treating it as 'never
+        compacted' would silently drop the whole compacted tier from
+        every read (the folded source dirs are already deleted) and
+        re-accept duplicates with no error anywhere."""
         try:
             with open(self._manifest_path) as f:
                 return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
+        except FileNotFoundError:
             return None
+        except json.JSONDecodeError as e:
+            raise RuntimeError(
+                f"corrupt compaction manifest {self._manifest_path}: {e}; "
+                "restore it (a versioned compacted tier still exists under "
+                f"{self.compacted_dir}) before reading this curator"
+            ) from e
 
     def _covered_upto(self) -> int:
         man = self._manifest()
@@ -277,9 +288,14 @@ class StreamingCorpusCurator:
         if man is not None:
             comp = self.spark.read.parquet(man["accepted_path"])
         if live is None and comp is None:
-            # preserves the pre-compaction error contract: reading an
-            # empty curator raises PATH_NOT_FOUND, not silent-empty
-            return self.spark.read.parquet(self.accepted_dir).drop("ingest_batch")
+            # preserves the pre-compaction error contract (reading an
+            # empty curator raises PATH_NOT_FOUND, not silent-empty) —
+            # but NEVER exposes a partial batch's rows: if uncommitted
+            # dirs exist, only their schema is borrowed (zero rows)
+            raw = self.spark.read.parquet(self.accepted_dir)
+            if self._batch_dirs(self.accepted_dir):
+                raw = raw.where(F.lit(False))
+            return raw.drop("ingest_batch")
         if comp is None:
             return live
         return comp if live is None else comp.unionByName(live)
@@ -403,28 +419,20 @@ class StreamingCorpusCurator:
     def _committed_batch_dirs(self, base: str) -> list[str]:
         """Partition directories of ``base`` whose ``_SUCCESS`` marker
         exists — the committed subset a concurrent reader may trust
-        (a live micro-batch's partial partition is excluded)."""
-        dirs: list[str] = []
+        (a live micro-batch's partial partition is excluded). The
+        listing itself is ``_batch_dirs`` — one implementation of the
+        Hadoop-FS/local-FS walk, filtered here by the marker."""
+        return [d for d in self._batch_dirs(base) if self._success_exists(d)]
+
+    def _success_exists(self, batch_dir: str) -> bool:
+        path = os.path.join(batch_dir, "_SUCCESS")
         try:
             jvm = self.spark._jvm
-            hbase = jvm.org.apache.hadoop.fs.Path(base)
-            fs = hbase.getFileSystem(self.spark._jsc.hadoopConfiguration())
-            if not fs.exists(hbase):
-                return []
-            for status in fs.listStatus(hbase):
-                p = status.getPath()
-                if status.isDirectory() and p.getName().startswith("ingest_batch="):
-                    if fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
-                        dirs.append(p.toString())
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            return bool(fs.exists(hpath))
         except Exception:
-            if os.path.isdir(base):
-                for d in os.listdir(base):
-                    full = os.path.join(base, d)
-                    if d.startswith("ingest_batch=") and os.path.exists(
-                        os.path.join(full, "_SUCCESS")
-                    ):
-                        dirs.append(full)
-        return dirs
+            return os.path.exists(path)
 
     def _batch_dirs(self, base: str) -> list[str]:
         """ALL ``ingest_batch=`` directories of ``base`` (committed or
@@ -509,8 +517,9 @@ class StreamingCorpusCurator:
         """Fold every FULLY-committed batch directory into the
         compacted tier: versioned external bucketed tables in the
         canonical ``write_ngram_index`` / ``write_minhash_index``
-        layout, committed by an atomic manifest flip, folded
-        directories deleted only after the flip.
+        layout, committed by an atomic manifest flip; folded
+        directories are deleted ONE COMPACTION LATER (reader grace —
+        see ``_cleanup_covered``).
 
         Crash-safe at every step: before the flip the previous
         manifest (or none) stays live and all directories remain — a
@@ -629,18 +638,33 @@ class StreamingCorpusCurator:
                 "keys": ["g"],
             }
 
-        # commit: write-temp + os.replace = atomic pointer flip (POSIX)
+        # commit: write-temp + fsync + os.replace = atomic AND durable
+        # pointer flip (without the fsync, a power loss after the
+        # rename can leave an empty manifest while the folded source
+        # dirs below are already gone)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path)
 
-        self._cleanup_covered(new_upto)
+        # delete only dirs covered by the PREVIOUS watermark: the ones
+        # folded by THIS compaction survive one generation as reader
+        # grace (a lazy DataFrame resolved against committed live dirs
+        # pre-flip stays readable until the next compaction), mirroring
+        # _drop_old_versions' one-predecessor retention. Reads already
+        # exclude covered partitions via the watermark filter, so the
+        # retained dirs are never double-counted.
+        self._cleanup_covered(old_upto)
         self._drop_old_versions(version)
         return True
 
     def _cleanup_covered(self, upto: int) -> None:
-        """Delete batch directories the compacted tier now carries.
+        """Delete batch directories covered by watermark ``upto``.
+        Called with the PREVIOUS watermark on a successful compaction
+        (one-generation reader grace for the newly folded dirs) and
+        with the current watermark on the nothing-to-fold resume path.
         Idempotent — also finishes a cleanup a crash interrupted (reads
         exclude covered partitions either way, via the watermark)."""
         for base in self._state_tables():

@@ -239,9 +239,12 @@ def test_compaction_bounds_dirs_same_decisions(spark, tmp_path):
     kept_comp = sorted(r["doc_id"] for r in comp.accepted().collect())
     assert kept_comp == kept_plain == [1, 2, 11, 21, 31, 41, 51]
     # uncompacted: one dir per batch; compacted: bounded by threshold
+    # plus ONE retained generation (folded dirs are deleted one
+    # compaction later as reader grace) — still O(compact_after), not
+    # O(stream length)
     assert len(_dirs_of(plain.grams_dir)) == 6
     for base in (comp.accepted_dir, comp.grams_dir):
-        assert len(_dirs_of(base)) <= 2
+        assert len(_dirs_of(base)) <= 2 * (2 + 1)
     man = comp._manifest()
     assert man is not None and man["covered_upto"] >= 3
     # the index tiers agree row-for-row with the uncompacted state
@@ -268,8 +271,9 @@ def test_compaction_minhash_screen(spark, tmp_path):
     kept_p = sorted(r["doc_id"] for r in plain.accepted().collect())
     kept_c = sorted(r["doc_id"] for r in comp.accepted().collect())
     assert kept_c == kept_p == [1, 3, 5, 7, 9]
+    # threshold bound + one retained grace generation (see above)
     for base in (comp.accepted_dir, comp.grams_dir, comp.banded_dir):
-        assert len(_dirs_of(base)) <= 1
+        assert len(_dirs_of(base)) <= 2 * (1 + 1)
     # banded tier intact: a dup of a long-compacted doc still rejects
     comp.process_batch(_docs(spark, [(100, _w(1)), (101, _w(101))]), 4)
     kept = sorted(r["doc_id"] for r in comp.accepted().collect())
@@ -340,6 +344,23 @@ def test_compaction_replay_after_partial_compaction(spark, tmp_path):
     # decisions against compacted-only state: dup of doc 1 rejected
     cur.process_batch(_docs(spark, [(30, _w(1)), (31, _w(31))]), 3)
     assert sorted(r["doc_id"] for r in cur.accepted().collect()) == kept_before + [31]
+
+
+def test_compaction_reader_grace_one_generation(spark, tmp_path):
+    """A lazy accepted() frame resolved against committed live dirs
+    BEFORE a compaction must still collect AFTER it — folded dirs are
+    deleted one compaction later, not at the flip (without the grace
+    this read dies with FileNotFound mid-stream)."""
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "g"), compact_after=1, n_buckets=4
+    )
+    cur.process_batch(_docs(spark, [(1, _w(1)), (2, _w(2))]), 0)
+    assert cur._manifest() is None  # below threshold: not compacted yet
+    lazy = cur.accepted()  # plan resolves against live ingest_batch=0
+    cur.process_batch(_docs(spark, [(3, _w(3))]), 1)
+    cur.process_batch(_docs(spark, [(4, _w(4))]), 2)  # triggers compact
+    assert cur._manifest() is not None  # compaction really happened
+    assert sorted(r.doc_id for r in lazy.collect()) == [1, 2]
 
 
 def test_compaction_partial_batch_handling(spark, tmp_path):
