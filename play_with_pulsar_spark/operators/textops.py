@@ -365,6 +365,69 @@ def rolling_fingerprints(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed term query — the
+    relevance-mining primitive of a curation pipeline (score documents
+    against a probe query, keep the top-k). Lucene-style idf
+    ``ln(1 + (N - df + ½)/(df + ½))``; per-term scores are scaled to
+    MICRO-units and summed as bigints (integer addition is associative
+    where a float sum is partitioning-dependent — the same
+    determinism protocol as ``x_array_functions``). All JVM-side:
+    explode → two small aggs → broadcast joins; only two scalars
+    (corpus size, mean doc length) touch the driver.
+
+    Output: (doc_id, bm25_micro, rnk) for rnk ≤ k, ranked by score
+    then doc_id."""
+    from pyspark.sql import Window
+
+    qt = sorted({t.lower() for t in query_terms})
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl").alias("a")).collect()[0].a
+    tf = (
+        toks.filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))))
+    )
+    per_doc = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .withColumn("ts_micro", F.round(term_score * F.lit(1e6)).cast("bigint"))
+        .groupBy("doc_id")
+        .agg(F.sum("ts_micro").alias("bm25_micro"))
+    )
+    # top-k FIRST via orderBy+limit (planned as TakeOrderedAndProject —
+    # k·partitions rows move, never a global sort), THEN rank the k
+    # survivors with a window that only ever sees k rows
+    topk = per_doc.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "doc_id", "bm25_micro", "rnk"
+    )
+
+
 def repetition_signals(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

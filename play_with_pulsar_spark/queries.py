@@ -3741,6 +3741,56 @@ def quota_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), a AS (
+      SELECT avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('hash', 'join', 'merge') GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), per_doc AS (
+      SELECT tf.doc_id,
+             CAST(sum(CAST(round(
+               ln(1.0 + (CAST(n.n_docs AS DOUBLE) - dfq.df + 0.5)
+                        / (CAST(dfq.df AS DOUBLE) + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / a.avgdl))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS bm25_micro
+      FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN n CROSS JOIN a
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25_micro, rnk FROM (
+      SELECT doc_id, bm25_micro,
+             CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC)
+                  AS INT) AS rnk
+      FROM per_doc
+    ) WHERE rnk <= 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Lucene idf, k1=1.2, b=0.75) of the top-20 docs
+    for the probe query 'hash join merge' — relevance mining over the
+    corpus. Per-term scores scaled to micro-units and summed as
+    bigints so the ranking is partitioning-independent; top-k is
+    TakeOrdered (k·partitions rows move), the rank window only ever
+    sees the 20 survivors."""
+    from .operators import textops
+
+    return textops.bm25_topk(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "merge"], k=20
+    )
+
+
+@register(
     "text_repetition_signals",
     oracle=f"""
     WITH toks AS (
