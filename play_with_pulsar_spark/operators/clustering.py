@@ -1,0 +1,222 @@
+"""Distributed k-means clustering and semantic (embedding-space)
+deduplication over an ``array<float>`` embedding column.
+
+Reference parity: the reference engine has no clustering operator —
+this family covers the LLM-training-data curation surface the task
+brief names first-class (SemDeDup-style semantic dedup; the coarse
+quantizer that `similarity.ivf_*` train on a sample is here trained
+on the FULL corpus, distributed).
+
+Scale design (the part that must survive 100 TB):
+
+- **Assignment is a pure projection.** The K centroids are folded
+  into the plan as a literal ``array<struct<cl,cv>>`` and the argmin
+  is ``array_min(transform(...))`` over JVM higher-order functions —
+  whole-stage codegen, ZERO exchanges, embarrassingly parallel. No
+  join, no window, no Python worker. (For K in the thousands —
+  IVF-sized codebooks — literal folding stops scaling in codegen;
+  that regime is served by the numpy/Arrow ``similarity.ivf_assign``
+  kernel. Both strategies share the same contract.)
+- **The update is the only shuffle, and it is K·D wide.** Per-
+  dimension means go through ``posexplode → groupBy(cluster, pos)``:
+  partial aggregation combines map-side, so each partition emits at
+  most K·D rows regardless of row count; the driver holds only the
+  K·D centroid matrix between iterations (exactly what Spark MLlib's
+  KMeans does with treeAggregate).
+- Lloyd's is iterative and therefore not single-query SQL — but with
+  deterministic first-K-by-id init and a fixed iteration count the
+  whole fit UNROLLS into CTEs, so the declared queries carry a full
+  DuckDB oracle (``_kmeans_cte`` in queries.py mirrors this module
+  constant-for-constant).
+
+Cross-engine float protocol (same as the similarity family):
+distances are ranked by ``round(dist, 6)`` with cluster-id tiebreak,
+and per-dimension means are rounded to 9 decimals before becoming the
+next iteration's centroids — both engines then iterate on identical
+inputs, so summation-order ulps cannot compound across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Centroids = list[tuple[int, list[float]]]
+
+
+def _centroid_literal(cents: Centroids) -> Column:
+    """The centroid table as a literal array<struct<cl, cv>> column —
+    K·D literals folded straight into codegen."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cl)).cast("bigint").alias("cl"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cl, cv in cents
+        ]
+    )
+
+
+def _dist_col(em: Column, cv: Column, dist_round: int) -> Column:
+    """Euclidean distance as a sequential index-order fold, matching
+    DuckDB's ``list_distance`` summation order; rounded before ranking
+    so blocked/FMA summation differences cannot flip an argmin."""
+    sq = F.aggregate(
+        F.zip_with(em, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(F.sqrt(sq), dist_round)
+
+
+def nearest_centroid(em: Column, cents: Centroids, dist_round: int = 6) -> Column:
+    """struct<dist, cl> of the nearest centroid for a vector column —
+    ``array_min`` over structs is lexicographic, so ties on the
+    rounded distance break by cluster id (the oracle's
+    ``ORDER BY dist, cluster`` does the same)."""
+    scored = F.transform(
+        _centroid_literal(cents),
+        lambda c: F.struct(
+            _dist_col(em, c.getField("cv"), dist_round).alias("dist"),
+            c.getField("cl").alias("cl"),
+        ),
+    )
+    return F.array_min(scored)
+
+
+def kmeans_init(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> Centroids:
+    """Deterministic init: the first ``k`` vectors by id. Engine-
+    portable (no RNG to keep in sync) and exactly reproducible by the
+    oracle's ``ORDER BY id LIMIT k``."""
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("em"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    return [(ci, [float(x) for x in r.em]) for ci, r in enumerate(rows)]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+    mean_round: int = 9,
+) -> Centroids:
+    """Distributed Lloyd's: ``iters`` update steps from the
+    deterministic init. Each step is ONE job — a zero-shuffle argmin
+    projection feeding a map-side-combined (cluster, dim) mean; the
+    driver materializes only the K·D centroid matrix. A cluster that
+    loses all members keeps its previous centroid (the oracle's
+    LEFT JOIN + coalesce mirrors this)."""
+    v = df.select(F.col(vec_col).cast("array<double>").alias("em"))
+    cents = kmeans_init(df, k, id_col, vec_col)
+    for _ in range(iters):
+        best = nearest_centroid(F.col("em"), cents, dist_round)
+        means = (
+            v.select(best.getField("cl").alias("cluster"), F.posexplode("em"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("col"), mean_round).alias("m"))
+            .collect()
+        )
+        nxt = {cl: list(cv) for cl, cv in cents}
+        for r in means:
+            nxt[r.cluster][r.pos] = r.m
+        cents = [(cl, nxt[cl]) for cl, _ in cents]
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cents: Centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, cluster, dist) for every vector — a single projection,
+    no exchange (plan-asserted in tests)."""
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("em")
+    )
+    best = nearest_centroid(F.col("em"), cents, dist_round)
+    out = v.select(
+        F.col(id_col),
+        *(["em"] if keep_vec else []),
+        best.getField("cl").alias("cluster"),
+        best.getField("dist").alias("dist"),
+    )
+    return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_round: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal = k-means partition of embedding space,
+    then pairwise cosine ONLY within each cluster; a document is a
+    duplicate when an earlier-id neighbor in its cluster matches at
+    ``>= threshold``. Returns (id, cluster, keep) for every row.
+
+    The clustering is what makes this 100 TB-feasible: candidate
+    generation is quadratic only within a cluster, and K scales with
+    the corpus so clusters stay bounded (the paper's design point).
+    The within-cluster join shuffles on the cluster id; per-vector
+    norms are precomputed in the projection (once per row, not per
+    pair). Zero-norm vectors have no defined cosine and are never
+    marked duplicates — the NULL similarity fails the threshold
+    predicate in both engines identically.
+    """
+    cents = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col, keep_vec=True)
+    dot = F.aggregate(
+        F.zip_with("a_em", "b_em", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    e = assigned.select(
+        F.col(id_col),
+        "cluster",
+        "em",
+        F.sqrt(
+            F.aggregate(F.transform("em", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        ).alias("nrm"),
+    )
+    a = e.select(
+        F.col(id_col).alias("a_id"), F.col("cluster"),
+        F.col("em").alias("a_em"), F.col("nrm").alias("a_nrm"),
+    )
+    b = e.select(
+        F.col(id_col).alias("b_id"), F.col("cluster"),
+        F.col("em").alias("b_em"), F.col("nrm").alias("b_nrm"),
+    )
+    dup_ids = (
+        a.join(b, on="cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.round(dot / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)), sim_round),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        e.join(dup_ids, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

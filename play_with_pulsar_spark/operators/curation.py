@@ -33,7 +33,7 @@ materialized per-key views, but over a document corpus):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import exploded_ngrams, tokens
@@ -104,14 +104,17 @@ def leakage_safe_split(
     the cluster id. Singleton docs are their own cluster, so coverage
     is total.
     """
-    from .dedup import dedup_clusters
+    from .dedup import _register_cached, dedup_clusters
 
     clusters = dedup_clusters(docs, pairs, id_col=id_col)
-    return clusters.select(
+    out = clusters.select(
         F.col(id_col),
         "cluster",
         split_assignment("cluster", train, val).alias("split"),
     )
+    # .select() drops the riding release handles — re-attach them so
+    # release_intermediates(result) frees the clustering's storage
+    return _register_cached(out, *getattr(clusters, "_pwp_cached", ()))
 
 
 def domain_topk(
@@ -402,3 +405,69 @@ def pack_sequences(
         return pdf
 
     return narrow.groupBy(*keys).applyInPandas(fold, schema=schema)
+
+
+def shard_assignment(
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "42",
+):
+    """Column exprs (shard, h) for the deterministic global-shuffle
+    shard layout of a training-data export.
+
+    Every large-scale pipeline ends the same way: shuffle the corpus
+    globally and write N shards so a data loader can stream any shard
+    and see an unbiased sample in random order. Doing that with
+    ``ORDER BY rand()`` is a full global sort AND non-reproducible;
+    instead both the shard AND the within-shard order derive from
+    :func:`_md5_bucket`-style content hashing — a pure function of
+    (key, seed), so the export is bit-reproducible across runs,
+    engines, and retries, and changing the seed is a fresh shuffle.
+    """
+    key = F.concat(F.col(key_col).cast("string"), F.lit(":shards:" + seed))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    return (h % n_shards).alias("shard"), h.alias("h")
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "42",
+) -> DataFrame:
+    """(key, shard, pos): the declared-query form of the shard layout
+    — pos is the 0-based position of the document within its shard's
+    hash-shuffled order (ties on the 32-bit hash break by key)."""
+    shard, h = shard_assignment(key_col, n_shards, seed)
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        docs.select(F.col(key_col), shard, h)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(key_col, "shard", "pos")
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "42",
+) -> None:
+    """Materialize the shuffled export: one ``shard=<i>`` partition
+    directory per shard, rows inside each file already in the shard's
+    deterministic shuffled order (sortWithinPartitions — no global
+    sort anywhere; the only exchange is the hash repartition on the
+    shard id). Readers stream a directory and get the reproducible
+    random order for free."""
+    shard, h = shard_assignment(key_col, n_shards, seed)
+    (
+        docs.withColumn("shard", shard)
+        .withColumn("h", h)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "h", key_col)
+        .drop("h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -72,9 +72,13 @@ def _register_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
 def release_intermediates(df: DataFrame) -> None:
     """Unpersist every intermediate an operator cached for this result.
 
-    Call AFTER materializing (collect/write) — the plan stays valid
-    either way (Spark recomputes unpersisted parents), but releasing
-    early forfeits the reuse the persist existed for.
+    Call AFTER materializing (collect/write) — for plain persisted
+    intermediates the plan stays valid either way (Spark recomputes
+    unpersisted parents), but releasing early forfeits the reuse the
+    persist existed for. EXCEPTION: a result whose lineage was
+    truncated by localCheckpoint (``dedup_clusters``) is SINGLE-USE
+    after release — the freed checkpoint blocks cannot be recomputed,
+    so further actions on that DataFrame raise.
 
     Call it on the EXACT DataFrame the operator returned: the cached
     handles ride as a Python attribute, which no DataFrame
@@ -847,7 +851,30 @@ def dedup_clusters(
         if changed == 0:
             break
     _free_local_checkpoint(edges)
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+    # the result rides (a) any persisted intermediates of the pairs
+    # pipeline that produced our input, and (b) the final round's
+    # localCheckpoint storage — so a long-lived session (the test
+    # suite, the streaming curator) can release everything through the
+    # standard release_intermediates(result) call. NOTE the checkpoint
+    # caveat in release_intermediates' docstring: after release this
+    # result is single-use (its lineage was truncated at the freed
+    # checkpoint), unlike plain persisted intermediates.
+    return _register_cached(
+        out, _LocalCheckpointHandle(labels), *getattr(pairs, "_pwp_cached", ())
+    )
+
+
+class _LocalCheckpointHandle:
+    """Adapter exposing a localCheckpoint's storage to
+    ``release_intermediates`` (which calls ``.unpersist()`` on every
+    riding handle)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self) -> None:
+        _free_local_checkpoint(self._df)
 
 
 def _sig_from_votes(votes: np.ndarray) -> int:

@@ -146,6 +146,53 @@ def brute_force_topk(
     )
 
 
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """k-NN majority-vote classification: predict each query's label
+    from the labels of its ``k`` nearest corpus neighbors (cosine) —
+    the classic quality-classifier / weak-labeling primitive for a
+    curation pipeline (label a small seed set, vote labels onto the
+    rest of the corpus by similarity).
+
+    Output: (query_id, true_label, pred_label, votes). Ties on vote
+    count break toward the smallest label; neighbor ranking uses the
+    family's round(sim, 6) + neighbor-id protocol so the oracle ranks
+    identically. Plan: the exact top-k is :func:`jvm_cosine_topk`
+    (broadcast query side, codegen fold dots — swap in ``ivf_topk`` /
+    ``lsh_topk`` for candidates-only neighbor generation at corpus
+    scale); the vote is one narrow groupBy on (query, label).
+    """
+    nn = jvm_cosine_topk(corpus, queries, k=k, id_col=id_col,
+                         vec_col=vec_col, round_to=round_to)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("vrn", F.row_number().over(w))
+        .filter(F.col("vrn") == 1)
+        .select("query_id", F.col("nlabel").alias("pred_label"), "votes")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id", "true_label", "pred_label", "votes"
+    )
+
+
 def ivf_fit_centroids(
     corpus: DataFrame,
     n_cells: int = 16,

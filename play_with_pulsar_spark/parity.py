@@ -82,7 +82,14 @@ def compare(
     oracle: str,
     con: duckdb.DuckDBPyConnection | None = None,
 ) -> ParityResult:
-    sdf = fn(spark, sf_dir).toPandas()
+    res = fn(spark, sf_dir)
+    sdf = res.toPandas()
+    # long-lived comparison sessions (the test suite runs every
+    # declared query in one SparkSession): free any persisted
+    # intermediates riding the result, per the operators' contract
+    from .operators.dedup import release_intermediates
+
+    release_intermediates(res)
     own_con = con is None
     if own_con:
         con = duckdb_conn(sf_dir)

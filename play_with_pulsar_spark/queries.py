@@ -4092,6 +4092,183 @@ def t8b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Clustering family (LLM-curation surface): distributed k-means and
+# SemDeDup semantic dedup. Lloyd's is iterative, but deterministic
+# first-K-by-id init + a fixed iteration count unrolls the whole fit
+# into CTEs, so even the clustering queries carry full value-hash
+# oracles. The CTE below mirrors operators/clustering.py
+# constant-for-constant (K=8, one update step, dist rounded to 6,
+# per-dimension means rounded to 9).
+# =====================================================================
+
+
+def _kmeans_cte(k: int = 8, dim: int = 64) -> str:
+    """Unrolled one-update-step Lloyd's over the embeddings table:
+    c0 = first-k-by-id init → a0 assignment → m1/c1 per-dimension
+    means (empty clusters keep their previous centroid via the LEFT
+    JOIN + coalesce, as the engine does) → a1 final assignment."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em FROM embeddings
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+             em AS cent
+      FROM (SELECT vec_id, em FROM v ORDER BY vec_id LIMIT {k})
+    ), a0 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, c0.cluster,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_distance(v.em, c0.cent), 6), c0.cluster) AS rn
+        FROM v, c0) WHERE rn = 1
+    ), m1 AS (
+      SELECT a0.cluster, i.i AS pos, round(avg(v.em[i.i]), 9) AS m
+      FROM a0 JOIN v USING (vec_id), range(1, {dim + 1}) i(i)
+      GROUP BY a0.cluster, i.i
+    ), c1 AS (
+      SELECT c0.cluster, coalesce(u.cent, c0.cent) AS cent
+      FROM c0 LEFT JOIN (
+        SELECT cluster, list(m ORDER BY pos) AS cent FROM m1 GROUP BY cluster
+      ) u USING (cluster)
+    ), a1 AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT v.vec_id, c1.cluster,
+               round(list_distance(v.em, c1.cent), 6) AS dist,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_distance(v.em, c1.cent), 6), c1.cluster) AS rn
+        FROM v, c1) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "cluster_kmeans_assign",
+    oracle=_kmeans_cte() + "SELECT vec_id, cluster, dist FROM a1",
+)
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (K=8, one update step from the
+    deterministic init), returning every vector's final cluster and
+    rounded distance. The scale property is the plan shape: the
+    argmin is a literal-centroid codegen projection with ZERO
+    exchanges (plan-asserted in tests); the update's only shuffle is
+    K·D wide after map-side combine; the driver holds just the K·D
+    centroid matrix — Lloyd's at 100 TB is exactly this loop."""
+    from .operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=8, iters=1)
+    return clustering.kmeans_assign(emb, cents)
+
+
+@register(
+    "dedup_semantic",
+    oracle=_kmeans_cte()
+    + """
+    , e AS (
+      SELECT a1.vec_id, a1.cluster, v.em,
+             sqrt(list_dot_product(v.em, v.em)) AS nrm
+      FROM a1 JOIN v USING (vec_id)
+    ), dup AS (
+      SELECT DISTINCT b.vec_id FROM e a JOIN e b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.em, b.em) / nullif(a.nrm * b.nrm, 0), 6) >= 0.4
+    )
+    SELECT e.vec_id, e.cluster, (d.vec_id IS NULL) AS keep
+    FROM e LEFT JOIN dup d ON e.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal —
+    k-means partition of embedding space, pairwise cosine ONLY within
+    a cluster, drop any doc with an earlier-id match ≥ 0.4. Candidate
+    generation is quadratic only within a cluster; K scales with the
+    corpus so clusters stay bounded — the embedding-space sibling of
+    the MinHash-banded text path, and the missing piece between exact
+    `dedup_embedding_cosine` (all-pairs ground truth) and
+    `dedup_embedding_lsh` (hyperplane buckets): here the blocking
+    structure is LEARNED from the data."""
+    from .operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.semantic_dedup(emb, k=8, iters=1, threshold=0.4)
+
+
+@register(
+    "knn_label_vote",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS true_label
+      FROM embeddings WHERE vec_id < 50 AND list_dot_product(embedding, embedding) > 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label
+      FROM embeddings WHERE vec_id >= 50 AND list_dot_product(embedding, embedding) > 0
+    ), nn AS (
+      SELECT query_id, neighbor_id, label FROM (
+        SELECT q.query_id, c.neighbor_id, c.label,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                   c.neighbor_id) AS rn
+        FROM q, c WHERE q.query_id <> c.neighbor_id) WHERE rn <= 5
+    ), votes AS (
+      SELECT query_id, label, count(*) AS votes FROM nn GROUP BY query_id, label
+    )
+    SELECT v.query_id, q.true_label, v.label AS pred_label, v.votes
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY votes DESC, label) AS vrn
+      FROM votes) v
+    JOIN q ON v.query_id = q.query_id
+    WHERE v.vrn = 1
+    """,
+)
+def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling: the 50 held-out query vectors take
+    the majority label of their 5 nearest labeled corpus neighbors —
+    the weak-labeling / quality-classifier primitive of a curation
+    pipeline (label a seed set, vote labels onto the corpus by
+    similarity). Exact top-k via the codegen fold kernel (broadcast
+    query side); swap in IVF/LSH candidates at corpus scale; the vote
+    itself is one narrow (query, label) aggregation."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote(
+        corpus=emb.filter(F.col("vec_id") >= 50),
+        queries=emb.filter(F.col("vec_id") < 50),
+        k=5,
+    )
+
+
+@register(
+    "export_shuffle_shards",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shards:42'), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, h % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def export_shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export:
+    every doc's (shard, position) derives from md5(key‖seed) — a
+    reproducible random order with NO global sort and no rand()
+    (retry-stable, engine-portable). The materialized form
+    (`write_training_shards`) turns this into shard=<i> partition
+    dirs sorted within files — the layout a data loader streams; the
+    only exchange at any scale is the hash repartition on shard."""
+    from .operators import curation
+
+    d = _t(spark, sf_dir, "documents")
+    return curation.shuffle_shards(d, key_col="doc_id", n_shards=8, seed="42")
+
+
 # Headline queries timed by bench.py (BENCH_r{N}.json). Keep names
 # stable across rounds so timings are comparable — and when a kept
 # name's WORKLOAD changes (not just its implementation), record it in
@@ -4126,6 +4303,11 @@ BENCH_WORKLOAD_NOTES = {
         "~0.2s per-stage floor that caps the legacy 96k entry at ~480k "
         "ev/s regardless of kernel speed; fold_scale_replay stays for "
         "series continuity"
+    ),
+    "_total_r5b": (
+        "round 5 (continued) adds cluster_kmeans_assign and "
+        "dedup_semantic (31 total): the distributed-Lloyd's / SemDeDup "
+        "clustering family over the embeddings table"
     ),
 }
 
@@ -4163,6 +4345,8 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh",
     # added round 5
     "fold_scale_replay_xl",
+    "cluster_kmeans_assign",
+    "dedup_semantic",
 ]
 
 
@@ -4175,6 +4359,10 @@ BENCH_QUERIES = [
 # (tests/test_oracle_parity.py) regardless of rotation position.
 _DRIVER_PRIORITY = [
     # --- new in round 5 (never driver-verified) go here, first ---
+    "cluster_kmeans_assign",
+    "dedup_semantic",
+    "knn_label_vote",
+    "export_shuffle_shards",
     "dedup_minhash_identical",
     "quota_token_budget",
     "fold_scale_replay_xl",

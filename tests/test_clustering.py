@@ -1,0 +1,159 @@
+"""Distributed k-means / SemDeDup / shard-export tests.
+
+The oracle hash equality for `cluster_kmeans_assign`, `dedup_semantic`,
+`knn_label_vote`, and `export_shuffle_shards` is covered by
+test_oracle_parity; here we pin the SCALE contracts (plan shapes) and
+the semantic edge cases the oracles can't see.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from play_with_pulsar_spark.operators import clustering, curation, similarity
+from play_with_pulsar_spark.plans import count_shuffles
+from play_with_pulsar_spark.sources.tables import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _clustered(spark, sf_dir):
+    from play_with_pulsar_spark import queries as q
+
+    return q._clustered_embeddings(spark, sf_dir)
+
+
+def test_assignment_is_a_pure_projection(spark, sf_dir):
+    """THE scale property: k-means assignment plans ZERO exchanges —
+    literal centroids folded into a codegen projection, no join, no
+    window, no Python stage."""
+    cents = clustering.kmeans_init(_emb(spark, sf_dir), k=8)
+    a = clustering.kmeans_assign(_emb(spark, sf_dir), cents)
+    assert count_shuffles(a) == 0
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert "Python" not in plan  # no Arrow/UDF stage either
+
+
+def test_lloyds_objective_decreases(spark, sf_dir):
+    """Each update step may only improve the mean assignment distance
+    (Lloyd's monotonicity, up to the 1e-6 rounding the cross-engine
+    protocol applies to distances)."""
+    emb = _emb(spark, sf_dir)
+
+    def avg_dist(iters):
+        c = clustering.kmeans_fit(emb, k=8, iters=iters)
+        return clustering.kmeans_assign(emb, c).agg(F.avg("dist")).collect()[0][0]
+
+    d0, d1, d3 = avg_dist(0), avg_dist(1), avg_dist(3)
+    assert d1 <= d0 + 1e-6
+    assert d3 <= d1 + 1e-6
+    assert d1 < d0  # on this fixture the first step strictly improves
+
+
+def test_kmeans_recovers_planted_clusters(spark, sf_dir):
+    """On the clustered fixture (8 orthogonal centers, jitter ~0.1)
+    k-means must recover the planted partition exactly: purity 1.0
+    with all 8 clusters populated."""
+    v = _clustered(spark, sf_dir)
+    cents = clustering.kmeans_fit(v, k=8, iters=2)
+    a = clustering.kmeans_assign(v, cents).withColumn("truth", F.col("vec_id") % 8)
+    pur = (
+        a.groupBy("cluster", "truth").count()
+        .groupBy("cluster")
+        .agg(F.max("count").alias("maj"), F.sum("count").alias("tot"))
+        .collect()
+    )
+    assert len(pur) == 8
+    assert sum(r.maj for r in pur) == sum(r.tot for r in pur)
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """Two identical points tie on distance to two identical init
+    centroids; the id tiebreak empties the second cluster, which must
+    then KEEP its previous centroid (not crash, not NaN) — mirrored by
+    the oracle's LEFT JOIN + coalesce."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [5.1, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = clustering.kmeans_fit(df, k=3, iters=2)
+    as_dict = dict((cl, cv) for cl, cv in cents)
+    assert as_dict[1] == [0.0, 0.0]  # orphaned cluster: centroid unchanged
+    rows = {r.vec_id: r.cluster for r in clustering.kmeans_assign(df, cents).collect()}
+    assert rows[0] == 0 and rows[1] == 0  # ties broke to the lower id
+    assert rows[2] == 2 and rows[3] == 2
+
+
+def test_semantic_dedup_keeps_earliest_and_zero_norm(spark):
+    """Identical vectors: the lowest id survives, later copies are
+    dropped. A zero-norm vector has no defined cosine and is never
+    marked a duplicate."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),      # exact dup of 0 -> dropped
+            (2, [0.99, 0.01]),    # near-dup of 0 -> dropped
+            (3, [0.0, 0.0]),      # zero norm -> kept
+            (4, [-1.0, 0.5]),     # dissimilar -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.keep for r in
+           clustering.semantic_dedup(df, k=1, iters=0, threshold=0.9).collect()}
+    assert out == {0: True, 1: False, 2: False, 3: True, 4: True}
+
+
+def test_knn_label_vote_on_separable_clusters(spark, sf_dir):
+    """With labels = planted cluster ids, 5-NN voting must classify
+    every held-out query correctly (within-cluster cosine ~0.99 vs
+    cross-cluster ~0.01)."""
+    v = _clustered(spark, sf_dir).withColumn("label", (F.col("vec_id") % 8).cast("int"))
+    kv = similarity.knn_label_vote(
+        corpus=v.filter(F.col("vec_id") >= 50),
+        queries=v.filter(F.col("vec_id") < 50),
+        k=5,
+    ).collect()
+    assert len(kv) == 50
+    assert all(r.true_label == r.pred_label for r in kv)
+
+
+def test_write_training_shards_layout(spark, sf_dir, tmp_path):
+    """The materialized export: shard dirs partition the corpus, the
+    within-file row order IS the declared shuffle order, and a rewrite
+    is byte-deterministic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    expected = curation.shuffle_shards(docs, n_shards=8, seed="42")
+    p = str(tmp_path / "shards")
+    curation.write_training_shards(docs, p, n_shards=8, seed="42")
+
+    back = spark.read.parquet(p)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    assert back.select("shard").distinct().count() == 8
+
+    # within-file order == declared (shard, pos) order
+    import pandas as pd
+
+    got = (
+        spark.read.parquet(p)
+        .withColumn("file", F.input_file_name())
+        .withColumn("file_pos", F.monotonically_increasing_id())
+    ).toPandas()
+    exp = expected.toPandas()
+    merged = got.merge(exp, on="doc_id")
+    for shard, g in merged.groupby("shard_y"):
+        g = g.sort_values("file_pos")
+        assert list(g["pos"]) == sorted(g["pos"]), f"shard {shard} order broken"
+
+    # determinism: rewriting yields the identical assignment
+    curation.write_training_shards(docs, p, n_shards=8, seed="42")
+    again = spark.read.parquet(p).select("doc_id", "shard")
+    diff = (
+        again.join(expected.select("doc_id", F.col("shard").alias("s2")), "doc_id")
+        .filter(F.col("shard") != F.col("s2"))
+        .count()
+    )
+    assert diff == 0

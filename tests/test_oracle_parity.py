@@ -27,11 +27,18 @@ def test_oracle_parity(name, spark, sf_dir, con):
 
 def test_all_queries_return_rows(spark, sf_dir):
     """Smoke: every registered query (oracle or not) runs and has a
-    stable schema; most should be non-empty."""
+    stable schema; most should be non-empty. Each query's riding
+    persisted intermediates are released after materializing — this
+    loop shares one session with the whole suite, and un-released
+    handles would accumulate across all declared queries (and trip the
+    storage-hygiene assertions of later tests)."""
+    from play_with_pulsar_spark.operators.dedup import release_intermediates
+
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, sf_dir)
         assert df.columns, name
         df.limit(1).collect()
+        release_intermediates(df)
 
 
 def test_no_complex_typed_output_columns(spark, sf_dir):
@@ -41,6 +48,8 @@ def test_no_complex_typed_output_columns(spark, sf_dir):
     driver's plain-session compare. Keep every compared column scalar
     (serialize or scale-to-int instead — see x_array_functions)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from play_with_pulsar_spark.operators.dedup import release_intermediates
 
     offenders = {}
     for name, spec in REGISTRY.items():
@@ -52,4 +61,5 @@ def test_no_complex_typed_output_columns(spark, sf_dir):
         ]
         if bad:
             offenders[name] = bad
+        release_intermediates(df)
     assert not offenders, offenders

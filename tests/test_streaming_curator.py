@@ -96,12 +96,16 @@ def test_curator_batch_replay_is_idempotent(spark, tmp_path):
 
 def test_curator_storage_released_per_batch(spark, tmp_path):
     """The per-batch screen must leave no persisted RDDs behind — the
-    long-lived-session hygiene contract."""
+    long-lived-session hygiene contract. Delta-based: the assertion is
+    that the CURATOR adds nothing, independent of whatever storage
+    other tests sharing this session legitimately hold."""
     spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     cur = StreamingCorpusCurator(spark, str(tmp_path / "c"))
     for i in range(3):
         cur.process_batch(_docs(spark, [(10 + i, _w(10 + i))]), i)
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before
 
 
 def test_curator_minhash_screen_matches_jaccard(spark, tmp_path):
