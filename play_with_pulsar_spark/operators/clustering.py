@@ -38,10 +38,22 @@ inputs, so summation-order ulps cannot compound across iterations.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 Centroids = list[tuple[int, list[float]]]
+
+
+def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """SQL-style ROUND (half away from zero) — ``np.round`` is
+    banker's rounding, which would disagree with both engines' SQL
+    ROUND exactly on the .5 grid points."""
+    scale = 10.0**decimals
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale
 
 
 def _centroid_literal(cents: Centroids) -> Column:
@@ -108,19 +120,26 @@ def kmeans_fit(
     vec_col: str = "embedding",
     dist_round: int = 6,
     mean_round: int = 9,
+    strategy: str = "numpy",
 ) -> Centroids:
     """Distributed Lloyd's: ``iters`` update steps from the
     deterministic init. Each step is ONE job — a zero-shuffle argmin
-    projection feeding a map-side-combined (cluster, dim) mean; the
-    driver materializes only the K·D centroid matrix. A cluster that
-    loses all members keeps its previous centroid (the oracle's
-    LEFT JOIN + coalesce mirrors this)."""
+    stage feeding a map-side-combined (cluster, dim) mean; the driver
+    materializes only the K·D centroid matrix. A cluster that loses
+    all members keeps its previous centroid (the oracle's LEFT JOIN +
+    coalesce mirrors this). ``strategy`` picks the argmin kernel —
+    see :func:`kmeans_assign`; both rank by round(dist, 6) so they
+    agree exactly (cross-kernel parity is a test)."""
     v = df.select(F.col(vec_col).cast("array<double>").alias("em"))
     cents = kmeans_init(df, k, id_col, vec_col)
     for _ in range(iters):
-        best = nearest_centroid(F.col("em"), cents, dist_round)
+        if strategy == "numpy":
+            assigned = _assign_numpy(v, cents, dist_round, carry=["em"])
+        else:
+            best = nearest_centroid(F.col("em"), cents, dist_round)
+            assigned = v.select("em", best.getField("cl").alias("cluster"))
         means = (
-            v.select(best.getField("cl").alias("cluster"), F.posexplode("em"))
+            assigned.select("cluster", F.posexplode("em"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("col"), mean_round).alias("m"))
             .collect()
@@ -132,6 +151,42 @@ def kmeans_fit(
     return cents
 
 
+def _assign_numpy(
+    v: DataFrame, cents: Centroids, dist_round: int, carry: list[str]
+) -> DataFrame:
+    """Arrow-batched argmin: per batch one (N, K) pairwise-distance
+    matrix (numpy, float64), rounded SQL-style before the argmin so it
+    ranks identically to the fold/oracle protocol; ``np.argmin`` takes
+    the FIRST minimum, which IS the cluster-id tiebreak because the
+    centroid axis is ordered by cluster id. Zero exchanges — the same
+    embarrassingly-parallel shape as the literal-projection strategy,
+    minus the per-element interpreted-lambda cost (higher-order
+    functions do not enter whole-stage codegen), which is a ~10×
+    constant at corpus scale."""
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    cls = np.array([cents[i][0] for i in order], dtype=np.int64)
+    cmat = np.stack([np.asarray(cents[i][1], dtype=np.float64) for i in order])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["em"].to_numpy()).astype(np.float64)
+            diff = m[:, None, :] - cmat[None, :, :]  # (N, K, D)
+            d = _round_half_away(np.sqrt((diff * diff).sum(axis=2)), dist_round)
+            idx = np.argmin(d, axis=1)  # first min == lowest-cluster tiebreak
+            out = {c: pdf[c] for c in carry}
+            out["cluster"] = cls[idx]
+            out["dist"] = d[np.arange(len(idx)), idx]
+            yield pd.DataFrame(out)
+
+    carry_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in v.schema.fields if f.name in carry
+    )
+    schema = (carry_schema + ", " if carry_schema else "") + "cluster bigint, dist double"
+    return v.mapInPandas(assign, schema=schema)
+
+
 def kmeans_assign(
     df: DataFrame,
     cents: Centroids,
@@ -139,20 +194,37 @@ def kmeans_assign(
     vec_col: str = "embedding",
     dist_round: int = 6,
     keep_vec: bool = False,
+    strategy: str = "numpy",
 ) -> DataFrame:
-    """(id, cluster, dist) for every vector — a single projection,
-    no exchange (plan-asserted in tests)."""
+    """(id, cluster, dist) for every vector. Two kernels, same
+    rounded-rank answer, both shuffle-free:
+
+    - ``"numpy"`` (default): Arrow-batched pairwise-distance matmul —
+      the throughput path (one vectorized kernel per batch).
+    - ``"sql"``: the centroids folded into the plan as literals,
+      argmin = ``array_min(transform(...))`` — zero Python workers,
+      fully declarative; its per-element lambdas are interpreted (not
+      codegen), so it pays ~10× the constant of the numpy kernel —
+      use it where a Python-worker-free plan matters more than
+      throughput.
+
+    Both round distances to ``dist_round`` (SQL half-away rounding in
+    the numpy kernel) before ranking, so the two strategies and the
+    DuckDB oracle rank identically."""
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("em")
     )
+    if strategy == "numpy":
+        out = _assign_numpy(v, cents, dist_round, carry=[id_col, "em"])
+        cols = [F.col(id_col), *(["em"] if keep_vec else []), "cluster", "dist"]
+        return out.select(*cols)
     best = nearest_centroid(F.col("em"), cents, dist_round)
-    out = v.select(
+    return v.select(
         F.col(id_col),
         *(["em"] if keep_vec else []),
         best.getField("cl").alias("cluster"),
         best.getField("dist").alias("dist"),
     )
-    return out
 
 
 def semantic_dedup(
@@ -163,6 +235,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_round: int = 6,
+    pair_kernel: str = "numpy",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate removal = k-means partition of embedding space,
@@ -173,14 +246,49 @@ def semantic_dedup(
     The clustering is what makes this 100 TB-feasible: candidate
     generation is quadratic only within a cluster, and K scales with
     the corpus so clusters stay bounded (the paper's design point).
-    The within-cluster join shuffles on the cluster id; per-vector
-    norms are precomputed in the projection (once per row, not per
-    pair). Zero-norm vectors have no defined cosine and are never
-    marked duplicates — the NULL similarity fails the threshold
-    predicate in both engines identically.
+    Zero-norm vectors have no defined cosine and are never marked
+    duplicates (NULL similarity fails the threshold in both engines).
+
+    ``pair_kernel``:
+
+    - ``"numpy"`` (default): ONE exchange on the cluster id, then one
+      normalized gram matrix (M·Mᵀ) per cluster group in an Arrow
+      batch — the within-cluster quadratic cost runs at matmul speed,
+      and ``keep`` falls out of a rounded upper-triangle any() in the
+      same kernel. Cosines are rounded SQL-style (half away from
+      zero) so the verdicts match the oracle's round(sim, 6).
+    - ``"sql"``: declarative self-join on the cluster id with
+      fold-based dots (norms precomputed per row, not per pair) —
+      Python-worker-free, but pays interpreted-lambda cost per pair.
+      Kernel parity is a test.
     """
     cents = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col, keep_vec=True)
+    if pair_kernel == "numpy":
+        def keep_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+            m = np.stack(pdf["em"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((m * m).sum(axis=1))
+            ok = nrm > 0
+            safe = np.where(ok, nrm, 1.0)
+            sims = (m / safe[:, None]) @ (m / safe[:, None]).T
+            r = _round_half_away(sims, sim_round)
+            hit = (r >= threshold) & ok[:, None] & ok[None, :]
+            # duplicate iff ANY earlier-id row (strict upper triangle,
+            # rows sorted by id) matches — the greedy min-id-witness
+            # rule shared by the whole dedup family
+            dup = np.triu(hit, k=1).any(axis=0)
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": pdf["cluster"],
+                    "keep": ~dup,
+                }
+            )
+
+        return assigned.groupBy("cluster").applyInPandas(
+            keep_kernel, schema=f"{id_col} long, cluster bigint, keep boolean"
+        )
     dot = F.aggregate(
         F.zip_with("a_em", "b_em", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

@@ -25,16 +25,47 @@ def _clustered(spark, sf_dir):
     return q._clustered_embeddings(spark, sf_dir)
 
 
-def test_assignment_is_a_pure_projection(spark, sf_dir):
-    """THE scale property: k-means assignment plans ZERO exchanges —
-    literal centroids folded into a codegen projection, no join, no
-    window, no Python stage."""
+def test_assignment_is_shuffle_free_in_both_strategies(spark, sf_dir):
+    """THE scale property: k-means assignment plans ZERO exchanges in
+    BOTH kernels. The "sql" strategy is additionally Python-free
+    (literal centroids in a declarative projection); the "numpy"
+    strategy is one Arrow stage, still no join/window/exchange."""
     cents = clustering.kmeans_init(_emb(spark, sf_dir), k=8)
-    a = clustering.kmeans_assign(_emb(spark, sf_dir), cents)
-    assert count_shuffles(a) == 0
-    plan = a._jdf.queryExecution().executedPlan().toString()
+    sql = clustering.kmeans_assign(_emb(spark, sf_dir), cents, strategy="sql")
+    assert count_shuffles(sql) == 0
+    plan = sql._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
     assert "Python" not in plan  # no Arrow/UDF stage either
+    np_ = clustering.kmeans_assign(_emb(spark, sf_dir), cents, strategy="numpy")
+    assert count_shuffles(np_) == 0
+    np_plan = np_._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in np_plan and "Window" not in np_plan
+
+
+def test_assignment_kernels_agree_exactly(spark, sf_dir):
+    """The declarative fold kernel and the Arrow matmul kernel rank by
+    the same rounded distance, so they must produce IDENTICAL
+    (cluster, dist) for every vector."""
+    emb = _emb(spark, sf_dir)
+    cents = clustering.kmeans_fit(emb, k=8, iters=1)
+    a = {r.vec_id: (r.cluster, r.dist)
+         for r in clustering.kmeans_assign(emb, cents, strategy="sql").collect()}
+    b = {r.vec_id: (r.cluster, r.dist)
+         for r in clustering.kmeans_assign(emb, cents, strategy="numpy").collect()}
+    assert a == b
+
+
+def test_semantic_dedup_kernels_agree(spark, sf_dir):
+    """The per-cluster gram-matrix kernel and the declarative
+    self-join produce identical keep verdicts."""
+    emb = _emb(spark, sf_dir)
+    a = {r.vec_id: (r.cluster, r.keep)
+         for r in clustering.semantic_dedup(emb, k=8, iters=1, threshold=0.4,
+                                            pair_kernel="numpy").collect()}
+    b = {r.vec_id: (r.cluster, r.keep)
+         for r in clustering.semantic_dedup(emb, k=8, iters=1, threshold=0.4,
+                                            pair_kernel="sql").collect()}
+    assert a == b
 
 
 def test_lloyds_objective_decreases(spark, sf_dir):
