@@ -134,21 +134,77 @@ def kmeans_fit(
     cents = kmeans_init(df, k, id_col, vec_col)
     for _ in range(iters):
         if strategy == "numpy":
-            assigned = _assign_numpy(v, cents, dist_round, carry=["em"])
+            # fused step: ONE Arrow pass computes the argmin AND the
+            # per-partition (cluster, dim) partial sums — each
+            # partition emits at most K·D partial rows, so the only
+            # exchange of the whole iteration is K·D·partitions wide
+            # (the treeAggregate shape, without a 64M-row explode)
+            means = (
+                _partial_sums_numpy(v, cents, dist_round)
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.sum("s") / F.sum("n"), mean_round).alias("m"))
+                .collect()
+            )
         else:
             best = nearest_centroid(F.col("em"), cents, dist_round)
             assigned = v.select("em", best.getField("cl").alias("cluster"))
-        means = (
-            assigned.select("cluster", F.posexplode("em"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("col"), mean_round).alias("m"))
-            .collect()
-        )
+            means = (
+                assigned.select("cluster", F.posexplode("em"))
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("col"), mean_round).alias("m"))
+                .collect()
+            )
         nxt = {cl: list(cv) for cl, cv in cents}
         for r in means:
             nxt[r.cluster][r.pos] = r.m
         cents = [(cl, nxt[cl]) for cl, _ in cents]
     return cents
+
+
+def _dist_matrix(m: np.ndarray, cmat: np.ndarray, dist_round: int) -> np.ndarray:
+    """(N, K) rounded Euclidean distances. One (N, D) temporary per
+    centroid — never an (N, K, D) tensor — and the Σ(x-y)² form (not
+    ‖v‖²-2vc+‖c‖², whose cancellation loses digits near zero)."""
+    d = np.empty((m.shape[0], cmat.shape[0]), dtype=np.float64)
+    for j in range(cmat.shape[0]):
+        diff = m - cmat[j]
+        d[:, j] = np.sqrt((diff * diff).sum(axis=1))
+    return _round_half_away(d, dist_round)
+
+
+def _partial_sums_numpy(
+    v: DataFrame, cents: Centroids, dist_round: int
+) -> DataFrame:
+    """(cluster, pos, s, n) partial sums of the member vectors of each
+    cluster, one set per Arrow batch — the map-side half of the Lloyd
+    update, fused with the argmin so the data is read once."""
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    cls = np.array([cents[i][0] for i in order], dtype=np.int64)
+    cmat = np.stack([np.asarray(cents[i][1], dtype=np.float64) for i in order])
+    k, dim = cmat.shape
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["em"].to_numpy()).astype(np.float64)
+            idx = np.argmin(_dist_matrix(m, cmat, dist_round), axis=1)
+            np.add.at(sums, idx, m)
+            counts += np.bincount(idx, minlength=k)
+        live = np.nonzero(counts)[0]
+        if len(live):
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(cls[live], dim),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), len(live)),
+                    "s": sums[live].ravel(),
+                    "n": np.repeat(counts[live], dim),
+                }
+            )
+
+    return v.mapInPandas(partials, schema="cluster bigint, pos int, s double, n long")
 
 
 def _assign_numpy(
@@ -172,8 +228,7 @@ def _assign_numpy(
             if pdf.empty:
                 continue
             m = np.stack(pdf["em"].to_numpy()).astype(np.float64)
-            diff = m[:, None, :] - cmat[None, :, :]  # (N, K, D)
-            d = _round_half_away(np.sqrt((diff * diff).sum(axis=2)), dist_round)
+            d = _dist_matrix(m, cmat, dist_round)
             idx = np.argmin(d, axis=1)  # first min == lowest-cluster tiebreak
             out = {c: pdf[c] for c in carry}
             out["cluster"] = cls[idx]
@@ -245,7 +300,11 @@ def semantic_dedup(
 
     The clustering is what makes this 100 TB-feasible: candidate
     generation is quadratic only within a cluster, and K scales with
-    the corpus so clusters stay bounded (the paper's design point).
+    the corpus so clusters stay bounded (the paper's design point —
+    size K for ~1-5k vectors per cluster: within-cluster work is
+    O((N/K)²·K), so doubling K halves it; the gram kernel additionally
+    blocks its witness axis so peak memory is O(block·cluster), never
+    O(cluster²)).
     Zero-norm vectors have no defined cosine and are never marked
     duplicates (NULL similarity fails the threshold in both engines).
 
@@ -270,14 +329,21 @@ def semantic_dedup(
             m = np.stack(pdf["em"].to_numpy()).astype(np.float64)
             nrm = np.sqrt((m * m).sum(axis=1))
             ok = nrm > 0
-            safe = np.where(ok, nrm, 1.0)
-            sims = (m / safe[:, None]) @ (m / safe[:, None]).T
-            r = _round_half_away(sims, sim_round)
-            hit = (r >= threshold) & ok[:, None] & ok[None, :]
+            mn = m / np.where(ok, nrm, 1.0)[:, None]
+            n = len(mn)
             # duplicate iff ANY earlier-id row (strict upper triangle,
             # rows sorted by id) matches — the greedy min-id-witness
-            # rule shared by the whole dedup family
-            dup = np.triu(hit, k=1).any(axis=0)
+            # rule shared by the whole dedup family. The gram matrix
+            # is computed in 1024-row WITNESS blocks so peak memory is
+            # O(block·n), not O(n²) — row i_local of a block starting
+            # at b0 witnesses exactly the columns j > b0 + i_local,
+            # i.e. np.triu(block, k=b0+1).
+            dup = np.zeros(n, dtype=bool)
+            for b0 in range(0, n, 1024):
+                blk = mn[b0 : b0 + 1024]
+                sims = _round_half_away(blk @ mn.T, sim_round)
+                hit = (sims >= threshold) & ok[b0 : b0 + 1024, None] & ok[None, :]
+                dup |= np.triu(hit, k=b0 + 1).any(axis=0)
             return pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -4194,6 +4194,40 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cluster_representatives",
+    oracle=_kmeans_cte()
+    + """
+    SELECT cluster, vec_id, dist, rn FROM (
+      SELECT cluster, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY cluster
+                  ORDER BY dist, vec_id) AS INT) AS rn
+      FROM a1
+    ) WHERE rn <= 5
+    """,
+)
+def cluster_representatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced representative sampling (coreset selection):
+    the 5 vectors nearest their centroid in every k-means cluster —
+    the "one exemplar per semantic region" primitive (diverse
+    subsampling, prototype picking for labeling, SemDeDup's
+    keep-the-centroid-nearest variant). Plan: zero-shuffle assignment,
+    then ONE exchange on the cluster id for the per-cluster rank —
+    at corpus scale each cluster's members co-locate once and only
+    5·K rows survive."""
+    from .operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=8, iters=1)
+    a = clustering.kmeans_assign(emb, cents)
+    w = Window.partitionBy("cluster").orderBy("dist", "vec_id")
+    return (
+        a.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("cluster", "vec_id", "dist", "rn")
+    )
+
+
+@register(
     "knn_label_vote",
     oracle="""
     WITH q AS (
@@ -4361,6 +4395,7 @@ _DRIVER_PRIORITY = [
     # --- new in round 5 (never driver-verified) go here, first ---
     "cluster_kmeans_assign",
     "dedup_semantic",
+    "cluster_representatives",
     "knn_label_vote",
     "export_shuffle_shards",
     "dedup_minhash_identical",

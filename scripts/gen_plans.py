@@ -23,6 +23,8 @@ TARGETS = [
     ("q3_shipping_priority", "TPC-H q3 shape. Watch: BroadcastHashJoin on the dim sides, partial aggregation before the exchange, PushedFilters/ReadSchema on the scans."),
     ("asof_latest_order", "As-of join as union + ONE keyed exchange + window carry. Watch: no Join operator anywhere."),
     ("sim_bruteforce_topk", "Brute-force cosine top-k: broadcast query side, per-partition numpy matmul, TakeOrdered — only k*partitions rows move."),
+    ("cluster_kmeans_assign", "Distributed Lloyd's final assignment: Arrow matmul argmin as a zero-exchange map stage over the scan (the fit's update shuffles only K*D rows after map-side combine — not visible here; the assignment itself must stay shuffle-free)."),
+    ("dedup_semantic", "SemDeDup: ONE exchange on the learned cluster id, then a per-cluster gram-matrix kernel (FlatMapGroupsInPandas). Watch: no pair blow-up in the plan — the quadratic work is inside the Arrow kernel, bounded per cluster."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries
