@@ -459,7 +459,12 @@ def write_training_shards(
     deterministic shuffled order (sortWithinPartitions — no global
     sort anywhere; the only exchange is the hash repartition on the
     shard id). Readers stream a directory and get the reproducible
-    random order for free."""
+    random order for free.
+
+    Sizing at scale: each shard is sorted by ONE task, so pick
+    ``n_shards`` to make shards file-sized (corpus_bytes / ~256 MB —
+    e.g. ~400k shards for 100 TB), which is also what a data loader
+    wants; a handful of giant shards would serialize the sort."""
     shard, h = shard_assignment(key_col, n_shards, seed)
     (
         docs.withColumn("shard", shard)

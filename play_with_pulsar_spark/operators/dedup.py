@@ -1078,6 +1078,173 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def build_embedding_index(
+    emb: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(vecs, sigs) — the two tables to materialize for incremental
+    embedding-cosine dedup (the embedding sibling of
+    ``build_minhash_index``):
+
+    - ``vecs`` (vec_id, v, nv): float64 vectors with their norm
+      precomputed ONCE (the verify side re-scores candidates and must
+      never re-fold a norm per pair);
+    - ``sigs`` (vec_id, tbl, bucket): hyperplane sign-pattern buckets
+      for all tables in one pass (Charikar 2002), deterministic in
+      (seed, vector) — index rows computed in past batches stay
+      bit-identical to a fresh run, the property the incremental ==
+      batch equality test pins.
+    """
+    from .similarity import hyperplane_signatures_multi
+
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nv", nrm(F.col("v")))
+    sigs = hyperplane_signatures_multi(
+        emb, dim, num_planes, num_tables, seed, id_col, vec_col
+    )
+    return vecs, sigs
+
+
+def write_embedding_index(
+    vecs: DataFrame,
+    sigs: DataFrame,
+    prefix: str,
+    n_buckets: int = 32,
+    path_prefix: str | None = None,
+) -> None:
+    """Materialize the embedding-dedup index as two bucketed tables:
+
+    - ``{prefix}_sig`` (vec_id, tbl, bucket) bucketed by (tbl,
+      bucket) — the candidate-probe side: a batch screen joins it on
+      exactly those keys, so the corpus side needs no Exchange;
+    - ``{prefix}_vec`` (vec_id, v, nv) bucketed by vec_id — the
+      verify side, restricted by candidate ids before any scoring.
+
+    Appending an accepted batch = appending its vec and sig rows
+    (both deterministic in (seed, vector))."""
+    from .bucketing import write_bucketed
+
+    write_bucketed(
+        vecs,
+        f"{prefix}_vec",
+        ["vec_id"],
+        n_buckets=n_buckets,
+        path=None if path_prefix is None else f"{path_prefix}_vec",
+    )
+    write_bucketed(
+        sigs,
+        f"{prefix}_sig",
+        ["tbl", "bucket"],
+        n_buckets=n_buckets,
+        path=None if path_prefix is None else f"{path_prefix}_sig",
+    )
+
+
+def read_embedding_index(spark, prefix: str) -> tuple[DataFrame, DataFrame]:
+    """(vecs, sigs) handles onto a ``write_embedding_index`` layout."""
+    return spark.table(f"{prefix}_vec"), spark.table(f"{prefix}_sig")
+
+
+def incremental_embedding_pairs(
+    index_vecs: DataFrame,
+    index_sigs: DataFrame,
+    new_emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-dup screen of a new batch against an
+    indexed corpus — the 100 TB crawl-loop shape for embedded corpora:
+    only the BATCH is signed; the corpus contributes pre-computed
+    (sig, vec+norm) index rows; candidates arise from hyperplane
+    bucket collisions (new vs all) and the exact cosine verifies
+    candidates only. Equals ``embedding_cosine_pairs_lsh`` on
+    corpus ∪ batch restricted to pairs touching ≥1 new vector (same
+    seed/geometry) — the equality the test suite asserts, bitwise,
+    because the verify arithmetic (fold dot / precomputed norms) is
+    identical.
+
+    Candidates = (batch × index) ∪ (batch × batch): the index is never
+    unioned under the join, so a ``write_embedding_index`` layout
+    feeds the probe with NO Exchange above its scan (batch broadcast;
+    pass ``broadcast_batch=False`` for giant batches — the BINDING
+    hint caveat of ``incremental_minhash_pairs`` applies). The verify
+    side touches only candidate ids (broadcast semi-join restriction),
+    so per-batch verify cost scales with collisions, not the corpus.
+
+    Precondition: batch ids are disjoint from the indexed corpus.
+    """
+    from .similarity import hyperplane_signatures_multi
+
+    new_sigs = hyperplane_signatures_multi(
+        new_emb, dim, num_planes, num_tables, seed, id_col, vec_col
+    ).persist()
+    probe = F.broadcast(new_sigs) if broadcast_batch else new_sigs
+    xi = (
+        index_sigs.alias("b")
+        .join(
+            probe.alias("a"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("id_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("id_b"),
+        )
+    )
+    nn = (
+        new_sigs.alias("a")
+        .join(
+            new_sigs.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    cands = xi.unionByName(nn).distinct().persist()
+
+    new_vecs, _ = build_embedding_index(
+        new_emb, dim, num_planes, num_tables, seed, id_col, vec_col
+    )
+    ids = (
+        cands.select(F.col("id_a").alias("vec_id"))
+        .unionByName(cands.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    vecs = (
+        index_vecs.select("vec_id", "v", "nv")
+        .unionByName(new_vecs)
+        .join(F.broadcast(ids), "vec_id", "semi")
+    )
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("ea"), F.col("nv").alias("na"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("eb"), F.col("nv").alias("nb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    result = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return _register_cached(result, new_sigs, cands)
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Popcount of XOR — JVM-side via bit_count."""
     return F.bit_count(a.bitwiseXOR(b))

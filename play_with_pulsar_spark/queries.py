@@ -1974,6 +1974,51 @@ def sim_lsh_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_embedding",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             [ (CASE WHEN i = (vec_id % 8) * 8 + 1 THEN 1.0 ELSE 0.0 END)
+               + 0.05 * CAST(embedding[i] AS DOUBLE)
+               FOR i IN generate_series(1, 64) ] AS vec
+      FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.vec, b.vec)
+                   / (sqrt(list_dot_product(a.vec, a.vec))
+                      * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+      FROM v a JOIN v b
+        ON a.vec_id < b.vec_id AND (a.vec_id < 100 OR b.vec_id < 100)
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+    """,
+)
+def dedup_incremental_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-cosine dedup under the driver's HASH
+    gate: vectors ≥100 form the indexed corpus ((vec, norm) + 16-table
+    hyperplane sig tables, the `write_embedding_index` layout); the
+    <100 batch is screened against it — the crawl-loop shape for
+    embedded corpora, where per-batch cost scales with bucket
+    collisions, never the corpus. On the clustered fixture every
+    qualifying pair (within-cluster cosine ~0.99 ≥ 0.9) collides in
+    ≥1 of the 16 tables with probability 1 - ~6e-13, so the screen's
+    output must EQUAL the oracle's exact touching-new pair set —
+    value-hash, not rows-only. Cross-cluster pairs (~0.01) can collide
+    but never survive the exact verify."""
+    from .operators import dedup
+
+    v = _clustered_embeddings(spark, sf_dir)
+    corpus = v.filter(F.col("vec_id") >= 100)
+    batch = v.filter(F.col("vec_id") < 100)
+    vecs, sigs = dedup.build_embedding_index(
+        corpus, dim=64, num_planes=4, num_tables=16
+    )
+    return dedup.incremental_embedding_pairs(
+        vecs, sigs, batch, dim=64, threshold=0.9, num_planes=4, num_tables=16
+    )
+
+
 # =====================================================================
 # Relational completeness batch 2 (SURVEY §2.12): semi/anti joins,
 # conditional aggregation, rollup/cube/grouping sets, sessionization,
@@ -4396,6 +4441,7 @@ _DRIVER_PRIORITY = [
     "cluster_kmeans_assign",
     "dedup_semantic",
     "cluster_representatives",
+    "dedup_incremental_embedding",
     "knn_label_vote",
     "export_shuffle_shards",
     "dedup_minhash_identical",

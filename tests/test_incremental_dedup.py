@@ -198,3 +198,60 @@ def test_dedup_operators_release_all_storage(spark, sf_dir):
         assert jsc.getPersistentRDDs().size() == 0, (
             "persisted RDDs left behind: %d" % jsc.getPersistentRDDs().size()
         )
+
+
+EMB_GEOM = dict(dim=64, num_planes=8, num_tables=8, threshold=0.4)
+
+
+def _embs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        emb,
+        emb.filter(F.col("vec_id") % 5 != 0),  # indexed corpus
+        emb.filter(F.col("vec_id") % 5 == 0),  # new batch
+    )
+
+
+def _epairs(df):
+    out = {(r.id_a, r.id_b, round(r.cosine, 9)) for r in df.collect()}
+    dedup.release_intermediates(df)
+    return out
+
+
+def test_incremental_embedding_equals_batch(spark, sf_dir):
+    """The embedding screen against a prebuilt (vec, sig) index
+    returns exactly the batch LSH pipeline's pairs restricted to
+    touching-new — bitwise, because the verify arithmetic is shared."""
+    emb, corpus, new = _embs(spark, sf_dir)
+    batch = _epairs(dedup.embedding_cosine_pairs_lsh(emb, **EMB_GEOM))
+    vecs, sigs = dedup.build_embedding_index(
+        corpus, dim=64, num_planes=EMB_GEOM["num_planes"],
+        num_tables=EMB_GEOM["num_tables"])
+    inc = _epairs(dedup.incremental_embedding_pairs(vecs, sigs, new, **EMB_GEOM))
+    assert inc == _touching_new(batch) and len(inc) > 0
+
+
+def test_stored_bucketed_embedding_index_probe(spark, sf_dir):
+    """write_embedding_index → probe via the stored bucketed tables:
+    identical pairs to the in-memory index, and the candidate join
+    consumes the (tbl, bucket)-bucketed sig scan directly."""
+    from play_with_pulsar_spark import plans
+
+    emb, corpus, new = _embs(spark, sf_dir)
+    vecs, sigs = dedup.build_embedding_index(
+        corpus, dim=64, num_planes=EMB_GEOM["num_planes"],
+        num_tables=EMB_GEOM["num_tables"])
+    mem = _epairs(dedup.incremental_embedding_pairs(vecs, sigs, new, **EMB_GEOM))
+    dedup.write_embedding_index(vecs, sigs, "pwp_test_embidx")
+    try:
+        svecs, ssigs = dedup.read_embedding_index(spark, "pwp_test_embidx")
+        stored = dedup.incremental_embedding_pairs(svecs, ssigs, new, **EMB_GEOM)
+        assert _epairs(stored) == mem and len(mem) > 0
+
+        plan_probe = dedup.incremental_embedding_pairs(svecs, ssigs, new, **EMB_GEOM)
+        plan = plans.formatted_plan(plan_probe)
+        dedup.release_intermediates(plan_probe)
+        assert "pwp_test_embidx_sig" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pwp_test_embidx_sig")
+        spark.sql("DROP TABLE IF EXISTS pwp_test_embidx_vec")
