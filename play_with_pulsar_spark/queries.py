@@ -4137,6 +4137,99 @@ def t8b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _greedy_embedding_curation_oracle(threshold: float = 0.9975) -> str:
+    """Unrolled 3-stage SQL statement of the embedding curator's
+    greedy first-writer-wins fold on the clustered fixture: per batch
+    k (vec_id % 3), cosine pairs over accepted ∪ batch, edge-wise
+    rejection (both-new → larger id loses; vs-accepted → the new doc
+    loses), survivors join the accepted set the next stage screens
+    against. The curator's LSH candidate generation provably covers
+    every qualifying pair on this fixture (see
+    dedup_incremental_embedding), so the screen equals this exact
+    statement."""
+    stage = """u{k} AS (
+      SELECT vec_id, vec FROM v
+      WHERE vec_id IN (SELECT vec_id FROM a{prev}) OR vec_id % 3 = {k}
+    ), p{k} AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM u{k} a JOIN u{k} b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.vec, b.vec)
+                  / (sqrt(list_dot_product(a.vec, a.vec))
+                     * sqrt(list_dot_product(b.vec, b.vec))), 6) >= {thr}
+    ), rej{k} AS (
+      SELECT DISTINCT d AS vec_id FROM (
+        SELECT CASE
+          WHEN id_a % 3 = {k} AND id_b % 3 = {k} THEN id_b
+          WHEN id_a % 3 = {k} THEN id_a
+          WHEN id_b % 3 = {k} THEN id_b
+        END AS d FROM p{k}
+      ) WHERE d IS NOT NULL
+    ), a{k} AS (
+      SELECT vec_id FROM a{prev}
+      UNION ALL
+      SELECT vec_id FROM v
+      WHERE vec_id % 3 = {k}
+        AND vec_id NOT IN (SELECT vec_id FROM rej{k})
+    )"""
+    stages = ",\n    ".join(
+        stage.format(k=k, prev="_empty" if k == 0 else k - 1, thr=threshold)
+        for k in (0, 1, 2)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             [ (CASE WHEN i = (vec_id % 8) * 8 + 1 THEN 1.0 ELSE 0.0 END)
+               + 0.05 * CAST(embedding[i] AS DOUBLE)
+               FOR i IN generate_series(1, 64) ] AS vec
+      FROM embeddings
+    ), a_empty AS (
+      SELECT vec_id FROM v WHERE 1 = 0
+    ), {stages}
+    SELECT vec_id FROM a2
+    """
+
+
+@register(
+    "pipeline_embedding_curation", oracle=_greedy_embedding_curation_oracle()
+)
+def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming curation over an EMBEDDED corpus,
+    hash-checked: the clustered vectors arrive as three micro-batches
+    (vec_id % 3, in order) through the real StreamingCorpusCurator
+    with the semantic screen — hyperplane-bucket candidates against
+    the accumulated (vec, sig) state, exact-cosine verify at 0.9975
+    (within-cluster sims span ~0.996-0.999, so acceptance is
+    data-dependent, not degenerate), greedy first-writer-wins
+    rejection, idempotent per-batch commits — and the accepted set
+    must equal the oracle's unrolled statement of the same greedy
+    fold. The embedding sibling of `pipeline_streaming_curation`."""
+    import shutil
+    import tempfile
+
+    from .streaming.curator import StreamingCorpusCurator
+
+    _prep(spark)
+    v = _clustered_embeddings(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pwp_embcur_q_")
+    try:
+        cur = StreamingCorpusCurator(
+            spark,
+            base,
+            screen="embedding",
+            id_col="vec_id",
+            emb_dim=64,
+            threshold=0.9975,
+            num_planes=4,
+            num_tables=16,
+        )
+        for k in range(3):
+            cur.process_batch(v.filter(F.col("vec_id") % 3 == k), k)
+        ids = [(r.vec_id,) for r in cur.accepted().select("vec_id").collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(ids, "vec_id long")
+
+
 # =====================================================================
 # Clustering family (LLM-curation surface): distributed k-means and
 # SemDeDup semantic dedup. Lloyd's is iterative, but deterministic
@@ -4442,6 +4535,7 @@ _DRIVER_PRIORITY = [
     "dedup_semantic",
     "cluster_representatives",
     "dedup_incremental_embedding",
+    "pipeline_embedding_curation",
     "knn_label_vote",
     "export_shuffle_shards",
     "dedup_minhash_identical",

@@ -74,7 +74,9 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     _banded,
+    build_embedding_index,
     build_ngram_index,
+    incremental_embedding_pairs,
     incremental_jaccard_pairs,
     incremental_minhash_pairs,
     minhash_signatures,
@@ -103,13 +105,22 @@ class StreamingCorpusCurator:
         compact_after: int | None = None,
         n_buckets: int = 32,
         catalog_prefix: str | None = None,
+        vec_col: str = "embedding",
+        emb_dim: int | None = None,
+        num_planes: int = 8,
+        num_tables: int = 8,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
         screen: candidates only from band-bucket collisions against a
         third state table ``banded/``, exact Jaccard verify of
         candidates only — the cheaper screen when the accepted corpus
-        is large; recall follows the banding curve).
+        is large; recall follows the banding curve) or ``"embedding"``
+        (semantic screen for batches carrying a ``vec_col``
+        array<float/double> column: hyperplane-bucket candidates
+        against the accumulated (vec, sig) state, exact cosine verify
+        at ``threshold`` — pass ``emb_dim``; ``text_col``/``n``/
+        ``max_shingle_freq`` are unused by this screen).
 
         ``max_shingle_freq`` applies ONLY to the jaccard screen. The
         minhash screen ignores it entirely: signatures and the exact
@@ -137,20 +148,28 @@ class StreamingCorpusCurator:
         compacted bucketed tables (a valid SQL identifier). Defaults
         to a stable hash of ``base_dir`` so restarts re-attach to the
         same names."""
-        if screen not in ("jaccard", "minhash"):
+        if screen not in ("jaccard", "minhash", "embedding"):
             raise ValueError(f"unknown screen {screen!r}")
+        if screen == "embedding" and emb_dim is None:
+            raise ValueError("screen='embedding' requires emb_dim")
         self.spark = spark
         self.base_dir = base_dir
         self.accepted_dir = os.path.join(base_dir, "accepted")
         self.grams_dir = os.path.join(base_dir, "grams")
         self.banded_dir = os.path.join(base_dir, "banded")
+        self.vec_dir = os.path.join(base_dir, "vec")
+        self.sig_dir = os.path.join(base_dir, "sig")
         self.compacted_dir = os.path.join(base_dir, "compacted")
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
         self.screen = screen
         self.num_hashes, self.num_bands, self.seed = num_hashes, num_bands, seed
+        self.vec_col, self.emb_dim = vec_col, emb_dim
+        self.num_planes, self.num_tables = num_planes, num_tables
         self.grams_schema = f"doc_id {id_type}, g long"
         self.banded_schema = f"doc_id {id_type}, band int, bucket long"
+        self.vec_schema = f"vec_id {id_type}, v array<double>, nv double"
+        self.sig_schema = f"vec_id {id_type}, tbl int, bucket long"
         self.compact_after = compact_after
         self.n_buckets = n_buckets
         self.catalog_prefix = catalog_prefix or (
@@ -219,17 +238,26 @@ class StreamingCorpusCurator:
             df = df.filter(F.col("ingest_batch") != exclude_batch)
         return df.select(*cols)
 
+    def _state_schema(self, kind: str) -> str:
+        return {
+            "grams": self.grams_schema,
+            "banded": self.banded_schema,
+            "vec": self.vec_schema,
+            "sig": self.sig_schema,
+        }[kind]
+
     def _compacted_state(self, kind: str) -> DataFrame | None:
-        """Compacted-tier DataFrame (``kind`` in ``grams``/``banded``),
-        or None before the first compaction. Resolution order: session
-        catalog (bucketed — shuffle-free probe joins), re-register the
-        external table on a fresh session, last-resort plain parquet
-        read of the manifest path (correct, loses bucket metadata)."""
+        """Compacted-tier DataFrame (``kind`` in ``grams``/``banded``/
+        ``vec``/``sig``), or None before the first compaction.
+        Resolution order: session catalog (bucketed — shuffle-free
+        probe joins), re-register the external table on a fresh
+        session, last-resort plain parquet read of the manifest path
+        (correct, loses bucket metadata)."""
         man = self._manifest()
         if man is None or man.get(kind) is None:
             return None
         ent = man[kind]
-        schema = self.grams_schema if kind == "grams" else self.banded_schema
+        schema = self._state_schema(kind)
         cols = [c.split()[0] for c in schema.split(",")]
         try:
             return self.spark.table(ent["table"]).select(*cols)
@@ -263,6 +291,14 @@ class StreamingCorpusCurator:
     def _index_banded(self, exclude_batch: int | None = None) -> DataFrame:
         live = self._read_state(self.banded_dir, self.banded_schema, exclude_batch)
         return self._with_compacted(live, "banded")
+
+    def _index_vec(self, exclude_batch: int | None = None) -> DataFrame:
+        live = self._read_state(self.vec_dir, self.vec_schema, exclude_batch)
+        return self._with_compacted(live, "vec")
+
+    def _index_sig(self, exclude_batch: int | None = None) -> DataFrame:
+        live = self._read_state(self.sig_dir, self.sig_schema, exclude_batch)
+        return self._with_compacted(live, "sig")
 
     def accepted(self) -> DataFrame:
         """Accepted corpus: compacted tier + COMMITTED live batch
@@ -350,6 +386,9 @@ class StreamingCorpusCurator:
         docstring), then fold state if the compaction threshold is
         crossed."""
         minhash = self.screen == "minhash"
+        if self.screen == "embedding":
+            self._process_batch_embedding(batch, batch_id)
+            return
         acc_done = self._committed(self.accepted_dir, batch_id)
         grams_done = self._committed(self.grams_dir, batch_id)
         banded_done = not minhash or self._committed(self.banded_dir, batch_id)
@@ -414,6 +453,60 @@ class StreamingCorpusCurator:
         keep.unpersist()
         docs.unpersist()
         release_intermediates(pairs)  # the screen's cached intermediates
+        self.maybe_compact()
+
+    def _process_batch_embedding(self, batch: DataFrame, batch_id: int) -> None:
+        """The embedding screen's half of ``process_batch`` — same
+        commit protocol (idempotent batch partitions, pre-batch state
+        on replay), state tables (vec, sig) instead of (grams,
+        banded)."""
+        acc_done = self._committed(self.accepted_dir, batch_id)
+        vec_done = self._committed(self.vec_dir, batch_id)
+        sig_done = self._committed(self.sig_dir, batch_id)
+        if acc_done and vec_done and sig_done:  # committed replay
+            return
+        docs = batch.persist()  # screened once, written once
+        pairs = incremental_embedding_pairs(
+            self._index_vec(exclude_batch=batch_id),
+            self._index_sig(exclude_batch=batch_id),
+            docs,
+            dim=self.emb_dim,
+            threshold=self.threshold,
+            num_planes=self.num_planes,
+            num_tables=self.num_tables,
+            seed=self.seed,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        new_ids = docs.select(F.col(self.id_col).alias("nid"))
+        rejected = self._rejected_ids(pairs, new_ids)
+        keep = docs.join(
+            rejected.withColumnRenamed("doc_id", self.id_col), self.id_col, "anti"
+        ).persist()
+        if not acc_done:
+            keep.write.mode("overwrite").parquet(
+                self._batch_dir(self.accepted_dir, batch_id)
+            )
+        keep_vecs, keep_sigs = build_embedding_index(
+            keep,
+            dim=self.emb_dim,
+            num_planes=self.num_planes,
+            num_tables=self.num_tables,
+            seed=self.seed,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        if not vec_done:
+            keep_vecs.write.mode("overwrite").parquet(
+                self._batch_dir(self.vec_dir, batch_id)
+            )
+        if not sig_done:
+            keep_sigs.write.mode("overwrite").parquet(
+                self._batch_dir(self.sig_dir, batch_id)
+            )
+        keep.unpersist()
+        docs.unpersist()
+        release_intermediates(pairs)
         self.maybe_compact()
 
     def _committed_batch_dirs(self, base: str) -> list[str]:
@@ -493,10 +586,18 @@ class StreamingCorpusCurator:
     # compaction
 
     def _state_tables(self) -> list[str]:
+        if self.screen == "embedding":
+            return [self.accepted_dir, self.vec_dir, self.sig_dir]
         tables = [self.accepted_dir, self.grams_dir]
         if self.screen == "minhash":
             tables.append(self.banded_dir)
         return tables
+
+    @property
+    def _primary_state_dir(self) -> str:
+        """The state table whose committed batch-dir count drives the
+        compaction threshold (every screen writes it each batch)."""
+        return self.vec_dir if self.screen == "embedding" else self.grams_dir
 
     def maybe_compact(self) -> bool:
         """Compact iff more than ``compact_after`` committed batch
@@ -506,7 +607,7 @@ class StreamingCorpusCurator:
         upto = self._covered_upto()
         residual = [
             d
-            for d in self._committed_batch_dirs(self.grams_dir)
+            for d in self._committed_batch_dirs(self._primary_state_dir)
             if self._batch_id_of(d) > upto
         ]
         if len(residual) <= self.compact_after:
@@ -584,13 +685,6 @@ class StreamingCorpusCurator:
             )
         acc_new.write.mode("overwrite").parquet(acc_path)
 
-        # shingle index (+ banded) in the canonical bucketed layout
-        grams_full = self._read_committed(
-            self.grams_dir, self.grams_schema, old_upto, new_upto
-        )
-        comp_grams = self._compacted_state("grams")
-        if comp_grams is not None:
-            grams_full = comp_grams.unionByName(grams_full)
         manifest = {
             "version": version,
             "covered_upto": new_upto,
@@ -598,6 +692,48 @@ class StreamingCorpusCurator:
             "accepted_path": acc_path,
             "banded": None,
         }
+        if self.screen == "embedding":
+            from ..operators.dedup import write_embedding_index
+
+            def _full(kind, base, schema):
+                cur = self._read_committed(base, schema, old_upto, new_upto)
+                comp = self._compacted_state(kind)
+                return cur if comp is None else comp.unionByName(cur)
+
+            write_embedding_index(
+                _full("vec", self.vec_dir, self.vec_schema),
+                _full("sig", self.sig_dir, self.sig_schema),
+                pfx,
+                n_buckets=self.n_buckets,
+                path_prefix=os.path.join(vdir, "idx"),
+            )
+            manifest["vec"] = {
+                "table": f"{pfx}_vec",
+                "path": os.path.join(vdir, "idx_vec"),
+                "keys": ["vec_id"],
+            }
+            manifest["sig"] = {
+                "table": f"{pfx}_sig",
+                "path": os.path.join(vdir, "idx_sig"),
+                "keys": ["tbl", "bucket"],
+            }
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._manifest_path)
+            self._cleanup_covered(old_upto)
+            self._drop_old_versions(version)
+            return True
+
+        # shingle index (+ banded) in the canonical bucketed layout
+        grams_full = self._read_committed(
+            self.grams_dir, self.grams_schema, old_upto, new_upto
+        )
+        comp_grams = self._compacted_state("grams")
+        if comp_grams is not None:
+            grams_full = comp_grams.unionByName(grams_full)
         if self.screen == "minhash":
             banded_full = self._read_committed(
                 self.banded_dir, self.banded_schema, old_upto, new_upto
@@ -688,7 +824,7 @@ class StreamingCorpusCurator:
                 continue
             if v <= current - 2:
                 old_pfx = f"{self.catalog_prefix}_v{v}"
-                for suffix in ("_grams", "_banded", "_grams_by_g"):
+                for suffix in ("_grams", "_banded", "_grams_by_g", "_vec", "_sig"):
                     try:
                         self.spark.sql(f"DROP TABLE IF EXISTS {old_pfx}{suffix}")
                     except Exception:
@@ -722,9 +858,24 @@ class StreamingCorpusCurator:
         exactly that — versioned prefixes + manifest flip — so with
         ``compact_after`` set, consumers can read the compacted tables
         directly instead of exporting.)"""
-        from ..operators.dedup import write_minhash_index, write_ngram_index
+        from ..operators.dedup import (
+            write_embedding_index,
+            write_minhash_index,
+            write_ngram_index,
+        )
 
         upto = self._covered_upto()
+        if self.screen == "embedding":
+            vecs = self._read_committed(self.vec_dir, self.vec_schema, lo=upto)
+            comp_v = self._compacted_state("vec")
+            if comp_v is not None:
+                vecs = comp_v.unionByName(vecs)
+            sigs = self._read_committed(self.sig_dir, self.sig_schema, lo=upto)
+            comp_s = self._compacted_state("sig")
+            if comp_s is not None:
+                sigs = comp_s.unionByName(sigs)
+            write_embedding_index(vecs, sigs, prefix, n_buckets=n_buckets)
+            return
         grams = self._read_committed(self.grams_dir, self.grams_schema, lo=upto)
         comp = self._compacted_state("grams")
         if comp is not None:

@@ -453,3 +453,99 @@ def test_compaction_export_includes_compacted_tier(spark, tmp_path):
         assert got == [(1, 9)]
     finally:
         spark.sql("DROP TABLE IF EXISTS pwp_cur_comp_export_grams_by_g")
+
+
+# ---------------------------------------------------------------------------
+# embedding screen
+
+
+import math
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "doc_id long, embedding array<double>",
+    )
+
+
+def _emb_curator(spark, path, **kw):
+    kw.setdefault("threshold", 0.95)
+    return StreamingCorpusCurator(
+        spark, path, screen="embedding", emb_dim=2,
+        num_planes=2, num_tables=16, **kw
+    )
+
+
+def _deg(d):
+    return (math.cos(math.radians(d)), math.sin(math.radians(d)))
+
+
+def test_embedding_curator_greedy_and_rejected_not_indexed(spark, tmp_path):
+    """Greedy first-writer-wins over cosine similarity at τ=0.95
+    (angle ≤ ~18.2°), including the rejected-not-indexed rule: v5 at
+    30° resembles ONLY the rejected v2 (14°, Δ16°), not the accepted
+    v1 (0°, Δ30°), so v5 is accepted — a Bloom/LSH crawler gate's
+    exact behavior."""
+    cur = _emb_curator(spark, str(tmp_path / "e"))
+    cur.process_batch(_vecs(spark, [(1, _deg(0)), (2, _deg(14))]), 0)
+    cur.process_batch(_vecs(spark, [(5, _deg(30)), (6, _deg(110))]), 1)
+    # batch 2: 7 dups the ACCEPTED 5 -> rejected; 8 fresh -> kept
+    cur.process_batch(_vecs(spark, [(7, _deg(31)), (8, _deg(200))]), 2)
+    kept = {r["doc_id"] for r in cur.accepted().collect()}
+    assert kept == {1, 5, 6, 8}
+    indexed = {
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "e/vec"))
+        .select("vec_id").distinct().collect()
+    }
+    assert indexed == {1, 5, 6, 8}
+
+
+def test_embedding_curator_replay_idempotent(spark, tmp_path):
+    cur = _emb_curator(spark, str(tmp_path / "e"))
+    batch = _vecs(spark, [(1, _deg(0)), (2, _deg(90))])
+    cur.process_batch(batch, 0)
+    first = sorted(r["doc_id"] for r in cur.accepted().collect())
+    n_vec = spark.read.parquet(str(tmp_path / "e/vec")).count()
+    cur.process_batch(batch, 0)  # replay, same batch id
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == first
+    assert spark.read.parquet(str(tmp_path / "e/vec")).count() == n_vec
+    cur.process_batch(_vecs(spark, [(3, _deg(45))]), 1)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == [1, 2, 3]
+
+
+def test_embedding_curator_compaction_preserves_decisions(spark, tmp_path):
+    """compact-every-batch == never-compact, and the live batch-dir
+    count stays bounded."""
+    seq = [
+        [(1, _deg(0)), (2, _deg(5))],
+        [(10, _deg(2)), (11, _deg(120))],
+        [(20, _deg(119)), (21, _deg(240)), (22, _deg(241))],
+        [(30, _deg(60))],
+    ]
+    plain = _emb_curator(spark, str(tmp_path / "p"))
+    comp = _emb_curator(spark, str(tmp_path / "q"), compact_after=0, n_buckets=4)
+    try:
+        for i, rows in enumerate(seq):
+            plain.process_batch(_vecs(spark, rows), i)
+            comp.process_batch(_vecs(spark, rows), i)
+        a = sorted(r["doc_id"] for r in plain.accepted().collect())
+        b = sorted(r["doc_id"] for r in comp.accepted().collect())
+        assert a == b and len(a) > 0
+        man = comp._manifest()
+        assert man is not None and man["covered_upto"] == 3
+        # bounded live dirs: everything below the previous watermark is
+        # folded; at most one generation of reader-grace dirs survives
+        live = comp._batch_dirs(comp.vec_dir)
+        assert len(live) <= 2
+        # post-compaction: a new batch screens against the compacted
+        # tier (10 dups accepted 1 via the bucketed index)
+        comp.process_batch(_vecs(spark, [(40, _deg(1))]), 4)
+        assert 40 not in {r["doc_id"] for r in comp.accepted().collect()}
+    finally:
+        for v in range(6):
+            for sfx in ("_vec", "_sig"):
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {comp.catalog_prefix}_v{v}{sfx}"
+                )
