@@ -121,6 +121,7 @@ def kmeans_fit(
     dist_round: int = 6,
     mean_round: int = 9,
     strategy: str = "numpy",
+    spherical: bool = False,
 ) -> Centroids:
     """Distributed Lloyd's: ``iters`` update steps from the
     deterministic init. Each step is ONE job — a zero-shuffle argmin
@@ -129,8 +130,27 @@ def kmeans_fit(
     all members keeps its previous centroid (the oracle's LEFT JOIN +
     coalesce mirrors this). ``strategy`` picks the argmin kernel —
     see :func:`kmeans_assign`; both rank by round(dist, 6) so they
-    agree exactly (cross-kernel parity is a test)."""
-    v = df.select(F.col(vec_col).cast("array<double>").alias("em"))
+    agree exactly (cross-kernel parity is a test).
+
+    ``spherical=True`` trains a SPHERICAL k-means (the IVF coarse-
+    quantizer objective): inputs are L2-normalized before iterating —
+    argmin Euclidean on unit vectors is argmax cosine — and each
+    update's mean is re-normalized (driver-side, K rows). This is the
+    full-corpus distributed replacement for
+    ``similarity.ivf_fit_centroids``'s driver-side sample fit: same
+    objective, training cost O(N·K·D) per iteration across the
+    cluster instead of capped at ``sample_limit`` rows."""
+    em = F.col(vec_col).cast("array<double>")
+    if spherical:
+        nrm = F.sqrt(
+            F.aggregate(F.transform(em, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+        # zero-norm vectors stay zero (no defined direction) — they
+        # land wherever the rounded-distance tiebreak puts them
+        em = F.when(nrm > 0, F.transform(em, lambda x: x / nrm)).otherwise(em)
+        df = df.select(F.col(id_col), em.alias(vec_col))
+        em = F.col(vec_col)
+    v = df.select(em.alias("em"))
     cents = kmeans_init(df, k, id_col, vec_col)
     for _ in range(iters):
         if strategy == "numpy":
@@ -157,6 +177,11 @@ def kmeans_fit(
         nxt = {cl: list(cv) for cl, cv in cents}
         for r in means:
             nxt[r.cluster][r.pos] = r.m
+        if spherical:
+            for cl, cv in nxt.items():
+                n = float(np.linalg.norm(cv))
+                if n > 0:
+                    nxt[cl] = [x / n for x in cv]
         cents = [(cl, nxt[cl]) for cl, _ in cents]
     return cents
 

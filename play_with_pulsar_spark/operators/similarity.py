@@ -201,12 +201,28 @@ def ivf_fit_centroids(
     sample_limit: int = 20000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "sample",
 ) -> np.ndarray:
     """Train an IVF coarse quantizer: k-means (numpy, fixed
     iterations, seeded init) on a bounded corpus sample. The sample
     is id-ordered (deterministic), capped at ``sample_limit`` rows —
     training cost is independent of corpus size; assignment is the
-    distributed part."""
+    distributed part.
+
+    ``strategy="distributed"`` instead trains SPHERICAL k-means over
+    the FULL corpus via ``clustering.kmeans_fit(spherical=True)`` —
+    the FAISS-style sample fit is usually enough for a coarse
+    quantizer, but when cell balance matters (skewed corpora where a
+    20k sample misses tail modes) the distributed fit sees everything
+    at O(N·K·D) per iteration, deterministic first-K init, no RNG."""
+    if strategy == "distributed":
+        from .clustering import kmeans_fit
+
+        cents = kmeans_fit(
+            corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+            spherical=True,
+        )
+        return np.stack([np.asarray(cv, dtype=np.float64) for _, cv in cents])
     pdf = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy("i")
@@ -271,6 +287,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    fit_strategy: str = "sample",
 ) -> DataFrame:
     """IVF-Flat ANN (the FAISS coarse-quantization design,
     Spark-distributed): corpus vectors live in their nearest-centroid
@@ -280,7 +297,8 @@ def ivf_topk(
     becomes the partition key, so a probe reads only its cells'
     partitions (partition pruning on the scan)."""
     cents = ivf_fit_centroids(corpus, n_cells=n_cells, seed=seed,
-                              id_col=id_col, vec_col=vec_col)
+                              id_col=id_col, vec_col=vec_col,
+                              strategy=fit_strategy)
     c_cells = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
     q_cells = ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
 
@@ -319,6 +337,7 @@ def ivf_build_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_strategy: str = "sample",
 ) -> None:
     """Materialize the IVF index on disk: corpus rows written
     ``partitionBy(cell)`` plus a tiny centroid table. This is the
@@ -327,7 +346,8 @@ def ivf_build_index(
     nprobe cells' partitions (PartitionFilters at the parquet scan,
     asserted in tests), nprobe/n_cells of the data."""
     cents = ivf_fit_centroids(corpus, n_cells=n_cells, seed=seed,
-                              id_col=id_col, vec_col=vec_col)
+                              id_col=id_col, vec_col=vec_col,
+                              strategy=fit_strategy)
     spark = corpus.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(cent_rows, "cell long, centroid array<double>") \

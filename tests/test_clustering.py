@@ -188,3 +188,31 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+def test_spherical_distributed_fit_trains_ivf(spark, sf_dir):
+    """ivf_fit_centroids(strategy='distributed') — spherical k-means
+    over the FULL corpus via clustering.kmeans_fit — yields unit-norm
+    centroids that recover the planted structure, and ivf_topk built
+    on it returns the exact top-5 on the clustered fixture (candidate
+    coverage is what IVF correctness means)."""
+    import numpy as np
+
+    from play_with_pulsar_spark.operators import similarity
+
+    v = _clustered(spark, sf_dir)
+    cents = similarity.ivf_fit_centroids(
+        v, n_cells=8, iters=3, strategy="distributed"
+    )
+    assert cents.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-6)
+    got = similarity.ivf_topk(
+        spark, corpus=v, queries=v.filter(F.col("vec_id") < 10),
+        k=5, n_cells=8, nprobe=4, round_to=6, fit_strategy="distributed",
+    )
+    exact = similarity.jvm_cosine_topk(
+        corpus=v, queries=v.filter(F.col("vec_id") < 10), k=5, round_to=6
+    )
+    g = {(r.query_id, r.rn): r.neighbor_id for r in got.collect()}
+    e = {(r.query_id, r.rn): r.neighbor_id for r in exact.collect()}
+    assert g == e and len(e) == 50
