@@ -1975,6 +1975,44 @@ def sim_lsh_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_lsh_clustered",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             [ (CASE WHEN i = (vec_id % 8) * 8 + 1 THEN 1.0 ELSE 0.0 END)
+               + 0.05 * CAST(embedding[i] AS DOUBLE)
+               FOR i IN generate_series(1, 64) ] AS vec
+      FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.vec, b.vec)
+                   / (sqrt(list_dot_product(a.vec, a.vec))
+                      * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+    """,
+)
+def dedup_embedding_lsh_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH embedding near-dup pipeline under the
+    driver's HASH gate: on the clustered fixture every qualifying
+    pair (within-cluster cosine ~0.99 ≥ 0.9) collides in ≥1 of the
+    16 sign-pattern tables with probability 1 - ~6e-13, so the
+    candidates-only pipeline must return EXACTLY the all-pairs
+    oracle's qualifying set — the recall property of
+    `dedup_embedding_lsh` (rows-only on the weak-similarity fixture,
+    recall ≥0.9 asserted in tests) becomes a value-hash equality
+    here, the same promotion `dedup_minhash_identical` gives the
+    MinHash family."""
+    from .operators import dedup
+
+    v = _clustered_embeddings(spark, sf_dir)
+    return dedup.embedding_cosine_pairs_lsh(
+        v, dim=64, threshold=0.9, num_planes=4, num_tables=16
+    )
+
+
+@register(
     "dedup_incremental_embedding",
     oracle="""
     WITH v AS (
@@ -4536,6 +4574,7 @@ _DRIVER_PRIORITY = [
     "cluster_representatives",
     "dedup_incremental_embedding",
     "pipeline_embedding_curation",
+    "dedup_embedding_lsh_clustered",
     "knn_label_vote",
     "export_shuffle_shards",
     "dedup_minhash_identical",
