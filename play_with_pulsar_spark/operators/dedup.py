@@ -257,21 +257,25 @@ def _banded(signatures: DataFrame, num_bands: int, rows_per_band: int) -> DataFr
     )
 
 
-def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
-    """Drop (band, bucket) groups larger than ``max_bucket_size``
-    before the bucket self-join — the bucket-level twin of the
-    stop-shingle cap. A bucket with f members creates f² candidate
-    pairs, so one viral boilerplate cluster can dominate the whole
-    join; oversized buckets are near-identical content that exact
-    dedup (run it first) or a dedicated boilerplate pass should own,
-    not the pairwise path."""
+def _cap_groups(df: DataFrame, keys: list[str], max_size: int) -> DataFrame:
+    """Drop key groups larger than ``max_size`` before a group
+    self-join — the bucket-level twin of the stop-shingle cap. A
+    group with f members creates f² candidate pairs, so one viral
+    boilerplate cluster can dominate the whole join; oversized groups
+    are near-identical content that exact dedup (run it first) or a
+    dedicated boilerplate pass should own, not the pairwise path."""
     small = (
-        banded.groupBy("band", "bucket")
+        df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("sz"))
-        .filter(F.col("sz") <= max_bucket_size)
-        .select("band", "bucket")
+        .filter(F.col("sz") <= max_size)
+        .select(*keys)
     )
-    return banded.join(small, ["band", "bucket"])
+    return df.join(small, keys)
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """MinHash form of :func:`_cap_groups` on (band, bucket)."""
+    return _cap_groups(banded, ["band", "bucket"], max_bucket_size)
 
 
 def lsh_candidate_pairs(
@@ -1166,6 +1170,7 @@ def incremental_embedding_pairs(
     vec_col: str = "embedding",
     round_to: int = 6,
     broadcast_batch: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup screen of a new batch against an
     indexed corpus — the 100 TB crawl-loop shape for embedded corpora:
@@ -1186,6 +1191,15 @@ def incremental_embedding_pairs(
     side touches only candidate ids (broadcast semi-join restriction),
     so per-batch verify cost scales with collisions, not the corpus.
 
+    ``max_bucket_size`` drops oversized (tbl, bucket) groups —
+    counted over index ∪ batch, the same union-scan cost caveat as
+    ``incremental_minhash_pairs`` — bounding the f² candidate blow-up
+    a viral near-identical cluster (or a degenerate all-zeros region)
+    creates. Sizing note: buckets stay O(1) only while
+    ``num_planes ≳ log2(corpus)``; with too few planes EVERY bucket
+    is oversized and capping would drop real pairs — raise the plane
+    count, don't cap, in that regime.
+
     Precondition: batch ids are disjoint from the indexed corpus.
     """
     from .similarity import hyperplane_signatures_multi
@@ -1193,31 +1207,53 @@ def incremental_embedding_pairs(
     new_sigs = hyperplane_signatures_multi(
         new_emb, dim, num_planes, num_tables, seed, id_col, vec_col
     ).persist()
-    probe = F.broadcast(new_sigs) if broadcast_batch else new_sigs
-    xi = (
-        index_sigs.alias("b")
-        .join(
-            probe.alias("a"),
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+    cached = [new_sigs]
+    if max_bucket_size is not None:
+        all_sigs = (
+            index_sigs.withColumn("is_new", F.lit(False))
+            .unionByName(new_sigs.withColumn("is_new", F.lit(True)))
+            .persist()
         )
-        .select(
-            F.least("a.vec_id", "b.vec_id").alias("id_a"),
-            F.greatest("a.vec_id", "b.vec_id").alias("id_b"),
+        cached.append(all_sigs)
+        all_sigs = _cap_groups(all_sigs, ["tbl", "bucket"], max_bucket_size)
+        new_side = all_sigs.filter(F.col("is_new"))
+        if broadcast_batch:
+            new_side = F.broadcast(new_side)
+        cands = (
+            _touching_new_pairs(
+                new_side.withColumnRenamed("vec_id", "doc_id"),
+                all_sigs.withColumnRenamed("vec_id", "doc_id"),
+                ["tbl", "bucket"],
+            )
+            .distinct()
+            .persist()
         )
-    )
-    nn = (
-        new_sigs.alias("a")
-        .join(
-            new_sigs.alias("b"),
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    else:
+        probe = F.broadcast(new_sigs) if broadcast_batch else new_sigs
+        xi = (
+            index_sigs.alias("b")
+            .join(
+                probe.alias("a"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .select(
+                F.least("a.vec_id", "b.vec_id").alias("id_a"),
+                F.greatest("a.vec_id", "b.vec_id").alias("id_b"),
+            )
         )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-    )
-    cands = xi.unionByName(nn).distinct().persist()
+        nn = (
+            new_sigs.alias("a")
+            .join(
+                new_sigs.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        )
+        cands = xi.unionByName(nn).distinct().persist()
 
     new_vecs, _ = build_embedding_index(
         new_emb, dim, num_planes, num_tables, seed, id_col, vec_col
@@ -1242,7 +1278,7 @@ def incremental_embedding_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
-    return _register_cached(result, new_sigs, cands)
+    return _register_cached(result, *cached, cands)
 
 
 def hamming64(a: Column, b: Column) -> Column:

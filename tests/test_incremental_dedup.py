@@ -255,3 +255,44 @@ def test_stored_bucketed_embedding_index_probe(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS pwp_test_embidx_sig")
         spark.sql("DROP TABLE IF EXISTS pwp_test_embidx_vec")
+
+
+def test_embedding_bucket_cap_bounds_viral_cluster(spark):
+    """60 near-identical vectors split across index and batch must not
+    quadratically dominate the embedding screen's candidate join: with
+    max_bucket_size set their buckets are dropped while an unrelated
+    near-dup pair survives (contract: exact dedup owns such clusters)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base_v = rng.randn(8)
+    other = rng.randn(8)
+    rows = [
+        (i, [float(x) for x in base_v + 0.001 * rng.randn(8)]) for i in range(60)
+    ]
+    rows += [
+        (100, [float(x) for x in other]),
+        (201, [float(x) for x in other + 0.001 * rng.randn(8)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    vecs, sigs = dedup.build_embedding_index(corpus, dim=8, num_planes=4,
+                                             num_tables=4)
+    capped = dedup.incremental_embedding_pairs(
+        vecs, sigs, new, dim=8, num_planes=4, num_tables=4,
+        threshold=0.95, max_bucket_size=20,
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    dedup.release_intermediates(capped)
+    assert not any(a < 60 and b < 60 for a, b in got)  # viral pairs excluded
+    # the normal pair (100 in corpus, 201 in batch) is touching-new and
+    # must survive the cap — its buckets hold only 2 vectors
+    assert (100, 201) in got
+    uncapped = dedup.incremental_embedding_pairs(
+        vecs, sigs, new, dim=8, num_planes=4, num_tables=4, threshold=0.95,
+    )
+    all_pairs = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    dedup.release_intermediates(uncapped)
+    assert sum(1 for a, b in all_pairs if a < 60 and b < 60) > 100
+    assert got < all_pairs
