@@ -338,16 +338,19 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_strategy: str = "sample",
+    cents: np.ndarray | None = None,
 ) -> None:
     """Materialize the IVF index on disk: corpus rows written
     ``partitionBy(cell)`` plus a tiny centroid table. This is the
     100 TB structure the ``ivf_topk`` docstring promises: the cell
     directory IS the pruning index — a probe's scan reads only its
     nprobe cells' partitions (PartitionFilters at the parquet scan,
-    asserted in tests), nprobe/n_cells of the data."""
-    cents = ivf_fit_centroids(corpus, n_cells=n_cells, seed=seed,
-                              id_col=id_col, vec_col=vec_col,
-                              strategy=fit_strategy)
+    asserted in tests), nprobe/n_cells of the data. Pass ``cents``
+    to build with a pre-trained quantizer instead of fitting here."""
+    if cents is None:
+        cents = ivf_fit_centroids(corpus, n_cells=n_cells, seed=seed,
+                                  id_col=id_col, vec_col=vec_col,
+                                  strategy=fit_strategy)
     spark = corpus.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(cent_rows, "cell long, centroid array<double>") \
@@ -357,6 +360,40 @@ def ivf_build_index(
         corpus.join(assigned, corpus[id_col] == assigned.vec_id)
         .select(corpus[id_col].alias(id_col), corpus[vec_col].alias(vec_col), "cell")
         .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/cells")
+    )
+
+
+def ivf_append_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch to a materialized IVF index WITHOUT
+    retraining: the batch is assigned against the STORED centroids
+    (the quantizer is frozen — FAISS `add` semantics) and its rows
+    appended into the matching ``cell=<i>`` partition directories.
+    This is the crawl-loop maintenance path: per-batch cost is one
+    assignment stage over the batch plus an append, never a corpus
+    rewrite. A directory built with frozen centroids C then appended
+    is file-identical in content to one built from all the data with
+    the same C (tested) — queries cannot tell the difference.
+
+    Drift caveat: a frozen quantizer slowly unbalances as the data
+    distribution moves; monitor per-cell counts (one groupBy over the
+    cell column) and rebuild with ``ivf_build_index(cents=...)`` when
+    skew crosses your threshold — the rebuild is the compaction event,
+    appends are the steady state."""
+    cent_pdf = spark.read.parquet(path + "/centroids").orderBy("cell").toPandas()
+    cents = np.stack(cent_pdf["centroid"].to_numpy()).astype(np.float64)
+    assigned = ivf_assign(batch, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    (
+        batch.join(assigned, batch[id_col] == assigned.vec_id)
+        .select(batch[id_col].alias(id_col), batch[vec_col].alias(vec_col), "cell")
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(path + "/cells")
     )
