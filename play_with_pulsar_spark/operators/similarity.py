@@ -399,6 +399,22 @@ def ivf_append_index(
     )
 
 
+def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(cell, n) member counts of a materialized IVF index — the
+    rebuild trigger for the ``ivf_append_index`` steady state: a
+    frozen quantizer drifts as the data distribution moves, and probe
+    cost tracks the LARGEST probed cell, so monitor
+    ``max(n) / (total / n_cells)`` and rebuild (``ivf_build_index``
+    with freshly fit centroids) when it crosses your threshold. One
+    partition-column aggregation — reads footer metadata plus the
+    cell column, never the vectors."""
+    return (
+        spark.read.parquet(path + "/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def ivf_query_index(
     spark: SparkSession,
     path: str,

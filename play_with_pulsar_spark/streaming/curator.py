@@ -109,6 +109,7 @@ class StreamingCorpusCurator:
         emb_dim: int | None = None,
         num_planes: int = 8,
         num_tables: int = 8,
+        max_bucket_size: int | None = None,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -120,7 +121,10 @@ class StreamingCorpusCurator:
         array<float/double> column: hyperplane-bucket candidates
         against the accumulated (vec, sig) state, exact cosine verify
         at ``threshold`` — pass ``emb_dim``; ``text_col``/``n``/
-        ``max_shingle_freq`` are unused by this screen).
+        ``max_shingle_freq`` are unused by this screen;
+        ``max_bucket_size`` caps viral (tbl, bucket) groups per
+        screen, at the cost of an O(accumulated sigs) per-batch count
+        — see ``incremental_embedding_pairs``).
 
         ``max_shingle_freq`` applies ONLY to the jaccard screen. The
         minhash screen ignores it entirely: signatures and the exact
@@ -166,6 +170,7 @@ class StreamingCorpusCurator:
         self.num_hashes, self.num_bands, self.seed = num_hashes, num_bands, seed
         self.vec_col, self.emb_dim = vec_col, emb_dim
         self.num_planes, self.num_tables = num_planes, num_tables
+        self.max_bucket_size = max_bucket_size
         self.grams_schema = f"doc_id {id_type}, g long"
         self.banded_schema = f"doc_id {id_type}, band int, bucket long"
         self.vec_schema = f"vec_id {id_type}, v array<double>, nv double"
@@ -477,6 +482,7 @@ class StreamingCorpusCurator:
             seed=self.seed,
             id_col=self.id_col,
             vec_col=self.vec_col,
+            max_bucket_size=self.max_bucket_size,
         )
         new_ids = docs.select(F.col(self.id_col).alias("nid"))
         rejected = self._rejected_ids(pairs, new_ids)

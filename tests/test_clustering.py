@@ -248,3 +248,7 @@ def test_ivf_append_equals_build_with_same_quantizer(spark, sf_dir, tmp_path):
     # the neighbors (the fixture's nearest neighbors are in-cluster,
     # and ids <100 are all in the batch)
     assert any(n < 100 for n in inc.values())
+    # the balance monitor sees every row across build + append
+    stats = similarity.ivf_cell_stats(spark, p_inc).collect()
+    assert sum(r.n for r in stats) == v.count()
+    assert len(stats) <= 8
