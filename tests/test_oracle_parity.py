@@ -25,28 +25,24 @@ def test_oracle_parity(name, spark, sf_dir, con):
     assert res.ok, res.detail
 
 
-def test_all_queries_return_rows(spark, sf_dir):
-    """Smoke: every registered query (oracle or not) runs and has a
-    stable schema; most should be non-empty. Each query's riding
-    persisted intermediates are released after materializing — this
-    loop shares one session with the whole suite, and un-released
-    handles would accumulate across all declared queries (and trip the
-    storage-hygiene assertions of later tests)."""
-    from play_with_pulsar_spark.operators.dedup import release_intermediates
+def test_all_queries_run_with_scalar_schemas(spark, sf_dir):
+    """One pass over the whole registry (every query function is
+    EXPENSIVE to build — some run multi-batch curator loops — so the
+    smoke check and the schema audit share a single execution):
 
-    for name, spec in REGISTRY.items():
-        df = spec.fn(spark, sf_dir)
-        assert df.columns, name
-        df.limit(1).collect()
-        release_intermediates(df)
+    - every registered query (oracle or not) runs and returns rows
+      with a stable schema;
+    - no output column is array/map/struct-typed — complex columns
+      hash differently between Arrow and non-Arrow toPandas paths
+      (ndarray vs list repr), so a query that passes the local
+      engine-session parity could still fail the driver's
+      plain-session compare (serialize or scale-to-int instead — see
+      x_array_functions).
 
-
-def test_no_complex_typed_output_columns(spark, sf_dir):
-    """Array/map/struct output columns hash differently between Arrow
-    and non-Arrow toPandas paths (ndarray vs list repr), so a query
-    that passes the local engine-session parity can still fail the
-    driver's plain-session compare. Keep every compared column scalar
-    (serialize or scale-to-int instead — see x_array_functions)."""
+    Riding persisted intermediates are released after materializing:
+    this loop shares one session with the whole suite, and
+    un-released handles would accumulate across all declared queries
+    (and trip the storage-hygiene assertions of later tests)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from play_with_pulsar_spark.operators.dedup import release_intermediates
@@ -54,6 +50,7 @@ def test_no_complex_typed_output_columns(spark, sf_dir):
     offenders = {}
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, sf_dir)
+        assert df.columns, name
         bad = [
             f.name
             for f in df.schema.fields
@@ -61,5 +58,6 @@ def test_no_complex_typed_output_columns(spark, sf_dir):
         ]
         if bad:
             offenders[name] = bad
+        df.limit(1).collect()
         release_intermediates(df)
     assert not offenders, offenders
