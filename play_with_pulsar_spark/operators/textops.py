@@ -565,3 +565,47 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         fingerprint_md5(text_col).alias("fp"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 32,
+) -> DataFrame:
+    """Vocabulary-truncation coverage: build the top-``vocab_size``
+    token vocabulary (corpus frequency, ties by token) and report each
+    document's out-of-vocabulary exposure — the measurement that sizes
+    a tokenizer/vocab against a corpus (how much text a V-entry vocab
+    leaves OOV, per doc and hence per domain/source after a rollup).
+
+    Output: (id, n_tokens, n_oov, oov_frac rounded to 6).
+
+    Plan: one token aggregation (map-side combined) + TakeOrdered for
+    the vocab — V rows, broadcast back into the per-doc count join;
+    the corpus is scanned twice (vocab build, coverage) and nothing
+    wider than V ever reaches the driver. At 100 TB the vocab build is
+    the classic word-count; the coverage pass is a broadcast hash
+    join."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+        )
+    )

@@ -1651,6 +1651,37 @@ def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS freq FROM tok GROUP BY tok
+      ) ORDER BY freq DESC, tok LIMIT 32
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS oov_frac
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-truncation coverage: top-32 corpus tokens as the
+    vocab (freq desc, token tiebreak), per-doc OOV token share — the
+    measurement that sizes a tokenizer vocabulary against a corpus.
+    Plan: word-count agg + TakeOrdered(V) for the vocab, broadcast
+    back into a per-doc count — nothing wider than V moves."""
+    from .operators import textops
+
+    d = _t(spark, sf_dir, "documents")
+    return textops.vocab_coverage(d, vocab_size=32)
+
+
+@register(
     "text_rolling_fingerprints",
     oracle="""
     WITH d AS (
@@ -4575,6 +4606,7 @@ _DRIVER_PRIORITY = [
     "dedup_incremental_embedding",
     "pipeline_embedding_curation",
     "dedup_embedding_lsh_clustered",
+    "text_vocab_coverage",
     "knn_label_vote",
     "export_shuffle_shards",
     "dedup_minhash_identical",
