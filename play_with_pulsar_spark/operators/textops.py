@@ -385,43 +385,93 @@ def bm25_topk(
     (corpus size, mean doc length) touch the driver.
 
     Output: (doc_id, bm25_micro, rnk) for rnk ≤ k, ranked by score
-    then doc_id."""
+    then doc_id.
+
+    Plan (round 6): fully LAZY — no driver scalars. The fixed small
+    query-term set lets per-term frequencies come from
+    ``size(filter(tokens, = term))`` on the token ARRAY (no explode,
+    no per-term shuffle), so one projection computes
+    (doc_id, dl, tf_t...). That projection is repartitioned on doc_id
+    ONCE, and both consumers — the 1-row corpus-stats aggregate
+    (N, avgdl, df_t...) and the scoring pass — hang off the same
+    exchange, which Spark's ReuseExchange rule executes as ONE
+    physical tokenization scan (plan-asserted in
+    test_plan_shape.py). The stats row is broadcast-crossJoined back,
+    so at 100 TB the corpus is read and tokenized exactly once, and
+    the shuffle carries only a few ints per document."""
     from pyspark.sql import Window
 
     qt = sorted({t.lower() for t in query_terms})
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    avgdl = dl.agg(F.avg("dl").alias("a")).collect()[0].a
-    tf = (
-        toks.filter(F.col("term").isin(qt))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    term_score = (
-        idf
-        * F.col("tf")
-        * F.lit(k1 + 1.0)
-        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))))
-    )
+    if not qt:
+        return (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit(0).cast("bigint").alias("bm25_micro"),
+                F.lit(0).cast("int").alias("rnk"),
+            ).limit(0)
+        )
+    def _match(term: str):
+        # single-arg lambda: a 2-arg lambda would be read as
+        # (element, index) by F.filter
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("_t", _match(t))).cast("bigint").alias(f"_tf{i}")
+        for i, t in enumerate(qt)
+    ]
     per_doc = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .withColumn("ts_micro", F.round(term_score * F.lit(1e6)).cast("bigint"))
-        .groupBy("doc_id")
-        .agg(F.sum("ts_micro").alias("bm25_micro"))
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+        .select("doc_id", F.size("_t").cast("bigint").alias("dl"), *tf_cols)
+        .repartition("doc_id")  # the one shared (and reused) exchange
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+            for i in range(len(qt))
+        ],
+    )
+
+    def term_micro(i: int):
+        tf = F.col(f"_tf{i}")
+        dfq = F.col(f"_df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs").cast("double") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        )
+        score = (
+            idf
+            * tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")))
+        )
+        return F.round(score * F.lit(1e6)).cast("bigint")
+
+    total = term_micro(0)
+    for i in range(1, len(qt)):
+        total = total + term_micro(i)
+    matched = (
+        F.greatest(*[F.col(f"_tf{i}") for i in range(len(qt))]) > 0
+        if len(qt) > 1
+        else F.col("_tf0") > 0
+    )
+    # unmatched docs become NULL scores instead of being FILTERED out:
+    # a pre-join filter would be pushed below the shared exchange and
+    # split it into two different subtrees (two tokenization scans).
+    # NULLs sort last, so top-k over matched docs is unchanged; the
+    # post-limit IS NOT NULL drops them without being pushable.
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.when(matched, total).alias("bm25_micro")
     )
     # top-k FIRST via orderBy+limit (planned as TakeOrderedAndProject —
     # k·partitions rows move, never a global sort), THEN rank the k
     # survivors with a window that only ever sees k rows
-    topk = per_doc.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc()).limit(k)
+    topk = (
+        scored.orderBy(F.col("bm25_micro").desc_nulls_last(), F.col("doc_id").asc())
+        .limit(k)
+        .filter(F.col("bm25_micro").isNotNull())
+    )
     w = Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
     return topk.withColumn("rnk", F.row_number().over(w).cast("int")).select(
         "doc_id", "bm25_micro", "rnk"

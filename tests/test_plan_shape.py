@@ -204,3 +204,25 @@ def test_gopher_quality_is_projection_only(q):
     # exchanges at any corpus size
     df = q("text_gopher_quality")
     assert plans.count_shuffles(df) == 0, plans.formatted_plan(df)
+
+
+def test_bm25_single_tokenization_scan(spark, sf_dir):
+    # round-6 contract: bm25 is fully lazy (no driver scalars) and the
+    # corpus-stats aggregate REUSES the scoring branch's exchange — at
+    # 100 TB the corpus is read and tokenized exactly once. AQE off so
+    # the static ReuseExchange result is visible deterministically.
+    import re
+
+    from play_with_pulsar_spark import plans as P
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["text_bm25_topk"].fn(spark, sf_dir)
+        plan = P.formatted_plan(df)
+        scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert scans == 1, plan
+        assert "ReusedExchange" in plan, plan
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert "TakeOrderedAndProject" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -398,3 +398,27 @@ def test_grouped_fold_layout_verification(spark):
     shuffled = log.repartition(8)  # round-robin: rooms split
     with _pytest.raises(ValueError, match="split across partitions"):
         replay_state_grouped(shuffled, verify_layout=True)
+
+
+def test_fold_goldens_in_sync_with_generator():
+    # round-6 driver hash gate: the committed golden parquets
+    # (scripts/gen_fold_golden.py — pure-python fold, no Spark) must
+    # match a fresh recomputation, so fixture drift fails CI before it
+    # reaches the driver's oracle comparison.
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys_path_root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, os.path.join(sys_path_root, "scripts"))
+    import gen_fold_golden as G
+
+    fixdir = os.path.join(sys_path_root, "fixtures")
+    for fname, rows in [
+        ("fold_players_golden.parquet", G.players_rows(None)),
+        ("fold_players_upto1500_golden.parquet", G.players_rows(1500)),
+        ("fold_pos_players_golden.parquet", G.pos_players_rows()),
+    ]:
+        committed = pq.read_table(os.path.join(fixdir, fname)).to_pylist()
+        assert committed == rows, f"{fname} drifted from generator output"
