@@ -464,12 +464,22 @@ def write_training_shards(
     Sizing at scale: each shard is sorted by ONE task, so pick
     ``n_shards`` to make shards file-sized (corpus_bytes / ~256 MB —
     e.g. ~400k shards for 100 TB), which is also what a data loader
-    wants; a handful of giant shards would serialize the sort."""
+    wants; a handful of giant shards would serialize the sort.
+
+    The exchange is ``repartitionByRange`` on the shard id, not a hash
+    repartition: hashing n_shards shard values into n_shards tasks
+    collides (~1/e of tasks empty, some tasks sorting 2-3 shards —
+    exactly the serialized giant-task skew the sizing advice warns
+    about), while range boundaries over the 0..n_shards-1 ids give a
+    near-1:1 shard→task mapping. Cost: the range partitioner runs ONE
+    extra boundary-sampling pass over the input — worth it for a
+    write-once export whose sort parallelism it fixes (round-6 advice
+    item)."""
     shard, h = shard_assignment(key_col, n_shards, seed)
     (
         docs.withColumn("shard", shard)
         .withColumn("h", h)
-        .repartition(n_shards, F.col("shard"))
+        .repartitionByRange(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "h", key_col)
         .drop("h")
         .write.mode("overwrite")

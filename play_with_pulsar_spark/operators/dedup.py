@@ -360,8 +360,12 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    # cands and sizes are both bounded by the LSH premise (the same
+    # bound that lets `ids` broadcast above) — explicit hints pin the
+    # broadcast plan so the restricted gram table never shuffles for
+    # these joins regardless of AQE's estimates
     inter = (
-        cands.join(ga, "id_a")
+        F.broadcast(cands).join(ga, "id_a")
         .join(gb, "id_b")
         .filter(F.col("ga") == F.col("gb"))
         .groupBy("id_a", "id_b")
@@ -370,8 +374,8 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
     result = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -715,38 +719,23 @@ def incremental_minhash_pairs(
             new_side, all_banded, ["band", "bucket"]
         ).distinct()
     else:
-        # batch × index ∪ batch × batch. The broadcast hint is BINDING
-        # (bypasses the threshold — see incremental_jaccard_pairs);
-        # pass broadcast_batch=False for giant batches to shuffle only
-        # the batch side into the index bucketing. != guard: drops
-        # nonsense self-rows under an id overlap (the overlap's real
-        # damage — double-counted cross-pair intersections — is the
-        # disjoint-id precondition's to prevent, see above).
+        # batch × (index ∪ batch) in ONE broadcast join (round 6 —
+        # was two joins + union): the flagged union is NARROW, so with
+        # the batch broadcast the index side streams under the join
+        # with no Exchange, and the touching-new rule emits each pair
+        # once. The broadcast hint is BINDING (bypasses the threshold
+        # — see incremental_jaccard_pairs); pass broadcast_batch=False
+        # for giant batches to shuffle only the batch side into the
+        # index bucketing. The != guard drops nonsense self-rows under
+        # an id overlap (the overlap's real damage — double-counted
+        # cross-pair intersections — is the disjoint-id precondition's
+        # to prevent, see above).
+        all_banded = (
+            index_banded.withColumn("is_new", F.lit(False))
+            .unionByName(new_banded.withColumn("is_new", F.lit(True)))
+        )
         probe = F.broadcast(new_banded) if broadcast_batch else new_banded
-        xi = (
-            index_banded.alias("b")
-            .join(
-                probe.alias("a"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("id_a"),
-                F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
-            )
-        )
-        nn = (
-            new_banded.alias("a")
-            .join(
-                new_banded.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        )
-        cands = xi.unionByName(nn).distinct()
+        cands = _touching_new_pairs(probe, all_banded, ["band", "bucket"]).distinct()
     grams = index_grams.select("doc_id", "g").unionByName(new_grams.select("doc_id", "g"))
     return _register_cached(_verify_jaccard(cands, grams, threshold), *cached)
 
@@ -1072,10 +1061,19 @@ def embedding_cosine_pairs_lsh(
     va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("ea"), F.col("nv").alias("na"))
     vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("eb"), F.col("nv").alias("nb"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # nullif guard: a zero-norm vector lands in bucket 0 of every
+    # table (all sign bits false) but has NO defined cosine — 0/0
+    # would be NaN, and Spark orders NaN above every number, so the
+    # threshold filter would pass. NULL fails ">=" in both engines,
+    # matching semantic_dedup's stated convention (zero-norm vectors
+    # are never marked duplicates).
     return _register_cached(
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), round_to))
+        .withColumn(
+            "cosine",
+            F.round(dot / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), round_to),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine"),
         allsig,
@@ -1271,10 +1269,18 @@ def incremental_embedding_pairs(
     va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("ea"), F.col("nv").alias("na"))
     vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("eb"), F.col("nv").alias("nb"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # same nullif guard as embedding_cosine_pairs_lsh (and for the
+    # same reason): zero-norm vectors collide in bucket 0 everywhere,
+    # 0/0 = NaN sorts ABOVE the threshold in Spark — NULL instead, so
+    # they are never emitted as duplicates (keeps the bitwise
+    # incremental == batch equality).
     result = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), round_to))
+        .withColumn(
+            "cosine",
+            F.round(dot / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), round_to),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

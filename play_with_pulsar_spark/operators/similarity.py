@@ -330,6 +330,125 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+# --- materialized IVF index: versioned layout (round 6) -------------
+#
+#   path/
+#     current             pointer file → live version dir (os.replace
+#                         flip — the matview.py commit protocol)
+#     v0/
+#       centroids/        tiny (cell, centroid) table
+#       cells/            base corpus, partitionBy(cell)
+#       batches/<bid>/    committed appends, each partitionBy(cell)
+#       appends.json      ordered list of committed batch ids
+#
+# Readers resolve the pointer once, then read cells/ plus the
+# manifest-listed batch dirs — never a staged or half-written one.
+# Appends with a batch_id are exactly-once: data is written to its own
+# batch dir with mode=overwrite (a replay rewrites the same dir), and
+# the id enters appends.json only after the data job commits, via an
+# atomic manifest flip. A rebalance writes a whole NEW version dir and
+# flips the pointer, so a probe never sees a mixed quantizer.
+#
+# Legacy layout (centroids/ + cells/ directly at ``path``, no pointer)
+# remains readable and appendable; ``ivf_rebalance_index`` migrates it
+# to the versioned layout on its first cutover.
+
+
+def _ivf_resolve(path: str) -> str:
+    """Live version dir of an IVF index (pointer target, or ``path``
+    itself for the legacy layout)."""
+    import os
+
+    ptr = os.path.join(path, "current")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            target = f.read().strip()
+        vdir = os.path.join(path, target)
+        if target and os.path.isdir(vdir):
+            return vdir
+    if os.path.isdir(os.path.join(path, "centroids")):
+        return path
+    raise FileNotFoundError(f"no committed IVF index at {path}")
+
+
+def _ivf_manifest(vdir: str) -> list[str]:
+    import json
+    import os
+
+    mf = os.path.join(vdir, "appends.json")
+    if not os.path.exists(mf):
+        return []
+    with open(mf) as f:
+        return json.load(f)
+
+
+def _ivf_flip_manifest(vdir: str, batch_ids: list[str]) -> None:
+    import json
+    import os
+
+    mf = os.path.join(vdir, "appends.json")
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(batch_ids, f)
+    os.replace(tmp, mf)
+
+
+def _ivf_data(spark: SparkSession, vdir: str) -> DataFrame:
+    """(id, vec, cell) rows of a version: base cells plus committed
+    batch dirs, each root read separately (partition pruning on
+    ``cell`` applies per scan) and unioned."""
+    import os
+
+    df = spark.read.parquet(os.path.join(vdir, "cells"))
+    for bid in _ivf_manifest(vdir):
+        df = df.unionByName(
+            spark.read.parquet(os.path.join(vdir, "batches", bid))
+        )
+    return df
+
+
+def _ivf_centroids(spark: SparkSession, vdir: str) -> np.ndarray:
+    import os
+
+    cent_pdf = (
+        spark.read.parquet(os.path.join(vdir, "centroids")).orderBy("cell").toPandas()
+    )
+    return np.stack(cent_pdf["centroid"].to_numpy()).astype(np.float64)
+
+
+def _ivf_write_version(
+    corpus: DataFrame,
+    vdir: str,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    import os
+
+    spark = corpus.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(cent_rows, "cell long, centroid array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
+    assigned = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    (
+        corpus.join(assigned, corpus[id_col] == assigned.vec_id)
+        .select(corpus[id_col].alias(id_col), corpus[vec_col].alias(vec_col), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(vdir, "cells"))
+    )
+    _ivf_flip_manifest(vdir, [])
+
+
+def _ivf_flip_pointer(path: str, version: int) -> None:
+    import os
+
+    tmp = os.path.join(path, "current.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{version}")
+    os.replace(tmp, os.path.join(path, "current"))
+
+
 def ivf_build_index(
     corpus: DataFrame,
     path: str,
@@ -341,28 +460,22 @@ def ivf_build_index(
     cents: np.ndarray | None = None,
 ) -> None:
     """Materialize the IVF index on disk: corpus rows written
-    ``partitionBy(cell)`` plus a tiny centroid table. This is the
-    100 TB structure the ``ivf_topk`` docstring promises: the cell
-    directory IS the pruning index — a probe's scan reads only its
-    nprobe cells' partitions (PartitionFilters at the parquet scan,
-    asserted in tests), nprobe/n_cells of the data. Pass ``cents``
-    to build with a pre-trained quantizer instead of fitting here."""
+    ``partitionBy(cell)`` plus a tiny centroid table, under a
+    versioned pointer (layout above). This is the 100 TB structure the
+    ``ivf_topk`` docstring promises: the cell directory IS the pruning
+    index — a probe's scan reads only its nprobe cells' partitions
+    (PartitionFilters at the parquet scan, asserted in tests),
+    nprobe/n_cells of the data. Pass ``cents`` to build with a
+    pre-trained quantizer instead of fitting here."""
+    import os
+
     if cents is None:
         cents = ivf_fit_centroids(corpus, n_cells=n_cells, seed=seed,
                                   id_col=id_col, vec_col=vec_col,
                                   strategy=fit_strategy)
-    spark = corpus.sparkSession
-    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
-    spark.createDataFrame(cent_rows, "cell long, centroid array<double>") \
-        .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
-    assigned = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
-    (
-        corpus.join(assigned, corpus[id_col] == assigned.vec_id)
-        .select(corpus[id_col].alias(id_col), corpus[vec_col].alias(vec_col), "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path + "/cells")
-    )
+    os.makedirs(path, exist_ok=True)
+    _ivf_write_version(corpus, os.path.join(path, "v0"), cents, id_col, vec_col)
+    _ivf_flip_pointer(path, 0)
 
 
 def ivf_append_index(
@@ -371,48 +484,138 @@ def ivf_append_index(
     batch: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    batch_id: str | None = None,
+) -> bool:
     """Append a new batch to a materialized IVF index WITHOUT
     retraining: the batch is assigned against the STORED centroids
-    (the quantizer is frozen — FAISS `add` semantics) and its rows
-    appended into the matching ``cell=<i>`` partition directories.
-    This is the crawl-loop maintenance path: per-batch cost is one
-    assignment stage over the batch plus an append, never a corpus
-    rewrite. A directory built with frozen centroids C then appended
-    is file-identical in content to one built from all the data with
-    the same C (tested) — queries cannot tell the difference.
+    (the quantizer is frozen — FAISS `add` semantics). This is the
+    crawl-loop maintenance path: per-batch cost is one assignment
+    stage over the batch plus one write, never a corpus rewrite. An
+    index built with frozen centroids C then appended answers queries
+    identically to one built from all the data with the same C
+    (tested) — probes cannot tell the difference.
+
+    ``batch_id`` makes the append IDEMPOTENT (use it in the crawl
+    loop): the batch lands in its own ``batches/<batch_id>`` dir with
+    mode=overwrite — a replay of a half-written attempt rewrites the
+    same dir — and the id is committed into ``appends.json`` (atomic
+    ``os.replace`` flip) only after the data job succeeds. Readers
+    only see manifest-listed dirs, so every crash window resolves to
+    exactly-once. Returns False (no work) when ``batch_id`` is
+    already committed. Without ``batch_id`` the batch is appended
+    straight into ``cells/`` (legacy protocol — a retried job can
+    duplicate rows; prefer ids).
 
     Drift caveat: a frozen quantizer slowly unbalances as the data
-    distribution moves; monitor per-cell counts (one groupBy over the
-    cell column) and rebuild with ``ivf_build_index(cents=...)`` when
-    skew crosses your threshold — the rebuild is the compaction event,
-    appends are the steady state."""
-    cent_pdf = spark.read.parquet(path + "/centroids").orderBy("cell").toPandas()
-    cents = np.stack(cent_pdf["centroid"].to_numpy()).astype(np.float64)
+    distribution moves; watch ``ivf_imbalance`` and cut over with
+    ``ivf_rebalance_index`` when it crosses your threshold — the
+    rebalance is the compaction event, appends are the steady state."""
+    import os
+
+    vdir = _ivf_resolve(path)
+    if batch_id is not None and batch_id in _ivf_manifest(vdir):
+        return False
+    cents = _ivf_centroids(spark, vdir)
     assigned = ivf_assign(batch, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
-    (
+    rows = (
         batch.join(assigned, batch[id_col] == assigned.vec_id)
         .select(batch[id_col].alias(id_col), batch[vec_col].alias(vec_col), "cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(path + "/cells")
     )
+    if batch_id is None:
+        rows.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(vdir, "cells")
+        )
+    else:
+        rows.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(vdir, "batches", batch_id)
+        )
+        _ivf_flip_manifest(vdir, _ivf_manifest(vdir) + [batch_id])
+    return True
 
 
 def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     """(cell, n) member counts of a materialized IVF index — the
     rebuild trigger for the ``ivf_append_index`` steady state: a
     frozen quantizer drifts as the data distribution moves, and probe
-    cost tracks the LARGEST probed cell, so monitor
-    ``max(n) / (total / n_cells)`` and rebuild (``ivf_build_index``
-    with freshly fit centroids) when it crosses your threshold. One
-    partition-column aggregation — reads footer metadata plus the
-    cell column, never the vectors."""
-    return (
-        spark.read.parquet(path + "/cells")
+    cost tracks the LARGEST probed cell. One partition-column
+    aggregation — reads footer metadata plus the cell column, never
+    the vectors."""
+    vdir = _ivf_resolve(path)
+    return _ivf_data(spark, vdir).groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def ivf_imbalance(spark: SparkSession, path: str) -> float:
+    """``max(cell size) / mean(cell size over n_cells)`` of the live
+    index — 1.0 is perfectly balanced; probe latency tracks this
+    ratio, so it is the rebalance trigger. Empty trained cells count
+    in the mean (they are capacity the quantizer wastes)."""
+    vdir = _ivf_resolve(path)
+    n_cells = spark.read.parquet(f"{vdir}/centroids").count()
+    row = (
+        _ivf_data(spark, vdir)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("total"))
+        .collect()[0]
     )
+    if not row.total:
+        return 1.0
+    return float(row.mx) / (float(row.total) / float(n_cells))
+
+
+def ivf_rebalance_index(
+    spark: SparkSession,
+    path: str,
+    n_cells: int | None = None,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Retrain-and-cutover for a drifted IVF index: refit spherical
+    centroids on the FULL live corpus (base + committed appends) with
+    the distributed k-means, write a complete NEW version dir (fresh
+    cells layout, empty append manifest), then atomically flip the
+    ``current`` pointer — readers resolve the pointer per query, so
+    they see either the old quantizer or the new one, never a mix.
+    The superseded version dir is retained for one cutover as reader
+    grace (lazy DataFrames already resolved keep working), then
+    pruned on the NEXT rebalance. Returns the new version number.
+
+    Cost: one full read of the index (the compaction event the append
+    path amortizes toward), the k-means fit, one partitioned rewrite.
+    """
+    import os
+    import shutil
+
+    vdir = _ivf_resolve(path)
+    data = _ivf_data(spark, vdir)
+    if n_cells is None:
+        n_cells = spark.read.parquet(os.path.join(vdir, "centroids")).count()
+    cents = ivf_fit_centroids(
+        data, n_cells=n_cells, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col, strategy="distributed",
+    )
+    old_v = -1
+    base = os.path.basename(vdir)
+    if base.startswith("v"):
+        try:
+            old_v = int(base[1:])
+        except ValueError:
+            old_v = -1
+    new_v = old_v + 1
+    new_dir = os.path.join(path, f"v{new_v}")
+    # the rewrite must not lazily re-list dirs mid-flip: data is fully
+    # written before the pointer moves
+    _ivf_write_version(
+        data.select(F.col(id_col), F.col(vec_col)), new_dir, cents, id_col, vec_col
+    )
+    _ivf_flip_pointer(path, new_v)
+    # prune versions older than the one just superseded (reader grace)
+    for d in os.listdir(path):
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < old_v:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return new_v
 
 
 def ivf_query_index(
@@ -427,13 +630,16 @@ def ivf_query_index(
     """Query a materialized IVF index: probe cells are computed from
     the stored centroids, collected (bounded by n_cells — driver-side
     by design), and pushed into the scan as a partition-column IN
-    filter, so only the probed cell directories are read. Candidate
-    re-scoring is identical to ``ivf_topk``."""
-    cent_pdf = spark.read.parquet(path + "/centroids").orderBy("cell").toPandas()
-    cents = np.stack(cent_pdf["centroid"].to_numpy()).astype(np.float64)
+    filter, so only the probed cell directories are read (of the base
+    cells AND of every committed append batch — each root is its own
+    pruned scan). The version pointer is resolved ONCE per call, so a
+    concurrent rebalance cutover never yields a mixed quantizer.
+    Candidate re-scoring is identical to ``ivf_topk``."""
+    vdir = _ivf_resolve(path)
+    cents = _ivf_centroids(spark, vdir)
     q_cells = ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
     probe = sorted({int(r.cell) for r in q_cells.select("cell").distinct().collect()})
-    corpus = spark.read.parquet(path + "/cells").filter(F.col("cell").isin(probe))
+    corpus = _ivf_data(spark, vdir).filter(F.col("cell").isin(probe))
 
     cand = (
         q_cells.select(F.col("vec_id").alias("query_id"), "cell")
@@ -505,10 +711,15 @@ def hyperplane_signatures_multi(
     stage: one (N, tables·planes) matmul per Arrow batch instead of
     ``num_tables`` full mapInPandas stages — per-stage worker overhead
     and the source scan are paid once, which is the dominant cost when
-    tables ≫ 1."""
+    tables ≫ 1.
+
+    The output id column keeps the INPUT id column's type (long ids,
+    string crawl ids, ... all work) — the mapInPandas schema is derived
+    from ``df``, not hardcoded."""
     planes = np.concatenate(
         [np.random.RandomState(seed + t).randn(num_planes, dim) for t in range(num_tables)]
     )  # (T·P, dim)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def sign_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
@@ -527,7 +738,9 @@ def hyperplane_signatures_multi(
             )
 
     v = df.select(F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("v"))
-    return v.mapInPandas(sign_partition, schema="vec_id long, tbl int, bucket long")
+    return v.mapInPandas(
+        sign_partition, schema=f"vec_id {id_type}, tbl int, bucket long"
+    )
 
 
 def lsh_topk(

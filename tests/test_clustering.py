@@ -252,3 +252,89 @@ def test_ivf_append_equals_build_with_same_quantizer(spark, sf_dir, tmp_path):
     stats = similarity.ivf_cell_stats(spark, p_inc).collect()
     assert sum(r.n for r in stats) == v.count()
     assert len(stats) <= 8
+
+
+def test_ivf_append_idempotent_batch_protocol(spark, sf_dir, tmp_path):
+    """Round-6 advice fix: batch-id appends are exactly-once. A
+    replayed batch id is detected and skipped; a crash between the
+    data write and the manifest flip (simulated by reverting the
+    manifest) leaves the orphan dir invisible to readers, and the
+    retry republishes it exactly once."""
+    import json
+    import os
+
+    from play_with_pulsar_spark.operators import similarity
+
+    v = _clustered(spark, sf_dir)
+    corpus = v.filter(F.col("vec_id") >= 100)
+    batch = v.filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "ivf_idem")
+    similarity.ivf_build_index(corpus, path, n_cells=8, seed=42)
+    base_n = corpus.count()
+
+    assert similarity.ivf_append_index(spark, path, batch, batch_id="b1") is True
+    n1 = sum(r.n for r in similarity.ivf_cell_stats(spark, path).collect())
+    assert n1 == base_n + batch.count()
+    # replay of a committed id: skipped, no duplicate rows
+    assert similarity.ivf_append_index(spark, path, batch, batch_id="b1") is False
+    assert sum(r.n for r in similarity.ivf_cell_stats(spark, path).collect()) == n1
+
+    # crash window: data dir exists but the id never reached the
+    # manifest — readers must not see it; the retry commits once
+    vdir = similarity._ivf_resolve(path)
+    mf = os.path.join(vdir, "appends.json")
+    with open(mf, "w") as f:
+        json.dump([], f)
+    assert sum(r.n for r in similarity.ivf_cell_stats(spark, path).collect()) == base_n
+    assert similarity.ivf_append_index(spark, path, batch, batch_id="b1") is True
+    assert sum(r.n for r in similarity.ivf_cell_stats(spark, path).collect()) == n1
+
+
+def test_ivf_rebalance_cutover(spark, sf_dir, tmp_path):
+    """Round-6: the retrain-and-cutover the balance monitor implies.
+    An index deliberately trained on ONE planted cluster crams the
+    rest of the corpus into few cells (imbalance high); rebalancing
+    refits spherical centroids on the full live corpus under a NEW
+    version dir and atomically flips the pointer. Full-probe query
+    results are identical before/after (the data never changes — only
+    the quantizer), per-cell stats are balanced after, and the append
+    manifest starts empty in the new version."""
+    from play_with_pulsar_spark.operators import similarity
+
+    v = _clustered(spark, sf_dir)
+    # train ONLY on planted cluster 0 → terrible quantizer for the rest
+    skew_fit = v.filter(F.col("vec_id") % 8 == 0)
+    cents = similarity.ivf_fit_centroids(skew_fit, n_cells=8, seed=42)
+    path = str(tmp_path / "ivf_reb")
+    similarity.ivf_build_index(
+        v.filter(F.col("vec_id") >= 100), path, n_cells=8, cents=cents
+    )
+    similarity.ivf_append_index(
+        spark, path, v.filter(F.col("vec_id") < 100), batch_id="drift-1"
+    )
+    queries = v.filter(F.col("vec_id") < 10)
+
+    def full_probe():
+        return {
+            (r.query_id, r.rn): r.neighbor_id
+            for r in similarity.ivf_query_index(
+                spark, path, queries, k=5, nprobe=8
+            ).collect()
+        }
+
+    before_imb = similarity.ivf_imbalance(spark, path)
+    before = full_probe()
+    new_v = similarity.ivf_rebalance_index(spark, path, iters=3)
+    assert new_v == 1
+    after = full_probe()
+    assert after == before and len(before) == 50
+    after_imb = similarity.ivf_imbalance(spark, path)
+    # the skewed quantizer collapsed 7/8 of the data into few cells;
+    # the refit must spread the 8 planted clusters near-evenly
+    assert before_imb > 2.0, before_imb
+    assert after_imb < 1.5, after_imb
+    vdir = similarity._ivf_resolve(path)
+    assert vdir.endswith("v1")
+    assert similarity._ivf_manifest(vdir) == []
+    # row count preserved across the cutover (appends folded in)
+    assert sum(r.n for r in similarity.ivf_cell_stats(spark, path).collect()) == v.count()

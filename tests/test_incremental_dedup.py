@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from play_with_pulsar_spark.operators import dedup
+from play_with_pulsar_spark.operators import dedup, similarity
 
 CAP = 50
 GEOM = dict(num_hashes=64, num_bands=16, threshold=0.8)
@@ -296,3 +296,69 @@ def test_embedding_bucket_cap_bounds_viral_cluster(spark):
     dedup.release_intermediates(uncapped)
     assert sum(1 for a, b in all_pairs if a < 60 and b < 60) > 100
     assert got < all_pairs
+
+
+def test_zero_norm_vectors_never_near_duplicates(spark):
+    """Round-6 advice fix: a zero-norm vector lands in bucket 0 of
+    every hyperplane table (all sign bits false) but has no defined
+    cosine — 0/0 must become NULL (dropped), never NaN (which Spark
+    sorts ABOVE every threshold). Both the batch LSH pipeline and the
+    incremental screen must exclude such vectors from all pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    v = rng.randn(8)
+    rows = [
+        (0, [0.0] * 8),                       # zero-norm, corpus side
+        (2, [float(x) for x in v]),           # corpus
+        (3, [float(x) for x in v * 1.001]),   # batch: near-dup of 2
+        (5, [0.0] * 8),                       # zero-norm, batch side
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    batch_pairs = dedup.embedding_cosine_pairs_lsh(
+        emb, dim=8, num_planes=2, num_tables=4, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in batch_pairs.collect()}
+    dedup.release_intermediates(batch_pairs)
+    assert got == {(2, 3)}, got  # the zero vectors collide but never emit
+
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    vecs, sigs = dedup.build_embedding_index(corpus, dim=8, num_planes=2,
+                                             num_tables=4)
+    inc = dedup.incremental_embedding_pairs(
+        vecs, sigs, new, dim=8, num_planes=2, num_tables=4, threshold=0.5
+    )
+    got_inc = {(r.id_a, r.id_b) for r in inc.collect()}
+    dedup.release_intermediates(inc)
+    assert got_inc == {(2, 3)}, got_inc
+
+
+def test_embedding_screen_string_ids(spark):
+    """Round-6 advice fix: hyperplane signatures carry the INPUT id
+    type (the curator's embedding screen promises string crawl ids);
+    the whole incremental screen must run end-to-end on string ids."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    v = rng.randn(8)
+    rows = [
+        ("crawl/a", [float(x) for x in v]),
+        ("crawl/b", [float(x) for x in rng.randn(8)]),
+        ("crawl/c", [float(x) for x in v * 1.002]),  # near-dup of a
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    sigs_multi = similarity.hyperplane_signatures_multi(emb, dim=8, num_planes=2,
+                                                        num_tables=4)
+    assert sigs_multi.schema["vec_id"].dataType.simpleString() == "string"
+
+    corpus = emb.filter(F.col("vec_id") != "crawl/c")
+    new = emb.filter(F.col("vec_id") == "crawl/c")
+    vecs, sigs = dedup.build_embedding_index(corpus, dim=8, num_planes=2,
+                                             num_tables=4)
+    inc = dedup.incremental_embedding_pairs(
+        vecs, sigs, new, dim=8, num_planes=2, num_tables=4, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in inc.collect()}
+    dedup.release_intermediates(inc)
+    assert got == {("crawl/a", "crawl/c")}, got
