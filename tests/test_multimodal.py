@@ -144,3 +144,23 @@ def test_y4m_frame_sampling_emits_real_frames(spark, media):
     for t, frame_bytes in sampled.items():
         idx = min(t * n_frames // max(dur, 1), n_frames - 1)
         assert frame_bytes == arr[idx].tobytes()
+
+
+def test_multimodal_golden_in_sync_with_generator():
+    # round-6 driver hash gate: the committed golden
+    # (scripts/gen_multimodal_golden.py — local numpy pipeline, no
+    # Spark) must match a fresh recomputation, so codec or fixture
+    # drift fails CI before the driver's oracle comparison.
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    import gen_multimodal_golden as G
+
+    committed = pq.read_table(
+        os.path.join(root, "fixtures", "multimodal_features_golden.parquet")
+    ).to_pylist()
+    assert committed == G.golden_rows(), "multimodal golden drifted"
