@@ -665,6 +665,42 @@ def ivf_query_index(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def lsh_auto_geometry(
+    n_vectors: int,
+    threshold: float = 0.9,
+    target_recall: float = 0.9,
+    target_bucket_size: int = 8,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(num_planes, num_tables) sized for the corpus — the sizing rule
+    the fixed-geometry pipelines only document.
+
+    Rationale (measured, round-6 scale probe): with planes fixed,
+    bucket occupancy grows ~N/2^planes, so candidate pairs grow
+    ~N²/2^planes and a 10× corpus costs ~38× (superlinear). Planes
+    must track log2(N / target_bucket_size) to keep buckets O(1);
+    more planes lower per-table recall at the threshold similarity
+    ((1 - θ/π)^planes), so tables are then sized to restore it:
+    tables ≥ ln(1 - target_recall) / ln(1 - p_table). Candidate work
+    scales ~tables · N · bucket_size — linear in N at fixed
+    occupancy, with the table count growing only polynomially in
+    planes. Probe cost and recall are both explicit knobs; clamp caps
+    keep degenerate inputs (tiny corpora, extreme thresholds) sane."""
+    import math
+
+    planes = int(math.ceil(math.log2(max(n_vectors, 2) / max(target_bucket_size, 1))))
+    planes = min(max(planes, min_planes), max_planes)
+    p_plane = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_table = p_plane**planes
+    if p_table >= 1.0:
+        tables = 1
+    else:
+        tables = int(math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table)))
+    return planes, min(max(tables, 1), max_tables)
+
+
 def hyperplane_signatures(
     df: DataFrame,
     dim: int,
