@@ -87,19 +87,14 @@ def quality_features(
     return docs.select(*cols)
 
 
-def standardize(
-    feats: DataFrame, stat_round: int = 9, z_round: int = 6
-) -> DataFrame:
-    """Z-score the feature columns — raw surface features live on
-    wildly different scales (mean token length ~5, ratios ~0.05), and
-    unnormalized full-batch GD oscillates instead of converging
-    (measured: accuracy stuck at the majority class without this).
-    One D-wide aggregate computes (mean, stddev) per feature — the
-    driver holds 2·D floats (bounded contract) — then the z-scores
-    are a literal projection. Zero-variance features divide by 1
-    (z = 0: the feature carries nothing). Stats are rounded to
-    ``stat_round`` and z-scores to ``z_round`` so both engines train
-    on identical grids."""
+def feature_stats(
+    feats: DataFrame, stat_round: int = 9
+) -> dict[str, tuple[float, float]]:
+    """{feature: (mean, stddev)} from ONE D-wide aggregate — the
+    driver holds 2·D floats (bounded contract). Persist these with
+    the weights: a batch scored later must be standardized with the
+    TRAINING corpus's stats, not its own (its own stats shift with
+    the batch mix and silently move the decision boundary)."""
     row = feats.agg(
         *[F.round(F.avg(name), stat_round).alias(f"m_{name}") for name in FEATURES],
         *[
@@ -107,15 +102,73 @@ def standardize(
             for name in FEATURES
         ],
     ).collect()[0]
+    return {
+        name: (float(row[f"m_{name}"]), float(row[f"s_{name}"]) or 1.0)
+        for name in FEATURES
+    }
+
+
+def standardize(
+    feats: DataFrame,
+    stats: dict[str, tuple[float, float]] | None = None,
+    stat_round: int = 9,
+    z_round: int = 6,
+) -> DataFrame:
+    """Z-score the feature columns — raw surface features live on
+    wildly different scales (mean token length ~5, ratios ~0.05), and
+    unnormalized full-batch GD oscillates instead of converging
+    (measured: accuracy stuck at the majority class without this).
+    ``stats`` defaults to :func:`feature_stats` of ``feats`` itself
+    (training); pass the TRAINING stats when standardizing a new
+    batch for scoring. The z-scores are a literal projection (zero
+    shuffles). Zero-variance features divide by 1 (z = 0: the feature
+    carries nothing). Stats are rounded to ``stat_round`` and
+    z-scores to ``z_round`` so both engines train on identical
+    grids."""
+    if stats is None:
+        stats = feature_stats(feats, stat_round)
     keep = [c for c in feats.columns if c not in FEATURES]
     z_cols = []
     for name in FEATURES:
-        mu = float(row[f"m_{name}"])
-        sd = float(row[f"s_{name}"]) or 1.0
+        mu, sd = stats[name]
         z_cols.append(
-            F.round((F.col(name) - F.lit(mu)) / F.lit(sd), z_round).alias(name)
+            F.round((F.col(name) - F.lit(mu)) / F.lit(sd or 1.0), z_round).alias(name)
         )
     return feats.select(*keep, *z_cols)
+
+
+def save_model(
+    path: str, weights: list[float], stats: dict[str, tuple[float, float]]
+) -> None:
+    """Persist the fitted filter (weights + TRAINING standardization
+    stats — both required to score a future batch) as a JSON sidecar,
+    committed with the same write-temp + ``os.replace`` flip as every
+    manifest in this engine: readers see the old model or the new
+    one, never a torn file."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"features": FEATURES, "weights": weights, "stats": stats}, f)
+    os.replace(tmp, path)
+
+
+def load_model(path: str) -> tuple[list[float], dict[str, tuple[float, float]]]:
+    """(weights, stats) from :func:`save_model`; validates the feature
+    list so a model trained under an older feature set fails loudly
+    instead of silently mis-scoring."""
+    import json
+
+    with open(path) as f:
+        m = json.load(f)
+    if m.get("features") != FEATURES:
+        raise ValueError(
+            f"model at {path} was trained on features {m.get('features')}; "
+            f"this build expects {FEATURES}"
+        )
+    return list(m["weights"]), {k: tuple(v) for k, v in m["stats"].items()}
 
 
 def _margin(weights: list[float]) -> Column:

@@ -25,6 +25,8 @@ TARGETS = [
     ("sim_bruteforce_topk", "Brute-force cosine top-k: broadcast query side, per-partition numpy matmul, TakeOrdered — only k*partitions rows move."),
     ("cluster_kmeans_assign", "Distributed Lloyd's final assignment: Arrow matmul argmin as a zero-exchange map stage over the scan (the fit's update shuffles only K*D rows after map-side combine — not visible here; the assignment itself must stay shuffle-free)."),
     ("dedup_semantic", "SemDeDup: ONE exchange on the learned cluster id, then a per-cluster gram-matrix kernel (FlatMapGroupsInPandas). Watch: no pair blow-up in the plan — the quadratic work is inside the Arrow kernel, bounded per cluster."),
+    ("text_bm25_topk", "Single-scan lazy BM25 (round 6): per-term tf via size(filter(tokens)) — no explode; corpus stats = 1-row agg REUSING the scoring branch's repartition(doc_id) exchange (ReusedExchange => one tokenization pass), broadcast back via crossJoin; TakeOrdered top-k."),
+    ("quality_classifier_scores", "Learned quality filter (round 6): z-scored feature projection + literal-weight sigmoid — the SCORING plan is exchange-free; the fit's per-iteration D-wide aggregates and the stats pass run as separate tiny jobs before this plan is built."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries

@@ -32,22 +32,29 @@ def test_logreg_recovers_separable_rule(spark):
     feats.unpersist()
 
 
-def test_fit_on_seed_scores_batch(spark, sf_dir):
-    """The crawl-loop usage: fit on a labeled seed subset, score an
-    unlabeled batch with the returned weights — same weights, pure
-    projection scoring, no label column needed on the batch."""
+def test_fit_on_seed_scores_batch(spark, sf_dir, tmp_path):
+    """The crawl-loop usage: fit on a labeled seed subset, persist
+    (weights + TRAINING standardization stats), reload in a later
+    session, and score an unlabeled batch — the batch is z-scored
+    with the SEED's stats (its own stats would shift the boundary
+    with the batch mix), scoring is a pure projection, and no label
+    column is needed on the batch."""
     from play_with_pulsar_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     seed = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    seed_f = classifier.standardize(
-        classifier.quality_features(seed, label=F.length("text") >= 400)
-    ).cache()
+    raw_seed = classifier.quality_features(seed, label=F.length("text") >= 400)
+    stats = classifier.feature_stats(raw_seed)
+    seed_f = classifier.standardize(raw_seed, stats).cache()
     w = classifier.logreg_fit(seed_f, iters=10, lr=2.0)
     seed_f.unpersist()
+    model_path = str(tmp_path / "quality_model.json")
+    classifier.save_model(model_path, w, stats)
+    w2, stats2 = classifier.load_model(model_path)
+    assert w2 == w and stats2 == stats
     batch_scored = classifier.logreg_score(
-        classifier.standardize(classifier.quality_features(batch)), w
+        classifier.standardize(classifier.quality_features(batch), stats2), w2
     )
     got = batch_scored.select("doc_id", "score").collect()
     assert len(got) == batch.count()

@@ -549,3 +549,38 @@ def test_embedding_curator_compaction_preserves_decisions(spark, tmp_path):
                 spark.sql(
                     f"DROP TABLE IF EXISTS {comp.catalog_prefix}_v{v}{sfx}"
                 )
+
+
+def test_embedding_curator_auto_geometry_frozen(spark, tmp_path):
+    """Round-6: expected_corpus sizes the hyperplane geometry via
+    lsh_auto_geometry and FREEZES it in base_dir/geometry.json — a
+    re-attach with a different (or absent) expected_corpus loads the
+    sidecar, because state signatures were computed under it, and
+    screening decisions survive the restart unchanged."""
+    import json
+    import os
+
+    from play_with_pulsar_spark.operators.similarity import lsh_auto_geometry
+
+    path = str(tmp_path / "auto")
+    cur = StreamingCorpusCurator(
+        spark, path, screen="embedding", emb_dim=2, threshold=0.95,
+        expected_corpus=100_000,
+    )
+    want = lsh_auto_geometry(100_000, threshold=0.95)
+    assert (cur.num_planes, cur.num_tables) == want
+    with open(os.path.join(path, "geometry.json")) as f:
+        assert json.load(f) == {"num_planes": want[0], "num_tables": want[1]}
+
+    cur.process_batch(_vecs(spark, [(1, _deg(0)), (2, _deg(90))]), 0)
+    before = sorted(r["doc_id"] for r in cur.accepted().collect())
+
+    # restart with a WILDLY different expected_corpus: sidecar wins
+    cur2 = StreamingCorpusCurator(
+        spark, path, screen="embedding", emb_dim=2, threshold=0.95,
+        expected_corpus=100,
+    )
+    assert (cur2.num_planes, cur2.num_tables) == want
+    cur2.process_batch(_vecs(spark, [(3, _deg(1)), (4, _deg(45))]), 1)
+    kept = sorted(r["doc_id"] for r in cur2.accepted().collect())
+    assert kept == before + [4]  # 3 at 1° dups accepted 1 at 0°
