@@ -486,3 +486,99 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def dsir_importance_scores(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    logw_round: int = 8,
+    score_round: int = 6,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): rank raw
+    documents by how much more likely their unigrams are under the
+    TARGET distribution (the high-quality seed slice selected by the
+    ``target`` predicate) than under the rest of the corpus.
+
+    logratio(d) = Σ_tokens ln( p̂_T(term) / p̂_R(term) ), both
+    estimates add-one smoothed over the shared vocabulary. Positive ⇒
+    target-like.
+
+    Spark shape (the ``unigram_logprob`` template): ONE exploded token
+    table feeds (a) a per-term (tf, tf_target) aggregate — map-side
+    combined, vocabulary-sized output — and (b) the per-doc scoring
+    join against the BROADCAST log-weight table; totals ride a 1-row
+    broadcast crossJoin (no driver scalars). Per-term log-weights are
+    rounded to ``logw_round`` BEFORE the exact decimal per-doc sum, so
+    engine log() ulps never reach the compared digits.
+    """
+    from ..oracle import dsum
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target.cast("long").alias("_is_t"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"), F.sum("_is_t").alias("tf_t")
+    )
+    tot = tf.agg(
+        F.sum("tf").alias("_n_all"),
+        F.sum("tf_t").alias("_n_t"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    logw = tf.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log((F.col("tf_t") + 1).cast("double") / (F.col("_n_t") + F.col("_v")))
+            - F.log(
+                (F.col("tf") - F.col("tf_t") + 1).cast("double")
+                / (F.col("_n_all") - F.col("_n_t") + F.col("_v"))
+            ),
+            logw_round,
+        ).alias("lw"),
+    )
+    return (
+        toks.join(F.broadcast(logw), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(dsum("lw"), score_round).alias("logratio"),
+        )
+    )
+
+
+def dsir_resample_topk(
+    scores: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    seed: str = "42",
+    gumbel_round: int = 8,
+) -> DataFrame:
+    """Gumbel-top-k resampling over DSIR scores: sampling k documents
+    WITHOUT replacement with probability ∝ exp(logratio/T) is exactly
+    taking the top k of logratio/T + Gumbel noise (the Gumbel-max
+    trick). The noise is a pure function of (doc_id, seed) via the
+    engine's portable md5 uniform — bit-reproducible across runs,
+    engines, and retries, same contract as ``shard_assignment``; a new
+    seed is a fresh draw. Plan: scalar projection + TakeOrdered — only
+    k·partitions rows move.
+
+    Output: (doc_id, n_tokens, logratio, sample_key, rnk ≤ k)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir:" + seed))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967298.0)  # (0, 1), never 0 or 1
+    gumbel = F.round(-F.log(-F.log(u)), gumbel_round)
+    keyed = scores.withColumn(
+        "sample_key", F.round(F.col("logratio") / F.lit(float(temperature)), 6) + gumbel
+    )
+    topk = keyed.orderBy(F.col("sample_key").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -503,3 +503,44 @@ def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
     assert pairs.count() > 0  # property non-vacuous
     # total coverage: every doc gets exactly one assignment
     assert split.count() == docs.count()
+
+
+def test_dsir_selection_enriches_target_like_docs(spark, sf_dir):
+    """DSIR importance resampling must over-represent target-like
+    documents: at a sharp temperature the Gumbel-top-k sample's
+    target share beats the corpus base rate >2x (the fixture's target
+    slice shares the global vocabulary, so logratios are mild — the
+    temperature knob is what trades exploration for exploitation). Also pins determinism: same seed => same sample, different
+    seed => different draw over the same scores."""
+    from play_with_pulsar_spark.operators import curation
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = curation.dsir_importance_scores(docs, target=F.col("source") == "src0")
+    sample = curation.dsir_resample_topk(scores, k=100, temperature=0.1, seed="42").cache()
+    picked = {r.doc_id for r in sample.collect()}
+    base = docs.filter(F.col("source") == "src0").count() / docs.count()
+    in_sample = (
+        docs.filter(F.col("doc_id").isin(list(picked)) & (F.col("source") == "src0")).count()
+        / 100
+    )
+    assert in_sample > 2 * base, (in_sample, base)
+    again = {r.doc_id for r in curation.dsir_resample_topk(scores, k=100, temperature=0.1, seed="42").collect()}
+    assert again == picked
+    other = {r.doc_id for r in curation.dsir_resample_topk(scores, k=100, temperature=0.1, seed="7").collect()}
+    assert other != picked
+    sample.unpersist()
+
+
+def test_dsir_plan_shape(spark, sf_dir):
+    """Scale contract: log-weight table broadcast (vocabulary-sized,
+    never shuffles the token table twice), per-term agg partial,
+    top-k as TakeOrdered."""
+    from play_with_pulsar_spark import plans
+    from play_with_pulsar_spark.queries import REGISTRY
+
+    df = REGISTRY["dsir_importance_topk"].fn(spark, "/root/testdata/sf0.01")
+    plan = plans.formatted_plan(df)
+    assert plans.has_partial_aggregation(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
