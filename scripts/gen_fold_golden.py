@@ -59,6 +59,14 @@ POS_PLAYERS_SCHEMA = pa.schema(
     ]
 )
 
+SUMMARY_SCHEMA = pa.schema(
+    [
+        ("room", pa.string()),
+        ("entity", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+
 
 def _verify_fixture_in_sync(fixture_dir: str) -> None:
     """The goldens are only meaningful if the committed event log was
@@ -104,6 +112,53 @@ def pos_players_rows() -> list[dict]:
     return rows
 
 
+def state_summary_rows() -> list[dict]:
+    """(room, entity, n) for every entity kind present in the end
+    state — the groupBy("room","entity").count() of the full tagged
+    state table (zero-count entities yield no row, matching the
+    aggregate's semantics)."""
+    rows = []
+    for room in room_names(N_ROOMS):
+        s = fold_room_rows(room, None)
+        for entity, m in [
+            ("player", s.players),
+            ("pos_player", s.pos_players),
+            ("bomb", s.bombs),
+            ("obstacle", s.obstacles),
+            ("flame", s.flames),
+        ]:
+            if len(m):
+                rows.append(dict(room=room, entity=entity, n=len(m)))
+    rows.sort(key=lambda r: (r["room"], r["entity"]))
+    return rows
+
+
+def _entity_counts(s, room: str) -> list[dict]:
+    rows = []
+    for entity, m in [
+        ("player", s.players),
+        ("pos_player", s.pos_players),
+        ("bomb", s.bombs),
+        ("obstacle", s.obstacles),
+        ("flame", s.flames),
+    ]:
+        if len(m):
+            rows.append(dict(room=room, entity=entity, n=len(m)))
+    return rows
+
+
+def scale_summary_rows(n_rooms: int, events_per_room: int, seed: int) -> list[dict]:
+    """(room, entity, n) end-state summary for a seeded generated
+    workload — the golden for the fold_scale_replay bench queries
+    (which generate the identical log distributed: game_event_log
+    wraps the same generate_room_events per room)."""
+    rows = []
+    for room in room_names(n_rooms):
+        rows.extend(_entity_counts(fold_events(generate_room_events(room, events_per_room, seed)), room))
+    rows.sort(key=lambda r: (r["room"], r["entity"]))
+    return rows
+
+
 def _write(fixture_dir: str, fname: str, rows: list[dict], schema: pa.Schema) -> None:
     table = pa.Table.from_pydict(
         {name: [r[name] for r in rows] for name in schema.names}, schema=schema
@@ -125,6 +180,28 @@ def main() -> None:
     )
     _write(
         fixture_dir, "fold_pos_players_golden.parquet", pos_players_rows(), POS_PLAYERS_SCHEMA
+    )
+    _write(
+        fixture_dir, "fold_state_summary_golden.parquet", state_summary_rows(), SUMMARY_SCHEMA
+    )
+    from play_with_pulsar_spark.queries import (
+        FOLD_SCALE_EVENTS_PER_ROOM,
+        FOLD_SCALE_ROOMS,
+        FOLD_XL_EVENTS_PER_ROOM,
+        FOLD_XL_ROOMS,
+    )
+
+    _write(
+        fixture_dir,
+        "fold_scale_replay_golden.parquet",
+        scale_summary_rows(FOLD_SCALE_ROOMS, FOLD_SCALE_EVENTS_PER_ROOM, seed=7),
+        SUMMARY_SCHEMA,
+    )
+    _write(
+        fixture_dir,
+        "fold_scale_replay_xl_golden.parquet",
+        scale_summary_rows(FOLD_XL_ROOMS, FOLD_XL_EVENTS_PER_ROOM, seed=7),
+        SUMMARY_SCHEMA,
     )
 
 

@@ -419,6 +419,9 @@ def test_fold_goldens_in_sync_with_generator():
         ("fold_players_golden.parquet", G.players_rows(None)),
         ("fold_players_upto1500_golden.parquet", G.players_rows(1500)),
         ("fold_pos_players_golden.parquet", G.pos_players_rows()),
+        ("fold_state_summary_golden.parquet", G.state_summary_rows()),
+        ("fold_scale_replay_golden.parquet", G.scale_summary_rows(32, 3000, seed=7)),
+        ("fold_scale_replay_xl_golden.parquet", G.scale_summary_rows(32, 12000, seed=7)),
     ]:
         committed = pq.read_table(os.path.join(fixdir, fname)).to_pylist()
         assert committed == rows, f"{fname} drifted from generator output"
