@@ -104,10 +104,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated query names (default: dedup family)")
+    ap.add_argument("--no-auto", action="store_true",
+                    help="skip the embedding auto-geometry comparison")
     args = ap.parse_args()
 
     from play_with_pulsar_spark.session import get_spark
 
+    global QUERIES
+    if args.queries:
+        QUERIES = args.queries.split(",")
     spark = get_spark(app_name="dedup-scale-probe")
     tmp = tempfile.mkdtemp(prefix="pwp_scale10x_")
     try:
@@ -121,6 +128,8 @@ def main() -> None:
             r = big[name] / base[name] if base[name] else float("nan")
             print(f"{name:35s} {base[name]:8.3f} {big[name]:8.3f} {r:6.2f}")
 
+        if args.no_auto:
+            return
         # the embedding query with AUTO-SCALED geometry at both sizes:
         # fixed 8-plane geometry goes superlinear (bucket occupancy ~
         # N/2^planes), the log2(N)-scaled geometry restores ~linear

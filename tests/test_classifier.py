@@ -156,3 +156,39 @@ def test_auto_geometry_keeps_recall_on_clustered_vectors(spark):
     dedup.release_intermediates(got_df)
     assert got <= exact  # exact verify: no false positives
     assert len(got) / max(len(exact), 1) >= 0.9, (len(got), len(exact))
+
+
+def test_streaming_scoring_matches_batch(spark, sf_dir, tmp_path):
+    """The crawl-loop's streaming half: a persisted model scores a
+    document STREAM (stateless projection — featurize + z-score with
+    training stats + literal-weight sigmoid all run per micro-batch
+    with no state), and the streamed scores equal the batch scores
+    exactly."""
+    from play_with_pulsar_spark.sources.tables import load_table
+    from play_with_pulsar_spark.streaming import pipeline as sp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = classifier.quality_features(docs, label=F.length("text") >= 400)
+    stats = classifier.feature_stats(raw)
+    w = classifier.logreg_fit(classifier.standardize(raw, stats), iters=5, lr=2.0)
+
+    in_dir = tmp_path / "docs_stream"
+    docs.limit(200).repartition(4).write.mode("overwrite").parquet(str(in_dir))
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(str(in_dir))
+    )
+    scored_stream = classifier.logreg_score(
+        classifier.standardize(classifier.quality_features(stream), stats), w
+    ).select("doc_id", "score")
+    out = sp.run_to_completion(scored_stream, "clf_stream", "append")
+    got = {(r.doc_id, r.score) for r in out.collect()}
+    want = {
+        (r.doc_id, r.score)
+        for r in classifier.logreg_score(
+            classifier.standardize(
+                classifier.quality_features(docs.limit(200)), stats
+            ),
+            w,
+        ).select("doc_id", "score").collect()
+    }
+    assert got == want and len(got) == 200
