@@ -87,3 +87,27 @@ def test_z_value_locality_golden(spark):
     }
     # z = interleave(a into even bits, b into odd bits)
     assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3, (2, 2): 12, (3, 3): 15}
+
+
+def test_dataset_fingerprint_invariance_and_sensitivity(spark, sf_dir):
+    """Round-6 audit primitive: the fingerprint is invariant to row
+    order and partitioning (commutative sum) and flips on a single
+    corrupted cell — the copy-verification contract."""
+    from play_with_pulsar_spark.operators.layout import dataset_fingerprint
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    base = dataset_fingerprint(o, cols).collect()[0]
+    shuffled = dataset_fingerprint(
+        o.repartition(17).sortWithinPartitions("o_custkey"), cols
+    ).collect()[0]
+    assert (base.n_rows, base.fp) == (shuffled.n_rows, shuffled.fp)
+    corrupted = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == 1, F.col("o_custkey") + 1).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    bad = dataset_fingerprint(corrupted, cols).collect()[0]
+    assert bad.n_rows == base.n_rows and bad.fp != base.fp
