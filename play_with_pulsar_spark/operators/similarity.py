@@ -829,3 +829,72 @@ def lsh_topk(
         scored = scored.withColumn("sim", F.round(F.col("sim"), round_to))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Distribution-drift report between two embedding populations
+    (e.g. the indexed corpus vs the last week of crawl) — the
+    monitoring signal that decides when ``ivf_rebalance_index`` /
+    re-training is due, BEFORE probe latency degrades.
+
+    Per dimension: mean in each population, the mean delta, and the
+    pooled z-like shift |Δmean| / stddev_a. Plus one summary row
+    (dim = -1) carrying the cosine between the two mean vectors —
+    1.0 means the centroid of the data hasn't moved.
+
+    Shape: ONE aggregate per side — ``posexplode`` of the vector and a
+    (dim)-keyed partial-aggregated mean/std (2·D doubles cross the
+    exchange per partition); the join/summary work is D-sized. Nothing
+    corpus-scale shuffles, so the monitor is cheap enough to run per
+    crawl batch. Rounded to ``round_to`` on every output so the report
+    is engine-portable (oracle-checked)."""
+
+    def stats(df: DataFrame, prefix: str) -> DataFrame:
+        e = df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"))
+        return e.groupBy("dim").agg(
+            F.avg("v").alias(f"{prefix}_mean"),
+            F.stddev_samp("v").alias(f"{prefix}_std"),
+        )
+    sa = stats(a, "a")
+    sb = stats(b, "b")
+    per_dim = (
+        sa.join(sb, "dim")
+        .select(
+            "dim",
+            F.round("a_mean", round_to).alias("a_mean"),
+            F.round("b_mean", round_to).alias("b_mean"),
+            F.round(F.col("b_mean") - F.col("a_mean"), round_to).alias("delta"),
+            F.round(
+                F.abs(F.col("b_mean") - F.col("a_mean"))
+                / F.nullif(F.col("a_std"), F.lit(0.0)),
+                round_to,
+            ).alias("shift_z"),
+        )
+    )
+    # summary: cosine between mean vectors, computed from the SAME
+    # per-dim aggregates (D-sized arithmetic, no extra corpus pass)
+    summary = (
+        sa.join(sb, "dim")
+        .agg(
+            F.sum(F.col("a_mean") * F.col("b_mean")).alias("_dot"),
+            F.sqrt(F.sum(F.col("a_mean") * F.col("a_mean"))).alias("_na"),
+            F.sqrt(F.sum(F.col("b_mean") * F.col("b_mean"))).alias("_nb"),
+        )
+        .select(
+            F.lit(-1).cast("int").alias("dim"),
+            F.lit(None).cast("double").alias("a_mean"),
+            F.lit(None).cast("double").alias("b_mean"),
+            F.lit(None).cast("double").alias("delta"),
+            F.round(
+                F.col("_dot") / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
+                round_to,
+            ).alias("shift_z"),
+        )
+    )
+    return per_dim.unionByName(summary)

@@ -329,3 +329,30 @@ def test_dedup_survivors_keeps_representatives(spark, sf_dir):
     ids = {r.doc_id for r in surv.select("doc_id").collect()}
     reps = {r.cluster for r in clusters.select("cluster").distinct().collect()}
     assert ids == reps
+
+
+def test_embedding_drift_detects_mean_shift(spark):
+    """Identical populations: zero deltas, mean-cosine 1.0. A planted
+    +0.5 offset on one dimension: that dim's shift_z dominates and
+    the summary cosine drops below 1 — the rebalance trigger."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = [(i, [float(x) for x in rng.randn(16)]) for i in range(300)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    same = similarity.embedding_drift(df, df, dim=16).collect()
+    per_dim = [r for r in same if r.dim >= 0]
+    assert len(per_dim) == 16
+    assert all(r.delta == 0.0 and r.shift_z == 0.0 for r in per_dim)
+    assert next(r for r in same if r.dim == -1).shift_z == 1.0
+
+    shifted = df.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 3, x + F.lit(0.5)).otherwise(x)
+        ).alias("embedding"),
+    )
+    rep = similarity.embedding_drift(df, shifted, dim=16).collect()
+    z = {r.dim: r.shift_z for r in rep if r.dim >= 0}
+    assert z[3] == max(z.values()) and z[3] > 0.4
+    assert next(r for r in rep if r.dim == -1).shift_z < 1.0
