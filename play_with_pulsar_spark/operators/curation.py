@@ -582,3 +582,46 @@ def dsir_resample_topk(
     topk = keyed.orderBy(F.col("sample_key").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id"))
     return topk.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def robust_outlier_filter(
+    docs: DataFrame,
+    value: Column,
+    k: float = 3.5,
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust outlier screen over any per-document scalar (token
+    count, chars, scores): flag documents whose value deviates from
+    the corpus MEDIAN by more than ``k`` times the MAD (median
+    absolute deviation) — the standard heavy-tail-safe alternative to
+    mean/std z-scores for curation thresholds (a handful of giant
+    pages cannot drag the cutoff the way they drag a mean).
+
+    Plan: two 1-row percentile aggregates (median, then MAD of the
+    residuals) broadcast back via crossJoin — fully lazy, no driver
+    scalars; the flag itself is then a scalar projection. Exact
+    interpolated percentiles in both engines; the robust z is rounded
+    so the flag is engine-portable (oracle-checked). Zero-MAD corpora
+    (>=half identical values) keep every doc (z NULL → not outlier).
+
+    Output: (doc_id, value, robust_z, is_outlier)."""
+    vals = docs.select(F.col(id_col).alias("doc_id"), value.cast("double").alias("value"))
+    med = vals.agg(F.percentile("value", F.lit(0.5)).alias("_med"))
+    with_med = vals.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    z = F.round(
+        F.abs(F.col("value") - F.col("_med")) / F.nullif(F.col("_mad"), F.lit(0.0)),
+        round_to,
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "doc_id",
+            "value",
+            z.alias("robust_z"),
+            F.coalesce(z > F.lit(float(k)), F.lit(False)).alias("is_outlier"),
+        )
+    )

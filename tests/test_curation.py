@@ -544,3 +544,23 @@ def test_dsir_plan_shape(spark, sf_dir):
     assert plans.has_partial_aggregation(df)
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_robust_outlier_filter_flags_planted_giants(spark):
+    """MAD screen: two planted giant docs are flagged, the uniform
+    bulk is not; an all-identical corpus (MAD 0) flags nothing."""
+    from play_with_pulsar_spark.operators import curation
+    from play_with_pulsar_spark.operators.textops import token_count
+
+    rows = [(i, "w " * (50 + i % 5)) for i in range(100)]
+    rows += [(900, "w " * 5000), (901, "w " * 8000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.robust_outlier_filter(docs, value=token_count("text"), k=3.5)
+    flagged = {r.doc_id for r in out.filter("is_outlier").collect()}
+    assert flagged == {900, 901}
+
+    same = spark.createDataFrame(
+        [(i, "w w w") for i in range(40)], "doc_id long, text string"
+    )
+    out2 = curation.robust_outlier_filter(same, value=token_count("text"), k=3.5)
+    assert out2.filter("is_outlier").count() == 0
