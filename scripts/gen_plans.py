@@ -27,6 +27,9 @@ TARGETS = [
     ("dedup_semantic", "SemDeDup: ONE exchange on the learned cluster id, then a per-cluster gram-matrix kernel (FlatMapGroupsInPandas). Watch: no pair blow-up in the plan — the quadratic work is inside the Arrow kernel, bounded per cluster."),
     ("text_bm25_topk", "Single-scan lazy BM25 (round 6): per-term tf via size(filter(tokens)) — no explode; corpus stats = 1-row agg REUSING the scoring branch's repartition(doc_id) exchange (ReusedExchange => one tokenization pass), broadcast back via crossJoin; TakeOrdered top-k."),
     ("quality_classifier_scores", "Learned quality filter (round 6): z-scored feature projection + literal-weight sigmoid — the SCORING plan is exchange-free; the fit's per-iteration D-wide aggregates and the stats pass run as separate tiny jobs before this plan is built."),
+    ("dsir_importance_topk", "DSIR selection (round 6): exploded tokens -> vocabulary-sized (tf, tf_target) partial agg -> broadcast log-weight join -> per-doc exact decimal sum -> seeded Gumbel keys -> TakeOrdered."),
+    ("audit_dataset_fingerprint", "Content fingerprint (round 6): ONE map-side-combined aggregate over the scan — commutative 60-bit-md5 decimal sum; the no-movement copy audit."),
+    ("quality_outlier_mad", "Robust MAD screen (round 6): two 1-row percentile aggregates broadcast back lazily; the outlier flag is a scalar projection over the scan."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries
