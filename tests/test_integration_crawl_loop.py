@@ -14,7 +14,6 @@ individual contracts predict.
 from __future__ import annotations
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from play_with_pulsar_spark.operators import classifier, curation, layout, similarity
@@ -27,7 +26,7 @@ def _mk_docs(spark, rows):
     """rows: (doc_id, text, vec)"""
     return spark.createDataFrame(
         [(i, t, [float(x) for x in v]) for i, t, v in rows],
-        f"doc_id long, text string, embedding array<double>",
+        "doc_id long, text string, embedding array<double>",
     )
 
 
