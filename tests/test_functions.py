@@ -91,3 +91,24 @@ def test_changelog_consistent_with_direct_aggregation(spark):
         for r in REGISTRY["chg_a4_global_sum"].fn(spark, sf).collect()
     }
     assert set(direct) == set(via_chg)
+
+
+def test_register_query_views_sql_surface(spark):
+    """SQL-only users can query and JOIN declared-query results as
+    temp views — the catalog surface over the DataFrame registry."""
+    from play_with_pulsar_spark import queries as Q
+
+    names = Q.register_query_views(
+        spark, "/root/testdata/sf0.01",
+        names=["game_a1_room_scoreboard", "game_a4a5_global_rank"],
+    )
+    assert names == ["game_a1_room_scoreboard", "game_a4a5_global_rank"]
+    got = spark.sql("""
+        SELECT r.room, r.killer, r.kills, g.total
+        FROM game_a1_room_scoreboard r
+        JOIN game_a4a5_global_rank g ON r.killer = g.player
+        ORDER BY r.room, r.killer
+    """).collect()
+    assert len(got) > 0
+    # per-room kills never exceed the same player's global total
+    assert all(r.kills <= r.total for r in got)
