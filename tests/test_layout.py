@@ -111,3 +111,22 @@ def test_dataset_fingerprint_invariance_and_sensitivity(spark, sf_dir):
     )
     bad = dataset_fingerprint(corrupted, cols).collect()[0]
     assert bad.n_rows == base.n_rows and bad.fp != base.fp
+
+
+def test_dataset_fingerprint_additive_over_partitions(spark, sf_dir):
+    """fp(A ∪ B) = fp(A) + fp(B) for disjoint row sets — the law that
+    makes incremental (per-ingested-batch) audit maintenance work."""
+    from decimal import Decimal
+
+    from play_with_pulsar_spark.operators.layout import dataset_fingerprint
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    cols = ["o_orderkey", "o_orderstatus"]
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 != 0)
+    whole = dataset_fingerprint(o, cols).collect()[0]
+    fa = dataset_fingerprint(a, cols).collect()[0]
+    fb = dataset_fingerprint(b, cols).collect()[0]
+    assert whole.n_rows == fa.n_rows + fb.n_rows
+    assert Decimal(whole.fp) == Decimal(fa.fp) + Decimal(fb.fp)
