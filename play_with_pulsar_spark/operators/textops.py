@@ -659,3 +659,56 @@ def vocab_coverage(
             F.round(F.col("n_oov") / F.col("n_tokens"), 6),
         )
     )
+
+
+def excise_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """The REMOVAL step over :func:`duplicate_spans` (the corpus
+    rewrite of Lee et al. 2021's exact-substring dedup, public): drop
+    every token covered by an n-gram that occurs in ≥ ``min_df``
+    distinct documents, and re-join the survivors — boilerplate and
+    memorized spans leave the training text itself, not just a
+    report. Policy: ALL occurrences of a flagged span are dropped
+    (the conservative memorization guard); keep-one-copy policies can
+    anti-join the df table on a representative doc first.
+
+    Output: (doc_id, clean_text, n_tokens_kept, n_tokens_dropped).
+
+    Plan: the span table's positions explode n-fold into a covered-
+    position set (O(n·tokens) worst case, bounded per doc), one
+    per-doc collect_set (size ≤ doc tokens), then the rewrite is a
+    positional array filter + array_join in whole-stage codegen — no
+    Python, and the only corpus-scale exchanges are the gram-df
+    aggregate and the position set's doc-keyed group-by."""
+    spans = duplicate_spans(docs, text_col, id_col, n, min_df)
+    covered = (
+        spans.select(
+            "doc_id",
+            F.explode(F.sequence("start_tok", "end_tok")).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_cov"))
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    kept = F.filter(
+        "_t",
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("_cov"), F.array().cast("array<bigint>")),
+            i.cast("long"),
+        ),
+    )
+    return (
+        toks.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size(kept).cast("bigint").alias("n_tokens_kept"),
+            (F.size("_t") - F.size(kept)).cast("bigint").alias("n_tokens_dropped"),
+        )
+    )

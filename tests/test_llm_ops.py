@@ -356,3 +356,22 @@ def test_embedding_drift_detects_mean_shift(spark):
     z = {r.dim: r.shift_z for r in rep if r.dim >= 0}
     assert z[3] == max(z.values()) and z[3] > 0.4
     assert next(r for r in rep if r.dim == -1).shift_z < 1.0
+
+
+def test_excise_duplicate_spans_removes_boilerplate_keeps_unique(spark):
+    """Planted boilerplate trigrams shared by 4 docs are excised from
+    EVERY doc; unique content is untouched; a doc with no flagged
+    spans round-trips its token stream exactly."""
+    from play_with_pulsar_spark.operators import textops
+
+    shared = "all rights reserved contact the owner"
+    rows = [(i, f"u{i}a u{i}b u{i}c " + shared) for i in range(4)]
+    rows.append((9, "totally unique content nine alpha beta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.excise_duplicate_spans(
+        docs, n=3, min_df=4).collect()}
+    for i in range(4):
+        assert out[i].clean_text == f"u{i}a u{i}b u{i}c"
+        assert out[i].n_tokens_dropped == 6
+    assert out[9].clean_text == "totally unique content nine alpha beta"
+    assert out[9].n_tokens_dropped == 0
