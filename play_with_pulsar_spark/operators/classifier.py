@@ -102,8 +102,20 @@ def feature_stats(
             for name in FEATURES
         ],
     ).collect()[0]
+    # avg is NULL on an empty frame and stddev_samp is NULL on a 0/1-row
+    # frame — fail loudly on the former (nothing sensible to fit) and
+    # fall back to unit variance on the latter, instead of the opaque
+    # float(None) TypeError a degenerate seed corpus used to raise
+    if any(row[f"m_{name}"] is None for name in FEATURES):
+        raise ValueError(
+            "feature_stats: empty training frame (column means are NULL) — "
+            "the seed corpus must contain at least one document"
+        )
     return {
-        name: (float(row[f"m_{name}"]), float(row[f"s_{name}"]) or 1.0)
+        name: (
+            float(row[f"m_{name}"]),
+            float(row[f"s_{name}"]) if row[f"s_{name}"] else 1.0,
+        )
         for name in FEATURES
     }
 

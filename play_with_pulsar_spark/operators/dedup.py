@@ -321,10 +321,19 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     exact-Jaccard verification of candidates only. Returns verified
-    near-dup pairs (id_a < id_b, jaccard)."""
+    near-dup pairs (id_a < id_b, jaccard).
+
+    ``broadcast_candidates``: True (default) pins the verify stage's
+    candidate/size tables as BINDING broadcasts — correct whenever the
+    LSH premise holds (bounded buckets ⇒ bounded candidates, which
+    ``max_bucket_size`` enforces mechanically). On an uncapped run over
+    a corpus where viral buckets are possible, pass False so the
+    planner keeps its shuffle-join fallback — the same escape hatch as
+    ``broadcast_batch`` on the incremental paths."""
     # the shingle table feeds BOTH the signature branch and the
     # verification branch of the DAG; persist it so the scan +
     # tokenize + explode runs once (storage ~ O(corpus tokens)).
@@ -335,10 +344,17 @@ def minhash_dedup_pairs(
     ).persist()
     sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=grams)
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands, max_bucket_size)
-    return _register_cached(_verify_jaccard(cands, grams, threshold), grams)
+    return _register_cached(
+        _verify_jaccard(cands, grams, threshold, broadcast_candidates), grams
+    )
 
 
-def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
+def _verify_jaccard(
+    cands: DataFrame,
+    grams: DataFrame,
+    threshold: float,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
     """Exact Jaccard over CANDIDATE pairs only: join each side's
     hashed shingles, count the agreement, filter by threshold. Cost is
     O(candidate pairs × grams/doc), never all-pairs.
@@ -347,7 +363,14 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     actually appear in a candidate pair, and that small table is what
     the three consumers (sizes, both join sides) scan — one pass over
     the full table instead of three, which is what keeps this viable
-    when ``grams`` is a corpus-scale index."""
+    when ``grams`` is a corpus-scale index.
+
+    ``broadcast_candidates=False`` drops every BINDING broadcast hint
+    (candidates, ids, size tables), restoring the planner's shuffle
+    fallback for callers whose candidate set is not bounded by a
+    bucket cap (giant uncapped batches — the escape hatches the
+    incremental paths document)."""
+    bcast = F.broadcast if broadcast_candidates else (lambda df: df)
     ids = (
         cands.select(F.col("id_a").alias("doc_id"))
         .unionByName(cands.select(F.col("id_b").alias("doc_id")))
@@ -355,7 +378,7 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     )
     # ids ≤ 2·|candidates| — tiny by the LSH premise; broadcasting it
     # keeps the corpus-scale gram table un-shuffled in the semi-join
-    grams = grams.join(F.broadcast(ids), "doc_id", "semi").persist()
+    grams = grams.join(bcast(ids), "doc_id", "semi").persist()
     restricted = grams  # registered on the result below
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
@@ -365,7 +388,7 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     # broadcast plan so the restricted gram table never shuffles for
     # these joins regardless of AQE's estimates
     inter = (
-        F.broadcast(cands).join(ga, "id_a")
+        bcast(cands).join(ga, "id_a")
         .join(gb, "id_b")
         .filter(F.col("ga") == F.col("gb"))
         .groupBy("id_a", "id_b")
@@ -374,8 +397,8 @@ def _verify_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> Dat
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
     result = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(bcast(sa), "id_a")
+        .join(bcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -737,7 +760,13 @@ def incremental_minhash_pairs(
         probe = F.broadcast(new_banded) if broadcast_batch else new_banded
         cands = _touching_new_pairs(probe, all_banded, ["band", "bucket"]).distinct()
     grams = index_grams.select("doc_id", "g").unionByName(new_grams.select("doc_id", "g"))
-    return _register_cached(_verify_jaccard(cands, grams, threshold), *cached)
+    # broadcast_batch=False means "this batch is too big to broadcast";
+    # the candidate set is bounded by the same batch, so the verify
+    # stage's binding hints must come off with it
+    return _register_cached(
+        _verify_jaccard(cands, grams, threshold, broadcast_candidates=broadcast_batch),
+        *cached,
+    )
 
 
 def dedup_survivors(

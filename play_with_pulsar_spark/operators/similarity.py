@@ -506,6 +506,15 @@ def ivf_append_index(
     straight into ``cells/`` (legacy protocol — a retried job can
     duplicate rows; prefer ids).
 
+    SINGLE WRITER: the ``appends.json`` update is a read-modify-write
+    (atomic against readers and against crash/retry of the SAME
+    batch, which is the exactly-once claim), not against a CONCURRENT
+    append of a different batch — two simultaneous appenders can drop
+    one another's manifest entry. Run one appender per index
+    directory (the crawl-loop curator already serializes batches);
+    ``ivf_rebalance_index`` re-checks the manifest before cutover so
+    an append racing a REBALANCE is carried over, not lost.
+
     Drift caveat: a frozen quantizer slowly unbalances as the data
     distribution moves; watch ``ivf_imbalance`` and cut over with
     ``ivf_rebalance_index`` when it crosses your threshold — the
@@ -582,6 +591,14 @@ def ivf_rebalance_index(
     grace (lazy DataFrames already resolved keep working), then
     pruned on the NEXT rebalance. Returns the new version number.
 
+    An append committing DURING the rebalance (the fit + rewrite is
+    the long window) is not lost: the old version's manifest is
+    re-read after the new version's data is written, and any batch
+    committed since the snapshot is re-assigned under the NEW
+    quantizer and folded in before the pointer flips. The remaining
+    instant between that re-check and the flip is covered by the
+    single-writer contract documented on ``ivf_append_index``.
+
     Cost: one full read of the index (the compaction event the append
     path amortizes toward), the k-means fit, one partitioned rewrite.
     """
@@ -589,7 +606,16 @@ def ivf_rebalance_index(
     import shutil
 
     vdir = _ivf_resolve(path)
-    data = _ivf_data(spark, vdir)
+    # snapshot the manifest ONCE and build the data view from exactly
+    # that snapshot (not via _ivf_data, whose own manifest read could
+    # see a batch this function later also carries over — double-fold)
+    pre_manifest = sorted(_ivf_manifest(vdir))
+    data = spark.read.parquet(os.path.join(vdir, "cells"))
+    for bid in pre_manifest:
+        data = data.unionByName(
+            spark.read.parquet(os.path.join(vdir, "batches", bid))
+        )
+    pre_set = set(pre_manifest)
     if n_cells is None:
         n_cells = spark.read.parquet(os.path.join(vdir, "centroids")).count()
     cents = ivf_fit_centroids(
@@ -610,6 +636,22 @@ def ivf_rebalance_index(
     _ivf_write_version(
         data.select(F.col(id_col), F.col(vec_col)), new_dir, cents, id_col, vec_col
     )
+    # carry over appends committed while the fit/rewrite ran: re-read
+    # the OLD manifest and fold every batch the snapshot missed into
+    # the new version under the NEW quantizer, before the cutover
+    for bid in sorted(set(_ivf_manifest(vdir)) - pre_set):
+        late = spark.read.parquet(os.path.join(vdir, "batches", bid)).select(
+            F.col(id_col), F.col(vec_col)
+        )
+        assigned = ivf_assign(late, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+        (
+            late.join(assigned, late[id_col] == assigned.vec_id)
+            .select(late[id_col].alias(id_col), late[vec_col].alias(vec_col), "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(new_dir, "batches", bid))
+        )
+        _ivf_flip_manifest(new_dir, _ivf_manifest(new_dir) + [bid])
     _ivf_flip_pointer(path, new_v)
     # prune versions older than the one just superseded (reader grace)
     for d in os.listdir(path):

@@ -107,8 +107,8 @@ class StreamingCorpusCurator:
         catalog_prefix: str | None = None,
         vec_col: str = "embedding",
         emb_dim: int | None = None,
-        num_planes: int = 8,
-        num_tables: int = 8,
+        num_planes: int | None = None,
+        num_tables: int | None = None,
         max_bucket_size: int | None = None,
         expected_corpus: int | None = None,
     ) -> None:
@@ -163,7 +163,14 @@ class StreamingCorpusCurator:
         (atomic flip) and re-attachment always loads the sidecar:
         signatures in state were computed under it, so a restart with
         a different ``expected_corpus`` must NOT re-derive — past and
-        future sigs would stop colliding."""
+        future sigs would stop colliding.
+
+        The sidecar is written WHATEVER the geometry's source —
+        auto-derived, explicit ``num_planes``/``num_tables``, or the
+        8/8 default — and a re-attachment whose explicit constructor
+        args CONFLICT with the frozen sidecar raises instead of
+        silently changing geometry mid-state (round-6 advice: an
+        explicit-args restart used to bypass the freeze entirely)."""
         if screen not in ("jaccard", "minhash", "embedding"):
             raise ValueError(f"unknown screen {screen!r}")
         if screen == "embedding" and emb_dim is None:
@@ -186,17 +193,39 @@ class StreamingCorpusCurator:
         if screen == "embedding":
             geo_path = os.path.join(base_dir, "geometry.json")
             if os.path.exists(geo_path):
-                # frozen geometry wins: state sigs were computed under it
+                # frozen geometry wins: state sigs were computed under
+                # it. Explicit constructor args that CONFLICT with the
+                # sidecar are the docstring's failure mode — past and
+                # future signatures would stop colliding — so they
+                # fail loudly instead of silently re-deriving.
                 with open(geo_path) as f:
                     geo = json.load(f)
-                self.num_planes = int(geo["num_planes"])
-                self.num_tables = int(geo["num_tables"])
-            elif expected_corpus is not None:
-                from ..operators.similarity import lsh_auto_geometry
+                frozen = (int(geo["num_planes"]), int(geo["num_tables"]))
+                explicit = (num_planes, num_tables)
+                if any(
+                    e is not None and e != f for e, f in zip(explicit, frozen)
+                ):
+                    raise ValueError(
+                        f"curator at {base_dir} has frozen LSH geometry "
+                        f"planes={frozen[0]}/tables={frozen[1]} "
+                        f"(geometry.json) but was re-attached with "
+                        f"explicit planes={num_planes}/tables={num_tables}; "
+                        "state signatures were computed under the frozen "
+                        "geometry — delete the state to change it"
+                    )
+                self.num_planes, self.num_tables = frozen
+            else:
+                if num_planes is None and num_tables is None and expected_corpus is not None:
+                    from ..operators.similarity import lsh_auto_geometry
 
-                self.num_planes, self.num_tables = lsh_auto_geometry(
-                    expected_corpus, threshold=threshold
-                )
+                    self.num_planes, self.num_tables = lsh_auto_geometry(
+                        expected_corpus, threshold=threshold
+                    )
+                else:
+                    self.num_planes = 8 if num_planes is None else num_planes
+                    self.num_tables = 8 if num_tables is None else num_tables
+                # freeze WHATEVER the source (auto, explicit, default):
+                # a restart must re-attach to these exact values
                 os.makedirs(base_dir, exist_ok=True)
                 tmp = geo_path + ".tmp"
                 with open(tmp, "w") as f:

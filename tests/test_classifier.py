@@ -192,3 +192,28 @@ def test_streaming_scoring_matches_batch(spark, sf_dir, tmp_path):
         ).select("doc_id", "score").collect()
     }
     assert got == want and len(got) == 200
+
+
+def test_feature_stats_degenerate_frames(spark):
+    """Round-7 advice fix: an EMPTY training frame raises a clear
+    ValueError (means are NULL — nothing to fit) instead of an opaque
+    float(None) TypeError, and a 1-row frame (stddev_samp NULL) falls
+    back to unit variance instead of crashing."""
+    empty = classifier.quality_features(
+        spark.createDataFrame([], "doc_id long, text string"),
+        label=F.lit(True),
+    )
+    with pytest.raises(ValueError, match="empty training frame"):
+        classifier.feature_stats(empty)
+
+    one = classifier.quality_features(
+        spark.createDataFrame([(1, "a few plain words here")],
+                              "doc_id long, text string"),
+        label=F.lit(True),
+    )
+    stats = classifier.feature_stats(one)
+    assert all(sd == 1.0 for _, sd in stats.values())
+    # and the z-scores that standardization derives are all finite 0s
+    z = classifier.standardize(one, stats=stats)
+    row = z.select(*classifier.FEATURES).collect()[0]
+    assert all(v == 0.0 for v in row)

@@ -338,3 +338,50 @@ def test_ivf_rebalance_cutover(spark, sf_dir, tmp_path):
     assert similarity._ivf_manifest(vdir) == []
     # row count preserved across the cutover (appends folded in)
     assert sum(r.n for r in similarity.ivf_cell_stats(spark, path).collect()) == v.count()
+
+
+def test_ivf_rebalance_carries_over_mid_rebalance_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-7 advice fix: an append that commits DURING a rebalance
+    (after the rebalance snapshots the old version's data, before the
+    pointer flips) must survive the cutover. Simulated by wrapping the
+    k-means fit — the long window — to commit a late batch against the
+    live (old) index mid-rebalance. The new version must carry the
+    late batch (re-assigned under the NEW quantizer, listed in the new
+    manifest) and the next rebalance's prune must not lose it."""
+    v = _clustered(spark, sf_dir)
+    corpus = v.filter(F.col("vec_id") >= 100)
+    late = v.filter(F.col("vec_id") < 100)
+    path = str(tmp_path / "ivf_race")
+    similarity.ivf_build_index(corpus, path, n_cells=8, seed=42)
+
+    real_fit = similarity.ivf_fit_centroids
+    hits = []
+
+    def fit_with_racing_append(*args, **kwargs):
+        if not hits:  # only the rebalance's own fit call races
+            hits.append(1)
+            assert similarity.ivf_append_index(
+                spark, path, late, batch_id="late-1"
+            ) is True
+        return real_fit(*args, **kwargs)
+
+    monkeypatch.setattr(similarity, "ivf_fit_centroids", fit_with_racing_append)
+    new_v = similarity.ivf_rebalance_index(spark, path, iters=2)
+    monkeypatch.setattr(similarity, "ivf_fit_centroids", real_fit)
+
+    vdir = similarity._ivf_resolve(path)
+    assert vdir.endswith(f"v{new_v}")
+    # the late batch rode over: manifest lists it, rows all present
+    assert similarity._ivf_manifest(vdir) == ["late-1"]
+    total = sum(r.n for r in similarity.ivf_cell_stats(spark, path).collect())
+    assert total == v.count()
+    # and a further (non-racing) rebalance folds it into the base cells
+    new_v2 = similarity.ivf_rebalance_index(spark, path, iters=2)
+    vdir2 = similarity._ivf_resolve(path)
+    assert vdir2.endswith(f"v{new_v2}") and similarity._ivf_manifest(vdir2) == []
+    assert (
+        sum(r.n for r in similarity.ivf_cell_stats(spark, path).collect())
+        == v.count()
+    )

@@ -362,3 +362,26 @@ def test_embedding_screen_string_ids(spark):
     got = {(r.id_a, r.id_b) for r in inc.collect()}
     dedup.release_intermediates(inc)
     assert got == {("crawl/a", "crawl/c")}, got
+
+
+def test_verify_without_broadcast_hints_same_result(spark, sf_dir):
+    """Round-7 advice fix: broadcast_candidates=False removes the
+    verify stage's BINDING broadcast hints (the escape hatch for
+    uncapped runs whose candidate set may be huge) without changing a
+    single pair — and the unhinted plan really does lose its
+    BroadcastHashJoins in favor of the planner's shuffle fallback."""
+    docs, _, _ = _docs(spark, sf_dir)
+    hinted = dedup.minhash_dedup_pairs(docs, **GEOM)
+    unhinted = dedup.minhash_dedup_pairs(docs, **GEOM, broadcast_candidates=False)
+    assert _pairs(hinted) == _pairs(unhinted) != set()
+    # the batch path threads the same flag through broadcast_batch
+    docs2, corpus, new = _docs(spark, sf_dir)
+    grams, sigs = dedup.build_minhash_index(corpus, num_hashes=GEOM["num_hashes"])
+    a = _pairs(dedup.incremental_minhash_pairs(grams, sigs, new, **GEOM))
+    grams2, sigs2 = dedup.build_minhash_index(corpus, num_hashes=GEOM["num_hashes"])
+    b = _pairs(
+        dedup.incremental_minhash_pairs(
+            grams2, sigs2, new, **GEOM, broadcast_batch=False
+        )
+    )
+    assert a == b

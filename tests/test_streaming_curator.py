@@ -584,3 +584,50 @@ def test_embedding_curator_auto_geometry_frozen(spark, tmp_path):
     cur2.process_batch(_vecs(spark, [(3, _deg(1)), (4, _deg(45))]), 1)
     kept = sorted(r["doc_id"] for r in cur2.accepted().collect())
     assert kept == before + [4]  # 3 at 1° dups accepted 1 at 0°
+
+
+def test_embedding_curator_explicit_geometry_frozen_and_conflict(spark, tmp_path):
+    """Round-7 advice fix: geometry is frozen into geometry.json
+    WHATEVER its source — explicitly passed num_planes/num_tables are
+    persisted exactly like auto-derived ones — and a re-attachment
+    whose EXPLICIT args conflict with the sidecar raises instead of
+    silently changing geometry mid-state (which would stop past state
+    signatures colliding with future ones)."""
+    import json
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "explicit")
+    cur = StreamingCorpusCurator(
+        spark, path, screen="embedding", emb_dim=2, threshold=0.95,
+        num_planes=6, num_tables=10,
+    )
+    assert (cur.num_planes, cur.num_tables) == (6, 10)
+    with open(os.path.join(path, "geometry.json")) as f:
+        assert json.load(f) == {"num_planes": 6, "num_tables": 10}
+
+    cur.process_batch(_vecs(spark, [(1, _deg(0)), (2, _deg(90))]), 0)
+    before = sorted(r["doc_id"] for r in cur.accepted().collect())
+
+    # conflicting explicit re-attach: loud failure, state untouched
+    with pytest.raises(ValueError, match="frozen LSH geometry"):
+        StreamingCorpusCurator(
+            spark, path, screen="embedding", emb_dim=2, threshold=0.95,
+            num_planes=12, num_tables=4,
+        )
+
+    # arg-less re-attach loads the sidecar and decisions continue
+    cur2 = StreamingCorpusCurator(
+        spark, path, screen="embedding", emb_dim=2, threshold=0.95,
+    )
+    assert (cur2.num_planes, cur2.num_tables) == (6, 10)
+    cur2.process_batch(_vecs(spark, [(3, _deg(1)), (4, _deg(45))]), 1)
+    kept = sorted(r["doc_id"] for r in cur2.accepted().collect())
+    assert kept == before + [4]  # 3 at 1° dups accepted 1 at 0°
+
+    # default-geometry curators freeze 8/8 on first construction too
+    path2 = str(tmp_path / "default")
+    StreamingCorpusCurator(spark, path2, screen="embedding", emb_dim=2)
+    with open(os.path.join(path2, "geometry.json")) as f:
+        assert json.load(f) == {"num_planes": 8, "num_tables": 8}
