@@ -661,12 +661,50 @@ def vocab_coverage(
     )
 
 
+def _maximal_spans(sorted_pos: Column) -> Column:
+    """array<struct<s,e>> of maximal contiguous runs in a SORTED
+    distinct position array — the gaps-and-islands fold as ONE
+    Catalyst ``aggregate`` expression (O(positions) per doc, JVM-side,
+    no window function and therefore no extra exchange). Accumulator:
+    (closed spans, current run start, previous position)."""
+    init = F.struct(
+        F.expr("cast(array() as array<struct<s:bigint,e:bigint>>)").alias("spans"),
+        F.lit(None).cast("long").alias("cs"),
+        F.lit(None).cast("long").alias("pv"),
+    )
+
+    def merge(acc, x):
+        new_run = acc["pv"].isNull() | (x != acc["pv"] + 1)
+        closed = F.when(acc["pv"].isNull(), acc["spans"]).otherwise(
+            F.concat(
+                acc["spans"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["pv"].alias("e"))),
+            )
+        )
+        return F.struct(
+            F.when(new_run, closed).otherwise(acc["spans"]).alias("spans"),
+            F.when(new_run, x).otherwise(acc["cs"]).alias("cs"),
+            x.alias("pv"),
+        )
+
+    def finish(acc):
+        return F.when(acc["pv"].isNull(), acc["spans"]).otherwise(
+            F.concat(
+                acc["spans"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["pv"].alias("e"))),
+            )
+        )
+
+    return F.aggregate(sorted_pos, init, merge, finish)
+
+
 def excise_duplicate_spans(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     min_df: int = 2,
+    min_span_tokens: int | None = None,
 ) -> DataFrame:
     """The REMOVAL step over :func:`duplicate_spans` (the corpus
     rewrite of Lee et al. 2021's exact-substring dedup, public): drop
@@ -677,6 +715,16 @@ def excise_duplicate_spans(
     (the conservative memorization guard); keep-one-copy policies can
     anti-join the df table on a representative doc first.
 
+    ``min_span_tokens`` (the paper-faithful knob — Lee et al.'s
+    operative unit is duplicated substrings of ≥ ~50 tokens): covered
+    positions are first merged into MAXIMAL contiguous spans, and only
+    spans of ≥ ``min_span_tokens`` tokens are excised. Without it a
+    fixed small n over-masks real corpora — natural-language trigrams
+    shared by a handful of documents are ubiquitous, so ordinary prose
+    would leave the corpus along with the boilerplate. ``None`` (and
+    any value ≤ n — a covered island is never shorter than n) keeps
+    the excise-everything-covered behavior.
+
     Output: (doc_id, clean_text, n_tokens_kept, n_tokens_dropped).
 
     Plan: the span table's positions explode n-fold into a covered-
@@ -684,7 +732,10 @@ def excise_duplicate_spans(
     per-doc collect_set (size ≤ doc tokens), then the rewrite is a
     positional array filter + array_join in whole-stage codegen — no
     Python, and the only corpus-scale exchanges are the gram-df
-    aggregate and the position set's doc-keyed group-by."""
+    aggregate and the position set's doc-keyed group-by. The
+    span-merge adds NO exchange: it is a per-row Catalyst ``aggregate``
+    fold over the already-grouped position array (gaps-and-islands
+    without the window function)."""
     spans = duplicate_spans(docs, text_col, id_col, n, min_df)
     covered = (
         spans.select(
@@ -695,6 +746,17 @@ def excise_duplicate_spans(
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("_cov"))
     )
+    if min_span_tokens is not None and min_span_tokens > n:
+        runs = _maximal_spans(F.array_sort("_cov"))
+        long_runs = F.filter(
+            runs, lambda s: s["e"] - s["s"] + F.lit(1) >= F.lit(min_span_tokens)
+        )
+        covered = covered.select(
+            "doc_id",
+            F.flatten(
+                F.transform(long_runs, lambda s: F.sequence(s["s"], s["e"]))
+            ).alias("_cov"),
+        )
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
     kept = F.filter(
         "_t",

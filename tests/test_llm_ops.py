@@ -375,3 +375,70 @@ def test_excise_duplicate_spans_removes_boilerplate_keeps_unique(spark):
         assert out[i].n_tokens_dropped == 6
     assert out[9].clean_text == "totally unique content nine alpha beta"
     assert out[9].n_tokens_dropped == 0
+
+
+def test_excise_min_span_spares_short_spans(spark):
+    """Round-7 (Lee et al. fidelity): with min_span_tokens set, covered
+    positions merge into MAXIMAL contiguous spans and only spans >= the
+    floor are excised — a shared trigram (the ubiquitous-prose case the
+    fixed policy over-masks) survives while a planted long boilerplate
+    run leaves the text. min_span_tokens <= n degrades exactly to the
+    legacy excise-everything-covered behavior."""
+    from play_with_pulsar_spark.operators import textops
+
+    bp = " ".join(f"bp{i:03d}" for i in range(12))  # 12-token run
+    shared3 = "all rights reserved"                 # 3-token run
+    rows = [
+        (0, f"zero unique words {shared3} more zero stuff {bp}"),
+        (1, f"one other tokens {shared3} extra one thing {bp}"),
+        (2, f"two further text {shared3} and two words here"),
+        (3, "completely unrelated document with nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r for r in textops.excise_duplicate_spans(
+        docs, n=3, min_df=2, min_span_tokens=10).collect()}
+    # the 12-token boilerplate run clears the floor → excised
+    assert out[0].n_tokens_dropped == 12 and "bp000" not in out[0].clean_text
+    assert out[1].n_tokens_dropped == 12 and "bp011" not in out[1].clean_text
+    # the 3-token shared trigram is under the floor → survives everywhere
+    for i in range(3):
+        assert shared3 in out[i].clean_text
+    assert out[2].n_tokens_dropped == 0
+    assert out[3].n_tokens_dropped == 0
+
+    # floor <= n: identical to the legacy policy, row for row
+    legacy = {r.doc_id: r for r in textops.excise_duplicate_spans(
+        docs, n=3, min_df=2).collect()}
+    floored = {r.doc_id: r for r in textops.excise_duplicate_spans(
+        docs, n=3, min_df=2, min_span_tokens=3).collect()}
+    assert {k: (v.clean_text, v.n_tokens_dropped) for k, v in legacy.items()} \
+        == {k: (v.clean_text, v.n_tokens_dropped) for k, v in floored.items()}
+
+
+def test_excise_min_span_island_edges(spark):
+    """Gaps-and-islands edge cases for the span-merge fold: two
+    separate runs in ONE doc where only the longer clears the floor;
+    a run at position 0; and adjacent runs merging across overlapping
+    gram coverage into one maximal span."""
+    from play_with_pulsar_spark.operators import textops
+
+    long_run = " ".join(f"L{i}" for i in range(8))    # 8 tokens
+    short_run = " ".join(f"s{i}" for i in range(4))   # 4 tokens
+    rows = [
+        # both runs present, separated by unique filler
+        (0, f"{long_run} filler0a filler0b {short_run}"),
+        (1, f"{long_run} filler1a filler1b {short_run}"),
+        # run starting at position 0 in a third doc keeps df >= 2 honest
+        (2, f"{long_run} tail2a tail2b tail2c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.excise_duplicate_spans(
+        docs, n=3, min_df=2, min_span_tokens=6).collect()}
+    # 8-token run >= 6 → excised (including at position 0); 4-token < 6 → kept
+    assert out[0].n_tokens_dropped == 8
+    assert out[0].clean_text == f"filler0a filler0b {short_run}"
+    assert out[1].n_tokens_dropped == 8
+    assert out[1].clean_text == f"filler1a filler1b {short_run}"
+    assert out[2].n_tokens_dropped == 8
+    assert out[2].clean_text == "tail2a tail2b tail2c"

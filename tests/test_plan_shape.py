@@ -226,3 +226,16 @@ def test_bm25_single_tokenization_scan(spark, sf_dir):
         assert "TakeOrderedAndProject" in plan, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_excise_min_span_adds_no_exchange(q):
+    # round-7 contract: the Lee-et-al. span merge (maximal islands +
+    # length floor) is a per-row Catalyst aggregate fold over the
+    # already-grouped position array — same exchange count as the
+    # excise-everything policy, no window function, no Python stage
+    base = q("text_excise_duplicate_spans")
+    faithful = q("text_excise_min_span")
+    assert plans.count_shuffles(faithful) == plans.count_shuffles(base)
+    plan = faithful._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "InPandas" not in plan, plan
