@@ -590,6 +590,8 @@ def robust_outlier_filter(
     k: float = 3.5,
     id_col: str = "doc_id",
     round_to: int = 6,
+    exact: bool = True,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Robust outlier screen over any per-document scalar (token
     count, chars, scores): flag documents whose value deviates from
@@ -598,19 +600,39 @@ def robust_outlier_filter(
     mean/std z-scores for curation thresholds (a handful of giant
     pages cannot drag the cutoff the way they drag a mean).
 
-    Plan: two 1-row percentile aggregates (median, then MAD of the
-    residuals) broadcast back via crossJoin — fully lazy, no driver
-    scalars; the flag itself is then a scalar projection. Exact
-    interpolated percentiles in both engines; the robust z is rounded
-    so the flag is engine-portable (oracle-checked). Zero-MAD corpora
-    (>=half identical values) keep every doc (z NULL → not outlier).
+    ``exact`` (the domain contract, round-7 advice): Spark's EXACT
+    ``percentile`` merges a value→count map on ONE reducer task, so
+    its memory is O(distinct values) — safe precisely when the value
+    domain is BOUNDED (integer token counts, byte lengths: distinct
+    values ≤ max doc size regardless of corpus rows). For CONTINUOUS
+    values (classifier scores, ratios) at 100 TB that map is O(rows)
+    on one task — pass ``exact=False`` to use ``percentile_approx``
+    (KLL-style mergeable sketch, memory O(``approx_accuracy``) at any
+    scale; default accuracy 10⁴ ⇒ rank error ≤ 1/10⁴, far inside any
+    sane MAD threshold). The sketch is deterministic given the data,
+    and the declared ``quality_outlier_mad_continuous`` query asserts
+    it inside the exact p45..p55 band under the
+    ``approx_stats_bounded`` protocol.
+
+    Plan (both modes): two 1-row percentile aggregates (median, then
+    MAD of the residuals) broadcast back via crossJoin — fully lazy,
+    no driver scalars; the flag itself is then a scalar projection.
+    The robust z is rounded so the flag is engine-portable
+    (oracle-checked). Zero-MAD corpora (>=half identical values) keep
+    every doc (z NULL → not outlier).
 
     Output: (doc_id, value, robust_z, is_outlier)."""
     vals = docs.select(F.col(id_col).alias("doc_id"), value.cast("double").alias("value"))
-    med = vals.agg(F.percentile("value", F.lit(0.5)).alias("_med"))
+    if exact:
+        p50 = lambda c: F.percentile(c, F.lit(0.5))  # noqa: E731
+    else:
+        p50 = lambda c: F.percentile_approx(  # noqa: E731
+            c, F.lit(0.5), F.lit(approx_accuracy)
+        )
+    med = vals.agg(p50(F.col("value")).alias("_med"))
     with_med = vals.crossJoin(F.broadcast(med))
     mad = with_med.agg(
-        F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)).alias("_mad")
+        p50(F.abs(F.col("value") - F.col("_med"))).alias("_mad")
     )
     z = F.round(
         F.abs(F.col("value") - F.col("_med")) / F.nullif(F.col("_mad"), F.lit(0.0)),

@@ -564,3 +564,51 @@ def test_robust_outlier_filter_flags_planted_giants(spark):
     )
     out2 = curation.robust_outlier_filter(same, value=token_count("text"), k=3.5)
     assert out2.filter("is_outlier").count() == 0
+
+
+def test_robust_outlier_approx_path_matches_exact_flags(spark):
+    """Round-7 advice fix: exact=False swaps the O(distinct-values)
+    exact percentile for the mergeable percentile_approx sketch
+    (bounded memory on continuous domains). On a corpus with clearly
+    separated outliers the two paths must flag the identical set, the
+    sketch medians must land inside the exact p45..p55 bands, and the
+    approx plan must stay fully lazy (same shape: two 1-row aggs
+    broadcast back, no Window)."""
+    from play_with_pulsar_spark.operators import curation
+    from play_with_pulsar_spark.operators.textops import mean_token_len
+
+    # continuous value: mean token length with REAL per-doc jitter
+    # (17 and 9 coprime ⇒ the 20-token window's phase varies with i,
+    # so per-doc means spread instead of collapsing to one value)
+    rows = [(i, " ".join("x" * (1 + (i * 31 + j * 17) % 9) for j in range(20)))
+            for i in range(120)]
+    rows += [(900, " ".join("y" * 40 for _ in range(20))),
+             (901, " ".join("z" * 55 for _ in range(20)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    value = mean_token_len("text")
+
+    exact = curation.robust_outlier_filter(docs, value=value, k=3.5)
+    approx = curation.robust_outlier_filter(docs, value=value, k=3.5, exact=False)
+    f_exact = {r.doc_id for r in exact.filter("is_outlier").collect()}
+    f_approx = {r.doc_id for r in approx.filter("is_outlier").collect()}
+    assert f_exact == f_approx == {900, 901}
+
+    # sketch-vs-exact bound (the approx_stats_bounded protocol)
+    from pyspark.sql import functions as F
+
+    vals = docs.select(value.cast("double").alias("v"))
+    r = vals.agg(
+        F.expr("percentile(v, 0.45)").alias("p45"),
+        F.expr("percentile(v, 0.55)").alias("p55"),
+        F.percentile_approx("v", F.lit(0.5), F.lit(10000)).alias("am"),
+    ).collect()[0]
+    assert r.p45 <= r.am <= r.p55
+
+    # zero-MAD degenerate corpus keeps every doc on the approx path too
+    same = spark.createDataFrame(
+        [(i, "w w w") for i in range(40)], "doc_id long, text string"
+    )
+    out2 = curation.robust_outlier_filter(
+        same, value=mean_token_len("text"), k=3.5, exact=False
+    )
+    assert out2.filter("is_outlier").count() == 0
