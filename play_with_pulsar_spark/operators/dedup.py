@@ -177,6 +177,7 @@ def minhash_signatures(
     num_hashes: int = 128,
     seed: int = 42,
     grams: DataFrame | None = None,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>[num_hashes]) — min over shingles of
     affine permutations of xxhash64(shingle).
@@ -190,15 +191,22 @@ def minhash_signatures(
     more than the aggregation itself — measured 8s+ per recompile at
     k=128. repartitionByRange guarantees each doc's rows land in one
     partition, so the carry logic is exact.
-    """
+
+    ``flag_col``: name of a per-doc-constant boolean column on
+    ``grams`` to carry through to the output (one value per doc, the
+    group's first) — lets a caller sign the UNION of two gram tables
+    in ONE kernel pass and still tell the sides apart downstream (the
+    incremental screen's one-pass mode)."""
     a_params, b_params = _perm_params(num_hashes, seed)
     A = np.asarray(a_params, dtype=np.int64)[None, :]
     B = np.asarray(b_params, dtype=np.int64)[None, :]
 
     if grams is None:
         grams = exploded_ngrams(docs, text_col, id_col, n)
+    flag_sel = [F.col(flag_col)] if flag_col else []
     g_hashed = grams.select(
         "doc_id",
+        *flag_sel,
         # unsigned-ify xxhash64 into [0, 2^31-1) via pmod: 31-bit
         # values keep h·a + b inside int64 for the numpy kernel too
         F.pmod(F.xxhash64("g"), F.lit(_MERSENNE)).alias("h"),
@@ -207,35 +215,59 @@ def minhash_signatures(
     def kernel(batches):
         carry_doc = None
         carry_min = None
+        carry_flag = None
         for pdf in batches:
             if pdf.empty:
                 continue
             d = pdf["doc_id"].to_numpy()
             h = pdf["h"].to_numpy(dtype=np.int64)
+            fl = pdf[flag_col].to_numpy() if flag_col else None
             m = (h[:, None] * A + B) % _MERSENNE  # (n, k)
             starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
             mins = np.minimum.reduceat(m, starts, axis=0)
             doc_ids = d[starts]
+            flags = fl[starts] if flag_col else None
             if carry_doc is not None:
                 if doc_ids[0] == carry_doc:
                     mins[0] = np.minimum(mins[0], carry_min)
                 else:
-                    yield pd.DataFrame({"doc_id": [carry_doc], "sig": [carry_min.tolist()]})
+                    out = {"doc_id": [carry_doc], "sig": [carry_min.tolist()]}
+                    if flag_col:
+                        out[flag_col] = [carry_flag]
+                    yield pd.DataFrame(out)
             carry_doc = int(doc_ids[-1])
             carry_min = mins[-1]
+            if flag_col:
+                carry_flag = bool(flags[-1])
             if len(doc_ids) > 1:
-                yield pd.DataFrame(
-                    {"doc_id": doc_ids[:-1], "sig": [r.tolist() for r in mins[:-1]]}
-                )
+                out = {
+                    "doc_id": doc_ids[:-1],
+                    "sig": [r.tolist() for r in mins[:-1]],
+                }
+                if flag_col:
+                    out[flag_col] = flags[:-1]
+                yield pd.DataFrame(out)
         if carry_doc is not None:
-            yield pd.DataFrame({"doc_id": [carry_doc], "sig": [carry_min.tolist()]})
+            out = {"doc_id": [carry_doc], "sig": [carry_min.tolist()]}
+            if flag_col:
+                out[flag_col] = [carry_flag]
+            yield pd.DataFrame(out)
 
+    schema = "doc_id long, sig array<bigint>"
+    if flag_col:
+        schema += f", {flag_col} boolean"
     sorted_grams = g_hashed.repartitionByRange("doc_id").sortWithinPartitions("doc_id")
-    return sorted_grams.mapInPandas(kernel, schema="doc_id long, sig array<bigint>")
+    return sorted_grams.mapInPandas(kernel, schema=schema)
 
 
-def _banded(signatures: DataFrame, num_bands: int, rows_per_band: int) -> DataFrame:
-    """(doc_id, band, bucket) — one row per band per doc.
+def _banded(
+    signatures: DataFrame,
+    num_bands: int,
+    rows_per_band: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id[, *extra_cols], band, bucket) — one row per band per
+    doc; ``extra_cols`` are carried through unchanged.
 
     bucket = xxhash64 over the band's signature longs directly — no
     string casts/concat (smaller codegen, cheaper per row than hashing
@@ -243,6 +275,7 @@ def _banded(signatures: DataFrame, num_bands: int, rows_per_band: int) -> DataFr
     identical sig values in different bands never collide)."""
     return signatures.select(
         "doc_id",
+        *extra_cols,
         F.posexplode(
             F.array(
                 *[
@@ -705,6 +738,17 @@ def incremental_minhash_pairs(
     test_incremental_dedup). Otherwise ``index_sigs`` is banded
     inline.
 
+    ``index_sigs=None`` AND ``index_banded=None`` selects the
+    ONE-PASS inline-build mode (round 7): signatures for the index
+    AND the batch are computed from the gram union in a single range
+    exchange + a single Arrow kernel (per-doc flag threaded through),
+    instead of two exchanges + two Python stages. Semantically
+    identical — signatures are per-doc deterministic in (seed,
+    shingles) — and measured ~25% faster on the declared inline-build
+    query; use it whenever the index signatures do not already exist
+    (when they DO exist — read from parquet — passing them is cheaper
+    than re-signing the corpus).
+
     ``max_bucket_size`` must count index AND batch members per
     bucket, so capping routes through the unioned table — an
     O(index-banded-rows) scan; leave it None on the stored-index path
@@ -721,25 +765,50 @@ def incremental_minhash_pairs(
     """
     rows_per_band = num_hashes // num_bands
     new_grams = build_ngram_index(new_docs, text_col, id_col, n).persist()
-    new_sigs = minhash_signatures(None, num_hashes=num_hashes, seed=seed, grams=new_grams)
-    if index_banded is None:
-        index_banded = _banded(index_sigs, num_bands, rows_per_band)
-    new_banded = _banded(new_sigs, num_bands, rows_per_band).persist()
-    cached = [new_grams, new_banded]
-
-    if max_bucket_size is not None:
+    cached = [new_grams]
+    onepass = index_sigs is None and index_banded is None
+    if onepass:
+        # one-pass mode: sign index ∪ batch grams together — ONE range
+        # exchange + ONE Arrow kernel; the per-doc is_new flag rides
+        # the kernel so the sides separate with no join afterwards
+        union_grams = (
+            index_grams.select("doc_id", "g").withColumn("is_new", F.lit(False))
+            .unionByName(
+                new_grams.select("doc_id", "g").withColumn("is_new", F.lit(True))
+            )
+        )
+        sigs = minhash_signatures(
+            None, num_hashes=num_hashes, seed=seed, grams=union_grams,
+            flag_col="is_new",
+        )
+        all_banded = _banded(
+            sigs, num_bands, rows_per_band, extra_cols=("is_new",)
+        ).persist()
+        cached.append(all_banded)
+        new_banded = all_banded.filter(F.col("is_new"))
+    else:
+        new_sigs = minhash_signatures(
+            None, num_hashes=num_hashes, seed=seed, grams=new_grams
+        )
+        if index_banded is None:
+            index_banded = _banded(index_sigs, num_bands, rows_per_band)
+        new_banded = _banded(new_sigs, num_bands, rows_per_band).persist()
+        cached.append(new_banded)
         all_banded = (
             index_banded.withColumn("is_new", F.lit(False))
             .unionByName(new_banded.withColumn("is_new", F.lit(True)))
-            .persist()
         )
-        cached.append(all_banded)
-        all_banded = _cap_buckets(all_banded, max_bucket_size)
-        new_side = all_banded.filter(F.col("is_new"))
+
+    if max_bucket_size is not None:
+        if not onepass:
+            all_banded = all_banded.persist()
+            cached.append(all_banded)
+        capped = _cap_buckets(all_banded, max_bucket_size)
+        new_side = capped.filter(F.col("is_new"))
         if broadcast_batch:
             new_side = F.broadcast(new_side)
         cands = _touching_new_pairs(
-            new_side, all_banded, ["band", "bucket"]
+            new_side, capped, ["band", "bucket"]
         ).distinct()
     else:
         # batch × (index ∪ batch) in ONE broadcast join (round 6 —
@@ -753,10 +822,6 @@ def incremental_minhash_pairs(
         # an id overlap (the overlap's real damage — double-counted
         # cross-pair intersections — is the disjoint-id precondition's
         # to prevent, see above).
-        all_banded = (
-            index_banded.withColumn("is_new", F.lit(False))
-            .unionByName(new_banded.withColumn("is_new", F.lit(True)))
-        )
         probe = F.broadcast(new_banded) if broadcast_batch else new_banded
         cands = _touching_new_pairs(probe, all_banded, ["band", "bucket"]).distinct()
     grams = index_grams.select("doc_id", "g").unionByName(new_grams.select("doc_id", "g"))

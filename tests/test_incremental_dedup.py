@@ -385,3 +385,29 @@ def test_verify_without_broadcast_hints_same_result(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_incremental_minhash_onepass_mode_equals_all_paths(spark, sf_dir):
+    """Round-7: the one-pass inline-build mode (index_sigs=None,
+    index_banded=None — index and batch grams signed in ONE kernel
+    pass with the is_new flag threaded through) returns exactly the
+    explicit-sigs result, the batch-restricted result, and the same
+    under a bucket cap. Signatures are per-doc deterministic in
+    (seed, shingles), so fusing the passes must change nothing."""
+    docs, corpus, new = _docs(spark, sf_dir)
+    g1, s1 = dedup.build_minhash_index(corpus, num_hashes=GEOM["num_hashes"])
+    explicit = _pairs(dedup.incremental_minhash_pairs(g1, s1, new, **GEOM))
+    g2 = dedup.build_ngram_index(corpus).persist()
+    onepass = _pairs(dedup.incremental_minhash_pairs(g2, None, new, **GEOM))
+    batch = _pairs(dedup.minhash_dedup_pairs(docs, **GEOM))
+    assert onepass == explicit == _touching_new(batch) != set()
+
+    g3, s3 = dedup.build_minhash_index(corpus, num_hashes=GEOM["num_hashes"])
+    cap_explicit = _pairs(
+        dedup.incremental_minhash_pairs(g3, s3, new, **GEOM, max_bucket_size=20)
+    )
+    g4 = dedup.build_ngram_index(corpus).persist()
+    cap_onepass = _pairs(
+        dedup.incremental_minhash_pairs(g4, None, new, **GEOM, max_bucket_size=20)
+    )
+    assert cap_onepass == cap_explicit
