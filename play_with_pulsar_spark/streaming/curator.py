@@ -111,6 +111,8 @@ class StreamingCorpusCurator:
         num_tables: int | None = None,
         max_bucket_size: int | None = None,
         expected_corpus: int | None = None,
+        quality_model_path: str | None = None,
+        quality_threshold: float = 0.5,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -170,7 +172,26 @@ class StreamingCorpusCurator:
         8/8 default — and a re-attachment whose explicit constructor
         args CONFLICT with the frozen sidecar raises instead of
         silently changing geometry mid-state (round-6 advice: an
-        explicit-args restart used to bypass the freeze entirely)."""
+        explicit-args restart used to bypass the freeze entirely).
+
+        ``quality_model_path`` (round 7): path to a
+        ``classifier.save_model`` sidecar. When set, every batch is
+        PRE-SCREENED by the learned quality filter before the dedup
+        screen — the filter-then-dedup ordering of
+        ``pipeline_quality_dedup``, run incrementally: scoring is a
+        literal-weight projection (zero shuffles), docs with score <
+        ``quality_threshold`` are rejected and — like near-dup
+        rejects — never indexed, and the (smaller) survivor set is
+        what the expensive dedup screen and the state appends see.
+        The sidecar is re-read whenever its mtime/size changes (the
+        crawl loop's periodic refit just ``save_model``s over it —
+        atomic flip, so the curator sees old weights or new, never
+        torn). Replay caveat: a batch replayed AFTER a model swap is
+        re-scored under the NEW weights — version the sidecar per
+        batch if bit-identical replay across model updates matters
+        (same class of caveat as a fresh checkpoint resetting batch
+        ids). Applies to the text screens (jaccard/minhash), whose
+        batches carry ``text_col``; the embedding screen ignores it."""
         if screen not in ("jaccard", "minhash", "embedding"):
             raise ValueError(f"unknown screen {screen!r}")
         if screen == "embedding" and emb_dim is None:
@@ -240,6 +261,9 @@ class StreamingCorpusCurator:
         self.sig_schema = f"vec_id {id_type}, tbl int, bucket long"
         self.compact_after = compact_after
         self.n_buckets = n_buckets
+        self.quality_model_path = quality_model_path
+        self.quality_threshold = quality_threshold
+        self._quality_model: tuple | None = None  # ((mtime, size), w, stats)
         self.catalog_prefix = catalog_prefix or (
             "pwp_curator_" + hashlib.md5(base_dir.encode()).hexdigest()[:8]
         )
@@ -432,6 +456,34 @@ class StreamingCorpusCurator:
         except Exception:
             return os.path.exists(path)
 
+    def _apply_quality_screen(self, docs: DataFrame) -> DataFrame:
+        """Learned-quality pre-screen (``quality_model_path``): keep
+        only docs the classifier scores ≥ ``quality_threshold``. The
+        model sidecar is cached on (mtime, size) and re-read on
+        change; scoring is a zero-shuffle literal projection, so the
+        screen's cost is one pass over the batch — which then SHRINKS
+        everything downstream (the whole point of filter-then-dedup)."""
+        if self.quality_model_path is None:
+            return docs
+        from ..operators import classifier
+
+        st = os.stat(self.quality_model_path)
+        key = (st.st_mtime_ns, st.st_size)
+        if self._quality_model is None or self._quality_model[0] != key:
+            w, stats = classifier.load_model(self.quality_model_path)
+            self._quality_model = (key, w, stats)
+        _, w, stats = self._quality_model
+        feats = classifier.standardize(
+            classifier.quality_features(docs, self.text_col, self.id_col),
+            stats=stats,
+        )
+        low = (
+            classifier.logreg_score(feats, w)
+            .filter(F.col("score") < F.lit(float(self.quality_threshold)))
+            .select(F.col("doc_id").alias(self.id_col))
+        )
+        return docs.join(low, self.id_col, "anti")
+
     def _rejected_ids(self, pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
         """Apply the greedy rule to the touching-new pair set.
         ``pairs`` is (id_a < id_b); either side may be the new doc."""
@@ -462,7 +514,10 @@ class StreamingCorpusCurator:
         banded_done = not minhash or self._committed(self.banded_dir, batch_id)
         if acc_done and grams_done and banded_done:  # committed replay
             return
-        docs = batch.persist()  # screened once, written once
+        # quality pre-screen BEFORE the persist: the dedup screen, the
+        # survivor write, and the index appends all see only the docs
+        # that cleared the learned filter
+        docs = self._apply_quality_screen(batch).persist()
         if minhash:
             pairs = incremental_minhash_pairs(
                 self._index(exclude_batch=batch_id),

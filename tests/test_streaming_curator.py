@@ -631,3 +631,64 @@ def test_embedding_curator_explicit_geometry_frozen_and_conflict(spark, tmp_path
     StreamingCorpusCurator(spark, path2, screen="embedding", emb_dim=2)
     with open(os.path.join(path2, "geometry.json")) as f:
         assert json.load(f) == {"num_planes": 8, "num_tables": 8}
+
+
+def test_curator_quality_screen_gates_dedup(spark, tmp_path):
+    """Round-7: quality_model_path pre-screens every batch with the
+    learned filter BEFORE the dedup screen. Low-quality docs are
+    rejected and NEVER indexed (so they also never reject a later
+    near-dup); replay of a committed batch is a no-op; a partial
+    commit replays to the identical state; and a model-sidecar swap
+    (atomic save_model over the same path) is picked up on the next
+    batch without restarting the curator."""
+    import shutil
+
+    from play_with_pulsar_spark.operators import classifier
+
+    # hand-built model: identity stats + weight only on log_tokens ⇒
+    # score >= 0.5 iff ln(1+n_tokens) >= 3.258 iff n_tokens >= 25
+    model = str(tmp_path / "model.json")
+    stats = {name: (0.0, 1.0) for name in classifier.FEATURES}
+    classifier.save_model(model, [-32.58, 10.0, 0.0, 0.0, 0.0, 0.0], stats)
+
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "c"), quality_model_path=model
+    )
+    # doc 1 long (30 tokens, passes), doc 2 short (5 tokens, fails)
+    b0 = _docs(spark, [(1, _w(1, 30)), (2, _w(2, 5))])
+    cur.process_batch(b0, 0)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == [1]
+    indexed = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "c/grams"))
+        .select("doc_id").distinct().collect()
+    }
+    assert indexed == {1}  # quality-rejected doc 2 never indexed
+
+    # 3 near-dups accepted 1 → dedup-rejected; 4 long unique → kept;
+    # 5 short → quality-rejected
+    b1 = _docs(spark, [(3, _w(1, 30)), (4, _w(4, 30)), (5, _w(5, 5))])
+    cur.process_batch(b1, 1)
+    kept = sorted(r["doc_id"] for r in cur.accepted().collect())
+    assert kept == [1, 4]
+
+    # committed replay: no-op
+    cur.process_batch(b1, 1)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == kept
+
+    # partial-commit replay: grams partition of batch 1 lost → the
+    # redelivery must rebuild exactly the kept docs' shingles
+    shutil.rmtree(cur._batch_dir(cur.grams_dir, 1))
+    cur.process_batch(b1, 1)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == kept
+    indexed = {
+        r["doc_id"]
+        for r in cur._index().select("doc_id").distinct().collect()
+    }
+    assert indexed == {1, 4}
+
+    # model swap (atomic overwrite): next batch scored by NEW weights
+    # — bias +100 accepts everything, so a short doc now survives
+    classifier.save_model(model, [100.0, 0.0, 0.0, 0.0, 0.0, 0.0], stats)
+    cur.process_batch(_docs(spark, [(6, _w(6, 5))]), 2)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == [1, 4, 6]
