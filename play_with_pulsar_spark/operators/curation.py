@@ -495,6 +495,8 @@ def dsir_importance_scores(
     id_col: str = "doc_id",
     logw_round: int = 8,
     score_round: int = 6,
+    features: str = "unigrams",
+    n_buckets: int = 10_000,
 ) -> DataFrame:
     """DSIR-style importance scores (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling" — public): rank raw
@@ -506,6 +508,19 @@ def dsir_importance_scores(
     estimates add-one smoothed over the shared vocabulary. Positive ⇒
     target-like.
 
+    ``features``: ``"unigrams"`` (raw terms — the simple form) or
+    ``"hashed_ngrams"`` (the paper's ACTUAL feature space, round 7:
+    unigrams + bigrams hashed into ``n_buckets`` buckets — Xie et al.
+    §3.1 use 10k). The hashed form is the scale contract: the
+    log-weight table is ≤ ``n_buckets`` rows at ANY corpus size BY
+    CONSTRUCTION, where the raw vocabulary is corpus-dependent and
+    unbounded on real text (the synthetic fixture's generator caps
+    its vocab at ~950 n-grams, so growth is not observable there —
+    the 10× probe instead pins the bucket side flat: 903 observed
+    buckets at sf0.01, 917 at sf0.1, bound 10k always). The bucket
+    hash is the engine-portable md5 uniform (same family as the
+    Gumbel draw), so the DuckDB oracle replays it bit-exactly.
+
     Spark shape (the ``unigram_logprob`` template): ONE exploded token
     table feeds (a) a per-term (tf, tf_target) aggregate — map-side
     combined, vocabulary-sized output — and (b) the per-doc scoring
@@ -516,11 +531,37 @@ def dsir_importance_scores(
     """
     from ..oracle import dsum
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        target.cast("long").alias("_is_t"),
-        F.explode(tokens(text_col)).alias("term"),
-    )
+    if features not in ("unigrams", "hashed_ngrams"):
+        raise ValueError(f"unknown features {features!r}")
+    if features == "hashed_ngrams":
+        t = tokens(text_col)
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            target.cast("long").alias("_is_t"),
+            F.explode(F.concat(t, bigrams)).alias("_g"),
+        ).select(
+            "doc_id",
+            "_is_t",
+            F.pmod(
+                F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            ).alias("term"),
+        )
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            target.cast("long").alias("_is_t"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
     tf = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"), F.sum("_is_t").alias("tf_t")
     )
