@@ -634,6 +634,221 @@ def state_at(events: DataFrame, snapshots: DataFrame, upto_offset: int) -> DataF
     )
 
 
+class FoldSnapshotView:
+    """Incrementally-maintained snapshot table for the fold — the
+    matview pattern (``operators.matview``) applied to GameState time
+    travel (round 7). :func:`snapshot_states` builds the checkpoint
+    table by folding the WHOLE log; nothing maintained it as the log
+    grew, so a crawl-loop deployment would re-fold history per
+    refresh. This view folds each appended batch ONCE: per-batch cost
+    is O(batch events), and ``state_at`` stays O(tail ≤ every_k) from
+    the latest materialized snapshot forever.
+
+    State layout under ``path`` (the curator's idempotent-batch-dir
+    protocol, local/POSIX ``_SUCCESS`` markers):
+
+    - ``snaps/batch=<id>/`` — public checkpoint rows (room,
+      snap_offset, blob), one pickled GameState per crossed
+      ``every_k`` boundary, append-only across batches.
+    - ``heads/batch=<id>/`` — per-room CARRY state: the fold result
+      at the last offset each batch processed. The latest head per
+      room is the next batch's resume point, so a batch ending
+      mid-interval costs the next batch nothing extra; the reader
+      takes max-by-offset, so superseded heads are dead weight until
+      a cleanup (bounded: one row per room per batch).
+
+    Replay semantics: ``update`` with an already-committed
+    ``batch_id`` is a no-op; a replay after a partial commit excludes
+    this batch's own partitions from the resume read (the curator's
+    exclude-own-batch rule) and rewrites both partitions
+    deterministically (pickle of the same fold from the same resume
+    state is byte-identical).
+
+    PRECONDITION (append-only log tail): each batch carries, per
+    room, only offsets strictly greater than every offset a previous
+    batch carried for that room — exactly what a monotone
+    micro-batched log reader delivers. Out-of-order delivery must be
+    repaired upstream (the fold is order-sensitive by definition).
+
+    At 100 TB: rooms shard the kernel (one group = one room, state ≤
+    a few KB), snapshots partition by room for the ``state_at`` point
+    read, and per-batch work never touches history — the same
+    O(batch)-not-O(log) contract as ``LatestStateView``."""
+
+    def __init__(self, spark, path: str, every_k: int = 1000) -> None:
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.every_k = int(every_k)
+        self.snaps_dir = os.path.join(path, "snaps")
+        self.heads_dir = os.path.join(path, "heads")
+
+    # ---------------------------------------------------------- layout
+
+    def _batch_dir(self, base: str, batch_id: int) -> str:
+        import os
+
+        return os.path.join(base, f"batch={batch_id}")
+
+    def _committed(self, base: str, batch_id: int) -> bool:
+        import os
+
+        return os.path.exists(
+            os.path.join(self._batch_dir(base, batch_id), "_SUCCESS")
+        )
+
+    def _committed_dirs(self, base: str, exclude: int | None = None) -> list[str]:
+        import os
+
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            if not d.startswith("batch="):
+                continue
+            bid = int(d.split("=", 1)[1])
+            if exclude is not None and bid == exclude:
+                continue
+            full = os.path.join(base, d)
+            if os.path.exists(os.path.join(full, "_SUCCESS")):
+                out.append(full)
+        return out
+
+    def _read(self, base: str, schema: str, exclude: int | None = None) -> DataFrame:
+        dirs = self._committed_dirs(base, exclude)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", base)
+            .parquet(*dirs)
+            .select(*[c.split()[0] for c in schema.split(",")])
+        )
+
+    # ----------------------------------------------------------- reads
+
+    def snapshots(self) -> DataFrame:
+        """The maintained checkpoint table (SNAPSHOT_SCHEMA shape) —
+        drop-in for :func:`state_at`'s ``snapshots`` argument."""
+        return self._read(
+            self.snaps_dir, "room string, snap_offset long, blob binary"
+        )
+
+    def heads(self) -> DataFrame:
+        """(room, upto_offset, blob): the latest carry state per room
+        — the resume point, also useful as a cheap latest-state view."""
+        raw = self._read(
+            self.heads_dir, "room string, upto_offset long, blob binary"
+        )
+        return (
+            raw.groupBy("room")
+            .agg(F.max_by(F.struct("upto_offset", "blob"), "upto_offset").alias("h"))
+            .select(
+                "room",
+                F.col("h.upto_offset").alias("upto_offset"),
+                F.col("h.blob").alias("blob"),
+            )
+        )
+
+    def state_at(self, events: DataFrame, upto_offset: int) -> DataFrame:
+        """Time travel through the MAINTAINED snapshots: O(tail) —
+        the event scan below the chosen snapshot is pruned by
+        :func:`state_at`'s filter, and the tail is < ``every_k``
+        events per room once the view has caught up past ``upto``."""
+        return state_at(events, self.snapshots(), upto_offset)
+
+    # ---------------------------------------------------------- update
+
+    def update(self, events: DataFrame, batch_id: int) -> None:
+        """Fold one appended batch into the view: resume each room
+        from its latest committed head (this batch's own partitions
+        excluded — replay safety), emit a snapshot row at every
+        crossed ``every_k`` boundary plus the new head, and commit
+        both tables into idempotent ``batch=<id>`` partitions."""
+        import pickle
+
+        snaps_done = self._committed(self.snaps_dir, batch_id)
+        heads_done = self._committed(self.heads_dir, batch_id)
+        if snaps_done and heads_done:
+            return
+        resume = self._read(
+            self.heads_dir, "room string, upto_offset long, blob binary",
+            exclude=batch_id,
+        )
+        resume = (
+            resume.groupBy("room")
+            .agg(F.max_by(F.struct("upto_offset", "blob"), "upto_offset").alias("h"))
+            .select(
+                "room",
+                F.col("h.upto_offset").alias("upto_offset"),
+                F.col("h.blob").alias("blob"),
+            )
+        )
+        ev = _project_fold_columns(events)
+        every_k = self.every_k
+
+        def fold_batch(key, evs: pd.DataFrame, hd: pd.DataFrame) -> pd.DataFrame:
+            cols = ["room", "snap_offset", "blob", "is_head"]
+            if not len(evs):  # head-only group: old head stays latest
+                return pd.DataFrame([], columns=cols)
+            room = key[0]
+            if len(hd):
+                state = pickle.loads(hd["blob"].iloc[0])
+                start = int(hd["upto_offset"].iloc[0])
+            else:
+                state, start = GameState(), -1
+            evs = evs[evs["offset"] > start].sort_values("offset", kind="mergesort")
+            offsets = evs["offset"].tolist()
+            out = []
+            seg = 0
+            for i, off in enumerate(offsets):
+                if (off + 1) % every_k == 0:
+                    fold_pdf(evs.iloc[seg : i + 1], state)
+                    seg = i + 1
+                    out.append(
+                        {"room": room, "snap_offset": int(off),
+                         "blob": pickle.dumps(state), "is_head": False}
+                    )
+            fold_pdf(evs.iloc[seg:], state)
+            upto = int(offsets[-1]) if offsets else start
+            out.append(
+                {"room": room, "snap_offset": upto,
+                 "blob": pickle.dumps(state), "is_head": True}
+            )
+            return pd.DataFrame(out, columns=cols)
+
+        rows = (
+            ev.groupBy("room")
+            .cogroup(resume.groupBy("room"))
+            .applyInPandas(
+                fold_batch,
+                schema="room string, snap_offset long, blob binary, is_head boolean",
+            )
+            .persist()
+        )
+        if not snaps_done:
+            rows.filter(~F.col("is_head")).select(
+                "room", "snap_offset", "blob"
+            ).write.mode("overwrite").parquet(self._batch_dir(self.snaps_dir, batch_id))
+        if not heads_done:
+            rows.filter(F.col("is_head")).select(
+                "room",
+                F.col("snap_offset").alias("upto_offset"),
+                "blob",
+            ).write.mode("overwrite").parquet(self._batch_dir(self.heads_dir, batch_id))
+        rows.unpersist()
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch`` — maintain the
+        snapshot view directly off the event stream."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            self.update(batch_df, int(epoch_id))
+
+        return fn
+
+
 def paced_replay(events: DataFrame, room: str, pace_ms: int = 200):
     """W4 (watch.go:63-83): ordered event emission for presentation —
     a generator over the room's log in offset order, optionally paced.

@@ -425,3 +425,84 @@ def test_fold_goldens_in_sync_with_generator():
     ]:
         committed = pq.read_table(os.path.join(fixdir, fname)).to_pylist()
         assert committed == rows, f"{fname} drifted from generator output"
+
+
+def test_fold_snapshot_view_incremental_maintenance(spark, tmp_path):
+    """Round-7 (r6 verdict #6): FoldSnapshotView maintains the k-offset
+    snapshot table INCREMENTALLY — per-batch cost O(batch), never a
+    re-fold of history — and time travel through the maintained table
+    equals both the one-shot snapshot_states build and the full
+    replay, at boundaries and mid-interval, including batches that end
+    mid-interval (the carry-head case). Replays of committed batches
+    are no-ops; a partial commit replays to identical bytes."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from play_with_pulsar_spark.operators.replay import (
+        FoldSnapshotView,
+        players_state,
+        replay_state,
+        snapshot_states,
+        state_at,
+    )
+    from play_with_pulsar_spark.sources.fixtures import game_event_log
+
+    log = game_event_log(spark, n_rooms=2, events_per_room=1200, seed=42).cache()
+    view = FoldSnapshotView(spark, str(tmp_path / "sv"), every_k=400)
+    # batch boundaries deliberately NOT aligned to every_k: batch 1
+    # ends mid-interval at 999, so snapshot 1199 needs the carry head
+    batches = [(0, 499), (500, 999), (1000, 1199)]
+    for bid, (lo, hi) in enumerate(batches):
+        view.update(log.filter(F.col("offset").between(lo, hi)), bid)
+
+    # maintained table == one-shot build, snapshot for snapshot
+    ref = snapshot_states(log, every_k=400)
+    got_keys = {(r.room, r.snap_offset) for r in view.snapshots().collect()}
+    want_keys = {(r.room, r.snap_offset)
+                 for r in ref.collect() if r.snap_offset >= 0}
+    assert got_keys == want_keys and len(got_keys) == 6  # 3 per room
+
+    def states(df):
+        return {(r.room, r.name): (r.x, r.y, r.alive)
+                for r in players_state(df).collect()}
+
+    for upto in (350, 799, 1199):
+        got = states(view.state_at(log, upto))
+        want = states(replay_state(log, upto_offset=upto))
+        assert got == want, upto
+        # O(tail) really holds: the chosen snapshot is within every_k
+        best = (
+            view.snapshots().filter(F.col("snap_offset") <= upto)
+            .groupBy("room").agg(F.max("snap_offset").alias("s")).collect()
+        )
+        for r in best:
+            assert upto - r.s < 400, (upto, r.s)
+
+    # committed replay: byte-identical state, no duplicate rows
+    n_snaps = view.snapshots().count()
+    view.update(log.filter(F.col("offset").between(500, 999)), 1)
+    assert view.snapshots().count() == n_snaps
+
+    # partial commit: lose batch 2's snaps partition, replay heals it
+    before = {(r.room, r.snap_offset, bytes(r.blob))
+              for r in view.snapshots().collect()}
+    shutil.rmtree(view._batch_dir(view.snaps_dir, 2))
+    view.update(log.filter(F.col("offset").between(1000, 1199)), 2)
+    after = {(r.room, r.snap_offset, bytes(r.blob))
+             for r in view.snapshots().collect()}
+    assert after == before
+
+    # heads() is the latest-state fast path: equals full replay at tip
+    import pickle
+
+    tip = states(replay_state(log))
+    head_states = {}
+    for r in view.heads().collect():
+        assert r.upto_offset == 1199
+        st = pickle.loads(bytes(r.blob))
+        for name, p in st.players.items():
+            head_states[(r.room, name)] = (p.pos[0], p.pos[1], p.alive)
+    assert head_states == tip
+    log.unpersist()
