@@ -493,6 +493,33 @@ def write_ngram_index(
     write_bucketed(grams, table, ["g"], n_buckets=n_buckets, path=path)
 
 
+def build_df_index(grams: DataFrame) -> DataFrame:
+    """(g, df) per-shingle document frequency over a gram table — the
+    MAINTAINABLE aggregate the incremental screens' docstrings promise
+    (round 7): gram tables are distinct-per-doc (``build_ngram_index``
+    dedups shingles within a doc), so df is a plain row count per
+    hash, and the aggregate is ADDITIVE across disjoint-id batches:
+    ``merge_df_index(df_index(corpus), df_index(batch))`` equals
+    ``df_index(corpus ∪ batch)`` exactly (tested). Maintain it next to
+    the gram index — append each accepted batch's df rows and fold
+    with ``merge_df_index`` at compaction — and the per-batch
+    stop-shingle cap stops costing an O(corpus-gram-rows) recount."""
+    return grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+
+
+def merge_df_index(*indexes: DataFrame) -> DataFrame:
+    """Fold several (g, df) tables into one by summing df — the
+    compaction step for a maintained df index. Valid because the
+    underlying doc-id sets are disjoint (the same precondition every
+    incremental screen carries)."""
+    if not indexes:
+        raise ValueError("merge_df_index: pass at least one index")
+    out = indexes[0]
+    for ix in indexes[1:]:
+        out = out.unionByName(ix)
+    return out.groupBy("g").agg(F.sum("df").cast("long").alias("df"))
+
+
 def write_minhash_index(
     grams: DataFrame,
     sigs: DataFrame | None,
@@ -572,6 +599,7 @@ def incremental_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
     broadcast_batch: bool = True,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a new batch and an indexed corpus
     (plus new×new pairs), WITHOUT re-shingling the corpus.
@@ -579,9 +607,18 @@ def incremental_jaccard_pairs(
     Contract: returns exactly what ``ngram_jaccard_pairs`` on
     corpus ∪ batch would return, restricted to pairs touching ≥1 new
     doc. The stop-shingle cap is computed over the union (same
-    semantics as the batch run); at scale the per-shingle df is itself
-    a maintainable aggregate (index it next to the grams) rather than
-    a per-batch recount.
+    semantics as the batch run).
+
+    ``index_df`` (round 7): a MAINTAINED (g, df) aggregate over the
+    indexed corpus (``build_df_index`` / ``merge_df_index``). When
+    given, the union df driving the stop-shingle cap is computed as
+    stored-df ⊕ batch-df — a vocabulary-sized outer join plus an
+    O(batch) aggregate — instead of recounting over the corpus-scale
+    gram table every batch. Identical semantics (doc-id sets are
+    disjoint so the dfs add exactly; equality pinned in
+    test_incremental_dedup); at 100 TB this removes the last
+    O(corpus) aggregation from the per-batch screen. Ignored when
+    ``max_shingle_freq`` is None.
 
     Precondition (both incremental forms): batch doc_ids are disjoint
     from the indexed corpus — re-screening an already-indexed id would
@@ -600,13 +637,32 @@ def incremental_jaccard_pairs(
         # df > cap set: stop-shingles are FEW by construction (only
         # boilerplate exceeds the cap), so the corpus side is filtered
         # without being re-partitioned — its storage bucketing (see
-        # ``write_ngram_index``) survives into the probe join. The df
-        # recount is the one remaining O(corpus) aggregation; at scale
-        # maintain the per-shingle df as an indexed aggregate instead.
+        # ``write_ngram_index``) survives into the probe join.
+        if index_df is not None:
+            # maintained-df path: stored corpus df ⊕ O(batch) batch df
+            # — nothing corpus-scale is aggregated
+            batch_df = new_grams.groupBy("g").agg(
+                F.count(F.lit(1)).alias("_df_b")
+            )
+            union_df = (
+                index_df.select("g", F.col("df").alias("_df_i"))
+                .join(batch_df, "g", "full")
+                .select(
+                    "g",
+                    (
+                        F.coalesce(F.col("_df_i"), F.lit(0))
+                        + F.coalesce(F.col("_df_b"), F.lit(0))
+                    ).alias("df"),
+                )
+            )
+        else:
+            # recount path: the one remaining O(corpus) aggregation
+            union_df = (
+                index_side.select("g").unionByName(new_grams.select("g"))
+                .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            )
         common = (
-            index_side.select("g").unionByName(new_grams.select("g"))
-            .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_freq)
+            union_df.filter(F.col("df") > max_shingle_freq)
             .select("g")
             .persist()
         )

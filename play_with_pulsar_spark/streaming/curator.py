@@ -23,7 +23,16 @@ batch):
 
 State layout — two (three with the minhash screen) parquet tables
 (``accepted/``, ``grams/``, ``banded/``), each one
-``ingest_batch=<id>`` partition directory per micro-batch, PLUS a
+``ingest_batch=<id>`` partition directory per micro-batch, PLUS — for
+the jaccard screen — a best-effort ``df/`` tier (round 7): each
+batch's kept-gram (g, df) aggregate, whose SUM replaces the
+per-batch O(corpus) stop-shingle recount (``incremental_jaccard_
+pairs(index_df=…)``). Best-effort means it is NOT part of the commit
+contract: a missing partition (pre-round-7 state, crash between the
+gram and df writes) makes ``_index_df`` return None and the screen
+falls back to the recount — identical decisions, just slower — and
+the next compaction derives the df tier from the full gram table, so
+a migrated curator converges back to the maintained path. PLUS a
 compacted tier: a long-running stream would otherwise accumulate one
 directory per micro-batch forever, and the per-batch file-listing
 cost of every state read grows with stream age — the one part of the
@@ -74,6 +83,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     _banded,
+    build_df_index,
     build_embedding_index,
     build_ngram_index,
     incremental_embedding_pairs,
@@ -203,6 +213,7 @@ class StreamingCorpusCurator:
         self.banded_dir = os.path.join(base_dir, "banded")
         self.vec_dir = os.path.join(base_dir, "vec")
         self.sig_dir = os.path.join(base_dir, "sig")
+        self.df_dir = os.path.join(base_dir, "df")
         self.compacted_dir = os.path.join(base_dir, "compacted")
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
@@ -259,6 +270,7 @@ class StreamingCorpusCurator:
         self.banded_schema = f"doc_id {id_type}, band int, bucket long"
         self.vec_schema = f"vec_id {id_type}, v array<double>, nv double"
         self.sig_schema = f"vec_id {id_type}, tbl int, bucket long"
+        self.df_schema = "g long, df long"
         self.compact_after = compact_after
         self.n_buckets = n_buckets
         self.quality_model_path = quality_model_path
@@ -336,6 +348,7 @@ class StreamingCorpusCurator:
             "banded": self.banded_schema,
             "vec": self.vec_schema,
             "sig": self.sig_schema,
+            "df": self.df_schema,
         }[kind]
 
     def _compacted_state(self, kind: str) -> DataFrame | None:
@@ -383,6 +396,37 @@ class StreamingCorpusCurator:
     def _index_banded(self, exclude_batch: int | None = None) -> DataFrame:
         live = self._read_state(self.banded_dir, self.banded_schema, exclude_batch)
         return self._with_compacted(live, "banded")
+
+    def _committed_ids_above(self, base: str, exclude: int | None) -> set[int]:
+        upto = self._covered_upto()
+        return {
+            self._batch_id_of(d)
+            for d in self._committed_batch_dirs(base)
+            if self._batch_id_of(d) > upto and self._batch_id_of(d) != exclude
+        }
+
+    def _index_df(self, exclude_batch: int | None = None) -> DataFrame | None:
+        """Maintained (g, df) aggregate over the accepted corpus
+        (round 7): the sum of per-batch kept-gram dfs — exact because
+        accepted doc-id sets are disjoint across batches. Returns
+        None (⇒ the screen falls back to the recount path) whenever
+        the df tier cannot prove it covers exactly the gram tier: a
+        live gram batch without its df partition (pre-round-7 state,
+        or a crash between the two writes), or a compacted tier whose
+        manifest predates df folding. The next compaction heals both
+        (it derives df from the full gram table when the fast fold is
+        not available), so a migrated curator converges back to the
+        maintained path instead of staying slow forever."""
+        man = self._manifest()
+        if man is not None and man.get("df") is None:
+            return None
+        if self._committed_ids_above(self.df_dir, exclude_batch) != (
+            self._committed_ids_above(self.grams_dir, exclude_batch)
+        ):
+            return None
+        live = self._read_state(self.df_dir, self.df_schema, exclude_batch)
+        full = self._with_compacted(live, "df")
+        return full.groupBy("g").agg(F.sum("df").cast("long").alias("df"))
 
     def _index_vec(self, exclude_batch: int | None = None) -> DataFrame:
         live = self._read_state(self.vec_dir, self.vec_schema, exclude_batch)
@@ -512,7 +556,11 @@ class StreamingCorpusCurator:
         acc_done = self._committed(self.accepted_dir, batch_id)
         grams_done = self._committed(self.grams_dir, batch_id)
         banded_done = not minhash or self._committed(self.banded_dir, batch_id)
-        if acc_done and grams_done and banded_done:  # committed replay
+        # df is best-effort derived state (jaccard screen only): its
+        # absence never blocks a replay-skip — _index_df detects the
+        # gap and falls back, and the next compaction heals it
+        df_done = minhash or self._committed(self.df_dir, batch_id)
+        if acc_done and grams_done and banded_done and df_done:  # committed replay
             return
         # quality pre-screen BEFORE the persist: the dedup screen, the
         # survivor write, and the index appends all see only the docs
@@ -541,6 +589,11 @@ class StreamingCorpusCurator:
                 n=self.n,
                 threshold=self.threshold,
                 max_shingle_freq=self.max_shingle_freq,
+                index_df=(
+                    None
+                    if self.max_shingle_freq is None
+                    else self._index_df(exclude_batch=batch_id)
+                ),
             )
         new_ids = docs.select(F.col(self.id_col).alias("nid"))
         rejected = self._rejected_ids(pairs, new_ids)
@@ -553,12 +606,15 @@ class StreamingCorpusCurator:
             keep.write.mode("overwrite").parquet(
                 self._batch_dir(self.accepted_dir, batch_id)
             )
-        # one shingling of the kept docs feeds BOTH index writes;
-        # persist only when both consumers will actually run (a
+        # one shingling of the kept docs feeds ALL index writes;
+        # persist only when ≥2 consumers will actually run (a
         # partial-commit replay may have one write left)
         keep_grams = build_ngram_index(keep, self.text_col, self.id_col, self.n)
-        two_consumers = minhash and not grams_done and not banded_done
-        if two_consumers:
+        pending = (not grams_done) + (
+            minhash and not banded_done
+        ) + (not minhash and not df_done)
+        multi_consumers = pending >= 2
+        if multi_consumers:
             keep_grams = keep_grams.persist()
         if not grams_done:
             keep_grams.write.mode("overwrite").parquet(
@@ -571,7 +627,14 @@ class StreamingCorpusCurator:
             _banded(
                 keep_sigs, self.num_bands, self.num_hashes // self.num_bands
             ).write.mode("overwrite").parquet(self._batch_dir(self.banded_dir, batch_id))
-        if two_consumers:
+        if not minhash and not df_done:
+            # maintained per-batch df rows (round 7): the jaccard
+            # screen's stop-shingle cap reads the SUM of these instead
+            # of recounting the corpus gram table every batch
+            build_df_index(keep_grams).write.mode("overwrite").parquet(
+                self._batch_dir(self.df_dir, batch_id)
+            )
+        if multi_consumers:
             keep_grams.unpersist()
         keep.unpersist()
         docs.unpersist()
@@ -897,6 +960,44 @@ class StreamingCorpusCurator:
                 "path": os.path.join(vdir, "grams_by_g"),
                 "keys": ["g"],
             }
+            # maintained df tier (round 7): fast fold (sum of previous
+            # compacted df + covered per-batch dfs) when every covered
+            # batch carries its df partition and the predecessor tier
+            # has df; otherwise DERIVE from the full gram table — one
+            # O(corpus) aggregate inside an already-O(corpus)
+            # compaction, which heals pre-df state so the per-batch
+            # screen converges back to the maintained path
+            covered_df = {
+                self._batch_id_of(d)
+                for d in self._committed_batch_dirs(self.df_dir)
+                if old_upto < self._batch_id_of(d) <= new_upto
+            }
+            if fully <= covered_df and (man is None or man.get("df") is not None):
+                df_full = self._read_committed(
+                    self.df_dir, self.df_schema, old_upto, new_upto
+                )
+                comp_df = self._compacted_state("df")
+                if comp_df is not None:
+                    df_full = comp_df.unionByName(df_full)
+                df_full = df_full.groupBy("g").agg(
+                    F.sum("df").cast("long").alias("df")
+                )
+            else:
+                df_full = build_df_index(grams_full)
+            from ..operators.bucketing import write_bucketed
+
+            write_bucketed(
+                df_full,
+                f"{pfx}_df_by_g",
+                ["g"],
+                n_buckets=self.n_buckets,
+                path=os.path.join(vdir, "df_by_g"),
+            )
+            manifest["df"] = {
+                "table": f"{pfx}_df_by_g",
+                "path": os.path.join(vdir, "df_by_g"),
+                "keys": ["g"],
+            }
 
         # commit: write-temp + fsync + os.replace = atomic AND durable
         # pointer flip (without the fsync, a power loss after the
@@ -927,7 +1028,10 @@ class StreamingCorpusCurator:
         with the current watermark on the nothing-to-fold resume path.
         Idempotent — also finishes a cleanup a crash interrupted (reads
         exclude covered partitions either way, via the watermark)."""
-        for base in self._state_tables():
+        tables = list(self._state_tables())
+        if self.screen == "jaccard":
+            tables.append(self.df_dir)  # best-effort tier, swept too
+        for base in tables:
             for d in self._batch_dirs(base):
                 if self._batch_id_of(d) <= upto:
                     self._delete_dir(d)
@@ -948,7 +1052,7 @@ class StreamingCorpusCurator:
                 continue
             if v <= current - 2:
                 old_pfx = f"{self.catalog_prefix}_v{v}"
-                for suffix in ("_grams", "_banded", "_grams_by_g", "_vec", "_sig"):
+                for suffix in ("_grams", "_banded", "_grams_by_g", "_df_by_g", "_vec", "_sig"):
                     try:
                         self.spark.sql(f"DROP TABLE IF EXISTS {old_pfx}{suffix}")
                     except Exception:

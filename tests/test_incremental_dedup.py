@@ -411,3 +411,52 @@ def test_incremental_minhash_onepass_mode_equals_all_paths(spark, sf_dir):
         dedup.incremental_minhash_pairs(g4, None, new, **GEOM, max_bucket_size=20)
     )
     assert cap_onepass == cap_explicit
+
+
+def test_incremental_jaccard_maintained_df_index(spark, sf_dir):
+    """Round-7: the maintained (g, df) aggregate replaces the per-batch
+    corpus recount in the stop-shingle cap with IDENTICAL results —
+    and the aggregate is additive across disjoint batches, so
+    merge_df_index maintains it exactly (df_index(a ∪ b) ==
+    merge(df_index(a), df_index(b)))."""
+    docs, corpus, new = _docs(spark, sf_dir)
+    index = dedup.build_ngram_index(corpus).persist()
+    recount = _pairs(
+        dedup.incremental_jaccard_pairs(
+            index, new, threshold=0.8, max_shingle_freq=CAP
+        )
+    )
+    dfi = dedup.build_df_index(index).persist()
+    maintained = _pairs(
+        dedup.incremental_jaccard_pairs(
+            index, new, threshold=0.8, max_shingle_freq=CAP, index_df=dfi
+        )
+    )
+    assert maintained == recount != set()
+
+    # additivity law: build over halves, merge, compare to one-shot
+    half_a = dedup.build_ngram_index(corpus.filter(F.col("doc_id") % 2 == 0))
+    half_b = dedup.build_ngram_index(corpus.filter(F.col("doc_id") % 2 == 1))
+    merged = {
+        (r.g, r.df)
+        for r in dedup.merge_df_index(
+            dedup.build_df_index(half_a), dedup.build_df_index(half_b)
+        ).collect()
+    }
+    oneshot = {(r.g, r.df) for r in dfi.collect()}
+    assert merged == oneshot
+    dfi.unpersist()
+    index.unpersist()
+
+    # and a MERGED maintained index drives the same screen decisions
+    dfm = dedup.merge_df_index(
+        dedup.build_df_index(half_a), dedup.build_df_index(half_b)
+    )
+    index2 = dedup.build_ngram_index(corpus).persist()
+    maintained2 = _pairs(
+        dedup.incremental_jaccard_pairs(
+            index2, new, threshold=0.8, max_shingle_freq=CAP, index_df=dfm
+        )
+    )
+    assert maintained2 == recount
+    index2.unpersist()

@@ -692,3 +692,62 @@ def test_curator_quality_screen_gates_dedup(spark, tmp_path):
     classifier.save_model(model, [100.0, 0.0, 0.0, 0.0, 0.0, 0.0], stats)
     cur.process_batch(_docs(spark, [(6, _w(6, 5))]), 2)
     assert sorted(r["doc_id"] for r in cur.accepted().collect()) == [1, 4, 6]
+
+
+def test_curator_maintained_df_tier(spark, tmp_path):
+    """Round-7: the jaccard screen's stop-shingle cap reads the
+    maintained per-batch df tier (sum of kept-gram dfs) instead of
+    recounting the corpus gram table. The maintained aggregate must
+    equal a fresh recount of the gram index after every batch, survive
+    compaction through the fast fold, fall back (None) when a df
+    partition is missing — decisions unchanged — and be HEALED by the
+    next compaction (the pre-round-7-state migration path)."""
+    import shutil
+
+    from play_with_pulsar_spark.operators.dedup import build_df_index
+
+    def df_of(cur):
+        ix = cur._index_df()
+        return None if ix is None else {(r.g, r.df) for r in ix.collect()}
+
+    def recount(cur):
+        return {(r.g, r.df) for r in build_df_index(cur._index()).collect()}
+
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "c"), n_buckets=4, compact_after=None
+    )
+    batches = [
+        [(1, _w(1)), (2, _w(2))],
+        [(10, _w(1)), (11, _w(11))],
+        [(20, _w(11)), (21, _w(21))],
+    ]
+    for i, rows in enumerate(batches):
+        cur.process_batch(_docs(spark, rows), i)
+        assert df_of(cur) == recount(cur)  # maintained == fresh recount
+    kept = sorted(r["doc_id"] for r in cur.accepted().collect())
+    assert kept == [1, 2, 11, 21]
+
+    # compaction folds the df tier (fast path) and equality holds
+    assert cur.compact() is True
+    assert cur._manifest()["df"] is not None
+    assert df_of(cur) == recount(cur)
+
+    # fallback: a post-compaction batch whose df partition is lost →
+    # _index_df refuses (alignment check) but decisions are unchanged
+    cur.process_batch(_docs(spark, [(30, _w(21)), (31, _w(31))]), 3)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == [1, 2, 11, 21, 31]
+    shutil.rmtree(cur._batch_dir(cur.df_dir, 3))
+    assert cur._index_df() is None
+    cur.process_batch(_docs(spark, [(40, _w(31)), (41, _w(41))]), 4)  # recount path
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == [1, 2, 11, 21, 31, 41]
+
+    # healing: the next compaction derives df from the gram table
+    # (batch 3's df partition is still missing → slow path), after
+    # which the maintained read works again
+    assert cur.compact() is True
+    assert cur._manifest()["df"] is not None
+    assert df_of(cur) == recount(cur)
+
+    for v in range(3):
+        for sfx in ("grams_by_g", "df_by_g"):
+            spark.sql(f"DROP TABLE IF EXISTS {cur.catalog_prefix}_v{v}_{sfx}")
