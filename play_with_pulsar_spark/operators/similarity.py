@@ -940,3 +940,77 @@ def embedding_drift(
         )
     )
     return per_dim.unionByName(summary)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization:
+    ``scale = max|v_j| / 127``; ``code_j = round(v_j / scale)`` in
+    [-127, 127]. Output: ``(id_col, codes array<int>, scale double)``.
+
+    This is the storage format for memory-bound ANN at scale — codes
+    are 1 byte of information per dimension vs 4 for float32, so a
+    100 TB embedding corpus quantizes to ~25 TB (plus one double per
+    vector), which is the difference between an index that fits
+    executor memory and one that spills. Per-vector (not per-corpus)
+    scaling keeps the max quantization error at scale/2 regardless of
+    norm spread, and needs no corpus pass to fit — the projection is
+    a pure per-row expression (whole-stage codegen, no shuffle, no
+    Python).
+
+    Zero vectors have no scale; their codes are NULL (they carry no
+    direction and are excluded from cosine scoring anyway — same
+    convention as the zero-norm guards in the exact paths)."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    return emb.select(
+        F.col(id_col),
+        F.when(
+            scale > 0,
+            F.transform(v, lambda x: F.round(x / scale).cast("int")),
+        ).alias("codes"),
+        F.when(scale > 0, scale).alias("scale"),
+    )
+
+
+def dequantize(quantized: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Reconstruct approximate double vectors from int8 codes:
+    ``v_j ~ code_j * scale``. A per-row codegen projection; NULL-code
+    (zero) vectors are dropped, matching the zero-norm exclusion of
+    every cosine path."""
+    return quantized.filter(F.col("codes").isNotNull()).withColumn(
+        vec_col,
+        F.transform(F.col("codes"), lambda c: c.cast("double") * F.col("scale")),
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k of float queries against the int8-QUANTIZED
+    corpus: quantize -> dequantize -> the same JVM fold-dot scoring as
+    ``jvm_cosine_topk``. Every arithmetic step (cast, abs-max, the
+    /127 scale, round-to-int, the dequant multiply, the ordered fold
+    dot product, round(sim, 6)) is deterministic IEEE double in both
+    engines, so the result is hash-checkable against an ANSI oracle —
+    approximation without nondeterminism.
+
+    At scale the codes (not the dequantized doubles) are what an index
+    stores and ships; dequantization here is a scan-stage projection,
+    so the memory win survives while the scoring plan stays identical
+    to the exact path's."""
+    deq = dequantize(
+        quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col), vec_col=vec_col
+    ).select(id_col, vec_col)
+    return jvm_cosine_topk(
+        deq, queries, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
