@@ -494,3 +494,45 @@ def test_quantized_topk_recall_vs_exact(spark, emb):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(t & a) / len(t)
     assert recall >= 0.9, f"quantized recall {recall:.2f}"
+
+
+def test_multiprobe_zero_bits_equals_single_probe(spark, emb):
+    """probe_bits=0 is exactly lsh_topk — same geometry, same seed,
+    same rows."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    base = similarity.lsh_topk(
+        spark, emb, queries, dim=64, k=10, num_planes=6, num_tables=4, round_to=6
+    )
+    zero = similarity.multiprobe_lsh_topk(
+        spark, emb, queries, dim=64, k=10, num_planes=6, num_tables=4,
+        probe_bits=0, round_to=6,
+    )
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert rows(zero) == rows(base) != set()
+
+
+def test_multiprobe_beats_single_probe_at_same_geometry(spark, emb):
+    """At identical (planes, tables), Hamming-1 probing can only ADD
+    candidates, so recall vs brute force is >= single-probe's — and on
+    this weak-similarity corpus with a deliberately under-provisioned
+    single-probe geometry the improvement must be strict."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    geom = dict(dim=64, k=10, num_planes=8, num_tables=2)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(spark, emb, queries, k=10).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(spark, emb, queries, **geom).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.multiprobe_lsh_topk(
+            spark, emb, queries, probe_bits=1, **geom
+        ).collect()
+    }
+    r_single = len(truth & single) / len(truth)
+    r_multi = len(truth & multi) / len(truth)
+    assert r_multi >= r_single
+    assert r_multi > r_single, f"single {r_single:.2f} multi {r_multi:.2f}"
