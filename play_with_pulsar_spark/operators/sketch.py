@@ -142,6 +142,32 @@ def cms_estimate(
     )
 
 
+def cms_stop_keys(
+    sketch: DataFrame,
+    probes: DataFrame,
+    cap: int,
+    key: str = "tok",
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "",
+) -> DataFrame:
+    """Keys whose CMS-estimated frequency exceeds ``cap`` — the
+    fixed-width form of the stop-shingle screen (`dedup`'s
+    ``df > max_shingle_freq``). Because estimates never undercount,
+    the flagged set is a SUPERSET of the exact ``df > cap`` set
+    (law pinned in test_sketch.py): a frequency screen driven by the
+    sketch is conservative — every truly-viral key is flagged; the
+    cost of the bounded memory is that some rare keys may be
+    over-flagged by collisions, which for a screen means slightly
+    fewer candidates, never a missed cap. Use when even the
+    vocabulary-sized exact (g, df) tier is too large to maintain."""
+    return (
+        cms_estimate(sketch, probes, key=key, depth=depth, width=width, salt=salt)
+        .filter(F.col("est") > cap)
+        .drop("est")
+    )
+
+
 def cms_heavy_hitters(
     items: DataFrame,
     key: str = "tok",

@@ -101,3 +101,27 @@ def test_cms_heavy_hitters_finds_planted_heavy_key(spark, sf_dir):
     assert [r.rn for r in hh] == list(range(1, 11))
     assert hh[0].tok == "zzz_planted"
     assert hh[0].est >= n + 1
+
+
+def test_cms_stop_keys_superset_of_exact(spark, sf_dir):
+    """The CMS-driven frequency cap flags a SUPERSET of the exact
+    df > cap stop-set (one-sided error makes the screen conservative)
+    — and at a collision-prone geometry the superset is strict, so
+    the law is tested non-vacuously."""
+    items = _items(spark, sf_dir).persist()
+    tight = dict(depth=4, width=8)
+    cap = 500
+    sk = sketch.cms_build(items, **tight)
+    probes = items.select("tok").distinct()
+    flagged = {r.tok for r in sketch.cms_stop_keys(sk, probes, cap, **tight).collect()}
+    exact = {
+        r.tok
+        for r in items.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .collect()
+    }
+    assert exact <= flagged
+    assert exact != set()
+    assert flagged != exact  # collisions over-flag at 4x8: strictness
+    items.unpersist()
