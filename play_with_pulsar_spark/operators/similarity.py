@@ -40,6 +40,7 @@ def jvm_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    corpus_nonzero: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k entirely in built-in JVM functions — zero
     Python in the plan.
@@ -56,6 +57,14 @@ def jvm_cosine_topk(
     worker startup); ``brute_force_topk``'s Arrow+numpy matmul kernel
     overtakes it as corpus×queries grows, and IVF/LSH are the
     at-scale candidates-only paths.
+
+    ``corpus_nonzero``: set True when the corpus provably contains no
+    zero vectors (e.g. ``dequantize`` output, which drops them) to
+    skip the ``cn > 0`` guard. The guard is not free to keep "just in
+    case": predicate pushdown re-inlines the whole corpus vector
+    expression into an interpreted per-row Filter below the scan —
+    measured 5× on the quantized path, where the vector is a
+    projection chain rather than a raw column.
     """
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -68,7 +77,9 @@ def jvm_cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cn", F.sqrt(dot("cv", "cv"))).filter(F.col("cn") > 0)
+    ).withColumn("cn", F.sqrt(dot("cv", "cv")))
+    if not corpus_nonzero:
+        c = c.filter(F.col("cn") > 0)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1048,26 +1059,41 @@ def quantize_embeddings(
 
     Zero vectors have no scale; their codes are NULL (they carry no
     direction and are excluded from cosine scoring anyway — same
-    convention as the zero-norm guards in the exact paths)."""
+    convention as the zero-norm guards in the exact paths).
+
+    The scale is materialized at a projection boundary before the
+    code transform references it: expressions referenced inside array
+    lambdas re-evaluate per element (the ``ngrams_from_tokens`` rule —
+    inlining the array_max chain into the lambda cost 64 array scans
+    + allocations per row, measured ~5× on the whole scoring query)."""
     v = F.col(vec_col).cast("array<double>")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = amax / F.lit(127.0)
-    return emb.select(
+    base = emb.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (amax / F.lit(127.0)).alias("scale"),
+    )
+    s = F.col("scale")
+    return base.select(
         F.col(id_col),
         F.when(
-            scale > 0,
-            F.transform(v, lambda x: F.round(x / scale).cast("int")),
+            s > 0,
+            F.transform(F.col("_v"), lambda x: F.round(x / s).cast("int")),
         ).alias("codes"),
-        F.when(scale > 0, scale).alias("scale"),
+        F.when(s > 0, s).alias("scale"),
     )
 
 
 def dequantize(quantized: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Reconstruct approximate double vectors from int8 codes:
-    ``v_j ~ code_j * scale``. A per-row codegen projection; NULL-code
+    ``v_j ~ code_j * scale``. A per-row codegen projection; NULL-scale
     (zero) vectors are dropped, matching the zero-norm exclusion of
-    every cosine path."""
-    return quantized.filter(F.col("codes").isNotNull()).withColumn(
+    every cosine path. The drop filters on ``scale`` — NULL exactly
+    when ``codes`` is NULL — because a pushed-down ``codes IS NOT
+    NULL`` predicate re-inlines the whole code-transform chain into
+    an interpreted per-row Filter (measured: the filter alone cost
+    more than the scoring)."""
+    return quantized.filter(F.col("scale").isNotNull()).withColumn(
         vec_col,
         F.transform(F.col("codes"), lambda c: c.cast("double") * F.col("scale")),
     )
@@ -1096,6 +1122,9 @@ def quantized_cosine_topk(
     deq = dequantize(
         quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col), vec_col=vec_col
     ).select(id_col, vec_col)
+    # corpus_nonzero: dequantize dropped the zero vectors, and every
+    # survivor carries a saturated +/-127 code, so cn > 0 always
     return jvm_cosine_topk(
-        deq, queries, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to
+        deq, queries, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to,
+        corpus_nonzero=True,
     )
