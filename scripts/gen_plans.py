@@ -30,6 +30,9 @@ TARGETS = [
     ("dsir_importance_topk", "DSIR selection (round 6): exploded tokens -> vocabulary-sized (tf, tf_target) partial agg -> broadcast log-weight join -> per-doc exact decimal sum -> seeded Gumbel keys -> TakeOrdered."),
     ("audit_dataset_fingerprint", "Content fingerprint (round 6): ONE map-side-combined aggregate over the scan — commutative 60-bit-md5 decimal sum; the no-movement copy audit."),
     ("quality_outlier_mad", "Robust MAD screen (round 6): two 1-row percentile aggregates broadcast back lazily; the outlier flag is a scalar projection over the scan."),
+    ("dsir_hashed_topk", "DSIR over hashed n-grams (round 7): tokenizer materialized at a projection boundary BEFORE the bigram lambda (inlining it re-ran the regex split per element — measured 4x); bucket side <= 10k rows broadcast. Watch: the Generate input references the _t attribute, never split()."),
+    ("sim_quantized_topk", "int8-quantized cosine top-k (round 7): scale and codes staged behind projection boundaries; corpus zero-guard skipped (dequantize already excludes, saturated codes imply cn>0). Watch: no Filter containing the round(x/scale) code transform — pushdown re-inlining it cost 5x."),
+    ("sketch_cms_heavy_hitters", "Count-min heavy hitters (round 7): depth-fold explode inside the scan stage, (row,bucket) agg map-side-combined and bounded at depth*width rows/task; estimate = broadcast join of the fixed-width sketch; final cut TakeOrdered."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries

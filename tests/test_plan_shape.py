@@ -239,3 +239,37 @@ def test_excise_min_span_adds_no_exchange(q):
     plan = faithful._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "Python" not in plan and "InPandas" not in plan, plan
+
+
+def test_quantized_topk_no_reinlined_filter_chain(q):
+    # round-7 contract: the quantize/dequantize chain is staged behind
+    # projection boundaries, and no Filter re-inlines the CODE
+    # TRANSFORM (pushdown of codes-is-not-null / the corpus-side cn>0
+    # guard re-derived the whole chain — round(x/scale) and all —
+    # into an interpreted per-row Filter; measured 5x). The flat
+    # scale-is-not-null pushdown (one array_max per row) and the
+    # query-side qn>0 guard (10 rows) are the accepted cheap forms;
+    # the pathological marker is the quantizing round() inside any
+    # Filter condition.
+    import re
+
+    df = q("sim_quantized_topk")
+    plan = plans.formatted_plan(df)
+    conds = [m.group(1) for m in re.finditer(r"Condition : (.*)", plan)]
+    assert conds  # the scale guard must exist as a filter somewhere
+    for cond in conds:
+        assert "round(" not in cond, cond  # code transform re-inlined
+
+
+def test_dsir_hashed_tokenizer_behind_boundary(q):
+    # round-7 contract: the hashed-ngram gram table materializes the
+    # tokenizer at a projection boundary — the Generate (explode)
+    # input must reference the _t ATTRIBUTE, not re-derive split();
+    # a split() inside the generator means the regex runs O(tokens)
+    # times per row (measured 4x on the whole query)
+    df = q("dsir_hashed_topk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for gen in re.findall(r"Generate explode\(([^\n]*)\)", plan):
+        assert "split(" not in gen, gen
