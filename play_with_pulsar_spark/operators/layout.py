@@ -121,3 +121,56 @@ def dataset_fingerprint(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h).cast("decimal(38,0)").cast("string").alias("fp"),
     )
+
+
+def _row_hash(cols: list[str], null_sentinel: str = "\x00") -> Column:
+    """The canonical row hash shared by ``dataset_fingerprint`` and
+    ``snapshot_diff``: md5 prefix (15 hex chars) of the
+    unit-separator-joined string casts. Engine-portable."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(null_sentinel)) for c in cols
+    ]
+    return F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15)
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    cols: list[str],
+    null_sentinel: str = "\x00",
+) -> DataFrame:
+    """Row-level diff between two dataset snapshots keyed by ``key``:
+    which rows were ``added`` / ``removed`` / ``changed`` from
+    snapshot ``a`` to snapshot ``b`` (unchanged rows are dropped).
+    Output: (key, status, hash_a, hash_b) with the canonical row
+    hashes (NULL on the side the key is absent from).
+
+    ``dataset_fingerprint`` answers "are these snapshots identical"
+    with one scalar per side; this answers the follow-up "WHAT
+    diverged" — the audit a migration/backfill postmortem needs.
+
+    Plan: each side reduces to a (key, hash) projection on its scan
+    (columns beyond ``cols``+key are pruned), then ONE full outer
+    join on the key — the minimum movement a keyed diff admits. If
+    both snapshots are stored bucketed by the key, even that exchange
+    disappears; the status column is a scalar projection. Content
+    hashing uses the same canonical serialization as
+    ``dataset_fingerprint``, so a diff verdict and a fingerprint
+    verdict can never disagree about equality."""
+    ha = a.select(
+        F.col(key), _row_hash(cols, null_sentinel).alias("hash_a")
+    )
+    hb = b.select(
+        F.col(key), _row_hash(cols, null_sentinel).alias("hash_b")
+    )
+    j = ha.join(hb, key, "full")
+    status = (
+        F.when(F.col("hash_b").isNull(), F.lit("removed"))
+        .when(F.col("hash_a").isNull(), F.lit("added"))
+        .when(F.col("hash_a") != F.col("hash_b"), F.lit("changed"))
+    )
+    return (
+        j.select(F.col(key), status.alias("status"), "hash_a", "hash_b")
+        .filter(F.col("status").isNotNull())
+    )

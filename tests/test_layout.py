@@ -130,3 +130,39 @@ def test_dataset_fingerprint_additive_over_partitions(spark, sf_dir):
     fb = dataset_fingerprint(b, cols).collect()[0]
     assert whole.n_rows == fa.n_rows + fb.n_rows
     assert Decimal(whole.fp) == Decimal(fa.fp) + Decimal(fb.fp)
+
+
+def test_snapshot_diff_laws(spark, sf_dir):
+    """Identity (diff(a,a) == empty), inverse (swapping sides flips
+    added<->removed, changed stays changed), and planted-edit
+    detection with exact ids — plus agreement with the fingerprint:
+    a non-empty diff implies unequal fingerprints."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = ["text", "lang", "source"]
+
+    assert layout.snapshot_diff(docs, docs, "doc_id", cols).count() == 0
+
+    b = (
+        docs.filter(F.col("doc_id") != 7)  # remove id 7
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") == 11, F.lit("edited")).otherwise(
+                F.col("text")
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") == 3).select(
+                F.lit(999_999).alias("doc_id"), "text", "lang", "source"
+            )
+        )
+    )
+    fwd = {(r.doc_id, r.status) for r in layout.snapshot_diff(docs, b, "doc_id", cols).collect()}
+    assert fwd == {(7, "removed"), (11, "changed"), (999_999, "added")}
+    rev = {(r.doc_id, r.status) for r in layout.snapshot_diff(b, docs, "doc_id", cols).collect()}
+    assert rev == {(7, "added"), (11, "changed"), (999_999, "removed")}
+
+    fa = layout.dataset_fingerprint(docs, cols).first()
+    fb = layout.dataset_fingerprint(b.select("doc_id", *cols), cols).first()
+    assert fa.fp != fb.fp
