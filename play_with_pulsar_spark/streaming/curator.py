@@ -224,15 +224,27 @@ class StreamingCorpusCurator:
         self.max_bucket_size = max_bucket_size
         if screen == "embedding":
             geo_path = os.path.join(base_dir, "geometry.json")
-            if os.path.exists(geo_path):
-                # frozen geometry wins: state sigs were computed under
-                # it. Explicit constructor args that CONFLICT with the
-                # sidecar are the docstring's failure mode — past and
-                # future signatures would stop colliding — so they
-                # fail loudly instead of silently re-deriving.
+            # frozen geometry wins: state sigs were computed under it.
+            # Resolution order (round 7): the compaction MANIFEST's
+            # geometry record beats the sidecar — rollover_geometry
+            # flips the manifest atomically and heals the sidecar
+            # after, so a crash between the two must resolve to the
+            # manifest (whose sig tables ARE the new geometry); then
+            # the sidecar; then derive-and-freeze.
+            frozen = None
+            man = self._manifest()
+            if man is not None and man.get("geometry") is not None:
+                g = man["geometry"]
+                frozen = (int(g["num_planes"]), int(g["num_tables"]))
+            elif os.path.exists(geo_path):
                 with open(geo_path) as f:
                     geo = json.load(f)
                 frozen = (int(geo["num_planes"]), int(geo["num_tables"]))
+            if frozen is not None:
+                # explicit constructor args that CONFLICT with the
+                # frozen geometry are the docstring's failure mode —
+                # past and future signatures would stop colliding — so
+                # they fail loudly instead of silently re-deriving.
                 explicit = (num_planes, num_tables)
                 if any(
                     e is not None and e != f for e, f in zip(explicit, frozen)
@@ -243,9 +255,11 @@ class StreamingCorpusCurator:
                         f"(geometry.json) but was re-attached with "
                         f"explicit planes={num_planes}/tables={num_tables}; "
                         "state signatures were computed under the frozen "
-                        "geometry — delete the state to change it"
+                        "geometry — rollover_geometry() re-signs the state, "
+                        "or delete the state to start over"
                     )
                 self.num_planes, self.num_tables = frozen
+                self._write_geometry_sidecar()  # heal a stale sidecar
             else:
                 if num_planes is None and num_tables is None and expected_corpus is not None:
                     from ..operators.similarity import lsh_auto_geometry
@@ -258,14 +272,7 @@ class StreamingCorpusCurator:
                     self.num_tables = 8 if num_tables is None else num_tables
                 # freeze WHATEVER the source (auto, explicit, default):
                 # a restart must re-attach to these exact values
-                os.makedirs(base_dir, exist_ok=True)
-                tmp = geo_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(
-                        {"num_planes": self.num_planes, "num_tables": self.num_tables},
-                        f,
-                    )
-                os.replace(tmp, geo_path)
+                self._write_geometry_sidecar()
         self.grams_schema = f"doc_id {id_type}, g long"
         self.banded_schema = f"doc_id {id_type}, band int, bucket long"
         self.vec_schema = f"vec_id {id_type}, v array<double>, nv double"
@@ -308,6 +315,26 @@ class StreamingCorpusCurator:
     def _covered_upto(self) -> int:
         man = self._manifest()
         return man["covered_upto"] if man else -1
+
+    def _write_geometry_sidecar(self) -> None:
+        """Freeze the CURRENT (num_planes, num_tables) into
+        ``geometry.json`` (atomic replace; skipped when already
+        identical). Called on first derive, on attach (healing a
+        sidecar a crashed rollover left stale — the manifest's record
+        wins at attach), and after a rollover flip."""
+        geo_path = os.path.join(self.base_dir, "geometry.json")
+        want = {"num_planes": self.num_planes, "num_tables": self.num_tables}
+        try:
+            with open(geo_path) as f:
+                if json.load(f) == want:
+                    return
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = geo_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(want, f)
+        os.replace(tmp, geo_path)
 
     # ------------------------------------------------------------------
     # state reads
@@ -880,6 +907,14 @@ class StreamingCorpusCurator:
             "banded": None,
         }
         if self.screen == "embedding":
+            # geometry travels IN the manifest (round 7): the sig
+            # tables this version holds were signed under it, and
+            # rollover_geometry's atomic flip replaces record and
+            # tables together — attach resolves geometry manifest-first
+            manifest["geometry"] = {
+                "num_planes": self.num_planes,
+                "num_tables": self.num_tables,
+            }
             from ..operators.dedup import write_embedding_index
 
             def _full(kind, base, schema):
@@ -1018,6 +1053,142 @@ class StreamingCorpusCurator:
         # exclude covered partitions via the watermark filter, so the
         # retained dirs are never double-counted.
         self._cleanup_covered(old_upto)
+        self._drop_old_versions(version)
+        return True
+
+    def rollover_geometry(
+        self,
+        expected_corpus: int | None = None,
+        num_planes: int | None = None,
+        num_tables: int | None = None,
+    ) -> bool:
+        """Re-sign the embedding screen's state under a NEW hyperplane
+        geometry — the curator analog of ``ivf_rebalance_index``.
+
+        Frozen geometry is correct for as long as the corpus matches
+        what ``expected_corpus`` sized it for; a stream that outgrows
+        it drifts back toward the measured fixed-geometry blow-up
+        (bucket occupancy ~ N/2^planes — 42× at 10× in the round-6
+        probe). The way out is NOT to change geometry in place (past
+        signatures would stop colliding with future ones — the exact
+        hazard the freeze exists to prevent) but a versioned cutover:
+
+        1. ``compact()`` — fold every fully-committed batch; any
+           partially-committed leftover refuses the rollover (replay
+           it first), exactly like compaction itself.
+        2. Re-sign the full compacted ``vec`` state (raw vectors are
+           state precisely so signatures are derivable) under the new
+           geometry with one ``hyperplane_signatures_multi`` pass.
+        3. Write a NEW compacted version (vec unchanged, sig re-signed,
+           accepted rewritten) and flip the manifest atomically — the
+           manifest carries the geometry record, so sig tables and
+           their geometry change together; readers see the old version
+           or the new, never a mix. The sidecar heals after the flip
+           (and on any later attach, where the manifest record wins).
+
+        New geometry: explicit ``num_planes``/``num_tables``, or
+        ``lsh_auto_geometry(expected_corpus)``, or — with no args —
+        auto-sizing from the CURRENT accepted-corpus count (the
+        drift-triggered maintenance call: fire when occupancy or
+        ``sim_embedding_drift`` says so). Returns False when the new
+        geometry equals the frozen one (no-op). Cost is O(corpus) —
+        the same class as the compaction it rides on. Single-writer,
+        like every state mutation on this directory."""
+        if self.screen != "embedding":
+            raise ValueError("rollover_geometry applies to screen='embedding'")
+        from ..operators.similarity import (
+            hyperplane_signatures_multi,
+            lsh_auto_geometry,
+        )
+
+        if num_planes is not None or num_tables is not None:
+            new_p = self.num_planes if num_planes is None else num_planes
+            new_t = self.num_tables if num_tables is None else num_tables
+        else:
+            n = expected_corpus
+            if n is None:
+                n = self.accepted().count()
+            new_p, new_t = lsh_auto_geometry(max(n, 2), threshold=self.threshold)
+        if (new_p, new_t) == (self.num_planes, self.num_tables):
+            return False
+
+        self.compact()  # folds everything fully-committed (or no-ops)
+        man = self._manifest()
+        # committed state above the watermark can only be a partial
+        # batch a crash left behind (compact folds full ones): its
+        # already-committed table would NOT be rewritten on replay, so
+        # it would smuggle old-geometry rows past the cutover — refuse,
+        # same protocol as compact()'s partial check
+        leftovers = self._committed_ids_above(
+            self.vec_dir, None
+        ) | self._committed_ids_above(self.sig_dir, None)
+        if leftovers:
+            raise RuntimeError(
+                f"batches {sorted(leftovers)} are partially committed; "
+                "replay them (restart the stream) before a geometry rollover"
+            )
+        if man is None:
+            # nothing signed yet: re-freezing the sidecar IS the cutover
+            self.num_planes, self.num_tables = new_p, new_t
+            self._write_geometry_sidecar()
+            return True
+
+        from ..operators.dedup import write_embedding_index
+
+        version = man["version"] + 1
+        vdir = os.path.join(self.compacted_dir, f"v{version}")
+        self._delete_dir(vdir)  # leftovers of a crashed attempt
+        pfx = f"{self.catalog_prefix}_v{version}"
+
+        acc_path = os.path.join(vdir, "accepted")
+        self.spark.read.parquet(man["accepted_path"]).write.mode(
+            "overwrite"
+        ).parquet(acc_path)
+        vecs = self._compacted_state("vec")
+        sigs_new = hyperplane_signatures_multi(
+            vecs,
+            dim=self.emb_dim,
+            num_planes=new_p,
+            num_tables=new_t,
+            seed=self.seed,
+            id_col="vec_id",
+            vec_col="v",
+        )
+        write_embedding_index(
+            vecs,
+            sigs_new,
+            pfx,
+            n_buckets=self.n_buckets,
+            path_prefix=os.path.join(vdir, "idx"),
+        )
+        manifest = {
+            "version": version,
+            "covered_upto": man["covered_upto"],
+            "n_buckets": self.n_buckets,
+            "accepted_path": acc_path,
+            "banded": None,
+            "geometry": {"num_planes": new_p, "num_tables": new_t},
+            "vec": {
+                "table": f"{pfx}_vec",
+                "path": os.path.join(vdir, "idx_vec"),
+                "keys": ["vec_id"],
+            },
+            "sig": {
+                "table": f"{pfx}_sig",
+                "path": os.path.join(vdir, "idx_sig"),
+                "keys": ["tbl", "bucket"],
+            },
+        }
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)
+
+        self.num_planes, self.num_tables = new_p, new_t
+        self._write_geometry_sidecar()
+        self._cleanup_covered(man["covered_upto"])
         self._drop_old_versions(version)
         return True
 

@@ -751,3 +751,100 @@ def test_curator_maintained_df_tier(spark, tmp_path):
     for v in range(3):
         for sfx in ("grams_by_g", "df_by_g"):
             spark.sql(f"DROP TABLE IF EXISTS {cur.catalog_prefix}_v{v}_{sfx}")
+
+
+def test_embedding_geometry_rollover_preserves_decisions(spark, tmp_path):
+    """Round-7: rollover_geometry re-signs the full vec state under a
+    new geometry behind one atomic manifest flip. Decisions continue
+    correctly across the cutover (a post-rollover near-dup of a
+    PRE-rollover accepted doc is still rejected), the re-signed sig
+    state equals a from-scratch signing under the new geometry, and a
+    no-op rollover (same geometry) returns False."""
+    from play_with_pulsar_spark.operators.similarity import (
+        hyperplane_signatures_multi,
+    )
+
+    path = str(tmp_path / "roll")
+    cur = _emb_curator(spark, path, compact_after=None, n_buckets=4)
+    cur.process_batch(_vecs(spark, [(1, _deg(0)), (2, _deg(90))]), 0)
+    cur.process_batch(_vecs(spark, [(3, _deg(1)), (4, _deg(180))]), 1)
+    kept0 = sorted(r["doc_id"] for r in cur.accepted().collect())
+    assert kept0 == [1, 2, 4]  # 3 at 1 degree dups accepted 1
+
+    assert cur.rollover_geometry(num_planes=3, num_tables=8) is True
+    assert (cur.num_planes, cur.num_tables) == (3, 8)
+    assert cur._manifest()["geometry"] == {"num_planes": 3, "num_tables": 8}
+
+    # re-signed state == from-scratch signing of the vec state
+    vecs = cur._index_vec()
+    want = {
+        (r.vec_id, r.tbl, r.bucket)
+        for r in hyperplane_signatures_multi(
+            vecs, dim=2, num_planes=3, num_tables=8, seed=cur.seed,
+            id_col="vec_id", vec_col="v",
+        ).collect()
+    }
+    got = {(r.vec_id, r.tbl, r.bucket) for r in cur._index_sig().collect()}
+    assert got == want != set()
+
+    # decisions continue across the cutover: 5 dups pre-rollover 4;
+    # 6 is fresh
+    cur.process_batch(_vecs(spark, [(5, _deg(181)), (6, _deg(270))]), 2)
+    assert sorted(r["doc_id"] for r in cur.accepted().collect()) == [1, 2, 4, 6]
+
+    # no-op rollover
+    assert cur.rollover_geometry(num_planes=3, num_tables=8) is False
+
+    for v in range(5):
+        for sfx in ("_vec", "_sig"):
+            spark.sql(f"DROP TABLE IF EXISTS {cur.catalog_prefix}_v{v}{sfx}")
+
+
+def test_embedding_geometry_rollover_reattach_and_stale_sidecar(spark, tmp_path):
+    """The manifest's geometry record wins at attach: a re-attach
+    after rollover picks the new geometry even when geometry.json is
+    stale (the crash-between-flips window), heals the sidecar, and an
+    explicit-args conflict is judged against the NEW geometry. An
+    empty-state rollover (nothing signed yet) just re-freezes."""
+    import json
+    import os
+
+    path = str(tmp_path / "roll2")
+    cur = _emb_curator(spark, path, compact_after=None, n_buckets=4)
+    cur.process_batch(_vecs(spark, [(1, _deg(0)), (2, _deg(90))]), 0)
+    assert cur.rollover_geometry(num_planes=4, num_tables=6) is True
+
+    # simulate the crash window: sidecar reverted to the OLD geometry
+    geo_path = os.path.join(path, "geometry.json")
+    with open(geo_path, "w") as f:
+        json.dump({"num_planes": 2, "num_tables": 16}, f)
+
+    cur2 = StreamingCorpusCurator(
+        spark, path, screen="embedding", emb_dim=2, threshold=0.95
+    )
+    assert (cur2.num_planes, cur2.num_tables) == (4, 6)  # manifest wins
+    with open(geo_path) as f:
+        assert json.load(f) == {"num_planes": 4, "num_tables": 6}  # healed
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="frozen LSH geometry"):
+        StreamingCorpusCurator(
+            spark, path, screen="embedding", emb_dim=2, threshold=0.95,
+            num_planes=2, num_tables=16,
+        )
+
+    # decisions continue under the rolled geometry on the re-attach
+    cur2.process_batch(_vecs(spark, [(3, _deg(1)), (4, _deg(200))]), 1)
+    assert sorted(r["doc_id"] for r in cur2.accepted().collect()) == [1, 2, 4]
+
+    # empty-state rollover: sidecar-only cutover
+    path3 = str(tmp_path / "roll3")
+    cur3 = _emb_curator(spark, path3)
+    assert cur3.rollover_geometry(num_planes=5, num_tables=5) is True
+    assert (cur3.num_planes, cur3.num_tables) == (5, 5)
+    assert cur3._manifest() is None
+
+    for v in range(5):
+        for sfx in ("_vec", "_sig"):
+            spark.sql(f"DROP TABLE IF EXISTS {cur.catalog_prefix}_v{v}{sfx}")
