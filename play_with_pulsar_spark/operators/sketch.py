@@ -1,10 +1,23 @@
-"""Mergeable frequency sketches — bounded-memory corpus statistics.
+"""Mergeable sketches — bounded-memory corpus statistics.
 
-At 100 TB, exact per-token (or per-shingle) frequency tables grow
-with the vocabulary — unbounded on web text. The count-min sketch
-(Cormode & Muthukrishnan 2005) bounds that state at a FIXED
-``depth x width`` integer matrix with two properties that matter for
-a distributed pipeline:
+At 100 TB, exact corpus statistics grow with the data: frequency
+tables with the vocabulary, distinct counts with the value space,
+membership sets with the reference corpus. The sketch family bounds
+each at FIXED width:
+
+- count-min (``cms_*``, Cormode & Muthukrishnan 2005): frequency,
+  depth x width cells, additive merge, never undercounts;
+- HyperLogLog (``hll_*``, Flajolet et al. 2007): distinct counts,
+  m registers per group, idempotent max-merge;
+- Bloom filter (``bloom_*``, Bloom 1970): membership, m_bits
+  positions, idempotent OR-merge, no false negatives.
+
+All three share the engine-portable md5 uniform for placement, so
+ANSI-SQL oracles reproduce every sketch bit-for-bit — including its
+collisions and false positives.
+
+The count-min sketch bounds frequency state with two properties that
+matter for a distributed pipeline:
 
 - **Additive**: the sketch of a union of disjoint batches is the
   cell-wise sum of per-batch sketches (``cms_merge``), so it can be
@@ -39,6 +52,8 @@ LLM-curation surface the survey's north star demands.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -166,6 +181,267 @@ def cms_stop_keys(
         .filter(F.col("est") > cap)
         .drop("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — fixed-width mergeable DISTINCT counts (Flajolet,
+# Fusy, Gandouet & Meunier 2007). The cardinality complement to the
+# count-min sketch above: CMS bounds *frequency* state, HLL bounds
+# *distinct-count* state at m registers per group — per-domain
+# vocabulary size, per-source unique-doc counts, dedup-rate monitors —
+# where exact count(DISTINCT) shuffles every distinct value.
+#
+# Portability contract (same discipline as the CMS bucket hash): the
+# register placement AND the estimator are engine-exact.
+# - bucket  = 32-bit md5 prefix % m           (placement)
+# - rho     = leading-zeros+1 of an independent 48-bit md5 value,
+#             computed as 49 - bitlength via length(bin(h)) — string
+#             ops, no floating point (rho in [1, 49])
+# - S       = sum over all m registers of 2^(49 - M_j) as an EXACT
+#             integer (pow(2, n) is exact in IEEE double for n <= 49;
+#             round+cast pins it)
+# - alpha_m * m^2 * 2^49 is ONE Python-computed double literal,
+#   embedded identically in both engines, so the estimate is a single
+#   exact-int division — bit-identical, hashable.
+# - the small-range (linear-counting) correction m*ln(m/V) depends
+#   only on V in [1, m-1], so it is embedded as a LITERAL CASE table
+#   (Python-computed doubles) — no runtime ln in either engine.
+# The 48-bit rho hash also removes the classic 32-bit large-range
+# correction from the operating envelope (collision space 2^48).
+
+_HLL_MAXRHO = 49  # 48-bit rho hash => bitlength in [0, 48], rho in [1, 49]
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_check_m(m: int) -> None:
+    if m < 16 or m > 1024 or (m & (m - 1)) != 0:
+        raise ValueError(
+            f"hll: m must be a power of two in [16, 1024], got {m} "
+            "(the literal correction table is sized m-1; past 1024 "
+            "registers the relative error is already < 3.3%)"
+        )
+
+
+def _hll_bucket(key: F.Column, m: int, salt: str) -> F.Column:
+    h = F.md5(F.concat(key.cast("string"), F.lit(f":hllb{salt}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+
+
+def _hll_rho(key: F.Column, salt: str) -> F.Column:
+    """Leading-zeros+1 of the 48-bit rho hash: 49 - bitlength, with
+    bitlength from the binary-string length (h=0 => rho=49). Pure
+    integer/string ops — the portable form of a CLZ instruction."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f":hllr{salt}"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.when(h == 0, F.lit(_HLL_MAXRHO)).otherwise(
+        F.lit(_HLL_MAXRHO) - F.length(F.bin(h))
+    ).cast("int")
+
+
+def hll_build(
+    items: DataFrame,
+    key: str = "tok",
+    m: int = 64,
+    salt: str = "",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog registers for ``items[key]`` (optionally per
+    ``group_cols`` group): ``(*group_cols, bucket, mreg)`` with at
+    most ``m`` rows per group — the bounded distinct-count state.
+
+    Geometry contract: ``m``/``salt`` are the sketch's identity
+    (frozen-geometry discipline, like the CMS and the curator's LSH
+    sidecar). Duplicate keys are free by construction — the register
+    is a max, which is what makes the sketch a DISTINCT counter.
+    Plan: one scan; the groupBy partial-aggregates map-side, so the
+    shuffle carries <= m rows per group per task regardless of corpus
+    size."""
+    _hll_check_m(m)
+    g = list(group_cols or [])
+    k = F.col(key)
+    return (
+        items.select(
+            *g,
+            _hll_bucket(k, m, salt).alias("bucket"),
+            _hll_rho(k, salt).alias("rho"),
+        )
+        .groupBy(*g, "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+
+
+def hll_merge(*sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Register-wise max of same-geometry sketches. Max is
+    associative, commutative, and idempotent, so the merge is EXACT
+    under arbitrary re-batching AND replay — stronger than the CMS
+    sum, which is exact only for disjoint increment streams. This is
+    what makes HLL the right shard-and-merge cardinality monitor:
+    sketch every shard, max-fold, and the result equals the one-shot
+    sketch of the union (law pinned in test_sketch.py)."""
+    if not sketches:
+        raise ValueError("hll_merge: pass at least one sketch")
+    g = list(group_cols or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*g, "bucket").agg(F.max("mreg").alias("mreg"))
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    m: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cardinality estimate per group from an HLL register frame:
+    ``(*group_cols, est)``.
+
+    est = alpha_m * m^2 / sum_j 2^(-M_j), with absent registers
+    counted at M_j = 0, rescaled by 2^49 so the harmonic sum is an
+    exact BIGINT; the small-range branch (est <= 2.5m AND empty
+    registers exist) substitutes linear counting m*ln(m/V) from the
+    literal table. Standard error ~ 1.04/sqrt(m). The whole estimate
+    is a two-row-wide aggregate per group — broadcastable back into
+    any plan at any corpus size."""
+    _hll_check_m(m)
+    g = list(group_cols or [])
+    numer = _hll_alpha(m) * m * m * float(2**_HLL_MAXRHO)
+    agg = sketch.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("nf"),
+        F.coalesce(
+            F.sum(
+                F.round(
+                    F.pow(F.lit(2.0), F.lit(_HLL_MAXRHO) - F.col("mreg"))
+                ).cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("sf"),
+    )
+    v = F.lit(m) - F.col("nf")
+    s = F.col("sf") + v * F.lit(2**_HLL_MAXRHO)
+    raw = F.lit(numer) / s.cast("double")
+    lc = F.lit(None).cast("double")
+    for vv in range(1, m):
+        lc = F.when(v == vv, F.lit(m * math.log(m / vv))).otherwise(lc)
+    est = (
+        F.when(F.col("nf") == 0, F.lit(0.0))  # empty sketch: 0 distinct
+        .when((raw <= 2.5 * m) & (v > 0), lc)
+        .otherwise(raw)
+    )
+    return agg.select(*g, est.alias("est"))
+
+
+def hll_distinct(
+    items: DataFrame,
+    key: str = "tok",
+    m: int = 64,
+    salt: str = "",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-shot build+estimate: approximate count(DISTINCT key) per
+    group with m registers of state. The composition the monitors
+    call; incremental maintenance goes through hll_build per batch +
+    hll_merge at compaction instead."""
+    return hll_estimate(
+        hll_build(items, key=key, m=m, salt=salt, group_cols=group_cols),
+        m=m,
+        group_cols=group_cols,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — fixed-width set MEMBERSHIP (Bloom 1970; survey:
+# Broder & Mitzenmacher 2004). The third leg of the sketch family:
+# CMS bounds frequency state, HLL bounds distinct-count state, the
+# Bloom filter bounds membership state — the scale path for
+# benchmark-decontamination screens, where the exact form keeps the
+# full benchmark shingle set on the join's build side. One-sided the
+# way a screen wants it: NO false negatives (every true member
+# flags), only bounded-rate false positives — so a contamination
+# screen driven by the filter is conservative: nothing contaminated
+# ever slips through; a few clean grams may be over-flagged.
+#
+# Representation: (pos long) — the DISTINCT set bit positions, at
+# most m_bits rows ever, broadcastable at any benchmark size. The
+# position hash is the same portable md5 uniform, so an ANSI-SQL
+# oracle reproduces the filter INCLUDING its false positives.
+
+
+def _bloom_pos(key: F.Column, m_bits: int, i: int, salt: str) -> F.Column:
+    h = F.md5(F.concat(key.cast("string"), F.lit(f":bloom{salt}:{i}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits
+
+
+def bloom_build(
+    items: DataFrame,
+    key: str = "tok",
+    m_bits: int = 131072,
+    k: int = 3,
+    salt: str = "",
+) -> DataFrame:
+    """Build the filter from ``items[key]``: the distinct ``pos``
+    rows of all k hashes. Size m_bits for the expected member count n
+    as m_bits ~ 1.44 * k * n / ln(2)... practically: fp-rate ~
+    (1 - e^(-k*n/m))^k; m = 2^17 holds ~30k members at k=3 under 5%.
+    Geometry (m_bits, k, salt) is the filter's identity — frozen, as
+    with every sketch here."""
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col(key), m_bits, i, salt) for i in range(k)])
+    ).alias("pos")
+    return items.select(pos).distinct()
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Bitwise OR of same-geometry filters = union-distinct of their
+    position sets — exact for any re-batching (idempotent like the
+    HLL max), so per-batch filters fold at compaction into exactly
+    the one-shot filter of the union."""
+    if not filters:
+        raise ValueError("bloom_merge: pass at least one filter")
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key: str = "tok",
+    m_bits: int = 131072,
+    k: int = 3,
+    salt: str = "",
+) -> DataFrame:
+    """Membership test: probes columns + ``maybe_member`` (true iff
+    ALL k positions are set). The filter side is <= m_bits rows and
+    is broadcast k times (chained broadcast-hash joins collapse into
+    the probe side's one stage) — the probe side NEVER shuffles,
+    which is the whole point at corpus scale."""
+    out = probes
+    for i in range(k):
+        b = F.broadcast(
+            bloom.select(F.col("pos").alias(f"_bpos{i}"))
+        )
+        out = out.withColumn(f"_bp{i}", _bloom_pos(F.col(key), m_bits, i, salt))
+        out = out.join(b, F.col(f"_bp{i}") == F.col(f"_bpos{i}"), "left")
+    flag = F.lit(True)
+    for i in range(k):
+        flag = flag & F.col(f"_bpos{i}").isNotNull()
+    drop = [f"_bp{i}" for i in range(k)] + [f"_bpos{i}" for i in range(k)]
+    return out.withColumn("maybe_member", flag).drop(*drop)
 
 
 def cms_heavy_hitters(

@@ -103,6 +103,162 @@ def test_cms_heavy_hitters_finds_planted_heavy_key(spark, sf_dir):
     assert hh[0].est >= n + 1
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog laws
+
+
+def _regs(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _keys(spark, n, prefix="k"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("tok")
+    )
+
+
+def test_hll_merge_equals_oneshot_even_overlapping(spark):
+    """Register-max merge is exact under ANY re-batching — including
+    OVERLAPPING batches and replays (max is idempotent), which is
+    strictly stronger than the CMS sum law (exact only for disjoint
+    streams). This is what makes per-shard HLL maintenance replay-safe
+    without the curator's idempotence machinery."""
+    items = _keys(spark, 2000).persist()
+    whole = _regs(sketch.hll_build(items, m=64))
+    a = sketch.hll_build(items.filter(F.col("tok") < "k5"), m=64)  # overlaps b
+    b = sketch.hll_build(items, m=64)  # the whole stream again (replay)
+    assert _regs(sketch.hll_merge(a, b)) == whole != set()
+    # disjoint split too
+    c = sketch.hll_build(items.filter(F.length("tok") % 2 == 0), m=64)
+    d = sketch.hll_build(items.filter(F.length("tok") % 2 == 1), m=64)
+    assert _regs(sketch.hll_merge(c, d)) == whole
+    items.unpersist()
+
+
+def test_hll_duplicates_are_free(spark):
+    """The register is a max, so duplicate keys change NOTHING — the
+    defining distinct-counter property (a frequency sketch would
+    drift; the HLL registers are bit-identical)."""
+    distinct = _keys(spark, 500)
+    repeated = distinct.crossJoin(spark.range(5).select(F.lit(1).alias("_x"))).select(
+        "tok"
+    )
+    assert _regs(sketch.hll_build(repeated, m=64)) == _regs(
+        sketch.hll_build(distinct, m=64)
+    )
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Relative error within 4 standard errors (1.04/sqrt(m)) of the
+    true cardinality on the raw-estimate branch, across independent
+    salts (each salt is a fresh hash draw). Also pins the specific
+    cross-checked value: the pure-python/DuckDB/Spark triple agreed on
+    this draw bit-for-bit during design (see queries.py oracle)."""
+    true = 10_000
+    items = _keys(spark, true).persist()
+    bound = 4 * 1.04 / (64**0.5)
+    for salt in ("", "s1", "s2"):
+        est = sketch.hll_distinct(items, m=64, salt=salt).collect()[0].est
+        assert abs(est / true - 1) < bound, (salt, est)
+    items.unpersist()
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities take the linear-counting branch (est <=
+    2.5m with empty registers), which is near-exact there: 5 distinct
+    keys at m=64 estimate to 64*ln(64/59) ~ 5.2. The branch constants
+    are literal-table doubles, so this is deterministic."""
+    est = sketch.hll_distinct(_keys(spark, 5), m=64).collect()[0].est
+    assert 4.0 <= est <= 7.0
+    one = sketch.hll_distinct(_keys(spark, 1), m=64).collect()[0].est
+    assert 0.5 <= one <= 1.5
+
+
+def test_hll_empty_and_geometry_validation(spark):
+    """Empty sketch estimates 0; m outside [16, 1024] or non-power-
+    of-two raises (the literal correction table is sized m-1)."""
+    empty = spark.createDataFrame([], "bucket long, mreg int")
+    assert sketch.hll_estimate(empty, m=64).collect()[0].est == 0.0
+    import pytest
+
+    for bad in (8, 48, 2048):
+        with pytest.raises(ValueError, match="power of two"):
+            sketch.hll_build(_keys(spark, 1), m=bad)
+
+
+def test_hll_grouped_registers_are_per_group(spark):
+    """Per-group sketches are independent: each group's registers
+    equal the single-group sketch of that group's rows alone."""
+    items = _keys(spark, 300).withColumn(
+        "grp", (F.length("tok") % 2).cast("int")
+    ).persist()
+    grouped = sketch.hll_build(items, m=64, group_cols=["grp"])
+    for g in (0, 1):
+        alone = _regs(sketch.hll_build(items.filter(F.col("grp") == g), m=64))
+        sub = _regs(grouped.filter(F.col("grp") == g).drop("grp"))
+        assert sub == alone != set()
+    items.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter laws
+
+BGEOM = dict(m_bits=4096, k=3)
+
+
+def test_bloom_no_false_negatives(spark):
+    """EVERY member of the build set tests true — the one-sided
+    guarantee that makes a Bloom-driven decontamination screen
+    conservative (contamination never slips through)."""
+    members = _keys(spark, 300, "m")
+    bl = sketch.bloom_build(members, key="tok", **BGEOM)
+    tested = sketch.bloom_contains(bl, members, key="tok", **BGEOM)
+    assert tested.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Non-members flag at ~(1 - e^(-k*n/m))^k — 0.77% at n=300,
+    m=4096, k=3. Assert under 4x theory (the md5 draw is fixed, so
+    this is deterministic, not flaky) and NON-ZERO at this tight
+    geometry so the superset laws elsewhere are tested against real
+    collisions."""
+    members = _keys(spark, 300, "m")
+    others = _keys(spark, 3000, "x")
+    bl = sketch.bloom_build(members, key="tok", **BGEOM)
+    fp = (
+        sketch.bloom_contains(bl, others, key="tok", **BGEOM)
+        .filter(F.col("maybe_member"))
+        .count()
+    )
+    assert 0 < fp / 3000 < 0.03
+
+
+def test_bloom_merge_equals_oneshot_even_overlapping(spark):
+    """OR-merge (union-distinct of positions) is idempotent like the
+    HLL max: overlapping batches and replays fold to exactly the
+    one-shot filter."""
+    items = _keys(spark, 400, "m").persist()
+    whole = {r.pos for r in sketch.bloom_build(items, key="tok", **BGEOM).collect()}
+    a = sketch.bloom_build(items.filter(F.col("tok") < "m2"), key="tok", **BGEOM)
+    b = sketch.bloom_build(items, key="tok", **BGEOM)  # replay
+    merged = {r.pos for r in sketch.bloom_merge(a, b).collect()}
+    assert merged == whole != set()
+    items.unpersist()
+
+
+def test_bloom_contains_is_broadcast_only(spark):
+    """The probe side of bloom_contains must not shuffle: all k
+    membership joins are BroadcastHashJoins (the filter side is
+    bounded at m_bits rows), never SortMergeJoin — the property that
+    lets the screen run inside the corpus scan stage at 100 TB."""
+    members = _keys(spark, 300, "m")
+    bl = sketch.bloom_build(members, key="tok", **BGEOM)
+    tested = sketch.bloom_contains(bl, _keys(spark, 1000, "x"), key="tok", **BGEOM)
+    plan = tested._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == BGEOM["k"]
+
+
 def test_cms_stop_keys_superset_of_exact(spark, sf_dir):
     """The CMS-driven frequency cap flags a SUPERSET of the exact
     df > cap stop-set (one-sided error makes the screen conservative)
