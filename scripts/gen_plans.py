@@ -33,6 +33,8 @@ TARGETS = [
     ("dsir_hashed_topk", "DSIR over hashed n-grams (round 7): tokenizer materialized at a projection boundary BEFORE the bigram lambda (inlining it re-ran the regex split per element — measured 4x); bucket side <= 10k rows broadcast. Watch: the Generate input references the _t attribute, never split()."),
     ("sim_quantized_topk", "int8-quantized cosine top-k (round 7): scale and codes staged behind projection boundaries; corpus zero-guard skipped (dequantize already excludes, saturated codes imply cn>0). Watch: no Filter containing the round(x/scale) code transform — pushdown re-inlining it cost 5x."),
     ("sketch_cms_heavy_hitters", "Count-min heavy hitters (round 7): depth-fold explode inside the scan stage, (row,bucket) agg map-side-combined and bounded at depth*width rows/task; estimate = broadcast join of the fixed-width sketch; final cut TakeOrdered."),
+    ("sketch_hll_distinct", "HyperLogLog per-group cardinality (round 7): (lang,bucket) max-agg map-side-combined and bounded at m rows/group/task; the estimator is a scalar projection over the 2-column group agg. Watch: the exact count(DISTINCT tok) baseline column is the expensive side — the sketch branch never shuffles distinct tokens."),
+    ("text_bloom_contamination", "Bloom decontamination screen (round 7): k=3 chained BroadcastHashJoins against the <=m_bits position set — NO probe-side exchange before the per-doc count (plan-asserted in test_sketch.py). Watch: no SortMergeJoin anywhere on the membership path."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries
