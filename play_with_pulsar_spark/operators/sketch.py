@@ -53,9 +53,11 @@ LLM-curation surface the survey's north star demands.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -442,6 +444,43 @@ def bloom_contains(
         flag = flag & F.col(f"_bpos{i}").isNotNull()
     drop = [f"_bp{i}" for i in range(k)] + [f"_bpos{i}" for i in range(k)]
     return out.withColumn("maybe_member", flag).drop(*drop)
+
+
+def write_bloom(
+    items: DataFrame,
+    path: str,
+    key: str = "tok",
+    m_bits: int = 131072,
+    k: int = 3,
+    salt: str = "",
+) -> None:
+    """Build the filter from ``items[key]`` and persist it as a
+    self-describing artifact: ``positions/`` parquet + a ``bloom.json``
+    geometry sidecar (atomic flip, LAST — readers key their cache on
+    its mtime, so a concurrent reader sees the old artifact or the
+    new, never torn). Geometry travels WITH the filter so probe-side
+    consumers (``read_bloom`` + ``bloom_contains``) can never apply
+    mismatched hashes — the same sidecar discipline as the curator's
+    LSH geometry and ``classifier.save_model``. Refreshing a
+    benchmark set = calling this again over the same path."""
+    bloom_build(items, key=key, m_bits=m_bits, k=k, salt=salt).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "positions"))
+    sidecar = os.path.join(path, "bloom.json")
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"m_bits": m_bits, "k": k, "salt": salt}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, sidecar)
+
+
+def read_bloom(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a ``write_bloom`` artifact: (positions frame, geometry
+    dict) — pass both to ``bloom_contains``."""
+    with open(os.path.join(path, "bloom.json")) as f:
+        geo = json.load(f)
+    return spark.read.parquet(os.path.join(path, "positions")), geo
 
 
 def cms_heavy_hitters(

@@ -123,6 +123,8 @@ class StreamingCorpusCurator:
         expected_corpus: int | None = None,
         quality_model_path: str | None = None,
         quality_threshold: float = 0.5,
+        contamination_bloom_path: str | None = None,
+        contamination_max_fraction: float = 0.1,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -201,7 +203,25 @@ class StreamingCorpusCurator:
         batch if bit-identical replay across model updates matters
         (same class of caveat as a fresh checkpoint resetting batch
         ids). Applies to the text screens (jaccard/minhash), whose
-        batches carry ``text_col``; the embedding screen ignores it."""
+        batches carry ``text_col``; the embedding screen ignores it.
+
+        ``contamination_bloom_path`` (round 7): path to a
+        ``sketch.write_bloom`` artifact built from the benchmark/eval
+        shingle set. When set, every batch is decontaminated BEFORE
+        the dedup screen: docs whose fraction of distinct ``n``-gram
+        shingles MAYBE-hitting the filter is ≥
+        ``contamination_max_fraction`` are rejected and never indexed.
+        The Bloom direction is the safe one for this screen — no
+        false negatives, so contaminated docs never slip into the
+        corpus; the bounded-rate false positives can only over-reject.
+        Geometry travels in the artifact's ``bloom.json`` sidecar
+        (mismatched hashes are impossible), and the artifact is
+        re-read when the sidecar's mtime/size changes — refreshing
+        the benchmark set is one ``write_bloom`` over the same path
+        (sidecar flipped atomically LAST, so the curator sees old or
+        new, never torn). Same replay caveat as the quality model:
+        a batch replayed after a filter refresh screens under the new
+        filter. Text screens only, like ``quality_model_path``."""
         if screen not in ("jaccard", "minhash", "embedding"):
             raise ValueError(f"unknown screen {screen!r}")
         if screen == "embedding" and emb_dim is None:
@@ -283,6 +303,9 @@ class StreamingCorpusCurator:
         self.quality_model_path = quality_model_path
         self.quality_threshold = quality_threshold
         self._quality_model: tuple | None = None  # ((mtime, size), w, stats)
+        self.contamination_bloom_path = contamination_bloom_path
+        self.contamination_max_fraction = contamination_max_fraction
+        self._contamination_bloom: tuple | None = None  # ((mtime, size), df, geo)
         self.catalog_prefix = catalog_prefix or (
             "pwp_curator_" + hashlib.md5(base_dir.encode()).hexdigest()[:8]
         )
@@ -555,6 +578,44 @@ class StreamingCorpusCurator:
         )
         return docs.join(low, self.id_col, "anti")
 
+    def _apply_contamination_screen(self, docs: DataFrame) -> DataFrame:
+        """Bloom decontamination pre-screen
+        (``contamination_bloom_path``): reject docs whose maybe-hit
+        shingle fraction reaches ``contamination_max_fraction``. The
+        filter artifact is cached on the sidecar's (mtime, size); the
+        membership test is k broadcast joins inside the batch's gram
+        scan (zero probe-side shuffle) + one batch-sized per-doc
+        count. Docs shorter than ``n`` tokens have no shingles and
+        pass vacuously — same convention as the dedup screens."""
+        if self.contamination_bloom_path is None:
+            return docs
+        from ..operators import sketch, textops
+
+        sidecar = os.path.join(self.contamination_bloom_path, "bloom.json")
+        st = os.stat(sidecar)
+        key = (st.st_mtime_ns, st.st_size)
+        if self._contamination_bloom is None or self._contamination_bloom[0] != key:
+            bl, geo = sketch.read_bloom(self.spark, self.contamination_bloom_path)
+            self._contamination_bloom = (key, bl, geo)
+        _, bl, geo = self._contamination_bloom
+        grams = textops.exploded_ngrams(
+            docs, text_col=self.text_col, id_col=self.id_col, n=self.n
+        )
+        tested = sketch.bloom_contains(
+            bl, grams, key="g",
+            m_bits=geo["m_bits"], k=geo["k"], salt=geo["salt"],
+        )
+        frac = tested.groupBy("doc_id").agg(
+            (
+                F.sum(F.col("maybe_member").cast("long"))
+                / F.count(F.lit(1))
+            ).alias("_frac")
+        )
+        bad = frac.filter(
+            F.col("_frac") >= F.lit(float(self.contamination_max_fraction))
+        ).select(F.col("doc_id").alias(self.id_col))
+        return docs.join(bad, self.id_col, "anti")
+
     def _rejected_ids(self, pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
         """Apply the greedy rule to the touching-new pair set.
         ``pairs`` is (id_a < id_b); either side may be the new doc."""
@@ -589,10 +650,23 @@ class StreamingCorpusCurator:
         df_done = minhash or self._committed(self.df_dir, batch_id)
         if acc_done and grams_done and banded_done and df_done:  # committed replay
             return
-        # quality pre-screen BEFORE the persist: the dedup screen, the
-        # survivor write, and the index appends all see only the docs
-        # that cleared the learned filter
-        docs = self._apply_quality_screen(batch).persist()
+        # pre-screens BEFORE the persist (quality first — a cheap
+        # projection — then the bloom decontamination): the dedup
+        # screen, the survivor write, and the index appends all see
+        # only the docs that cleared both filters
+        screened = self._apply_contamination_screen(
+            self._apply_quality_screen(batch)
+        )
+        if self.contamination_bloom_path is not None:
+            # truncate the screen's lineage: every later reference to
+            # `docs` (pairs uses it twice, new_ids/keep again) would
+            # INLINE the bloom k-join + per-doc-count subtree into the
+            # plan text — multiplicative growth that OOMs the driver's
+            # AQE explain on a plain session. The checkpoint
+            # materialization is batch-sized by construction.
+            docs = screened.localCheckpoint(eager=True)
+        else:
+            docs = screened.persist()
         if minhash:
             pairs = incremental_minhash_pairs(
                 self._index(exclude_batch=batch_id),
@@ -664,7 +738,12 @@ class StreamingCorpusCurator:
         if multi_consumers:
             keep_grams.unpersist()
         keep.unpersist()
-        docs.unpersist()
+        if self.contamination_bloom_path is not None:
+            from ..operators.dedup import _free_local_checkpoint
+
+            _free_local_checkpoint(docs)  # single-use after this point
+        else:
+            docs.unpersist()
         release_intermediates(pairs)  # the screen's cached intermediates
         self.maybe_compact()
 

@@ -753,6 +753,63 @@ def test_curator_maintained_df_tier(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {cur.catalog_prefix}_v{v}_{sfx}")
 
 
+def test_curator_contamination_screen(spark, tmp_path):
+    """Round-7 Bloom decontamination pre-screen: a doc sharing ≥10%
+    of its shingles with the benchmark set is rejected BEFORE the
+    dedup screen (and never indexed, so a later near-dup of it is
+    accepted); clean docs flow through; a committed-batch replay is
+    a no-op; refreshing the benchmark artifact re-screens later
+    batches under the new filter."""
+    from play_with_pulsar_spark.operators import sketch
+
+    bench_path = str(tmp_path / "bench_bloom")
+    bench = _docs(spark, [(900, _w(900)), (901, _w(901))])
+    from play_with_pulsar_spark.operators.textops import exploded_ngrams
+
+    geo = dict(m_bits=4096, k=3)
+    sketch.write_bloom(
+        exploded_ngrams(bench, n=3).select("g").distinct(),
+        bench_path, key="g", **geo,
+    )
+
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "c"),
+        contamination_bloom_path=bench_path,
+        contamination_max_fraction=0.1,
+    )
+    # 1 is a verbatim copy of benchmark doc 900 → rejected; 2 clean
+    cur.process_batch(_docs(spark, [(1, _w(900)), (2, _w(2))]), 0)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2}
+    # contaminated docs are never indexed: doc 3 duplicates the
+    # CONTAMINATED doc 1's text → it is screened by the bloom too
+    # (same text), but doc 4 duplicating ACCEPTED 2 is dedup-rejected
+    cur.process_batch(_docs(spark, [(3, _w(900)), (4, _w(2)), (5, _w(5))]), 1)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2, 5}
+    indexed = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "c/grams"))
+        .select("doc_id").distinct().collect()
+    }
+    assert indexed == {2, 5}  # 1 and 3 never touched the index
+    # committed replay: no-op
+    cur.process_batch(_docs(spark, [(1, _w(900)), (2, _w(2))]), 0)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2, 5}
+    # refresh the artifact to ALSO cover _w(5)'s vocabulary (sidecar
+    # mtime re-read). Doc 6 = 10 tokens of _w(5) + 20 fresh ones:
+    # Jaccard vs accepted 5 is ~0.17 (dedup passes it) but its bloom
+    # hit fraction is 8/28 ≈ 0.29 — ONLY the refreshed filter rejects
+    # it, so the assertion isolates the refresh path from dedup
+    sketch.write_bloom(
+        exploded_ngrams(
+            bench.unionByName(_docs(spark, [(902, _w(5))])), n=3
+        ).select("g").distinct(),
+        bench_path, key="g", **geo,
+    )
+    diluted = " ".join(_w(5).split()[:10] + [f"f6x{i}" for i in range(20)])
+    cur.process_batch(_docs(spark, [(6, diluted), (7, _w(7))]), 2)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2, 5, 7}
+
+
 def test_embedding_geometry_rollover_preserves_decisions(spark, tmp_path):
     """Round-7: rollover_geometry re-signs the full vec state under a
     new geometry behind one atomic manifest flip. Decisions continue
