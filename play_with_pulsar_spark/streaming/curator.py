@@ -93,6 +93,13 @@ from ..operators.dedup import (
     release_intermediates,
 )
 
+# Frozen geometry of the vocabulary-HLL monitor tier (text screens):
+# a module constant, NOT a constructor arg, so two attachments to the
+# same state directory can never merge mismatched registers. 256
+# registers => ~6.5% relative error — plenty for a maintenance
+# trigger, and the whole tier is <= 256 rows per batch.
+VOCAB_HLL_M = 256
+
 # default (id_type="long") state schemas; instances derive their own
 # from the declared id type (self.grams_schema / self.banded_schema)
 
@@ -234,6 +241,7 @@ class StreamingCorpusCurator:
         self.vec_dir = os.path.join(base_dir, "vec")
         self.sig_dir = os.path.join(base_dir, "sig")
         self.df_dir = os.path.join(base_dir, "df")
+        self.hll_dir = os.path.join(base_dir, "hll")
         self.compacted_dir = os.path.join(base_dir, "compacted")
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
@@ -298,6 +306,7 @@ class StreamingCorpusCurator:
         self.vec_schema = f"vec_id {id_type}, v array<double>, nv double"
         self.sig_schema = f"vec_id {id_type}, tbl int, bucket long"
         self.df_schema = "g long, df long"
+        self.hll_schema = "bucket long, mreg int"
         self.compact_after = compact_after
         self.n_buckets = n_buckets
         self.quality_model_path = quality_model_path
@@ -478,6 +487,47 @@ class StreamingCorpusCurator:
         full = self._with_compacted(live, "df")
         return full.groupBy("g").agg(F.sum("df").cast("long").alias("df"))
 
+    def _compacted_hll(self) -> DataFrame | None:
+        man = self._manifest()
+        if man is None or man.get("hll") is None:
+            return None
+        return self.spark.read.schema(self.hll_schema).parquet(man["hll"]["path"])
+
+    def vocab_estimate(self) -> float:
+        """Approximate distinct-shingle count of the accepted corpus —
+        the cheap maintenance trigger (when to resize the df tier,
+        refresh stop-lists, or re-bucket the gram index), read from
+        the maintained per-batch HLL registers (round 7): a max-merge
+        over <= VOCAB_HLL_M rows per committed batch + the compacted
+        registers, never a corpus scan. Relative error ~1.04/sqrt(m)
+        (~6.5% at 256). When the tier cannot prove it covers exactly
+        the gram tier (pre-feature state, or a crash between the gram
+        and hll writes), it falls back to ONE derive from the full
+        gram table — missing registers would silently UNDERcount, the
+        one direction a growth monitor must never err — and the next
+        compaction heals the tier. Text screens only."""
+        if self.screen == "embedding":
+            raise ValueError("vocab_estimate applies to the text screens")
+        from ..operators.sketch import hll_build, hll_estimate
+
+        man = self._manifest()
+        tier_ok = (man is None or man.get("hll") is not None) and (
+            self._committed_ids_above(self.hll_dir, None)
+            == self._committed_ids_above(self.grams_dir, None)
+        )
+        if tier_ok:
+            regs = self._read_state(self.hll_dir, self.hll_schema, None)
+            comp = self._compacted_hll()
+            if comp is not None:
+                regs = comp.unionByName(regs)
+            regs = regs.groupBy("bucket").agg(F.max("mreg").alias("mreg"))
+        else:
+            regs = hll_build(
+                self._index(None).select("g"), key="g", m=VOCAB_HLL_M
+            )
+        rows = hll_estimate(regs, m=VOCAB_HLL_M).collect()
+        return float(rows[0].est) if rows else 0.0
+
     def _index_vec(self, exclude_batch: int | None = None) -> DataFrame:
         live = self._read_state(self.vec_dir, self.vec_schema, exclude_batch)
         return self._with_compacted(live, "vec")
@@ -648,7 +698,14 @@ class StreamingCorpusCurator:
         # absence never blocks a replay-skip — _index_df detects the
         # gap and falls back, and the next compaction heals it
         df_done = minhash or self._committed(self.df_dir, batch_id)
-        if acc_done and grams_done and banded_done and df_done:  # committed replay
+        # hll is the (best-effort, both text screens) vocabulary
+        # monitor tier — same convention: vocab_estimate falls back to
+        # deriving from the gram table when a partition is missing,
+        # and compaction heals pre-feature state
+        hll_done = self._committed(self.hll_dir, batch_id)
+        if (
+            acc_done and grams_done and banded_done and df_done and hll_done
+        ):  # committed replay
             return
         # pre-screens BEFORE the persist (quality first — a cheap
         # projection — then the bloom decontamination): the dedup
@@ -711,9 +768,12 @@ class StreamingCorpusCurator:
         # persist only when ≥2 consumers will actually run (a
         # partial-commit replay may have one write left)
         keep_grams = build_ngram_index(keep, self.text_col, self.id_col, self.n)
-        pending = (not grams_done) + (
-            minhash and not banded_done
-        ) + (not minhash and not df_done)
+        pending = (
+            (not grams_done)
+            + (minhash and not banded_done)
+            + (not minhash and not df_done)
+            + (not hll_done)
+        )
         multi_consumers = pending >= 2
         if multi_consumers:
             keep_grams = keep_grams.persist()
@@ -735,6 +795,16 @@ class StreamingCorpusCurator:
             build_df_index(keep_grams).write.mode("overwrite").parquet(
                 self._batch_dir(self.df_dir, batch_id)
             )
+        if not hll_done:
+            # per-batch vocabulary registers (round 7): <= VOCAB_HLL_M
+            # rows from a map-side-combined max-agg over the same
+            # kept-gram scan; the idempotent register-max merge makes
+            # this tier trivially replay-safe
+            from ..operators.sketch import hll_build
+
+            hll_build(keep_grams.select("g"), key="g", m=VOCAB_HLL_M).write.mode(
+                "overwrite"
+            ).parquet(self._batch_dir(self.hll_dir, batch_id))
         if multi_consumers:
             keep_grams.unpersist()
         keep.unpersist()
@@ -1113,6 +1183,37 @@ class StreamingCorpusCurator:
                 "keys": ["g"],
             }
 
+        # vocabulary-HLL monitor tier (round 7, both text screens):
+        # fast fold = register-max over previous compacted registers +
+        # covered per-batch registers; when any covered batch lacks
+        # its hll partition (pre-feature state / crash window) DERIVE
+        # from the full gram table — healing, like the df tier. The
+        # result is <= VOCAB_HLL_M rows: plain parquet, no bucketing.
+        covered_hll = {
+            self._batch_id_of(d)
+            for d in self._committed_batch_dirs(self.hll_dir)
+            if old_upto < self._batch_id_of(d) <= new_upto
+        }
+        if fully <= covered_hll and (man is None or man.get("hll") is not None):
+            hll_full = self._read_committed(
+                self.hll_dir, self.hll_schema, old_upto, new_upto
+            )
+            comp_hll = self._compacted_hll()
+            if comp_hll is not None:
+                hll_full = comp_hll.unionByName(hll_full)
+            hll_full = hll_full.groupBy("bucket").agg(
+                F.max("mreg").alias("mreg")
+            )
+        else:
+            from ..operators.sketch import hll_build
+
+            hll_full = hll_build(
+                grams_full.select("g"), key="g", m=VOCAB_HLL_M
+            )
+        hll_path = os.path.join(vdir, "hll")
+        hll_full.write.mode("overwrite").parquet(hll_path)
+        manifest["hll"] = {"path": hll_path}
+
         # commit: write-temp + fsync + os.replace = atomic AND durable
         # pointer flip (without the fsync, a power loss after the
         # rename can leave an empty manifest while the folded source
@@ -1281,6 +1382,8 @@ class StreamingCorpusCurator:
         tables = list(self._state_tables())
         if self.screen == "jaccard":
             tables.append(self.df_dir)  # best-effort tier, swept too
+        if self.screen != "embedding":
+            tables.append(self.hll_dir)  # best-effort monitor tier
         for base in tables:
             for d in self._batch_dirs(base):
                 if self._batch_id_of(d) <= upto:

@@ -810,6 +810,46 @@ def test_curator_contamination_screen(spark, tmp_path):
     assert {r.doc_id for r in cur.accepted().collect()} == {2, 5, 7}
 
 
+def test_curator_vocab_hll_monitor(spark, tmp_path):
+    """Round-7 vocabulary monitor: vocab_estimate reads the
+    maintained per-batch HLL registers (within the HLL error bound of
+    the exact distinct-gram count); a missing partition falls back to
+    the derive path with the IDENTICAL estimate (register-max over
+    the same grams is idempotent); compaction folds the registers
+    into the manifest and heals the gap; the estimate is stable
+    across a committed-batch replay."""
+    import os
+    import shutil
+
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"))
+    batches = [[(1, _w(1)), (2, _w(2))], [(3, _w(3))]]
+    for i, rows in enumerate(batches):
+        cur.process_batch(_docs(spark, rows), i)
+    exact = cur._index(None).select("g").distinct().count()
+    est = cur.vocab_estimate()
+    assert abs(est / exact - 1) < 4 * 1.04 / (256**0.5), (est, exact)
+    # the maintained tier is really there (and bounded)
+    h1 = str(tmp_path / "c/hll/ingest_batch=1")
+    assert os.path.isdir(h1)
+    assert spark.read.parquet(h1).count() <= 256
+    # gap => the derive fallback returns the IDENTICAL estimate
+    shutil.rmtree(h1)
+    assert cur.vocab_estimate() == est
+    # compaction heals the tier (derive path inside the fold) and the
+    # manifest-backed read agrees
+    assert cur.compact() is True
+    assert cur._manifest().get("hll") is not None
+    assert cur.vocab_estimate() == est
+    # a post-compaction batch extends the registers incrementally
+    cur.process_batch(_docs(spark, [(4, _w(4))]), 2)
+    exact2 = cur._index(None).select("g").distinct().count()
+    est2 = cur.vocab_estimate()
+    assert abs(est2 / exact2 - 1) < 4 * 1.04 / (256**0.5)
+    # committed replay: estimate unchanged (idempotent max)
+    cur.process_batch(_docs(spark, [(4, _w(4))]), 2)
+    assert cur.vocab_estimate() == est2
+
+
 def test_embedding_geometry_rollover_preserves_decisions(spark, tmp_path):
     """Round-7: rollover_geometry re-signs the full vec state under a
     new geometry behind one atomic manifest flip. Decisions continue
