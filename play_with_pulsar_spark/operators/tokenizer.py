@@ -1,0 +1,208 @@
+"""Distributed BPE tokenizer training — learning the merge table of a
+byte-pair-encoding vocabulary from the corpus (Sennrich et al. 2016;
+the GPT-2 tokenizer recipe).
+
+This closes the tokenizer side of the training-data pipeline: the
+engine already COUNTS tokens (``textops.token_count`` /
+``bpe_ish_token_count``) and budgets them (``curation.token_budget_
+quota``); this module LEARNS the subword vocabulary those counts would
+be measured in. The scale contract is the one real BPE trainers use
+(HuggingFace ``tokenizers``, SentencePiece BPE): the corpus is read
+EXACTLY ONCE to build the word-frequency table, and every merge
+iteration runs over word TYPES weighted by count — a vocabulary-sized
+table, not the corpus. At 100 TB the word-count aggregation is the
+only corpus-scale stage (one map-side-combined shuffle); the K merge
+iterations touch only the type table, and the driver holds exactly one
+(pair, count) row per iteration — the learned model itself, K rows
+total, the same bounded-collect contract as the k-means centroids and
+the classifier's gradient rows.
+
+Greedy-rewrite semantics: each iteration merges the LEFTMOST
+NON-OVERLAPPING occurrences of the winning pair within every word
+(the standard BPE tokenize-step semantics; for a pair ``(a, a)`` the
+word ``aaaaa`` becomes ``aa aa a``, never ``a aa aa``). The rewrite is
+a pure Catalyst ``aggregate`` fold over each word's symbol array with
+the winning pair as literals — no shuffle, no Python worker, and the
+fold state is (emitted symbols, one pending symbol), so it is O(word
+length) like the reference scan. Ties on pair count break
+deterministically by (left, right) string order so the learned merge
+table is reproducible across engines and partitionings.
+
+The matching DuckDB oracle (``queries._bpe_oracle``) replays the SAME
+iterations as unrolled CTE blocks, expressing the greedy rewrite
+relationally (match positions → gaps-and-islands parity within runs →
+rebuild), the ``cluster_kmeans_assign`` / ``quality_classifier_scores``
+protocol for hash-checking an iterative fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textops import tokens
+
+# Result schema of bpe_learn_merges — shared with the oracle twin.
+MERGES_SCHEMA = "rnk INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the whitespace-tokenized corpus — the ONE
+    corpus-scale stage of BPE training. Map-side-combined two-level
+    aggregation; output is vocabulary-sized."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _chars(word) -> F.Column:
+    """word → array of single characters (the initial symbol
+    sequence). Pure codegen: transform over sequence(1, length)."""
+    w = F.col(word) if isinstance(word, str) else word
+    return F.transform(F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1)))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word count, over the
+    TYPE table. sequence(1, n-1) is guarded for n == 1 because Spark's
+    sequence() descends when start > stop."""
+    pairs = vocab.select(
+        "cnt",
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS lhs, syms[i] AS rhs))"
+                ),
+            ).otherwise(F.expr("cast(array() as array<struct<lhs: string, rhs: string>>)"))
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")).agg(
+        F.sum("cnt").alias("c")
+    )
+
+
+def _merge_fold(syms: F.Column, x: str, y: str) -> F.Column:
+    """Greedy leftmost non-overlapping merge of the pair (x, y) inside
+    one symbol array, as a Catalyst aggregate fold. State is
+    struct(out: emitted symbols, prev: one pending symbol); a match
+    consumes the pending symbol so an overlapping occurrence (x == y)
+    cannot re-use it — exactly the reference BPE scan."""
+    merged = x + y
+    init = F.struct(
+        F.expr("cast(array() as array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc, s):
+        is_match = F.coalesce(acc["prev"] == F.lit(x), F.lit(False)) & (s == F.lit(y))
+        return F.when(
+            is_match,
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                s.alias("prev"),
+            )
+        )
+
+    def finish(acc):
+        return (
+            F.when(acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"])))
+            .otherwise(acc["out"])
+        )
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns the
+    merge table (rnk, lhs, rhs, merged, pair_count) in learned order —
+    the model artifact a tokenizer would apply.
+
+    Iteration shape: pair-count aggregation over the vocabulary-sized
+    type table → ONE (pair, count) row collected to the driver (the
+    model row — bounded by contract) → rewrite as a literal-pair
+    Catalyst fold projection. The type table is localCheckpoint-ed per
+    iteration so iteration k's plan never re-executes iterations
+    0..k-1 (the ``dedup_clusters`` lineage-control pattern); the
+    superseded checkpoint is freed eagerly.
+
+    Stops early if no pair occurs at least twice (merging a count-1
+    pair is never useful and would make later iterations degenerate).
+    """
+    from .dedup import _free_local_checkpoint
+
+    spark = docs.sparkSession
+    vocab = (
+        word_counts(docs, text_col)
+        .select("word", "cnt", _chars("word").alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    pending: DataFrame | None = None  # superseded checkpoint, freed late
+    try:
+        for k in range(1, num_merges + 1):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            # this job just materialized vocab's (lazy) checkpoint, so
+            # its parent's blocks are no longer reachable — free them
+            # only NOW (freeing before the materializing job would cut
+            # the lineage the job still needs)
+            if pending is not None:
+                _free_local_checkpoint(pending)
+                pending = None
+            if not top or top[0]["c"] < 2:
+                break
+            x, y, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["c"])
+            merges.append((k, x, y, x + y, c))
+            # lazy checkpoint: materializes as part of the NEXT
+            # iteration's pair-count job instead of a job of its own —
+            # one Spark job per merge instead of two
+            new_vocab = vocab.select(
+                "word", "cnt", _merge_fold(F.col("syms"), x, y).alias("syms")
+            ).localCheckpoint(eager=False)
+            pending = vocab
+            vocab = new_vocab
+    finally:
+        if pending is not None:
+            _free_local_checkpoint(pending)
+        _free_local_checkpoint(vocab)
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with a learned merge table: per word, apply the merges
+    in learned order (the BPE encode step). Pure projection — the
+    merge list is literals, each merge one fold — so encoding
+    distributes with zero shuffles and zero Python workers; at 100 TB
+    this rides inside the corpus scan stage.
+
+    Output: ``out_col`` = flat subword array per document."""
+    per_word = F.transform(tokens(text_col), lambda w: _chars(w))
+    for x, y in merges:
+        per_word = F.transform(per_word, lambda s: _merge_fold(s, x, y))
+    return docs.withColumn(out_col, F.flatten(per_word))

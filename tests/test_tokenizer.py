@@ -1,0 +1,133 @@
+"""BPE tokenizer training (operators/tokenizer.py) — the distributed
+merge learner against an independent pure-python reference, plus the
+greedy-rewrite edge cases and the encode step."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from play_with_pulsar_spark.operators import tokenizer as tk
+
+
+# --- independent reference implementation (single-threaded) ---------
+
+
+def ref_bpe(texts: list[str], num_merges: int):
+    """Reference BPE trainer: word counts once, then per-iteration
+    pair counts over types + greedy leftmost non-overlapping rewrite.
+    Ties break by (count DESC, lhs ASC, rhs ASC)."""
+    wc = Counter(w for t in texts for w in t.strip().lower().split())
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for k in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        mx = max(pc.values())
+        if mx < 2:
+            break
+        x, y = min(p for p, c in pc.items() if c == mx)
+        merges.append((k, x, y, x + y, mx))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_matches_reference_on_fixed_corpus(spark):
+    texts = ["aaaaa banana banana x", "aaaaa bandana low lower lowest", "low low newer new"]
+    got = [tuple(r) for r in tk.bpe_learn_merges(_docs(spark, texts), 6).collect()]
+    want, _ = ref_bpe(texts, 6)
+    assert got == want
+
+
+def test_overlap_pair_merges_greedy_leftmost(spark):
+    # pair (a, a) over 'aaaaa': greedy leftmost -> aa aa a, so after
+    # merge 1 the (aa, aa) pair count is word count, not zero.
+    texts = ["aaaaa aaaaa aaaaa"]
+    got = [tuple(r) for r in tk.bpe_learn_merges(_docs(spark, texts), 3).collect()]
+    want, _ = ref_bpe(texts, 3)
+    assert got == want
+    assert got[0][1:4] == ("a", "a", "aa")
+
+
+def test_early_stop_when_no_repeated_pair(spark):
+    # every word unique, every pair count 1 -> zero merges learned
+    got = tk.bpe_learn_merges(_docs(spark, ["ab cd ef"]), 4).collect()
+    assert got == []
+
+
+def test_single_char_words_survive(spark):
+    texts = ["a a a b b ab ab"]
+    got = [tuple(r) for r in tk.bpe_learn_merges(_docs(spark, texts), 2).collect()]
+    want, _ = ref_bpe(texts, 2)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_matches_reference_hypothesis(spark, corpus, k):
+    got = [tuple(r) for r in tk.bpe_learn_merges(_docs(spark, corpus), k).collect()]
+    want, _ = ref_bpe(corpus, k)
+    assert got == want
+
+
+def test_apply_bpe_reproduces_trained_vocab(spark):
+    """Encoding the training corpus with the learned merge table must
+    reproduce the trainer's final symbol sequences word-for-word —
+    the train/encode consistency law of BPE."""
+    texts = ["aaaaa banana banana x", "aaaaa bandana low lower lowest"]
+    d = _docs(spark, texts)
+    merges = [(r["lhs"], r["rhs"]) for r in tk.bpe_learn_merges(d, 5).collect()]
+    _, vocab = ref_bpe(texts, 5)
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in tk.apply_bpe(d, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    for i, t in enumerate(texts):
+        want = [s for w in t.split() for s in vocab[w]]
+        assert enc[i] == want
+
+
+def test_apply_bpe_is_pure_projection(spark):
+    """The encode step must not add exchanges or Python workers: it
+    rides inside the scan stage at any scale."""
+    d = _docs(spark, ["aa aa ab"])
+    plan = tk.apply_bpe(d, [("a", "a"), ("aa", "b")])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_word_counts_is_corpus_agg_only(spark):
+    d = _docs(spark, ["x y x"])
+    rows = {(r["word"], r["cnt"]) for r in tk.word_counts(d).collect()}
+    assert rows == {("x", 2), ("y", 1)}
