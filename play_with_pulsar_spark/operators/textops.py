@@ -301,6 +301,129 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model perplexity scoring — the CCNet-style LM
+    quality filter (Wenzek et al. 2020 score with a KenLM; this is
+    the self-trained bigram analog): train an interpolated bigram LM
+    on the corpus itself, score every document by its per-bigram
+    cross-entropy. Gibberish (unseen transitions) and boilerplate
+    (ultra-predictable transitions) land at the two ends of the
+    distribution; the middle band is what CCNet keeps.
+
+    Model: p(w|v) = (c(v,w) + alpha * p_u(w)) / (c(v) + alpha), with
+    the unigram backoff p_u(w) = (c(w)+1)/(N+V) add-one smoothed over
+    the corpus vocabulary. xent(d) = -mean log p over d's adjacent
+    token pairs; ppl = exp(xent), computed FROM the rounded xent so
+    both engines exponentiate the identical double.
+
+    Scale shape: one tokenization scan feeds (a) the unigram count
+    aggregate (vocabulary-sized, broadcast), (b) the bigram count
+    aggregate (bigram-TYPE-sized — this one is NOT broadcast: real
+    corpora have billions of bigram types, so the per-doc scoring
+    join shuffles on the (v, r) bigram key, a plain co-partitioned
+    hash join that scales with executors), and (c) the per-doc
+    scoring pass. Context counts c(v) derive from the bigram table
+    (vocabulary-sized aggregate), never a second corpus scan.
+    Documents with fewer than 2 tokens survive with n_bigrams = 0 and
+    NULL scores (a filter must account for every input row).
+    Determinism: per-bigram log p rounded to 8 decimals before the
+    exact decimal sum (the ``unigram_logprob`` protocol).
+    """
+    from ..oracle import dsum
+
+    # tokenizer materialized at a projection boundary FIRST — the
+    # ngrams_from_tokens rule (expressions referenced inside array
+    # lambdas re-evaluate per element). The boundary is a doc_id
+    # repartition so every consumer (unigram counts, bigram counts,
+    # scoring, the keep-all-docs join) hangs off ONE exchange that
+    # ReuseExchange executes as a single tokenization scan — the
+    # bm25_topk single-scan protocol (plan-asserted).
+    # isnotnull(doc_id) is applied HERE, uniformly: the final left
+    # join pushes that predicate into its right branch anyway, and if
+    # only one branch carries it the exchange subtrees stop being
+    # identical (three scans instead of one — measured)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+        .where(F.col("doc_id").isNotNull())
+        .repartition("doc_id")
+    )
+    t = F.col("_t")
+    # explode_outer + post-filter instead of explode: a plain explode
+    # synthesizes a pushable `size(tokens) > 0` filter that re-inlines
+    # the tokenizer below this branch's exchange and splits it off the
+    # shared one (the lambda-inlining hazard, pushdown edition)
+    uni = base.select("doc_id", F.explode_outer(t).alias("w")).where(
+        F.col("w").isNotNull()
+    )
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = uc.agg(F.sum("cw").alias("_n"), F.count(F.lit(1)).alias("_v"))
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 2),
+                    lambda i: F.struct(
+                        F.element_at(t, i + 1).alias("l"),
+                        F.element_at(t, i + 2).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.expr("cast(array() as array<struct<l: string, r: string>>)"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    bc = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bc.groupBy("l").agg(F.sum("cb").alias("cl"))
+    lp = (
+        bc.join(ctx, "l")
+        .join(uc.withColumnRenamed("w", "r"), "r")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l",
+            "r",
+            F.round(
+                F.log(
+                    (
+                        F.col("cb")
+                        + F.lit(alpha)
+                        * ((F.col("cw") + 1) / (F.col("_n") + F.col("_v")).cast("double"))
+                    )
+                    / (F.col("cl") + F.lit(alpha))
+                ),
+                8,
+            ).alias("lp"),
+        )
+    )
+    scored = (
+        bi.join(lp, ["l", "r"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-dsum("lp") / F.count(F.lit(1)), 6).alias("xent"),
+        )
+    )
+    # the keep-all-docs branch consumes _t too (n_tokens) so its
+    # pruned column set {doc_id, _t} matches the other consumers' —
+    # otherwise ColumnPruning specializes this branch's exchange to
+    # doc_id-only and ReuseExchange can no longer unify the scans
+    return (
+        base.select("doc_id", F.size("_t").cast("bigint").alias("n_tokens"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "xent",
+            F.round(F.exp("xent"), 6).alias("ppl"),
+        )
+    )
+
+
 # --- rolling-hash document fingerprinting (winnowing-style) ---
 
 # Polynomial-hash parameters. Horner steps stay far inside int64:

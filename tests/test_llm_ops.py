@@ -536,3 +536,23 @@ def test_multiprobe_beats_single_probe_at_same_geometry(spark, emb):
     r_multi = len(truth & multi) / len(truth)
     assert r_multi >= r_single
     assert r_multi > r_single, f"single {r_single:.2f} multi {r_multi:.2f}"
+
+
+def test_bigram_perplexity_scores_and_edge_docs(spark):
+    # gibberish (unseen transitions) must score higher xent than a doc
+    # made of the corpus's dominant transitions; <2-token docs survive
+    # with n_bigrams=0 and NULL scores
+    from play_with_pulsar_spark.operators import textops
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows += [(100, "mat the on sat cat the"), (101, "solo"), (102, "")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.bigram_logprob(d).collect()}
+    assert len(out) == len(rows)
+    assert out[0]["xent"] < out[100]["xent"]
+    assert out[101]["n_bigrams"] == 0 and out[101]["xent"] is None
+    assert out[102]["n_bigrams"] == 0
+    # ppl = exp(xent) of the rounded xent
+    import math
+
+    assert abs(out[0]["ppl"] - round(math.exp(out[0]["xent"]), 6)) < 1e-9

@@ -273,3 +273,25 @@ def test_dsir_hashed_tokenizer_behind_boundary(q):
 
     for gen in re.findall(r"Generate explode\(([^\n]*)\)", plan):
         assert "split(" not in gen, gen
+
+
+def test_bigram_perplexity_single_tokenization_scan(spark, sf_dir):
+    # round-7 contract: all four consumers (unigram counts, bigram
+    # counts, scoring, keep-all-docs) hang off ONE doc_id exchange —
+    # the corpus is read and tokenized exactly once (the bm25
+    # protocol). Guards both pushdown leaks that split the exchange:
+    # the outer join's isnotnull and the explode's size>0 filter.
+    import re
+
+    from play_with_pulsar_spark import plans as P
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["text_bigram_perplexity"].fn(spark, sf_dir)
+        plan = P.formatted_plan(df)
+        scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert scans == 1, plan
+        assert "ReusedExchange" in plan, plan
+        assert "EvalPython" not in plan and "InPandas" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
