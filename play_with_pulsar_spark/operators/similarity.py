@@ -1128,3 +1128,58 @@ def quantized_cosine_topk(
         deq, queries, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to,
         corpus_nonzero=True,
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str, str]],
+    k_const: int = 60,
+    k: int = 10,
+    contrib_round: int = 9,
+    score_round: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists
+    — the standard hybrid-retrieval combiner (lexical BM25 + dense
+    cosine in a RAG stack): rrf(id) = Σ_lists 1 / (k_const + rank),
+    summed over the lists where the id appears.
+
+    ``rankings`` is a list of (df, id_col, rank_col) triples; ranks
+    are 1-based. Shape: each list is already top-k-sized (k·queries
+    rows — the candidate lists are SMALL by construction, that is the
+    point of fusion over pre-cut lists), so the union + one keyed
+    aggregation is bounded by Σ list sizes at any corpus scale; the
+    final cut is TakeOrdered. Determinism: each contribution is
+    rounded to ``contrib_round`` then summed with the exact decimal
+    protocol; ties break by id ascending.
+
+    Output: (doc_id, rrf_score, n_lists, rnk) for rnk ≤ k.
+    """
+    from pyspark.sql import Window
+
+    from ..oracle import dsum
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    parts = [
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.round(
+                F.lit(1.0) / (F.lit(k_const) + F.col(rank_col)), contrib_round
+            ).alias("_contrib"),
+        )
+        for df, id_col, rank_col in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy("doc_id").agg(
+        F.round(dsum("_contrib"), score_round).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    # TakeOrdered cut FIRST (k·partitions rows move), window ranks
+    # only the k survivors — the bm25_topk top-k protocol
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )

@@ -556,3 +556,21 @@ def test_bigram_perplexity_scores_and_edge_docs(spark):
     import math
 
     assert abs(out[0]["ppl"] - round(math.exp(out[0]["xent"]), 6)) < 1e-9
+
+
+def test_rrf_fuse_ranks_consensus_above_single_list(spark):
+    from play_with_pulsar_spark.operators import similarity
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rnk int")
+    b = spark.createDataFrame([(2, 1), (9, 2)], "doc_id long, rnk int")
+    out = similarity.rrf_fuse([(a, "doc_id", "rnk"), (b, "doc_id", "rnk")], k=10).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 2 appears in both lists -> highest fused score
+    assert out[0]["doc_id"] == 2 and out[0]["rnk"] == 1
+    assert by_id[2]["n_lists"] == 2 and by_id[1]["n_lists"] == 1
+    # rank-1-in-one-list (doc 1) beats rank-2-in-one-list (doc 9)
+    assert by_id[1]["rrf_score"] > by_id[9]["rrf_score"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.rrf_fuse([])
