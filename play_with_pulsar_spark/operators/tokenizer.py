@@ -61,7 +61,11 @@ def _chars(word) -> F.Column:
     """word → array of single characters (the initial symbol
     sequence). Pure codegen: transform over sequence(1, length)."""
     w = F.col(word) if isinstance(word, str) else word
-    return F.transform(F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1)))
+    # guard the empty word: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    # it is not empty like DuckDB's range(1, 1)
+    return F.when(F.length(w) >= 1,
+        F.transform(F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1)))
+    ).otherwise(F.expr("cast(array() as array<string>)"))
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
