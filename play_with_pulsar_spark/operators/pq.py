@@ -35,10 +35,14 @@ Scale shapes:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .clustering import Centroids, kmeans_fit, nearest_centroid
+from .clustering import Centroids, _dist_matrix, kmeans_fit, nearest_centroid
 
 Codebooks = list[Centroids]  # one Centroids list per subspace
 
@@ -48,6 +52,54 @@ def _subvec(em: F.Column, j: int, d_sub: int) -> F.Column:
     return F.slice(em, j * d_sub + 1, d_sub)
 
 
+def _pq_partials(v: DataFrame, books: Codebooks, dist_round: int) -> DataFrame:
+    """(sub, cluster, pos, s, n) partial sums for ALL subspaces in ONE
+    Arrow pass — the ``_partial_sums_numpy`` Lloyd map-side kernel,
+    vectorized across the m codebooks so a PQ iteration is one job
+    over the corpus instead of m."""
+    m = len(books)
+    d_sub = len(books[0][0][1])
+    cmats, clss = [], []
+    for book in books:
+        order = sorted(range(len(book)), key=lambda i: book[i][0])
+        clss.append(np.array([book[i][0] for i in order], dtype=np.int64))
+        cmats.append(np.stack([np.asarray(book[i][1], dtype=np.float64) for i in order]))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = [np.zeros((len(b), d_sub), dtype=np.float64) for b in cmats]
+        counts = [np.zeros(len(b), dtype=np.int64) for b in cmats]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["em"].to_numpy()).astype(np.float64)
+            for j in range(m):
+                sub = mat[:, j * d_sub : (j + 1) * d_sub]
+                idx = np.argmin(_dist_matrix(sub, cmats[j], dist_round), axis=1)
+                np.add.at(sums[j], idx, sub)
+                counts[j] += np.bincount(idx, minlength=len(cmats[j]))
+        frames = []
+        for j in range(m):
+            live = np.nonzero(counts[j])[0]
+            if len(live):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "sub": np.full(len(live) * d_sub, j, dtype=np.int32),
+                            "cluster": np.repeat(clss[j][live], d_sub),
+                            "pos": np.tile(np.arange(d_sub, dtype=np.int32), len(live)),
+                            "s": sums[j][live].ravel(),
+                            "n": np.repeat(counts[j][live], d_sub),
+                        }
+                    )
+                )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return v.mapInPandas(
+        partials, schema="sub int, cluster bigint, pos int, s double, n long"
+    )
+
+
 def pq_fit(
     df: DataFrame,
     m: int = 8,
@@ -55,11 +107,23 @@ def pq_fit(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dist_round: int = 6,
+    mean_round: int = 9,
+    strategy: str = "fused",
 ) -> Codebooks:
     """Learn ``m`` per-subspace codebooks of ``k_sub`` centroids each
-    with the deterministic distributed Lloyd's of ``kmeans_fit``.
-    The vector dimension must divide evenly by ``m`` (asserted from
-    one collected row — bounded)."""
+    with the deterministic distributed Lloyd's. The vector dimension
+    must divide evenly by ``m`` (asserted from one collected row —
+    bounded).
+
+    ``strategy="fused"`` (default): ONE init collect (the first
+    ``k_sub`` full vectors, sliced locally — slicing commutes with
+    order-by-id limit) and ONE Arrow job per iteration computing
+    every subspace's argmin + (cluster, dim) partial sums together —
+    m× fewer jobs/corpus passes than fitting each subspace
+    separately, same codebooks (equality tested).
+    ``strategy="per_subspace"``: m independent ``kmeans_fit`` calls —
+    the reference form the oracle unrolls."""
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         raise ValueError("pq_fit: empty corpus")
@@ -68,13 +132,56 @@ def pq_fit(
         raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
     d_sub = dim // m
     em = F.col(vec_col).cast("array<double>")
-    books: Codebooks = []
-    for j in range(m):
-        sub = df.select(F.col(id_col), _subvec(em, j, d_sub).alias(vec_col))
-        books.append(
-            kmeans_fit(sub, k=k_sub, iters=iters, id_col=id_col, vec_col=vec_col)
+    if strategy == "per_subspace":
+        books: Codebooks = []
+        for j in range(m):
+            sub = df.select(F.col(id_col), _subvec(em, j, d_sub).alias(vec_col))
+            books.append(
+                kmeans_fit(
+                    sub, k=k_sub, iters=iters, id_col=id_col, vec_col=vec_col,
+                    dist_round=dist_round, mean_round=mean_round,
+                )
+            )
+        return books
+    if strategy != "fused":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    rows = (
+        df.select(F.col(id_col).alias("i"), em.alias("em"))
+        .orderBy("i")
+        .limit(k_sub)
+        .collect()
+    )
+    books = [
+        [
+            (ci, [float(x) for x in r.em[j * d_sub : (j + 1) * d_sub]])
+            for ci, r in enumerate(rows)
+        ]
+        for j in range(m)
+    ]
+    v = df.select(em.alias("em"))
+    for _ in range(iters):
+        means = (
+            _pq_partials(v, books, dist_round)
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.round(F.sum("s") / F.sum("n"), mean_round).alias("mm"))
+            .collect()
         )
+        nxt = [{cl: list(cv) for cl, cv in book} for book in books]
+        for r in means:
+            nxt[r.sub][r.cluster][r.pos] = r.mm
+        books = [[(cl, nxt[j][cl]) for cl, _ in books[j]] for j in range(m)]
     return books
+
+
+def _sorted_books(books: Codebooks) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    cmats, clss = [], []
+    for book in books:
+        order = sorted(range(len(book)), key=lambda i: book[i][0])
+        clss.append(np.array([book[i][0] for i in order], dtype=np.int64))
+        cmats.append(
+            np.stack([np.asarray(book[i][1], dtype=np.float64) for i in order])
+        )
+    return cmats, clss
 
 
 def pq_encode(
@@ -83,20 +190,49 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dist_round: int = 6,
+    strategy: str = "numpy",
 ) -> DataFrame:
-    """(id, codes array<int>) — ONE literal-codebook projection, zero
-    shuffles, zero Python workers. Ties on the rounded subspace
-    distance break by centroid id (the ``nearest_centroid``
-    contract, mirrored by the oracle)."""
-    em = F.col(vec_col).cast("array<double>")
+    """(id, codes array<int>) — both kernels shuffle-free, same
+    rounded-argmin answer (cross-kernel parity tested):
+
+    - ``"numpy"`` (default): Arrow-batched per-subspace argmin — the
+      throughput path (``np.argmin`` takes the FIRST minimum, which
+      IS the centroid-id tiebreak because the centroid axis is
+      cluster-ordered).
+    - ``"sql"``: m literal-codebook ``nearest_centroid`` argmins in
+      one projection — zero Python workers, fully declarative (its
+      per-element lambdas are interpreted, ~10× the constant)."""
+    m = len(books)
     d_sub = len(books[0][0][1])
-    code_cols = [
-        nearest_centroid(_subvec(em, j, d_sub), books[j], dist_round)
-        .getField("cl")
-        .cast("int")
-        for j in range(len(books))
-    ]
-    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    em = F.col(vec_col).cast("array<double>")
+    if strategy == "sql":
+        code_cols = [
+            nearest_centroid(_subvec(em, j, d_sub), books[j], dist_round)
+            .getField("cl")
+            .cast("int")
+            for j in range(m)
+        ]
+        return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    if strategy != "numpy":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    cmats, clss = _sorted_books(books)
+    id_type = dict(df.dtypes)[id_col]
+    v = df.select(F.col(id_col), em.alias("em"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["em"].to_numpy()).astype(np.float64)
+            cols = []
+            for j in range(m):
+                sub = mat[:, j * d_sub : (j + 1) * d_sub]
+                idx = np.argmin(_dist_matrix(sub, cmats[j], dist_round), axis=1)
+                cols.append(clss[j][idx].astype(np.int32))
+            codes = np.stack(cols, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return v.mapInPandas(encode, schema=f"{id_col} {id_type}, codes array<int>")
 
 
 def _book_literal(book: Centroids) -> F.Column:
@@ -117,46 +253,137 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     term_round: int = 6,
+    strategy: str = "numpy",
 ) -> DataFrame:
     """ADC top-k: for every query, rank the CODES table (never the
     vectors) by Σ_j ||q_j − centroid(code_j)||², each subspace term
-    an ordered codegen fold rounded to ``term_round`` before the
-    fixed-order sum (so both engines rank the identical doubles).
-    Returns (query_id, neighbor_id, adc_dist, rn ≤ k); a query never
-    matches itself."""
+    rounded to ``term_round`` before the fixed-order sum. Returns
+    (query_id, neighbor_id, adc_dist, rn ≤ k); a query never matches
+    itself. Two kernels, same doubles (cross-kernel parity tested):
+
+    - ``"numpy"`` (default): the textbook ADC — the query's m×k
+      distance LUT is computed ONCE on the driver (sequential numpy
+      sums over d_sub elements match the fold order bitwise, rounded
+      SQL-style), broadcast, and each Arrow batch scores its codes by
+      m table lookups + a sequential accumulate; per-partition local
+      top-(k+8) bounds what leaves a partition (the
+      ``brute_force_topk`` margin protocol for rounded ties).
+    - ``"sql"``: literal-codebook lookups + zip_with folds — zero
+      Python workers; interpreted lambdas, ~10× the constant.
+    """
     m = len(books)
     d_sub = len(books[0][0][1])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    terms = []
-    for j in range(m):
-        cent = F.element_at(_book_literal(books[j]), F.element_at("codes", j + 1) + 1)
-        terms.append(
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        _subvec(F.col("qv"), j, d_sub),
-                        cent,
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                term_round,
-            )
+    if strategy == "sql":
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
         )
-    adc = F.round(sum(terms[1:], terms[0]), term_round)
-    scored = (
-        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
-        .crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc_dist", adc)
+        terms = []
+        for j in range(m):
+            cent = F.element_at(
+                _book_literal(books[j]), F.element_at("codes", j + 1) + 1
+            )
+            terms.append(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            _subvec(F.col("qv"), j, d_sub),
+                            cent,
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    term_round,
+                )
+            )
+        adc = F.round(sum(terms[1:], terms[0]), term_round)
+        scored = (
+            codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+            .crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("adc_dist", adc)
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_dist"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "adc_dist", "rn")
+        )
+    if strategy != "numpy":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    from .clustering import _round_half_away
+
+    cmats, clss = _sorted_books(books)
+    qpdf = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).toPandas()
+    q_ids = qpdf["qid"].to_numpy()
+    q_mat = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    # LUT[q][j][code] = round(Σ_d (q_d - c_d)², 6). For d_sub ≤ 128
+    # numpy's row sum is sequential left-assoc — the same double the
+    # zip_with fold and the oracle's explicit term sum produce.
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    _round_half_away(
+                        (
+                            (q_mat[:, j * d_sub : (j + 1) * d_sub][:, None, :]
+                             - cmats[j][None, :, :])
+                            ** 2
+                        ).sum(axis=2),
+                        term_round,
+                    )
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+        ],
+        axis=0,
+    )[0]  # (Q, m, k)
+    # map code value -> position in the cluster-ordered axis
+    code_pos = []
+    for j in range(m):
+        pos = np.full(int(clss[j].max()) + 1, -1, dtype=np.int64)
+        pos[clss[j]] = np.arange(len(clss[j]))
+        code_pos.append(pos)
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, luts, code_pos))
+    id_type = dict(codes.dtypes)[id_col]
+    kk = k + 8
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, lut, cpos = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            nid = pdf[id_col].to_numpy()
+            for qi, qid in enumerate(ids):
+                acc = lut[qi][0][cpos[0][cmat[:, 0]]].copy()
+                for j in range(1, m):
+                    acc += lut[qi][j][cpos[j][cmat[:, j]]]
+                adc = _round_half_away(acc, term_round)
+                mask = nid != qid
+                a, n = adc[mask], nid[mask]
+                take = min(kk, len(a))
+                if take == 0:
+                    continue
+                part = np.argpartition(a, take - 1)[:take]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": n[part], "adc_dist": a[part]}
+                )
+
+    local = codes.select(F.col(id_col), "codes").mapInPandas(
+        score,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, adc_dist double",
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        local.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rn")
     )

@@ -47,10 +47,10 @@ def test_codebook_shape_and_code_bounds(spark, emb, books):
     assert row["lo"] >= 0 and row["hi"] <= 15 and row["n1"] == row["n2"] == 8
 
 
-def test_encode_is_pure_projection(spark, emb, books):
+def test_encode_is_shuffle_free(spark, emb, books):
+    # numpy kernel: Arrow stage, still zero exchanges (rides the scan)
     plan = pq.pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
-    assert "Python" not in plan and "InPandas" not in plan
 
 
 def test_dim_must_divide(spark, emb):
@@ -92,3 +92,32 @@ def test_rerank_is_exact_within_shortlist(spark, emb, books):
         rows = rer[rer.query_id == q].sort_values("rn")
         dists = [np.linalg.norm(M[q] - M[int(n)]) for n in rows.neighbor_id]
         assert dists == sorted(dists)
+
+
+def test_fused_fit_equals_per_subspace(spark, emb):
+    b1 = pq.pq_fit(emb, m=8, k_sub=16, iters=2, strategy="fused")
+    b2 = pq.pq_fit(emb, m=8, k_sub=16, iters=2, strategy="per_subspace")
+    assert b1 == b2
+
+
+def test_encode_and_adc_cross_kernel_parity(spark, emb, books):
+    c_np = pq.pq_encode(emb, books, strategy="numpy")
+    c_sql = pq.pq_encode(emb, books, strategy="sql")
+    a = sorted((r["vec_id"], tuple(r["codes"])) for r in c_np.collect())
+    b = sorted((r["vec_id"], tuple(r["codes"])) for r in c_sql.collect())
+    assert a == b
+    q = emb.filter(F.col("vec_id") < 5)
+    t_np = pq.pq_adc_topk(c_np, books, q, k=10, strategy="numpy").collect()
+    t_sql = pq.pq_adc_topk(c_np, books, q, k=10, strategy="sql").collect()
+    assert sorted(map(tuple, t_np)) == sorted(map(tuple, t_sql))
+
+
+def test_sql_encode_is_pure_projection(spark, emb, books):
+    plan = (
+        pq.pq_encode(emb, books, strategy="sql")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
