@@ -1471,3 +1471,58 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTED n-gram containment |A∩B| / |A| — the asymmetric
+    near-dup relation Jaccard misses: a short document quoted whole
+    inside a long one has low Jaccard (the union is big) but
+    containment ≈ 1 for the short side. Lee et al. 2021 §4 treat
+    these quote-inclusion cases as duplication; this is the exact
+    screen for them. Always ≥ Jaccard for the contained side.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (shared
+    xxhash64 shingle join, optional stop-shingle cap — mandatory at
+    scale), with BOTH directions emitted from the one undirected
+    intersection table: (id_src, id_dst, containment) means id_src's
+    shingle set is ≥ threshold contained in id_dst's.
+    """
+    grams = exploded_ngrams(docs, text_col, id_col, n).select(
+        "doc_id", F.xxhash64("g").alias("g")
+    )
+    if max_shingle_freq is not None:
+        common = (
+            grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(common), "g", "anti")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        (F.col("n_inter").cast("double") / F.col("na")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        (F.col("n_inter").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -574,3 +574,16 @@ def test_rrf_fuse_ranks_consensus_above_single_list(spark):
 
     with _pytest.raises(ValueError):
         similarity.rrf_fuse([])
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    from play_with_pulsar_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    d = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    jac = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.8).collect()
+    assert jac == []  # union dominated by the long doc
+    cont = dedup.ngram_containment_pairs(d, n=3, threshold=0.9).collect()
+    got = {(r["id_src"], r["id_dst"]): r["containment"] for r in cont}
+    assert got == {(1, 2): 1.0}  # short fully contained, not reverse
