@@ -698,3 +698,70 @@ def robust_outlier_filter(
             F.coalesce(z > F.lit(float(k)), F.lit(False)).alias("is_outlier"),
         )
     )
+
+
+def temperature_domain_rates(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    group_col: str = "source",
+    w_round: int = 12,
+    rate_round: int = 9,
+) -> DataFrame:
+    """Temperature-based mixture rates (the multilingual/multi-domain
+    alpha-sampling of T5 / GPT-3 / Gopher, all public): resample so
+    the OUTPUT domain shares are ∝ share^alpha — alpha < 1 flattens
+    the mixture (upweights small domains), alpha = 1 keeps natural
+    proportions. Returns (group, rate) with
+    rate_d = min(1, target_fraction · N · w_d / n_d),
+    w_d = share_d^alpha / Σ share^alpha.
+
+    Fully lazy: one domain-count aggregate (domain-sized), 1-row
+    totals broadcast back; w_d rounded to ``w_round`` then summed
+    under the exact DECIMAL(38,18) protocol so the normalizer is
+    partition-order-independent; rates rounded to ``rate_round``
+    BEFORE the md5-bucket threshold so the keep decision is
+    bit-portable."""
+    cnt = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = cnt.agg(F.sum("_n").alias("_nn"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "_n",
+        "_nn",
+        F.round(F.pow(F.col("_n") / F.col("_nn"), F.lit(alpha)), w_round).alias("_w"),
+    )
+    z = w.agg(F.sum(F.col("_w").cast("decimal(38,18)")).cast("double").alias("_z"))
+    return w.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_fraction)
+                * F.col("_nn")
+                * (F.col("_w") / F.col("_z"))
+                / F.col("_n"),
+            ),
+            rate_round,
+        ).alias("rate"),
+    )
+
+
+def temperature_domain_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Alpha-sampling end to end: derive the temperature rates, then
+    the deterministic md5-bucket membership of
+    ``weighted_domain_sample`` — reproducible across partitionings,
+    monotone in target_fraction, zero shuffles beyond the
+    domain-sized rate aggregates."""
+    rates = temperature_domain_rates(
+        docs, alpha=alpha, target_fraction=target_fraction, group_col=group_col
+    )
+    return weighted_domain_sample(
+        docs, rates, key_col=key_col, group_col=group_col, buckets=buckets
+    )

@@ -678,3 +678,25 @@ def test_dsir_hashed_ngrams_bounded_and_enriching(spark, sf_dir):
 
     with pytest.raises(ValueError, match="unknown features"):
         curation.dsir_importance_scores(docs, target=F.lit(True), features="chars")
+
+
+def test_temperature_rates_laws(spark):
+    # skewed corpus: A 900 docs, B 100 docs
+    from play_with_pulsar_spark.operators import curation
+
+    rows = [(i, "A") for i in range(900)] + [(1000 + i, "B") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    # alpha = 1 keeps natural proportions: every domain's rate equals
+    # the target fraction exactly
+    r1 = {r["source"]: r["rate"] for r in
+          curation.temperature_domain_rates(d, alpha=1.0, target_fraction=0.4).collect()}
+    assert r1 == {"A": 0.4, "B": 0.4}
+    # alpha < 1 flattens: the small domain is kept at a HIGHER rate
+    r5 = {r["source"]: r["rate"] for r in
+          curation.temperature_domain_rates(d, alpha=0.5, target_fraction=0.4).collect()}
+    assert r5["B"] > r5["A"]
+    # output shares move toward uniform vs the 0.9/0.1 input
+    samp = curation.temperature_domain_sample(d, alpha=0.5, target_fraction=0.4)
+    counts = {r["source"]: r["count"] for r in samp.groupBy("source").count().collect()}
+    share_b = counts["B"] / (counts["A"] + counts["B"])
+    assert 0.1 < share_b < 0.5
