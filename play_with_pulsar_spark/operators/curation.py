@@ -765,3 +765,36 @@ def temperature_domain_sample(
     return weighted_domain_sample(
         docs, rates, key_col=key_col, group_col=group_col, buckets=buckets
     )
+
+
+def curriculum_shards(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    seed: str = "42",
+    score_round: int = 9,
+) -> DataFrame:
+    """Quality-ordered curriculum export: documents land in their
+    reproducible md5 shard (same assignment as ``shuffle_shards`` —
+    late-arriving docs never move others), but WITHIN each shard the
+    read order is highest-quality-first (the quality-curriculum /
+    annealing recipe: schedule the best data where the schedule
+    needs it, e.g. the final tokens — Blakeney et al. 2024 "Does
+    your data spark joy?" is the public form). Order key =
+    (round(quality_score, 9) DESC, doc_id): the score is per-row
+    codegen, the rounding makes rank order engine-portable, and the
+    only exchange is the shard hash partitioning — the position
+    window runs within the partition the data already lives in.
+
+    Returns (key, shard, pos, q)."""
+    from .textops import quality_score
+
+    shard, h = shard_assignment(key_col, n_shards, seed)
+    q = F.round(quality_score(text_col), score_round)
+    w = Window.partitionBy("shard").orderBy(F.desc("q"), F.col(key_col))
+    return (
+        docs.select(F.col(key_col), shard, q.alias("q"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(key_col, "shard", "pos", "q")
+    )
