@@ -1515,14 +1515,27 @@ def ngram_containment_pairs(
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
     both = inter.join(sa, "id_a").join(sb, "id_b")
-    fwd = both.select(
-        F.col("id_a").alias("id_src"),
-        F.col("id_b").alias("id_dst"),
-        (F.col("n_inter").cast("double") / F.col("na")).alias("containment"),
-    )
-    rev = both.select(
-        F.col("id_b").alias("id_src"),
-        F.col("id_a").alias("id_dst"),
-        (F.col("n_inter").cast("double") / F.col("nb")).alias("containment"),
-    )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    # both directions from ONE pass over the pair rows — a self-union
+    # would reference (and re-execute) the whole inverted-index
+    # subtree twice (measured 14 shuffles vs the Jaccard screen's 7)
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_src"),
+                    F.col("id_b").alias("id_dst"),
+                    (F.col("n_inter").cast("double") / F.col("na")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_src"),
+                    F.col("id_a").alias("id_dst"),
+                    (F.col("n_inter").cast("double") / F.col("nb")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("p")
+    ).select("p.id_src", "p.id_dst", "p.containment")
+    return directed.filter(F.col("containment") >= threshold)

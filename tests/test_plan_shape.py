@@ -295,3 +295,28 @@ def test_bigram_perplexity_single_tokenization_scan(spark, sf_dir):
         assert "EvalPython" not in plan and "InPandas" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_curriculum_shards_single_exchange_no_python(q):
+    # round-7 contract: the only exchange is the shard hash
+    # partitioning; the quality score is per-row codegen
+    df = q("export_curriculum_shards")
+    assert plans.count_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_temperature_mix_rates_broadcast_back(q):
+    # rates derive from a domain-sized aggregate and come back as
+    # broadcast joins — the corpus-side membership filter never
+    # shuffles document rows
+    df = q("mix_domain_temperature")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_containment_same_shuffle_count_as_jaccard(q):
+    base = q("dedup_ngram_jaccard")
+    cont = q("dedup_ngram_containment")
+    assert plans.count_shuffles(cont) == plans.count_shuffles(base)
