@@ -897,3 +897,37 @@ def excise_duplicate_spans(
             (F.size("_t") - F.size(kept)).cast("bigint").alias("n_tokens_dropped"),
         )
     )
+
+
+def perplexity_bands(
+    scored: DataFrame,
+    xent_col: str = "xent",
+    id_col: str = "doc_id",
+    thresh_round: int = 9,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3):
+    rank documents by LM cross-entropy and cut the corpus at the
+    terciles — 'head' is the most-fluent third (lowest xent),
+    'tail' the least; unscored documents (no bigrams) band as
+    'unscored'. The cuts are exact interpolated percentiles of the
+    ROUNDED xent distribution, computed in one 1-row aggregate and
+    broadcast back (lazy, no driver scalars), each rounded to
+    ``thresh_round`` before the band comparison so the assignment is
+    engine-portable. At 100 TB swap the exact percentile for
+    ``percentile_approx`` under the approx_stats_bounded protocol —
+    the exact form's merge buffer is O(distinct xent values) on one
+    task (same hazard as robust_outlier_filter, documented there)."""
+    third = 1.0 / 3.0
+    t = scored.where(F.col(xent_col).isNotNull()).agg(
+        F.round(F.expr(f"percentile({xent_col}, {third!r})"), thresh_round).alias("_t1"),
+        F.round(F.expr(f"percentile({xent_col}, {2 * third!r})"), thresh_round).alias("_t2"),
+    )
+    return scored.crossJoin(F.broadcast(t)).select(
+        id_col,
+        xent_col,
+        F.when(F.col(xent_col).isNull(), F.lit("unscored"))
+        .when(F.col(xent_col) <= F.col("_t1"), F.lit("head"))
+        .when(F.col(xent_col) <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("band"),
+    )

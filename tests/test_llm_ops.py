@@ -587,3 +587,23 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     cont = dedup.ngram_containment_pairs(d, n=3, threshold=0.9).collect()
     got = {(r["id_src"], r["id_dst"]): r["containment"] for r in cont}
     assert got == {(1, 2): 1.0}  # short fully contained, not reverse
+
+
+def test_perplexity_bands_split_in_thirds(spark, sf_dir):
+    from play_with_pulsar_spark.operators import textops
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textops.bigram_logprob(docs).select("doc_id", "xent")
+    bands = textops.perplexity_bands(scored)
+    counts = {r["band"]: r["count"] for r in bands.groupBy("band").count().collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    for b in ("head", "middle", "tail"):
+        assert counts[b] >= n * 0.25  # terciles within tie slack
+    # short docs band as unscored
+    extra = spark.createDataFrame([(9_000_001, "solo")], "doc_id long, text string")
+    base = docs.select("doc_id", "text")
+    sc2 = textops.bigram_logprob(base.unionByName(extra)).select("doc_id", "xent")
+    b2 = {r["doc_id"]: r["band"] for r in textops.perplexity_bands(sc2).collect()}
+    assert b2[9_000_001] == "unscored"
