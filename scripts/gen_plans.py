@@ -35,6 +35,11 @@ TARGETS = [
     ("sketch_cms_heavy_hitters", "Count-min heavy hitters (round 7): depth-fold explode inside the scan stage, (row,bucket) agg map-side-combined and bounded at depth*width rows/task; estimate = broadcast join of the fixed-width sketch; final cut TakeOrdered."),
     ("sketch_hll_distinct", "HyperLogLog per-group cardinality (round 7): (lang,bucket) max-agg map-side-combined and bounded at m rows/group/task; the estimator is a scalar projection over the 2-column group agg. Watch: the exact count(DISTINCT tok) baseline column is the expensive side — the sketch branch never shuffles distinct tokens."),
     ("text_bloom_contamination", "Bloom decontamination screen (round 7): k=3 chained BroadcastHashJoins against the <=m_bits position set — NO probe-side exchange before the per-doc count (plan-asserted in test_sketch.py). Watch: no SortMergeJoin anywhere on the membership path."),
+    ("text_bigram_perplexity", "Bigram-LM scoring (round 7): unigram counts, bigram counts, scoring and the keep-all-docs branch all hang off ONE repartition(doc_id) exchange (ReusedExchange => single tokenization scan, plan-asserted). Watch: no isnotnull/size>0 filter below the shared exchange — either pushdown leak splits it into 3 scans."),
+    ("sim_pq_rerank_topk", "PQ shortlist + exact re-rank (round 7): ADC ranks the CODES table via the broadcast per-query LUT (mapInPandas, local top-(k+8) per partition); only shortlisted ids join back to the float vectors. Watch: the float corpus appears ONLY under the rerank join, never under the ADC scan."),
+    ("graph_pagerank_copurchase", "Distributed PageRank (round 7): per iteration one BroadcastHashJoin (rank vector, node-sized) against the checkpointed edge table + one map-side-combined mass agg. Watch: the edges subtree appears ONCE (lazy localCheckpoint) — without it the nested plan re-executes upstream 2^iters times."),
+    ("mix_domain_temperature", "Temperature mixture sampling (round 7): domain-sized count agg -> 1-row normalizer under the DECIMAL(38,18) protocol -> rates broadcast back; the corpus-side membership filter is a scalar md5-bucket projection. Watch: document rows never shuffle."),
+    ("export_curriculum_shards", "Curriculum shards (round 7): per-row codegen quality score; the ONLY exchange is the shard hash partitioning; rank window runs inside the partition the data already lives in."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries
