@@ -931,3 +931,153 @@ def perplexity_bands(
         .otherwise(F.lit("tail"))
         .alias("band"),
     )
+
+
+# --- persisted bigram LM: the CCNet screen's model artifact ---------
+
+
+def fit_bigram_lm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """Fit the interpolated bigram LM of :func:`bigram_logprob` on a
+    REFERENCE corpus (CCNet fits on Wikipedia; any curated slice
+    works) and return its model tables: (uc, ctx, bc, meta) =
+    unigram counts (w, cw), context counts (l, cl), bigram counts
+    (l, r, cb), and {n, v} totals. All three tables are
+    vocabulary-/bigram-type-sized aggregates of ONE tokenization
+    scan — the model is data, not driver state."""
+    base = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    t = F.col("_t")
+    uc = (
+        base.select(F.explode_outer(t).alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    bi = base.select(
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 2),
+                    lambda i: F.struct(
+                        F.element_at(t, i + 1).alias("l"),
+                        F.element_at(t, i + 2).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.expr("cast(array() as array<struct<l: string, r: string>>)"))
+        ).alias("p")
+    ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    bc = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bc.groupBy("l").agg(F.sum("cb").alias("cl"))
+    tot = uc.agg(F.sum("cw").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    meta = {"n": int(tot["n"] or 0), "v": int(tot["v"] or 0)}
+    return uc, ctx, bc, meta
+
+
+def write_bigram_lm(path: str, uc: DataFrame, ctx: DataFrame, bc: DataFrame, meta: dict) -> None:
+    """Persist the LM artifact: three parquet tables + ``lm.json``
+    written LAST (the commit marker — a reader that finds the sidecar
+    finds complete tables; the ``write_bloom`` protocol)."""
+    import json
+    import os
+
+    uc.write.mode("overwrite").parquet(os.path.join(path, "uc.parquet"))
+    ctx.write.mode("overwrite").parquet(os.path.join(path, "ctx.parquet"))
+    bc.write.mode("overwrite").parquet(os.path.join(path, "bc.parquet"))
+    tmp = os.path.join(path, "lm.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "lm.json"))
+
+
+def read_bigram_lm(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    import json
+    import os
+
+    with open(os.path.join(path, "lm.json")) as fh:
+        meta = json.load(fh)
+    uc = spark.read.parquet(os.path.join(path, "uc.parquet"))
+    ctx = spark.read.parquet(os.path.join(path, "ctx.parquet"))
+    bc = spark.read.parquet(os.path.join(path, "bc.parquet"))
+    return uc, ctx, bc, meta
+
+
+def score_with_bigram_lm(
+    docs: DataFrame,
+    uc: DataFrame,
+    ctx: DataFrame,
+    bc: DataFrame,
+    meta: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score NEW documents against a PERSISTED bigram LM — the CCNet
+    screen step. Unlike :func:`bigram_logprob` (which trains and
+    scores on the same corpus, so every bigram is in-vocabulary),
+    screened docs hit unseen events; the smoothing handles all three
+    backoff levels with the same formula via coalesce-to-zero:
+    unseen bigram → alpha·p_u(w)/(c(l)+alpha); unseen context →
+    p_u(w); unseen word → p_u = 1/(N+V). Plan: one tokenization scan
+    of the batch; uc broadcast (vocabulary-sized); the bigram joins
+    shuffle on the bigram key (type table unbounded at corpus
+    scale). Rounding protocol identical to ``bigram_logprob``.
+
+    Returns (doc_id, n_bigrams, xent) with NULL xent for <2-token
+    docs."""
+    from ..oracle import dsum
+
+    n_tot, v_tot = int(meta["n"]), int(meta["v"])
+    base = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    t = F.col("_t")
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 2),
+                    lambda i: F.struct(
+                        F.element_at(t, i + 1).alias("l"),
+                        F.element_at(t, i + 2).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.expr("cast(array() as array<struct<l: string, r: string>>)"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    joined = (
+        bi.join(bc, ["l", "r"], "left")
+        .join(ctx, "l", "left")
+        .join(F.broadcast(uc.withColumnRenamed("w", "r")), "r", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        F.coalesce(F.col("cb"), F.lit(0)).cast("double")
+                        + F.lit(alpha)
+                        * (
+                            (F.coalesce(F.col("cw"), F.lit(0)) + 1)
+                            / F.lit(float(n_tot + v_tot))
+                        )
+                    )
+                    / (F.coalesce(F.col("cl"), F.lit(0)) + F.lit(alpha))
+                ),
+                8,
+            ).alias("lp"),
+        )
+    )
+    scored = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-dsum("lp") / F.count(F.lit(1)), 6).alias("xent"),
+    )
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "xent",
+        )
+    )

@@ -132,6 +132,8 @@ class StreamingCorpusCurator:
         quality_threshold: float = 0.5,
         contamination_bloom_path: str | None = None,
         contamination_max_fraction: float = 0.1,
+        perplexity_lm_path: str | None = None,
+        perplexity_max_xent: float = 5.0,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -228,7 +230,20 @@ class StreamingCorpusCurator:
         (sidecar flipped atomically LAST, so the curator sees old or
         new, never torn). Same replay caveat as the quality model:
         a batch replayed after a filter refresh screens under the new
-        filter. Text screens only, like ``quality_model_path``."""
+        filter. Text screens only, like ``quality_model_path``.
+
+        ``perplexity_lm_path`` (round 7, continued): path to a
+        ``textops.write_bigram_lm`` artifact — the CCNet screen
+        (Wenzek et al. 2020): the LM is fitted ONCE on a clean
+        reference slice, and every batch doc scoring a cross-entropy
+        above ``perplexity_max_xent`` under it (gibberish,
+        far-out-of-domain) is rejected before the dedup screen.
+        Backoff smoothing covers OOV events; <2-token docs pass
+        vacuously. Artifact cached on the ``lm.json`` sidecar's
+        (mtime, size) — refitting the LM is one ``write_bigram_lm``
+        over the same path (sidecar written LAST). Screen order:
+        quality → perplexity → contamination → dedup. Same replay
+        caveat as the other model screens. Text screens only."""
         if screen not in ("jaccard", "minhash", "embedding"):
             raise ValueError(f"unknown screen {screen!r}")
         if screen == "embedding" and emb_dim is None:
@@ -311,6 +326,9 @@ class StreamingCorpusCurator:
         self.n_buckets = n_buckets
         self.quality_model_path = quality_model_path
         self.quality_threshold = quality_threshold
+        self.perplexity_lm_path = perplexity_lm_path
+        self.perplexity_max_xent = perplexity_max_xent
+        self._perplexity_lm: tuple | None = None
         self._quality_model: tuple | None = None  # ((mtime, size), w, stats)
         self.contamination_bloom_path = contamination_bloom_path
         self.contamination_max_fraction = contamination_max_fraction
@@ -628,6 +646,38 @@ class StreamingCorpusCurator:
         )
         return docs.join(low, self.id_col, "anti")
 
+    def _apply_perplexity_screen(self, docs: DataFrame) -> DataFrame:
+        """CCNet-style LM perplexity pre-screen
+        (``perplexity_lm_path``): score every batch doc against the
+        PERSISTED bigram LM (``textops.write_bigram_lm`` artifact —
+        fitted on a clean reference slice, the CCNet recipe) and
+        reject docs with cross-entropy above ``perplexity_max_xent``
+        (gibberish / far-out-of-domain text). Backoff smoothing
+        handles OOV events (see ``score_with_bigram_lm``). The model
+        tables are cached on the ``lm.json`` sidecar's (mtime, size)
+        — the same live-swap convention as the classifier and bloom
+        screens; unscored (<2-token) docs pass vacuously."""
+        if self.perplexity_lm_path is None:
+            return docs
+        from ..operators import textops
+
+        sidecar = os.path.join(self.perplexity_lm_path, "lm.json")
+        st = os.stat(sidecar)
+        key = (st.st_mtime_ns, st.st_size)
+        if self._perplexity_lm is None or self._perplexity_lm[0] != key:
+            uc, ctx, bc, meta = textops.read_bigram_lm(
+                self.spark, self.perplexity_lm_path
+            )
+            self._perplexity_lm = (key, uc, ctx, bc, meta)
+        _, uc, ctx, bc, meta = self._perplexity_lm
+        scored = textops.score_with_bigram_lm(
+            docs, uc, ctx, bc, meta, text_col=self.text_col, id_col=self.id_col
+        )
+        bad = scored.filter(
+            F.col("xent") > F.lit(float(self.perplexity_max_xent))
+        ).select(F.col("doc_id").alias(self.id_col))
+        return docs.join(bad, self.id_col, "anti")
+
     def _apply_contamination_screen(self, docs: DataFrame) -> DataFrame:
         """Bloom decontamination pre-screen
         (``contamination_bloom_path``): reject docs whose maybe-hit
@@ -708,13 +758,17 @@ class StreamingCorpusCurator:
         ):  # committed replay
             return
         # pre-screens BEFORE the persist (quality first — a cheap
-        # projection — then the bloom decontamination): the dedup
-        # screen, the survivor write, and the index appends all see
-        # only the docs that cleared both filters
+        # projection — then LM perplexity, then the bloom
+        # decontamination): the dedup screen, the survivor write, and
+        # the index appends all see only the docs that cleared every
+        # filter
         screened = self._apply_contamination_screen(
-            self._apply_quality_screen(batch)
+            self._apply_perplexity_screen(self._apply_quality_screen(batch))
         )
-        if self.contamination_bloom_path is not None:
+        if (
+            self.contamination_bloom_path is not None
+            or self.perplexity_lm_path is not None
+        ):
             # truncate the screen's lineage: every later reference to
             # `docs` (pairs uses it twice, new_ids/keep again) would
             # INLINE the bloom k-join + per-doc-count subtree into the

@@ -607,3 +607,22 @@ def test_perplexity_bands_split_in_thirds(spark, sf_dir):
     sc2 = textops.bigram_logprob(base.unionByName(extra)).select("doc_id", "xent")
     b2 = {r["doc_id"]: r["band"] for r in textops.perplexity_bands(sc2).collect()}
     assert b2[9_000_001] == "unscored"
+
+
+def test_lm_artifact_score_matches_in_sample_fit(spark):
+    # scoring the TRAINING corpus against the persisted-model scorer
+    # must reproduce bigram_logprob exactly (every event in-vocab)
+    from play_with_pulsar_spark.operators import textops
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    uc, ctx, bc, meta = textops.fit_bigram_lm(d)
+    a = sorted(
+        map(tuple, textops.score_with_bigram_lm(d, uc, ctx, bc, meta)
+            .select("doc_id", "n_bigrams", "xent").collect())
+    )
+    b = sorted(
+        map(tuple, textops.bigram_logprob(d)
+            .select("doc_id", "n_bigrams", "xent").collect())
+    )
+    assert a == b

@@ -945,3 +945,44 @@ def test_embedding_geometry_rollover_reattach_and_stale_sidecar(spark, tmp_path)
     for v in range(5):
         for sfx in ("_vec", "_sig"):
             spark.sql(f"DROP TABLE IF EXISTS {cur.catalog_prefix}_v{v}{sfx}")
+
+
+def test_curator_perplexity_screen_rejects_gibberish(spark, tmp_path):
+    """CCNet-style LM screen (round 7 continued): gibberish (unseen
+    vocabulary) is rejected before the dedup screen and never
+    indexed; clean docs pass; committed batches replay as no-ops;
+    a refit artifact is picked up on mtime change."""
+    from pyspark.sql import functions as F
+
+    from play_with_pulsar_spark.operators import textops
+    from play_with_pulsar_spark.streaming.curator import StreamingCorpusCurator
+
+    clean = [(i, f"alpha beta gamma delta epsilon tok{i} zeta eta theta") for i in range(30)]
+    ref = _docs(spark, clean)
+    lmdir = str(tmp_path / "lm")
+    uc, ctx, bc, meta = textops.fit_bigram_lm(ref)
+    textops.write_bigram_lm(lmdir, uc, ctx, bc, meta)
+
+    gibberish = [(100 + i, f"zzq{i} qxv wvu utr rqp pon") for i in range(5)]
+    stream = _docs(spark, clean + gibberish)
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "cur"), threshold=0.8,
+        perplexity_lm_path=lmdir, perplexity_max_xent=5.0,
+    )
+    for k in range(2):
+        cur.process_batch(stream.filter(F.col("doc_id") % 2 == k), k)
+    acc = {r.doc_id for r in cur.accepted().select("doc_id").collect()}
+    assert not acc & {100 + i for i in range(5)}
+    assert set(range(30)) <= acc
+    # replay of a committed batch is a no-op (idempotent)
+    before = sorted(acc)
+    cur.process_batch(stream.filter(F.col("doc_id") % 2 == 0), 0)
+    assert sorted(r.doc_id for r in cur.accepted().select("doc_id").collect()) == before
+    # live artifact swap: refit on the gibberish slice -> the same
+    # docs now score in-domain and a NEW batch of them passes
+    uc2, ctx2, bc2, meta2 = textops.fit_bigram_lm(_docs(spark, gibberish))
+    textops.write_bigram_lm(lmdir, uc2, ctx2, bc2, meta2)
+    more_gib = _docs(spark, [(200, "zzq0 qxv wvu utr rqp pon")])
+    cur.process_batch(more_gib, 2)
+    acc2 = {r.doc_id for r in cur.accepted().select("doc_id").collect()}
+    assert 200 in acc2
