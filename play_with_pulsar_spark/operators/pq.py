@@ -278,26 +278,7 @@ def pq_adc_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
-        terms = []
-        for j in range(m):
-            cent = F.element_at(
-                _book_literal(books[j]), F.element_at("codes", j + 1) + 1
-            )
-            terms.append(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            _subvec(F.col("qv"), j, d_sub),
-                            cent,
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    term_round,
-                )
-            )
-        adc = F.round(sum(terms[1:], terms[0]), term_round)
+        adc = adc_expr(books, F.col("qv"), F.col("codes"), term_round)
         scored = (
             codes.select(F.col(id_col).alias("neighbor_id"), "codes")
             .crossJoin(F.broadcast(q))
@@ -431,4 +412,122 @@ def pq_rerank_topk(
         rer.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "dist", "rn")
+    )
+
+
+def adc_expr(
+    books: Codebooks,
+    qv: F.Column,
+    codes_col: F.Column,
+    term_round: int = 6,
+) -> F.Column:
+    """The declarative ADC distance Σ_j round(||q_j − cent(code_j)||²)
+    as one codegen expression over (query vector, codes) columns —
+    shared by the sql-strategy ``pq_adc_topk`` and the IVF-PQ
+    composition."""
+    m = len(books)
+    d_sub = len(books[0][0][1])
+    terms = []
+    for j in range(m):
+        cent = F.element_at(_book_literal(books[j]), F.element_at(codes_col, j + 1) + 1)
+        terms.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        _subvec(qv, j, d_sub), cent, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                term_round,
+            )
+        )
+    return F.round(sum(terms[1:], terms[0]), term_round)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k_sub: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+) -> DataFrame:
+    """The FAISS-style composed index, hash-exact end to end: a
+    deterministic coarse k-means quantizer partitions the corpus into
+    cells (``clustering.kmeans_fit`` — first-k-by-id init, one Lloyd
+    step, the oracle-replayable fit), each query probes its
+    ``nprobe`` nearest cells, and ONLY the probed cells' PQ CODES are
+    ADC-scored — cell pruning bounds the scan, PQ bounds the bytes
+    per scanned row (at 100 TB: nprobe/n_cells of the corpus read,
+    at m bytes/vector, via the same partition-pruned layout as
+    ``ivf_build_index``). Every stage is rounded deterministic
+    arithmetic, so the whole composition carries a value hash.
+
+    Returns (query_id, neighbor_id, adc_dist, rn ≤ k)."""
+    from .clustering import kmeans_assign, kmeans_fit, nearest_centroid
+
+    cents = kmeans_fit(
+        corpus, k=n_cells, iters=1, id_col=id_col, vec_col=vec_col,
+        dist_round=dist_round,
+    )
+    cells = kmeans_assign(corpus, cents, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")
+    )
+    books = pq_fit(corpus, m=m, k_sub=k_sub, iters=1, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    # per-query probed cells: rank the literal centroid distances,
+    # keep the nprobe smallest (queries are the tiny side)
+    cent_lit = F.array(
+        *[
+            F.struct(F.lit(int(cl)).cast("bigint").alias("cell"), F.array(*[F.lit(float(x)) for x in cv]).alias("cv"))
+            for cl, cv in sorted(cents, key=lambda t: t[0])
+        ]
+    )
+    scored_cells = q.select(
+        "query_id",
+        "qv",
+        F.explode(cent_lit).alias("c"),
+    ).select(
+        "query_id",
+        "qv",
+        F.col("c.cell").alias("cell"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), F.col("c.cv"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            dist_round,
+        ).alias("cd"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cd"), F.asc("cell"))
+    probed = (
+        scored_cells.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = codes.join(cells, "neighbor_id").join(
+        F.broadcast(probed), "cell"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn(
+        "adc_dist", adc_expr(books, F.col("qv"), F.col("codes"), dist_round)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rn")
     )

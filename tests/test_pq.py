@@ -121,3 +121,29 @@ def test_sql_encode_is_pure_projection(spark, emb, books):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_ivf_pq_full_probe_equals_plain_adc(spark, emb, books):
+    # with nprobe == n_cells there is no pruning: IVF-PQ must rank
+    # exactly like plain ADC over the same deterministic codebooks
+    q = emb.filter(F.col("vec_id") < 5)
+    full = pq.ivf_pq_topk(emb, q, n_cells=4, nprobe=4, m=8, k_sub=16, k=10)
+    codes = pq.pq_encode(emb, books)
+    plain = pq.pq_adc_topk(codes, books, q, k=10)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_ivf_pq_candidates_only_from_probed_cells(spark, emb):
+    from play_with_pulsar_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    cents = kmeans_fit(emb, k=8, iters=1)
+    cells = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, cents).collect()}
+    out = pq.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5),
+                         n_cells=8, nprobe=2, m=8, k_sub=16, k=10).collect()
+    # each query's neighbors span at most nprobe distinct cells
+    from collections import defaultdict
+
+    per_q = defaultdict(set)
+    for r in out:
+        per_q[r["query_id"]].add(cells[r["neighbor_id"]])
+    assert all(len(cs) <= 2 for cs in per_q.values())
