@@ -1081,3 +1081,123 @@ def score_with_bigram_lm(
             "xent",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Line-level keep-first deduplication (C4 / RefinedWeb style)
+# ---------------------------------------------------------------------
+
+# Global position encoding for "first occurrence" ordering: a line's
+# position is doc_id * _LINE_POS_LIM + line_index. BIGINT-exact in
+# both engines as long as no document has more lines than the limit
+# (guarded at runtime) and doc ids stay below 2^63 / _LINE_POS_LIM.
+_LINE_POS_LIM = 1 << 20
+
+
+def split_lines(
+    text_col: Column | str, *, delimiter: str | None = None, segment_tokens: int = 10
+) -> Column:
+    """Array of "lines" for line-level dedup. Production web corpora
+    split on ``delimiter`` (usually ``\\n``); the driver fixture text
+    is single-line word soup, so the default splits the normalized
+    token stream into fixed non-overlapping ``segment_tokens``-token
+    windows (the last window may be shorter). Both paths are pure
+    codegen column expressions."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if delimiter is not None:
+        import re as _re
+
+        return F.split(c, _re.escape(delimiter))
+    t = tokens(c)
+    k = segment_tokens
+    n_seg = F.ceil(F.size(t) / F.lit(float(k))).cast("int")
+    # sequence(0, -1) DESCENDS in Spark — guard the empty-token case
+    # explicitly instead of relying on slice() of [] collapsing to ''.
+    return F.when(n_seg <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(F.slice(t, i * k + 1, k), " "),
+        )
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delimiter: str | None = None,
+    segment_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide duplicated-line removal with GLOBAL FIRST-OCCURRENCE
+    retention — the C4 dedup step (Raffel et al. 2020 §2.2: "discard
+    all but one of any three-sentence span occurring more than once")
+    as RefinedWeb/Dolma apply it per line. The semantic complement of
+    :func:`excise_duplicate_spans`: excision removes EVERY occurrence
+    of a high-df span; this keeps exactly ONE — the occurrence with
+    the smallest (doc_id, line_index) — and rewrites every document
+    from its surviving lines (duplicate lines WITHIN one document
+    collapse to their first occurrence too, same rule).
+
+    Lines come from :func:`split_lines`; empty lines are never dedup
+    keys (a real corpus's blank lines are not shared content).
+
+    Output: (id, text_dedup, n_lines, n_kept, n_removed) — one row per
+    input document, fully-deduplicated documents kept with empty text
+    so downstream length filters make the drop decision explicitly.
+
+    Scale shape: first-occurrence selection is groupBy(line) with a
+    map-side-combined min — NOT a window (a window would sort the hot
+    partition of a 1e9-occurrence boilerplate line; the partial agg
+    emits one row per distinct line per mapper) — then an equi-join of
+    occurrences against the winners keyed on the line (AQE skew-join
+    splits the hot lines), then one doc-keyed reassembly agg. At
+    100 TB the join key becomes xxhash64(line) (narrower shuffle, same
+    plan); the driver-fixture form joins on the raw line so the DuckDB
+    oracle is byte-identical.
+
+    Reference semantics anchor: the reference's compacted-topic
+    keep-one-per-key (TableView, pulsar.go) — the same latest/first-
+    per-key aggregation shape, keyed on content instead of message
+    key."""
+    d = docs.select(
+        F.col(id_col).alias("_id"),
+        split_lines(text_col, delimiter=delimiter, segment_tokens=segment_tokens).alias(
+            "_lines"
+        ),
+    )
+    occ = (
+        d.select("_id", F.posexplode("_lines").alias("_idx", "_line"))
+        .filter(F.col("_line") != "")
+        .withColumn("_gpos", F.col("_id") * _LINE_POS_LIM + F.col("_idx"))
+    )
+    firsts = occ.groupBy("_line").agg(F.min("_gpos").alias("_first"))
+    kept = occ.join(firsts, "_line").filter(F.col("_gpos") == F.col("_first"))
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            " " if delimiter is None else delimiter,
+        ).alias("_text_dedup"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = d.select(
+        "_id",
+        F.size(F.filter(F.col("_lines"), lambda x: x != "")).cast("bigint").alias(
+            "_n_lines"
+        ),
+    )
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_text_dedup", F.lit("")).alias("text_dedup"),
+            F.col("_n_lines").alias("n_lines"),
+            F.coalesce("_n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

@@ -626,3 +626,70 @@ def test_lm_artifact_score_matches_in_sample_fit(spark):
             .select("doc_id", "n_bigrams", "xent").collect())
     )
     assert a == b
+
+
+def test_line_dedup_keeps_global_first_occurrence(spark):
+    """C4-style keep-first semantics: a line duplicated across docs
+    survives only at its smallest (doc_id, line_index); unique lines
+    are untouched; duplicates WITHIN one doc collapse too; a fully-
+    duplicated doc is rewritten to empty text, not dropped."""
+    from play_with_pulsar_spark.operators import textops
+
+    dup = " ".join(f"d{i}" for i in range(4))  # one 4-token "line"
+    rows = [
+        (0, f"{dup} a0 a1 a2 a3"),            # first occurrence of dup
+        (1, f"b0 b1 b2 b3 {dup}"),            # later doc: dup removed
+        (2, dup),                             # fully duplicated doc
+        (3, f"{dup} c0 c1 c2 c3 {dup}"),      # within-doc repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textops.line_dedup(docs, segment_tokens=4).collect()
+    }
+    assert out[0].text_dedup == f"{dup} a0 a1 a2 a3"
+    assert (out[0].n_lines, out[0].n_kept, out[0].n_removed) == (2, 2, 0)
+    assert out[1].text_dedup == "b0 b1 b2 b3"
+    assert out[1].n_removed == 1
+    assert out[2].text_dedup == "" and out[2].n_kept == 0
+    assert out[3].text_dedup == "c0 c1 c2 c3"
+    assert (out[3].n_lines, out[3].n_kept, out[3].n_removed) == (3, 1, 2)
+
+
+def test_line_dedup_idempotent_and_empty_doc(spark):
+    """Running the dedup over its own output changes nothing (the
+    survivor set is already first-occurrence-unique), and an
+    empty/whitespace doc yields the (id, '', 0, 0, 0) row."""
+    from play_with_pulsar_spark.operators import textops
+
+    dup = "x0 x1 x2"
+    rows = [(0, f"{dup} a0 a1"), (1, f"{dup} b0 b1"), (2, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    once = textops.line_dedup(docs, segment_tokens=3)
+    again = textops.line_dedup(
+        once.select("doc_id", F.col("text_dedup").alias("text")),
+        segment_tokens=3,
+    )
+    a = {r.doc_id: (r.text_dedup, r.n_removed) for r in once.collect()}
+    b = {r.doc_id: (r.text_dedup, r.n_removed) for r in again.collect()}
+    assert all(b[k] == (a[k][0], 0) for k in a)
+    assert a[2] == ("", 0)
+
+
+def test_line_dedup_delimiter_path(spark):
+    """The web-corpus path: lines split on a real delimiter, rebuilt
+    with the same delimiter, first occurrence kept globally."""
+    from play_with_pulsar_spark.operators import textops
+
+    rows = [
+        (10, "keep me\nshared boilerplate line\nunique ten"),
+        (20, "shared boilerplate line\nunique twenty"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textops.line_dedup(docs, delimiter="\n").collect()
+    }
+    assert out[10].text_dedup == "keep me\nshared boilerplate line\nunique ten"
+    assert out[20].text_dedup == "unique twenty"
+    assert out[20].n_removed == 1
