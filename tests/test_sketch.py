@@ -281,3 +281,117 @@ def test_cms_stop_keys_superset_of_exact(spark, sf_dir):
     assert exact != set()
     assert flagged != exact  # collisions over-flag at 4x8: strictness
     items.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram (quantiles)
+
+
+def test_hdr_bucketing_exact_region_and_level_bounds(spark):
+    """Values below 2^sub_bits get unit-resolution buckets (idx == v);
+    coarser values round down to a bucket lower bound within a
+    2^-sub_bits relative factor; zero maps to bucket 0."""
+    rows = [(v,) for v in [0, 1, 7, 31, 32, 33, 63, 64, 100, 1000, 12345]]
+    df = spark.createDataFrame(rows, "v long")
+    sk = sketch.hdr_build(df, "v", sub_bits=5)
+    lbs = {
+        r.q: r.est
+        for r in sketch.hdr_quantiles(sk, [0.000001], sub_bits=5).collect()
+    }
+    assert lbs[0.000001] == 0  # min bucket lower bound
+    idxs = {r.idx for r in sk.collect()}
+    assert {0, 1, 7, 31, 32, 33} <= idxs  # exact region: idx == v
+    # every value's bucket lower bound satisfies lb <= v < lb*(1+2^-5)+1
+    from play_with_pulsar_spark.operators.sketch import _hdr_lb
+
+    pairs = (
+        df.select("v", sketch._hdr_idx(F.col("v"), 5))
+        .select("v", _hdr_lb(F.col("idx"), 5).alias("lb"))
+        .collect()
+    )
+    for r in pairs:
+        assert r.lb <= r.v < max(r.lb * (1 + 2 ** -5) + 1, r.lb + 1)
+
+
+def test_hdr_merge_equals_oneshot_and_weighted(spark):
+    """Additive merge of disjoint batches == one-shot sketch of the
+    union; weight=w == w repeated rows."""
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 100_000) for _ in range(2000)]
+    a = spark.createDataFrame([(v,) for v in vals[:900]], "v long")
+    b = spark.createDataFrame([(v,) for v in vals[900:]], "v long")
+    u = spark.createDataFrame([(v,) for v in vals], "v long")
+    merged = sketch.hdr_merge(
+        sketch.hdr_build(a, "v"), sketch.hdr_build(b, "v")
+    )
+    one = sketch.hdr_build(u, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, one.collect()))
+    w = spark.createDataFrame([(5, 3), (9, 1)], "v long, w long")
+    rep = spark.createDataFrame([(5,), (5,), (5,), (9,)], "v long")
+    assert sorted(map(tuple, sketch.hdr_build(w, "v", weight="w").collect())) == (
+        sorted(map(tuple, sketch.hdr_build(rep, "v").collect()))
+    )
+
+
+def test_hdr_quantiles_relative_error_law(spark):
+    """For every q, est <= exact lower quantile < est * (1+2^-s) + 1
+    — the HDR guarantee, on skewed random data, grouped."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for g in ("a", "b"):
+        scale = 50 if g == "a" else 40_000
+        rows += [(g, int(rng.expovariate(1.0) * scale)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    s = 5
+    sk = sketch.hdr_build(df, "v", group_cols=["g"], sub_bits=s)
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    est = {
+        (r.g, r.q): r.est
+        for r in sketch.hdr_quantiles(sk, qs, group_cols=["g"], sub_bits=s).collect()
+    }
+    by_g = {"a": sorted(v for g, v in rows if g == "a"),
+            "b": sorted(v for g, v in rows if g == "b")}
+    import math
+
+    for (g, q), e in est.items():
+        exact = by_g[g][math.ceil(q * len(by_g[g])) - 1]
+        assert e <= exact < max(e * (1 + 2 ** -s) + 1, e + 1), (g, q, e, exact)
+    assert len(est) == 10
+
+
+def test_hdr_width_bound_and_domain_guard(spark):
+    """Sketch width stays under (53 - s) * 2^s + 2^s whatever the
+    data; negatives raise the domain error."""
+    import random
+
+    rng = random.Random(3)
+    big = spark.createDataFrame(
+        [(rng.randrange(0, 1 << 52),) for _ in range(5000)], "v long"
+    )
+    s = 4
+    n = sketch.hdr_build(big, "v", sub_bits=s).count()
+    assert n <= (53 - s) * (1 << s) + (1 << s)
+    import pytest as _pt
+
+    bad = spark.createDataFrame([(-1,)], "v long")
+    with _pt.raises(Exception, match="integer domain"):
+        sketch.hdr_build(bad, "v").collect()
+
+
+def test_hdr_exact_when_sub_bits_cover_range(spark):
+    """With all values < 2^s the sketch is lossless: every quantile
+    equals the exact discrete lower quantile."""
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = sketch.hdr_build(df, "v", sub_bits=5)
+    qs = [0.25, 0.5, 0.75, 1.0]
+    import math
+
+    got = {r.q: r.est for r in sketch.hdr_quantiles(sk, qs, sub_bits=5).collect()}
+    sv = sorted(vals)
+    for q in qs:
+        assert got[q] == sv[math.ceil(q * len(sv)) - 1]
