@@ -700,6 +700,79 @@ def robust_outlier_filter(
     )
 
 
+def hdr_outlier_filter(
+    docs: DataFrame,
+    value: Column,
+    k: float = 3.5,
+    id_col: str = "doc_id",
+    sub_bits: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """The MAD outlier screen with BOTH medians read from HDR
+    histogram sketches (``operators.sketch.hdr_*``) — the third rung
+    of the percentile ladder ``robust_outlier_filter`` documents:
+
+    - ``exact=True``: O(distinct values) on one reducer — bounded
+      integer domains only;
+    - ``exact=False``: ``percentile_approx`` — fixed memory, but the
+      KLL state is opaque and NOT maintainable across batches;
+    - this: fixed width (≤ (53−s)·2^s rows), relative error ≤ 2^-s
+      (1.6% at the default s=6 — noise against any sane ``k``), and
+      the sketch is ADDITIVELY MERGEABLE, so a streaming curator can
+      maintain it per batch like its df/HLL tiers and read the
+      median/MAD cutoffs for free at any point — no corpus re-scan.
+      Pure-integer bucketing also makes it the one approximate rung
+      whose screen is HASH-CHECKABLE end-to-end (the declared
+      ``quality_outlier_hdr`` query's oracle rebuilds both sketch
+      rounds bit-for-bit).
+
+    Domain: non-negative integers ≤ 2^52 (the sketch contract —
+    lengths, token counts; residuals stay integral by construction).
+    Both medians are bucket LOWER bounds, so each under-states its
+    exact counterpart by < 2^-s relative — a conservative, sign-
+    stable shift (law-tested against the exact screen).
+
+    Plan: two (scan → map-side-combined sketch agg → sketch-width
+    quantile) rounds, each 1-row result broadcast back lazily via
+    crossJoin — the ``robust_outlier_filter`` shape with every
+    percentile replaced by bounded mergeable state.
+
+    Output: (doc_id, value, robust_z, is_outlier) — same contract as
+    ``robust_outlier_filter``."""
+    from . import sketch
+
+    vals = docs.select(
+        F.col(id_col).alias("doc_id"), value.cast("long").alias("v")
+    )
+    med = (
+        sketch.hdr_quantiles(
+            sketch.hdr_build(vals, "v", sub_bits=sub_bits), [0.5], sub_bits=sub_bits
+        )
+        .select(F.col("est").alias("_med"))
+    )
+    with_med = vals.crossJoin(F.broadcast(med))
+    resid = with_med.select(
+        "doc_id", "v", "_med", F.abs(F.col("v") - F.col("_med")).alias("r")
+    )
+    mad = (
+        sketch.hdr_quantiles(
+            sketch.hdr_build(resid, "r", sub_bits=sub_bits), [0.5], sub_bits=sub_bits
+        )
+        .select(F.col("est").alias("_mad"))
+    )
+    z = F.round(
+        F.abs(F.col("v") - F.col("_med")).cast("double")
+        / F.nullif(F.col("_mad").cast("double"), F.lit(0.0)),
+        round_to,
+    )
+    return resid.crossJoin(F.broadcast(mad)).select(
+        "doc_id",
+        F.col("v").cast("double").alias("value"),
+        z.alias("robust_z"),
+        F.coalesce(z > F.lit(float(k)), F.lit(False)).alias("is_outlier"),
+    )
+
+
 def temperature_domain_rates(
     docs: DataFrame,
     alpha: float = 0.5,

@@ -700,3 +700,65 @@ def test_temperature_rates_laws(spark):
     counts = {r["source"]: r["count"] for r in samp.groupBy("source").count().collect()}
     share_b = counts["B"] / (counts["A"] + counts["B"])
     assert 0.1 < share_b < 0.5
+
+
+def test_hdr_outlier_exact_region_matches_exact_screen(spark):
+    """With odd row count and every value < 2^sub_bits the HDR sketch
+    is lossless AND the discrete median equals the interpolated one,
+    so the HDR screen reproduces robust_outlier_filter exactly —
+    z values and flags."""
+    vals = [5, 7, 9, 11, 13, 9, 9, 60, 8, 10, 9]  # odd count, < 64
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, v long"
+    )
+    a = sorted(
+        map(
+            tuple,
+            curation.robust_outlier_filter(docs, value=F.col("v"), k=3.5).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            curation.hdr_outlier_filter(
+                docs, value=F.col("v"), k=3.5, sub_bits=6
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert any(r[3] for r in b)  # the planted 60 is flagged
+
+
+def test_hdr_outlier_median_understates_within_bound(spark):
+    """On wide-range data the HDR median is the bucket lower bound of
+    the exact discrete median: hdr_med <= exact < hdr_med*(1+2^-s)+1.
+    Verified for both rounds (median and MAD-of-residuals)."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    vals = [int(rng.lognormvariate(6, 1)) for _ in range(4001)]
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, v long"
+    )
+    s = 6
+    out = curation.hdr_outlier_filter(docs, value=F.col("v"), sub_bits=s)
+    # recover the medians the screen used from any row: value, z
+    r = out.filter(F.col("robust_z").isNotNull()).first()
+    # hdr med/mad reconstruction: z = |v - med| / mad (rounded) — instead
+    # recompute directly from the sketches for the law check
+    from play_with_pulsar_spark.operators import sketch
+
+    sk = sketch.hdr_build(docs.select("v"), "v", sub_bits=s)
+    hdr_med = sketch.hdr_quantiles(sk, [0.5], sub_bits=s).collect()[0].est
+    sv = sorted(vals)
+    exact_med = sv[math.ceil(0.5 * len(sv)) - 1]
+    assert hdr_med <= exact_med < hdr_med * (1 + 2 ** -s) + 1
+    resid = sorted(abs(v - hdr_med) for v in vals)
+    skr = sketch.hdr_build(
+        docs.select(F.abs(F.col("v") - F.lit(hdr_med)).alias("r")), "r", sub_bits=s
+    )
+    hdr_mad = sketch.hdr_quantiles(skr, [0.5], sub_bits=s).collect()[0].est
+    exact_mad = resid[math.ceil(0.5 * len(resid)) - 1]
+    assert hdr_mad <= exact_mad < hdr_mad * (1 + 2 ** -s) + 1
+    assert r is not None
