@@ -100,6 +100,12 @@ from ..operators.dedup import (
 # trigger, and the whole tier is <= 256 rows per batch.
 VOCAB_HLL_M = 256
 
+# Frozen geometry of the doc-length HDR monitor tier (round 7, text
+# screens) — same module-constant discipline: mismatched sub_bits
+# would additively merge incompatible bucket spaces with no error
+# anywhere. 2^-6 = 1.6% relative error on the length quantiles.
+LEN_HDR_SUB_BITS = 6
+
 # default (id_type="long") state schemas; instances derive their own
 # from the declared id type (self.grams_schema / self.banded_schema)
 
@@ -257,6 +263,7 @@ class StreamingCorpusCurator:
         self.sig_dir = os.path.join(base_dir, "sig")
         self.df_dir = os.path.join(base_dir, "df")
         self.hll_dir = os.path.join(base_dir, "hll")
+        self.hdr_dir = os.path.join(base_dir, "hdr")
         self.compacted_dir = os.path.join(base_dir, "compacted")
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
@@ -322,6 +329,7 @@ class StreamingCorpusCurator:
         self.sig_schema = f"vec_id {id_type}, tbl int, bucket long"
         self.df_schema = "g long, df long"
         self.hll_schema = "bucket long, mreg int"
+        self.hdr_schema = "idx long, cnt long"
         self.compact_after = compact_after
         self.n_buckets = n_buckets
         self.quality_model_path = quality_model_path
@@ -546,6 +554,53 @@ class StreamingCorpusCurator:
         rows = hll_estimate(regs, m=VOCAB_HLL_M).collect()
         return float(rows[0].est) if rows else 0.0
 
+    def _compacted_hdr(self) -> DataFrame | None:
+        man = self._manifest()
+        if man is None or man.get("hdr") is None:
+            return None
+        return self.spark.read.schema(self.hdr_schema).parquet(man["hdr"]["path"])
+
+    def length_quantiles(self, qs: list[float] | None = None) -> dict[float, int]:
+        """Token-count quantiles of the ACCEPTED corpus from the
+        maintained per-batch HDR tier (round 7) — the distribution
+        monitor behind robust curation cutoffs (``hdr_outlier_filter``
+        reads median/MAD from exactly this sketch shape): an additive
+        fold over ≤ sketch-width rows per committed batch + the
+        compacted buckets, never a corpus scan on the maintained
+        path. Relative error ≤ 2^-LEN_HDR_SUB_BITS (1.6%). When the
+        tier cannot prove it covers exactly the accepted tier
+        (pre-feature state, crash between the accepted and hdr
+        writes), it falls back to ONE derive from the accepted corpus
+        — missing buckets would silently shift every quantile — and
+        the next compaction heals the tier. Text screens only."""
+        if self.screen == "embedding":
+            raise ValueError("length_quantiles applies to the text screens")
+        from ..operators.sketch import hdr_build, hdr_quantiles
+        from ..operators.textops import token_count
+
+        qs = qs or [0.5, 0.9, 0.99]
+        man = self._manifest()
+        tier_ok = (man is None or man.get("hdr") is not None) and (
+            self._committed_ids_above(self.hdr_dir, None)
+            == self._committed_ids_above(self.accepted_dir, None)
+        )
+        if tier_ok:
+            sk = self._read_state(self.hdr_dir, self.hdr_schema, None)
+            comp = self._compacted_hdr()
+            if comp is not None:
+                sk = comp.unionByName(sk)
+            sk = sk.groupBy("idx").agg(F.sum("cnt").alias("cnt"))
+        else:
+            sk = hdr_build(
+                self.accepted().select(
+                    token_count(self.text_col).cast("long").alias("v")
+                ),
+                "v",
+                sub_bits=LEN_HDR_SUB_BITS,
+            )
+        rows = hdr_quantiles(sk, qs, sub_bits=LEN_HDR_SUB_BITS).collect()
+        return {float(r.q): int(r.est) for r in rows}
+
     def _index_vec(self, exclude_batch: int | None = None) -> DataFrame:
         live = self._read_state(self.vec_dir, self.vec_schema, exclude_batch)
         return self._with_compacted(live, "vec")
@@ -753,8 +808,14 @@ class StreamingCorpusCurator:
         # deriving from the gram table when a partition is missing,
         # and compaction heals pre-feature state
         hll_done = self._committed(self.hll_dir, batch_id)
+        # hdr is the (best-effort, both text screens) doc-length
+        # distribution monitor tier — length_quantiles falls back to
+        # deriving from the accepted corpus when a partition is
+        # missing, and compaction heals pre-feature state
+        hdr_done = self._committed(self.hdr_dir, batch_id)
         if (
             acc_done and grams_done and banded_done and df_done and hll_done
+            and hdr_done
         ):  # committed replay
             return
         # pre-screens BEFORE the persist (quality first — a cheap
@@ -861,6 +922,21 @@ class StreamingCorpusCurator:
             ).parquet(self._batch_dir(self.hll_dir, batch_id))
         if multi_consumers:
             keep_grams.unpersist()
+        if not hdr_done:
+            # per-batch doc-length HDR buckets (round 7): ≤ sketch-
+            # width rows from a map-side-combined agg over the kept
+            # docs; replay-safe by the same overwrite-into-batch-dir
+            # discipline as the (also additive) df tier
+            from ..operators.sketch import hdr_build
+            from ..operators.textops import token_count
+
+            hdr_build(
+                keep.select(token_count(self.text_col).cast("long").alias("v")),
+                "v",
+                sub_bits=LEN_HDR_SUB_BITS,
+            ).write.mode("overwrite").parquet(
+                self._batch_dir(self.hdr_dir, batch_id)
+            )
         keep.unpersist()
         if self.contamination_bloom_path is not None:
             from ..operators.dedup import _free_local_checkpoint
@@ -1268,6 +1344,41 @@ class StreamingCorpusCurator:
         hll_full.write.mode("overwrite").parquet(hll_path)
         manifest["hll"] = {"path": hll_path}
 
+        # doc-length HDR monitor tier (round 7): fast fold = additive
+        # bucket sum over previous compacted buckets + covered
+        # per-batch buckets; when any covered batch lacks its hdr
+        # partition (pre-feature state / crash window) DERIVE from the
+        # just-written full accepted corpus — healing, like df/hll.
+        covered_hdr = {
+            self._batch_id_of(d)
+            for d in self._committed_batch_dirs(self.hdr_dir)
+            if old_upto < self._batch_id_of(d) <= new_upto
+        }
+        if fully <= covered_hdr and (man is None or man.get("hdr") is not None):
+            hdr_full = self._read_committed(
+                self.hdr_dir, self.hdr_schema, old_upto, new_upto
+            )
+            comp_hdr = self._compacted_hdr()
+            if comp_hdr is not None:
+                hdr_full = comp_hdr.unionByName(hdr_full)
+            hdr_full = hdr_full.groupBy("idx").agg(
+                F.sum("cnt").cast("long").alias("cnt")
+            )
+        else:
+            from ..operators.sketch import hdr_build
+            from ..operators.textops import token_count
+
+            hdr_full = hdr_build(
+                self.spark.read.parquet(acc_path).select(
+                    token_count(self.text_col).cast("long").alias("v")
+                ),
+                "v",
+                sub_bits=LEN_HDR_SUB_BITS,
+            )
+        hdr_path = os.path.join(vdir, "hdr")
+        hdr_full.write.mode("overwrite").parquet(hdr_path)
+        manifest["hdr"] = {"path": hdr_path}
+
         # commit: write-temp + fsync + os.replace = atomic AND durable
         # pointer flip (without the fsync, a power loss after the
         # rename can leave an empty manifest while the folded source
@@ -1438,6 +1549,7 @@ class StreamingCorpusCurator:
             tables.append(self.df_dir)  # best-effort tier, swept too
         if self.screen != "embedding":
             tables.append(self.hll_dir)  # best-effort monitor tier
+            tables.append(self.hdr_dir)  # best-effort monitor tier
         for base in tables:
             for d in self._batch_dirs(base):
                 if self._batch_id_of(d) <= upto:

@@ -986,3 +986,65 @@ def test_curator_perplexity_screen_rejects_gibberish(spark, tmp_path):
     cur.process_batch(more_gib, 2)
     acc2 = {r.doc_id for r in cur.accepted().select("doc_id").collect()}
     assert 200 in acc2
+
+
+def test_curator_hdr_length_monitor(spark, tmp_path):
+    """Round-7 doc-length monitor: length_quantiles reads the
+    maintained per-batch HDR buckets and equals the one-shot sketch
+    over the accepted corpus EXACTLY (additive merge law); a missing
+    partition falls back to the derive path with the identical
+    result; compaction folds the buckets into the manifest and heals
+    the gap; a committed-batch replay changes nothing (no
+    double-count in the additive tier)."""
+    import os
+    import shutil
+
+    from play_with_pulsar_spark.operators.sketch import hdr_build, hdr_quantiles
+    from play_with_pulsar_spark.operators.textops import token_count
+    from play_with_pulsar_spark.streaming.curator import LEN_HDR_SUB_BITS
+
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"))
+    # varied lengths so the quantiles are non-trivial
+    batches = [
+        [(1, _w(1, 10)), (2, _w(2, 40))],
+        [(3, _w(3, 100)), (4, _w(4, 25))],
+    ]
+    for i, rows in enumerate(batches):
+        cur.process_batch(_docs(spark, rows), i)
+
+    def oneshot():
+        sk = hdr_build(
+            cur.accepted().select(token_count("text").cast("long").alias("v")),
+            "v",
+            sub_bits=LEN_HDR_SUB_BITS,
+        )
+        return {
+            float(r.q): int(r.est)
+            for r in hdr_quantiles(
+                sk, [0.5, 0.9, 0.99], sub_bits=LEN_HDR_SUB_BITS
+            ).collect()
+        }
+
+    got = cur.length_quantiles()
+    assert got == oneshot()
+    # the maintained tier is really there (and sketch-width bounded)
+    h1 = str(tmp_path / "c/hdr/ingest_batch=1")
+    assert os.path.isdir(h1)
+    assert spark.read.parquet(h1).count() <= (53 - LEN_HDR_SUB_BITS + 1) * (
+        1 << LEN_HDR_SUB_BITS
+    )
+    # gap => derive fallback, identical result
+    shutil.rmtree(h1)
+    assert cur.length_quantiles() == got
+    # compaction heals the tier; manifest-backed read agrees
+    assert cur.compact() is True
+    assert cur._manifest().get("hdr") is not None
+    assert cur.length_quantiles() == got
+    # a post-compaction batch extends the buckets incrementally
+    cur.process_batch(_docs(spark, [(5, _w(5, 200))]), 2)
+    got2 = cur.length_quantiles()
+    assert got2 == oneshot()
+    assert got2[0.99] > got[0.99]  # the long doc moved the tail
+    # committed replay: additive tier unchanged (overwrite discipline)
+    cur.process_batch(_docs(spark, [(5, _w(5, 200))]), 2)
+    assert cur.length_quantiles() == got2
