@@ -306,29 +306,51 @@ def bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    smoothing: str = "interp",
+    discount: float = 0.75,
 ) -> DataFrame:
     """Bigram language-model perplexity scoring — the CCNet-style LM
     quality filter (Wenzek et al. 2020 score with a KenLM; this is
-    the self-trained bigram analog): train an interpolated bigram LM
+    the self-trained bigram analog): train a smoothed bigram LM
     on the corpus itself, score every document by its per-bigram
     cross-entropy. Gibberish (unseen transitions) and boilerplate
     (ultra-predictable transitions) land at the two ends of the
     distribution; the middle band is what CCNet keeps.
 
-    Model: p(w|v) = (c(v,w) + alpha * p_u(w)) / (c(v) + alpha), with
-    the unigram backoff p_u(w) = (c(w)+1)/(N+V) add-one smoothed over
-    the corpus vocabulary. xent(d) = -mean log p over d's adjacent
-    token pairs; ppl = exp(xent), computed FROM the rounded xent so
-    both engines exponentiate the identical double.
+    ``smoothing="interp"`` (the original mode): p(w|v) = (c(v,w) +
+    alpha * p_u(w)) / (c(v) + alpha), with the unigram backoff
+    p_u(w) = (c(w)+1)/(N+V) add-one smoothed over the corpus
+    vocabulary.
+
+    ``smoothing="kn"``: interpolated Kneser-Ney (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.17 — the smoothing KenLM itself uses,
+    so this is the higher-fidelity CCNet analog):
+    p(w|v) = max(c(v,w) - D, 0)/c(v) + (D * N1+(v,·)/c(v)) * p_cont(w)
+    with the continuation probability p_cont(w) = N1+(·,w)/N1+(·,·)
+    — "how many distinct contexts does w follow" rather than raw
+    frequency, the correction that stops high-count-but-one-context
+    words (the "San Francisco" effect) dominating the backoff.
+    Scoring is over the training corpus itself, so every scored
+    bigram is observed and c(v) ≥ c(v,w) ≥ 1: no zero-context branch
+    is reachable (the property that keeps the model closed-form here;
+    an open-vocabulary scorer would add the unseen-context backoff).
+
+    xent(d) = -mean log p over d's adjacent token pairs; ppl =
+    exp(xent), computed FROM the rounded xent so both engines
+    exponentiate the identical double.
 
     Scale shape: one tokenization scan feeds (a) the unigram count
-    aggregate (vocabulary-sized, broadcast), (b) the bigram count
-    aggregate (bigram-TYPE-sized — this one is NOT broadcast: real
-    corpora have billions of bigram types, so the per-doc scoring
-    join shuffles on the (v, r) bigram key, a plain co-partitioned
-    hash join that scales with executors), and (c) the per-doc
-    scoring pass. Context counts c(v) derive from the bigram table
-    (vocabulary-sized aggregate), never a second corpus scan.
+    aggregate (vocabulary-sized, broadcast; interp mode only), (b)
+    the bigram count aggregate (bigram-TYPE-sized — this one is NOT
+    broadcast: real corpora have billions of bigram types, so the
+    per-doc scoring join shuffles on the (v, r) bigram key, a plain
+    co-partitioned hash join that scales with executors), and (c)
+    the per-doc scoring pass. Context counts c(v) — and, for KN, the
+    distinct-continuation counts N1+(v,·) — fold into ONE
+    vocabulary-sized aggregate over the bigram table; N1+(·,w) is a
+    second vocabulary-sized aggregate of the same table; N1+(·,·) is
+    a 1-row count. Nothing beyond the bigram-type table is ever
+    re-derived from the corpus.
     Documents with fewer than 2 tokens survive with n_bigrams = 0 and
     NULL scores (a filter must account for every input row).
     Determinism: per-bigram log p rounded to 8 decimals before the
@@ -353,15 +375,6 @@ def bigram_logprob(
         .repartition("doc_id")
     )
     t = F.col("_t")
-    # explode_outer + post-filter instead of explode: a plain explode
-    # synthesizes a pushable `size(tokens) > 0` filter that re-inlines
-    # the tokenizer below this branch's exchange and splits it off the
-    # shared one (the lambda-inlining hazard, pushdown edition)
-    uni = base.select("doc_id", F.explode_outer(t).alias("w")).where(
-        F.col("w").isNotNull()
-    )
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-    tot = uc.agg(F.sum("cw").alias("_n"), F.count(F.lit(1)).alias("_v"))
     bi = base.select(
         "doc_id",
         F.explode(
@@ -378,27 +391,68 @@ def bigram_logprob(
         ).alias("p"),
     ).select("doc_id", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
     bc = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("cb"))
-    ctx = bc.groupBy("l").agg(F.sum("cb").alias("cl"))
-    lp = (
-        bc.join(ctx, "l")
-        .join(uc.withColumnRenamed("w", "r"), "r")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "l",
-            "r",
-            F.round(
-                F.log(
-                    (
-                        F.col("cb")
-                        + F.lit(alpha)
-                        * ((F.col("cw") + 1) / (F.col("_n") + F.col("_v")).cast("double"))
-                    )
-                    / (F.col("cl") + F.lit(alpha))
-                ),
-                8,
-            ).alias("lp"),
+    if smoothing == "kn":
+        # c(v) and N1+(v,·) fold into ONE vocab-sized agg; N1+(·,w)
+        # is a second vocab-sized agg of the SAME bigram-type table;
+        # N1+(·,·) is a 1-row count broadcast into the join — no
+        # extra corpus pass for any of them
+        ctx = bc.groupBy("l").agg(
+            F.sum("cb").alias("cl"), F.count(F.lit(1)).alias("n1l")
         )
-    )
+        rc = bc.groupBy("r").agg(F.count(F.lit(1)).alias("n1r"))
+        nbt = bc.agg(F.count(F.lit(1)).alias("_nbt"))
+        lp = (
+            bc.join(ctx, "l")
+            .join(rc, "r")
+            .crossJoin(F.broadcast(nbt))
+            .select(
+                "l",
+                "r",
+                F.round(
+                    F.log(
+                        F.greatest(F.col("cb") - F.lit(discount), F.lit(0.0))
+                        / F.col("cl")
+                        + (F.lit(discount) * F.col("n1l") / F.col("cl"))
+                        * (F.col("n1r") / F.col("_nbt").cast("double"))
+                    ),
+                    8,
+                ).alias("lp"),
+            )
+        )
+    elif smoothing == "interp":
+        # explode_outer + post-filter instead of explode: a plain
+        # explode synthesizes a pushable `size(tokens) > 0` filter
+        # that re-inlines the tokenizer below this branch's exchange
+        # and splits it off the shared one (the lambda-inlining
+        # hazard, pushdown edition)
+        uni = base.select("doc_id", F.explode_outer(t).alias("w")).where(
+            F.col("w").isNotNull()
+        )
+        uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+        tot = uc.agg(F.sum("cw").alias("_n"), F.count(F.lit(1)).alias("_v"))
+        ctx = bc.groupBy("l").agg(F.sum("cb").alias("cl"))
+        lp = (
+            bc.join(ctx, "l")
+            .join(uc.withColumnRenamed("w", "r"), "r")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "l",
+                "r",
+                F.round(
+                    F.log(
+                        (
+                            F.col("cb")
+                            + F.lit(alpha)
+                            * ((F.col("cw") + 1) / (F.col("_n") + F.col("_v")).cast("double"))
+                        )
+                        / (F.col("cl") + F.lit(alpha))
+                    ),
+                    8,
+                ).alias("lp"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown smoothing {smoothing!r} (interp|kn)")
     scored = (
         bi.join(lp, ["l", "r"])
         .groupBy("doc_id")

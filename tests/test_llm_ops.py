@@ -558,6 +558,69 @@ def test_bigram_perplexity_scores_and_edge_docs(spark):
     assert abs(out[0]["ppl"] - round(math.exp(out[0]["xent"]), 6)) < 1e-9
 
 
+def test_kn_perplexity_law_and_continuation_effect(spark):
+    """Interpolated Kneser-Ney invariants, pinned against a pure-
+    python reimplementation on a tiny corpus: (a) for every context v,
+    sum over the FULL vocabulary of p_KN(w|v) == 1 exactly (the
+    discount mass D*N1+(v,.)/c(v) times a continuation distribution
+    that itself sums to 1) — the law a smoothing bug (wrong count,
+    wrong denominator) breaks first; (b) the Spark lp for every
+    observed bigram equals the python model to rounding; (c) the
+    continuation correction itself: backoff mass favors a word seen
+    after MANY distinct contexts over an equally-frequent word welded
+    to one context (the 'San Francisco' effect)."""
+    import math
+    from collections import Counter
+
+    from play_with_pulsar_spark.operators import textops
+
+    rows = [
+        (1, "san francisco is big and francisco likes san francisco"),
+        (2, "the big dog and a big cat saw big birds"),
+        (3, "a dog saw the cat and the dog ran big"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = [t.split() for _, t in rows]
+    bc = Counter((w[i], w[i + 1]) for w in toks for i in range(len(w) - 1))
+    cl = Counter()
+    n1l = Counter()
+    n1r = Counter()
+    for (left, right), c in bc.items():
+        cl[left] += c
+        n1l[left] += 1
+        n1r[right] += 1
+    nbt, dsc = len(bc), 0.75
+    vocab = {w for ws in toks for w in ws}
+
+    def p(left, right):
+        return max(bc[(left, right)] - dsc, 0.0) / cl[left] + (
+            dsc * n1l[left] / cl[left]
+        ) * (n1r[right] / nbt)
+
+    for v in cl:  # (a) full-vocabulary sum law
+        assert abs(sum(p(v, w) for w in vocab) - 1.0) < 1e-12, v
+    # (b) Spark == python model per observed bigram
+    kn = textops.bigram_logprob(d, smoothing="kn")
+    scored = {
+        r["doc_id"]: r for r in kn.collect()
+    }
+    for doc_id, text in rows:
+        ws = text.split()
+        want = -sum(
+            round(math.log(p(ws[i], ws[i + 1])), 8) for i in range(len(ws) - 1)
+        ) / (len(ws) - 1)
+        assert abs(scored[doc_id]["xent"] - round(want, 6)) < 1e-9
+    # (c) continuation effect, isolated: (likes,big) and
+    # (likes,francisco) are BOTH unseen, so each is pure backoff mass
+    # from the same context — the only difference is the distinct-
+    # context count N1+(.,w). 'big' follows 5 distinct contexts,
+    # 'francisco' 2 (despite c(francisco)=3 ≈ c-frequency parity),
+    # so KN must rank 'big' above in the backoff.
+    assert bc[("likes", "big")] == 0 and bc[("likes", "francisco")] == 0
+    assert n1r["big"] > n1r["francisco"]
+    assert p("likes", "big") > p("likes", "francisco")
+
+
 def test_rrf_fuse_ranks_consensus_above_single_list(spark):
     from play_with_pulsar_spark.operators import similarity
 
