@@ -64,6 +64,46 @@ def cluster_by_range(
     return parted.sortWithinPartitions(*cols) if sort_within else parted
 
 
+def zorder_slice_stats(
+    df: DataFrame,
+    a: Column | str,
+    b: Column | str,
+    bits: int = 8,
+    slice_bits: int = 4,
+) -> DataFrame:
+    """Audit view of a Z-order layout WITHOUT a global sort: bucket
+    rows by the top ``slice_bits`` bits of their Morton code (equal-
+    width z ranges — a pure projection, so the only exchange at any
+    scale is the final slice-keyed aggregation) and report each
+    slice's row count and per-dimension min/max envelope.
+
+    The Morton property made queryable: the top 2k bits of z are the
+    top k bits of BOTH dimensions interleaved, so every slice confines
+    each dimension to a 2^(bits - ceil(slice_bits/2))-wide (resp.
+    floor) band — the bounded box that lets a scan with a predicate on
+    EITHER column skip most slices/files. Compare: range-partitioning
+    on one column alone leaves the other spanning its full domain in
+    every file (tests pin exactly this contrast).
+
+    Inputs must already be non-negative ints < 2^bits (mask/rank
+    upstream, as with ``z_value_2d``)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    z = z_value_2d(ca.alias("_a"), cb.alias("_b"), bits=bits)
+    slc = F.shiftright(z, 2 * bits - slice_bits).alias("slice")
+    return (
+        df.select(slc, ca.alias("_a"), cb.alias("_b"))
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_a").alias("min_a"),
+            F.max("_a").alias("max_a"),
+            F.min("_b").alias("min_b"),
+            F.max("_b").alias("max_b"),
+        )
+    )
+
+
 def file_minmax_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
     """Per-file min/max for ``cols`` — the audit view of what the
     parquet footers advertise to pruning. One narrow scan, one

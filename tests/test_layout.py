@@ -89,6 +89,30 @@ def test_z_value_locality_golden(spark):
     assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3, (2, 2): 12, (3, 3): 15}
 
 
+def test_zorder_slice_stats_bounded_box(spark, li):
+    """Round-7 audit operator: equal-width z-slices confine BOTH
+    dimensions to a quarter of their domain (slice_bits=4 → top 2 bits
+    of each dim pinned per slice), while single-column bucketing
+    leaves the other dimension spanning its full range — the exact
+    contrast file-skipping stands on, asserted on the aggregate the
+    declared query (layout_zorder_slices) returns."""
+    pts = li.select(
+        (F.col("l_orderkey") % 256).alias("a"), (F.col("l_partkey") % 256).alias("b")
+    )
+    rows = layout.zorder_slice_stats(pts, "a", "b", bits=8, slice_bits=4).collect()
+    assert sum(r.n_rows for r in rows) == pts.count()
+    for r in rows:
+        assert r.max_a - r.min_a <= 63, r  # 256/4 per dim
+        assert r.max_b - r.min_b <= 63, r
+    # contrast: bucket by a alone (equal-width) → b unconstrained
+    single = (
+        pts.groupBy(F.shiftright(F.col("a"), 4).alias("slice"))
+        .agg(F.min("b").alias("min_b"), F.max("b").alias("max_b"))
+        .collect()
+    )
+    assert all(r.max_b - r.min_b > 200 for r in single)
+
+
 def test_dataset_fingerprint_invariance_and_sensitivity(spark, sf_dir):
     """Round-6 audit primitive: the fingerprint is invariant to row
     order and partitioning (commutative sum) and flips on a single
