@@ -364,6 +364,45 @@ def hll_distinct(
     )
 
 
+def hll_set_algebra(sk_a: DataFrame, sk_b: DataFrame, m: int = 64) -> DataFrame:
+    """Distinct-set algebra over two SAME-GEOMETRY HLL sketches:
+    one row ``(est_a, est_b, est_union, est_intersect, est_jaccard)``.
+
+    Union is exact at the sketch level — the register-wise max of two
+    sketches IS the sketch of the union (the idempotent-merge law), so
+    ``est_union`` carries plain HLL error. Intersection has no sketch-
+    level form; it is derived by inclusion-exclusion |A∩B| ≈ |A| +
+    |B| − |A∪B| (Flajolet et al. 2007 §5 — the standard estimator;
+    error grows as the true overlap shrinks relative to the union,
+    clamped at 0 where noise would go negative). Jaccard =
+    intersect/union on the same estimates.
+
+    The cross-domain vocabulary/membership-overlap monitor at 100 TB:
+    each side's state is m registers however large the corpus, the
+    per-side estimates are 1-row aggregates, and the combination is a
+    broadcast of three 1-row frames — nothing here rescans data. All
+    arithmetic is on the engine-exact HLL estimates, so the whole row
+    is hash-checkable cross-engine."""
+    est_a = hll_estimate(sk_a, m=m).select(F.col("est").alias("est_a"))
+    est_b = hll_estimate(sk_b, m=m).select(F.col("est").alias("est_b"))
+    est_u = hll_estimate(hll_merge(sk_a, sk_b), m=m).select(
+        F.col("est").alias("est_union")
+    )
+    row = est_a.crossJoin(F.broadcast(est_b)).crossJoin(F.broadcast(est_u))
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+    )
+    return row.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(inter, 6).alias("est_intersect"),
+        F.when(
+            F.col("est_union") > 0, F.round(inter / F.col("est_union"), 6)
+        ).alias("est_jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter — fixed-width set MEMBERSHIP (Bloom 1970; survey:
 # Broder & Mitzenmacher 2004). The third leg of the sketch family:

@@ -206,6 +206,46 @@ def test_hll_grouped_registers_are_per_group(spark):
 BGEOM = dict(m_bits=4096, k=3)
 
 
+def test_hll_set_algebra_laws(spark):
+    """Inclusion-exclusion set algebra (round 7): (a) A vs A —
+    identical sketches give intersect == est and jaccard == 1 exactly
+    (union by register-max is idempotent); (b) disjoint planted sets —
+    estimated Jaccard stays near 0 (within compounded sketch error);
+    (c) planted 50% overlap — intersection estimate within 4 compound
+    standard errors of truth, and est_union equals the one-shot
+    estimate of the true union (the merge law surfaced through the
+    algebra)."""
+    a = _keys(spark, 4000).persist()  # keys 0..3999
+    b = (
+        spark.range(2000, 6000)
+        .select(F.concat(F.lit("k"), F.col("id")).alias("tok"))
+        .persist()
+    )
+    sk_a = sketch.hll_build(a, m=64)
+    sk_b = sketch.hll_build(b, m=64)
+
+    same = sketch.hll_set_algebra(sk_a, sk_a, m=64).collect()[0]
+    assert same.est_a == same.est_union
+    assert abs(same.est_intersect - round(same.est_a, 6)) < 1e-6
+    assert same.est_jaccard == 1.0
+
+    half = sketch.hll_set_algebra(sk_a, sk_b, m=64).collect()[0]
+    # union estimate == one-shot estimate of the true union
+    union_oneshot = sketch.hll_distinct(a.unionByName(b).distinct(), m=64).collect()[0].est
+    assert abs(half.est_union - union_oneshot) < 1e-9
+    # intersection truth 2000; each term carries ~13% stderr at m=64,
+    # the difference compounds ~3x of one term on the 6000-wide union
+    tol = 4 * 3 * (1.04 / 8) * 6000
+    assert abs(half.est_intersect - 2000) < tol
+
+    c = spark.range(10_000, 14_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("tok")
+    )
+    disj = sketch.hll_set_algebra(sk_a, sketch.hll_build(c, m=64), m=64).collect()[0]
+    assert disj.est_jaccard < 0.45  # truth 0, compounded-error head-room
+    a.unpersist(), b.unpersist()
+
+
 def test_bloom_no_false_negatives(spark):
     """EVERY member of the build set tests true — the one-sided
     guarantee that makes a Bloom-driven decontamination screen
