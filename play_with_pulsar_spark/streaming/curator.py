@@ -140,6 +140,8 @@ class StreamingCorpusCurator:
         contamination_max_fraction: float = 0.1,
         perplexity_lm_path: str | None = None,
         perplexity_max_xent: float = 5.0,
+        length_band: tuple[float, float] | None = None,
+        length_band_min_docs: int = 50,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -248,8 +250,22 @@ class StreamingCorpusCurator:
         vacuously. Artifact cached on the ``lm.json`` sidecar's
         (mtime, size) — refitting the LM is one ``write_bigram_lm``
         over the same path (sidecar written LAST). Screen order:
-        quality → perplexity → contamination → dedup. Same replay
-        caveat as the other model screens. Text screens only."""
+        length → quality → perplexity → contamination → dedup. Same
+        replay caveat as the other model screens. Text screens only.
+
+        ``length_band`` (round 7, continued): ``(q_lo, q_hi)``
+        quantile pair — the ADAPTIVE length screen: each batch's docs
+        must land within the [q_lo, q_hi] token-count band of the
+        accepted corpus SO FAR, read from the maintained HDR tier
+        (``length_quantiles``), so the cutoffs track the corpus
+        instead of being hand-frozen. Inert until the accepted corpus
+        reaches ``length_band_min_docs`` (quantiles of a handful of
+        docs are noise). The screen consults the PRE-batch tier
+        (``exclude_batch``), so a partial-commit replay makes the
+        identical decision; a replay of a batch already folded into a
+        compaction screens under the tier as of now (the model-
+        refresh caveat, narrowed to post-compaction replays). Text
+        screens only."""
         if screen not in ("jaccard", "minhash", "embedding"):
             raise ValueError(f"unknown screen {screen!r}")
         if screen == "embedding" and emb_dim is None:
@@ -341,6 +357,14 @@ class StreamingCorpusCurator:
         self.contamination_bloom_path = contamination_bloom_path
         self.contamination_max_fraction = contamination_max_fraction
         self._contamination_bloom: tuple | None = None  # ((mtime, size), df, geo)
+        if length_band is not None:
+            qlo, qhi = length_band
+            if not (0.0 <= qlo < qhi <= 1.0):
+                raise ValueError(f"length_band must be 0 <= q_lo < q_hi <= 1, got {length_band}")
+            if screen == "embedding":
+                raise ValueError("length_band applies to the text screens")
+        self.length_band = length_band
+        self.length_band_min_docs = length_band_min_docs
         self.catalog_prefix = catalog_prefix or (
             "pwp_curator_" + hashlib.md5(base_dir.encode()).hexdigest()[:8]
         )
@@ -560,44 +584,90 @@ class StreamingCorpusCurator:
             return None
         return self.spark.read.schema(self.hdr_schema).parquet(man["hdr"]["path"])
 
+    def _accepted_excluding(self, batch_id: int) -> DataFrame | None:
+        """``accepted()`` minus one live batch partition — the derive-
+        fallback source for pre-batch state reads. If compaction
+        already folded ``batch_id`` into the compacted tier (replay of
+        an old batch after compaction), the exclusion is best-effort:
+        the compacted rows stay in (the model-refresh caveat — a late
+        replay screens under the tier as of now). None = no data."""
+        man = self._manifest()
+        upto = man["covered_upto"] if man else -1
+        dirs = [
+            d
+            for d in self._committed_batch_dirs(self.accepted_dir)
+            if upto < self._batch_id_of(d) != batch_id
+        ]
+        parts = []
+        if dirs:
+            parts.append(
+                self.spark.read.option("basePath", self.accepted_dir)
+                .parquet(*dirs)
+                .drop("ingest_batch")
+            )
+        if man is not None:
+            parts.append(self.spark.read.parquet(man["accepted_path"]))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _length_sketch(self, exclude_batch: int | None = None) -> DataFrame:
+        """Folded (idx, cnt) HDR buckets of the accepted corpus's
+        token counts: the maintained tier when it provably covers
+        exactly the accepted tier, else ONE derive from the accepted
+        corpus (missing buckets would silently shift every quantile;
+        the next compaction heals the tier). ``exclude_batch`` gives
+        the PRE-batch view — what a screen must consult so a partial-
+        commit replay makes the identical decision."""
+        from ..operators.sketch import hdr_build
+        from ..operators.textops import token_count
+
+        man = self._manifest()
+        tier_ok = (man is None or man.get("hdr") is not None) and (
+            self._committed_ids_above(self.hdr_dir, exclude_batch)
+            == self._committed_ids_above(self.accepted_dir, exclude_batch)
+        )
+        if tier_ok:
+            sk = self._read_state(self.hdr_dir, self.hdr_schema, exclude_batch)
+            comp = self._compacted_hdr()
+            if comp is not None:
+                sk = comp.unionByName(sk)
+            return sk.groupBy("idx").agg(F.sum("cnt").alias("cnt"))
+        src = (
+            self.accepted()
+            if exclude_batch is None
+            else self._accepted_excluding(exclude_batch)
+        )
+        if src is None:
+            return self.spark.createDataFrame([], self.hdr_schema)
+        return hdr_build(
+            src.select(token_count(self.text_col).cast("long").alias("v")),
+            "v",
+            sub_bits=LEN_HDR_SUB_BITS,
+        )
+
     def length_quantiles(self, qs: list[float] | None = None) -> dict[float, int]:
         """Token-count quantiles of the ACCEPTED corpus from the
         maintained per-batch HDR tier (round 7) — the distribution
         monitor behind robust curation cutoffs (``hdr_outlier_filter``
-        reads median/MAD from exactly this sketch shape): an additive
-        fold over ≤ sketch-width rows per committed batch + the
-        compacted buckets, never a corpus scan on the maintained
+        reads median/MAD from exactly this sketch shape, and the
+        ``length_band`` screen reads its cutoffs from this tier): an
+        additive fold over ≤ sketch-width rows per committed batch +
+        the compacted buckets, never a corpus scan on the maintained
         path. Relative error ≤ 2^-LEN_HDR_SUB_BITS (1.6%). When the
         tier cannot prove it covers exactly the accepted tier
         (pre-feature state, crash between the accepted and hdr
         writes), it falls back to ONE derive from the accepted corpus
-        — missing buckets would silently shift every quantile — and
-        the next compaction heals the tier. Text screens only."""
+        — and the next compaction heals the tier. Text screens only."""
         if self.screen == "embedding":
             raise ValueError("length_quantiles applies to the text screens")
-        from ..operators.sketch import hdr_build, hdr_quantiles
-        from ..operators.textops import token_count
+        from ..operators.sketch import hdr_quantiles
 
         qs = qs or [0.5, 0.9, 0.99]
-        man = self._manifest()
-        tier_ok = (man is None or man.get("hdr") is not None) and (
-            self._committed_ids_above(self.hdr_dir, None)
-            == self._committed_ids_above(self.accepted_dir, None)
-        )
-        if tier_ok:
-            sk = self._read_state(self.hdr_dir, self.hdr_schema, None)
-            comp = self._compacted_hdr()
-            if comp is not None:
-                sk = comp.unionByName(sk)
-            sk = sk.groupBy("idx").agg(F.sum("cnt").alias("cnt"))
-        else:
-            sk = hdr_build(
-                self.accepted().select(
-                    token_count(self.text_col).cast("long").alias("v")
-                ),
-                "v",
-                sub_bits=LEN_HDR_SUB_BITS,
-            )
+        sk = self._length_sketch()
         rows = hdr_quantiles(sk, qs, sub_bits=LEN_HDR_SUB_BITS).collect()
         return {float(r.q): int(r.est) for r in rows}
 
@@ -672,6 +742,34 @@ class StreamingCorpusCurator:
             return bool(fs.exists(hpath))
         except Exception:
             return os.path.exists(path)
+
+    def _apply_length_screen(self, docs: DataFrame, batch_id: int) -> DataFrame:
+        """Adaptive length-band pre-screen (``length_band``): keep
+        only docs whose token count lands within the [q_lo, q_hi]
+        band of the accepted corpus so far, with the cutoffs read
+        from the maintained HDR tier — two collects over a ≤ sketch-
+        width frame, then one codegen filter over the batch. Consults
+        the PRE-batch tier (exclude_batch) so replays decide
+        identically; inert during warmup (< length_band_min_docs
+        accepted docs)."""
+        if self.length_band is None:
+            return docs
+        from ..operators.sketch import hdr_quantiles
+        from ..operators.textops import token_count
+
+        sk = self._length_sketch(exclude_batch=batch_id).persist()
+        try:
+            n = sk.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n")).collect()[0].n
+            if n < self.length_band_min_docs:
+                return docs
+            qlo, qhi = self.length_band
+            rows = hdr_quantiles(sk, [qlo, qhi], sub_bits=LEN_HDR_SUB_BITS).collect()
+        finally:
+            sk.unpersist()
+        est = {float(r.q): int(r.est) for r in rows}
+        lo, hi = est[float(qlo)], est[float(qhi)]
+        tc = token_count(self.text_col).cast("long")
+        return docs.filter((tc >= F.lit(lo)) & (tc <= F.lit(hi)))
 
     def _apply_quality_screen(self, docs: DataFrame) -> DataFrame:
         """Learned-quality pre-screen (``quality_model_path``): keep
@@ -824,7 +922,11 @@ class StreamingCorpusCurator:
         # the index appends all see only the docs that cleared every
         # filter
         screened = self._apply_contamination_screen(
-            self._apply_perplexity_screen(self._apply_quality_screen(batch))
+            self._apply_perplexity_screen(
+                self._apply_quality_screen(
+                    self._apply_length_screen(batch, batch_id)
+                )
+            )
         )
         if (
             self.contamination_bloom_path is not None

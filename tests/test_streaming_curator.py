@@ -1048,3 +1048,49 @@ def test_curator_hdr_length_monitor(spark, tmp_path):
     # committed replay: additive tier unchanged (overwrite discipline)
     cur.process_batch(_docs(spark, [(5, _w(5, 200))]), 2)
     assert cur.length_quantiles() == got2
+
+
+def test_curator_adaptive_length_band_screen(spark, tmp_path):
+    """Round-7 length_band screen: warmup accepts everything; once the
+    tier covers >= min_docs accepted docs, a batch's extreme-length
+    docs (far outside the [q05, q95] token-count band of the corpus
+    so far) are rejected BEFORE the dedup screen while in-band docs
+    pass; a committed replay is a no-op; a partial-commit replay
+    (missing hdr partition) re-decides identically because the screen
+    consults the PRE-batch tier."""
+    import os
+    import shutil
+
+    cur = StreamingCorpusCurator(
+        spark,
+        str(tmp_path / "c"),
+        length_band=(0.05, 0.95),
+        length_band_min_docs=10,
+    )
+    # warmup batch: 12 docs, lengths 20..42 — tier empty, all accepted
+    warm = [(i, _w(i, 20 + 2 * i)) for i in range(12)]
+    cur.process_batch(_docs(spark, warm), 0)
+    acc = {r.doc_id for r in cur.accepted().select("doc_id").collect()}
+    assert acc == set(range(12))
+
+    # screened batch: two in-band docs, one 500-token, one 2-token
+    b1 = [(100, _w(100, 30)), (101, _w(101, 25)), (102, _w(102, 500)), (103, _w(103, 2))]
+    cur.process_batch(_docs(spark, b1), 1)
+    acc1 = {r.doc_id for r in cur.accepted().select("doc_id").collect()}
+    assert {100, 101} <= acc1 and 102 not in acc1 and 103 not in acc1
+
+    # committed replay: nothing changes
+    cur.process_batch(_docs(spark, b1), 1)
+    assert {r.doc_id for r in cur.accepted().select("doc_id").collect()} == acc1
+
+    # partial-commit replay: drop batch 1's hdr partition; the replay
+    # must re-decide identically (pre-batch tier) and heal the tier
+    h1 = str(tmp_path / "c/hdr/ingest_batch=1")
+    assert os.path.isdir(h1)
+    shutil.rmtree(h1)
+    cur.process_batch(_docs(spark, b1), 1)
+    assert os.path.isdir(h1)
+    assert {r.doc_id for r in cur.accepted().select("doc_id").collect()} == acc1
+    # the maintained quantiles reflect accepted docs only (no 500/2)
+    q = cur.length_quantiles([0.05, 0.95])
+    assert q[0.95] < 100 and q[0.05] >= 19
