@@ -1030,18 +1030,42 @@ def _sig_from_votes(votes: np.ndarray) -> int:
     return sig
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _simhash_token_hash(hash_fn: str) -> Column:
+    """Per-token hash column for the simhash vote kernel. ``xxhash64``
+    (default — fastest, JVM-native) or ``md5_60`` (60-bit md5 prefix
+    via the engine-portable conv form: top 4 sig bits become constant
+    0, every other bit is reproducible in DuckDB — what turns the
+    simhash family hash-checkable)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64("t").alias("h")
+    if hash_fn == "md5_60":
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.col("t"), F.lit(":sh"))), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+    raise ValueError(f"unknown simhash hash_fn {hash_fn!r} (xxhash64|md5_60)")
+
+
+def simhash64(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
-    xxhash64(token). Tokens hashed JVM-side; the 64 bit-tallies run as
+    hash(token). Tokens hashed JVM-side; the 64 bit-tallies run as
     one vectorized numpy kernel per Arrow batch over range-
     partitioned, doc-sorted tokens with cross-batch carry (the same
     shape as the minhash kernel above — ``np.add.reduceat`` over doc
     boundaries instead of one Python call per document, which costs
-    doc-count × group overhead)."""
+    doc-count × group overhead). ``hash_fn="md5_60"`` swaps in the
+    engine-portable 60-bit token hash — SAME kernel, hash-checkable
+    signatures (see ``dedup_simhash_checked``)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    ).select("doc_id", _simhash_token_hash(hash_fn))
 
     shifts = np.arange(64, dtype=np.uint64)
 
@@ -1084,7 +1108,10 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def simhash64_grouped(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Reference implementation: one ``applyInPandas`` group call per
     document. Kept for the equality test against the kernel form —
@@ -1092,7 +1119,7 @@ def simhash64_grouped(
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    ).select("doc_id", _simhash_token_hash(hash_fn))
 
     def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
         doc = pdf["doc_id"].iloc[0]

@@ -120,6 +120,47 @@ def test_simhash_kernel_equals_grouped(spark, sf_dir):
     assert fast == ref
 
 
+def test_simhash_md5_hash_swap(spark, sf_dir):
+    """The portable md5_60 hash (round 7 — what dedup_simhash_checked
+    drives through the driver's hash gate) runs the SAME kernel:
+    kernel == grouped reference under md5_60 too; the top 4 signature
+    bits are constant 0 (60-bit hash); and both hash choices agree on
+    the planted exact duplicates (hamming 0 — hash-independent),
+    pinning that the two forms differ only in the token-hash
+    expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {r.doc_id: r.simhash for r in dedup.simhash64(docs, hash_fn="md5_60").collect()}
+    ref = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash64_grouped(docs, hash_fn="md5_60").collect()
+    }
+    assert fast == ref
+    assert all(0 <= s < (1 << 60) for s in fast.values())
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        dedup.simhash64(docs, hash_fn="sha9")
+    # identical token multisets hash to identical signatures under ANY
+    # hash — plant exact copies of 5 docs (fixture has no exact-text
+    # dups) and require both hash choices to flag them at hamming 0;
+    # other hamming-0 pairs are collision noise, legitimately
+    # hash-dependent
+    from pyspark.sql import functions as F
+
+    copies = (
+        docs.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    planted = docs.select("doc_id", "text").unionByName(copies)
+    expect = {(i, i + 1_000_000) for i in range(5)}
+    for kw in ({}, {"hash_fn": "md5_60"}):
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_near_pairs(planted, max_hamming=0, **kw).collect()
+        }
+        assert expect <= got, kw
+
+
 def test_aqe_splits_skewed_join(spark):
     """The engine's skew story is AQE-first (session.py enables
     skewJoin) with manual salting as the fallback — prove AQE actually
