@@ -287,12 +287,13 @@ def test_bigram_perplexity_single_tokenization_scan(spark, sf_dir):
 
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df = REGISTRY["text_bigram_perplexity"].fn(spark, sf_dir)
-        plan = P.formatted_plan(df)
-        scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
-        assert scans == 1, plan
-        assert "ReusedExchange" in plan, plan
-        assert "EvalPython" not in plan and "InPandas" not in plan
+        for name in ("text_bigram_perplexity", "text_kn_perplexity"):
+            df = REGISTRY[name].fn(spark, sf_dir)
+            plan = P.formatted_plan(df)
+            scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+            assert scans == 1, (name, plan)
+            assert "ReusedExchange" in plan, (name, plan)
+            assert "EvalPython" not in plan and "InPandas" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
