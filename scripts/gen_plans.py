@@ -40,6 +40,10 @@ TARGETS = [
     ("graph_pagerank_copurchase", "Distributed PageRank (round 7): per iteration one BroadcastHashJoin (rank vector, node-sized) against the checkpointed edge table + one map-side-combined mass agg. Watch: the edges subtree appears ONCE (lazy localCheckpoint) — without it the nested plan re-executes upstream 2^iters times."),
     ("mix_domain_temperature", "Temperature mixture sampling (round 7): domain-sized count agg -> 1-row normalizer under the DECIMAL(38,18) protocol -> rates broadcast back; the corpus-side membership filter is a scalar md5-bucket projection. Watch: document rows never shuffle."),
     ("export_curriculum_shards", "Curriculum shards (round 7): per-row codegen quality score; the ONLY exchange is the shard hash partitioning; rank window runs inside the partition the data already lives in."),
+    ("text_kn_perplexity", "Kneser-Ney bigram scoring (round 7 final): same single-tokenization-scan contract as text_bigram_perplexity (ReusedExchange, plan-asserted); c(v) and N1+(v,.) fold into ONE vocab-sized agg over the bigram-type table, N1+(.,w) a second agg of the same table, N1+(.,.) a broadcast 1-row count. Watch: the bigram table is never broadcast."),
+    ("sketch_hll_overlap", "HLL set algebra (round 7 final): two 64-register max-aggs + their register-max union, three 1-row estimates crossJoin-broadcast into one output row. Watch: nothing rescans the corpus after the two sketch builds."),
+    ("layout_zorder_slices", "Z-order clustering audit (round 7 final): the Morton code is pure codegen bit arithmetic over the scan; the ONLY exchange is the 16-group slice aggregation (map-side combined). Watch: no sort anywhere — equal-width z buckets need no range exchange."),
+    ("dedup_simhash_checked", "Portable-hash SimHash (round 7 final): same vectorized vote kernel as dedup_simhash (range exchange + one Arrow stage), quarter-block self-join on the tiny signature table, popcount verify. Watch: the token table shuffles once; the pair join touches signatures only."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries
