@@ -93,6 +93,66 @@ def jvm_cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (the
+    ANCE recipe — Xiong et al. 2021; DPR's BM25 variant — Karpukhin
+    et al. 2020): for each query, the top-k most-similar corpus items
+    whose ``label_col`` DIFFERS from the query's — maximally
+    confusable wrong answers, the negatives that actually move a
+    bi-encoder. Same exact-cosine rounded-rank protocol and
+    zero-norm exclusion as ``jvm_cosine_topk`` (left-fold dot
+    products, so the DuckDB oracle matches bitwise); the label
+    inequality rides the same broadcast join predicate, so mining
+    costs exactly what the plain top-k costs.
+
+    At 100 TB the corpus side swaps to ANN candidates (IVF/LSH) with
+    the label filter applied to the candidate list — the per-epoch
+    re-mining loop ANCE describes; this exact form is the ground
+    truth those candidates are measured against."""
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("qlabel"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("qn", F.sqrt(dot("qv", "qv")))
+        .filter(F.col("qn") > 0)
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("clabel"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("cn", F.sqrt(dot("cv", "cv")))
+        .filter(F.col("cn") > 0)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("clabel") != F.col("qlabel"))
+        .withColumn(
+            "sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), round_to)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
 def brute_force_topk(
     spark: SparkSession,
     corpus: DataFrame,

@@ -756,3 +756,31 @@ def test_line_dedup_delimiter_path(spark):
     assert out[10].text_dedup == "keep me\nshared boilerplate line\nunique ten"
     assert out[20].text_dedup == "unique twenty"
     assert out[20].n_removed == 1
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    """ANCE-style mining (round 7): the planted same-label near-copy
+    of the query — the MOST similar corpus vector — must never appear
+    (it's a positive, not a negative); rank 1 goes to the most-similar
+    wrong-label vector; every mined row's label differs from the
+    query's; zero-norm corpus rows are excluded, not NaN-ranked."""
+    from play_with_pulsar_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),      # the query
+        (1, [0.999, 0.01, 0.0], 0),   # same-label near-copy: excluded
+        (2, [0.95, 0.2, 0.0], 1),     # hardest true negative -> rank 1
+        (3, [0.5, 0.8, 0.0], 2),
+        (4, [0.0, 0.0, 1.0], 1),
+        (5, [0.0, 0.0, 0.0], 3),      # zero vector: no defined cosine
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = similarity.hard_negative_topk(
+        corpus=emb, queries=emb.filter("vec_id = 0"), k=3
+    ).collect()
+    ids = [r.neighbor_id for r in sorted(got, key=lambda r: r.rn)]
+    assert 1 not in ids and 5 not in ids
+    assert ids[0] == 2
+    assert len(ids) == 3 and set(ids) == {2, 3, 4}
