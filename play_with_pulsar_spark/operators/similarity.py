@@ -21,6 +21,7 @@ oracle's sequential sum agree bitwise after rounding.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -90,6 +91,66 @@ def jvm_cosine_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def jl_projection_matrix(in_dim: int, out_dim: int, seed: str = "jl") -> list[list[float]]:
+    """Deterministic Rademacher JL projection matrix (Achlioptas 2003
+    — 'database-friendly random projections'): entries ±1/sqrt(out_dim)
+    with the sign drawn from md5(seed:row:col), so the SAME literal
+    matrix regenerates anywhere (both engines embed the Python-computed
+    doubles — no runtime randomness, no RNG-order coupling)."""
+    import hashlib
+
+    s = 1.0 / math.sqrt(out_dim)
+    return [
+        [
+            s
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) < 8
+            else -s
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def project_embeddings(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: str = "jl",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction as a PURE
+    per-row codegen projection — the embedding-compression lever for
+    ANN/dedup state at 100 TB (4x fewer floats at out_dim=16 from 64,
+    with pairwise distances preserved within the JL distortion bound;
+    law-tested). Output long form ``(id, d, val)`` with ``val``
+    rounded: each of the ``out_dim`` components is one
+    ``aggregate(zip_with(v, literal_row, *))`` left fold, matching
+    DuckDB's list_dot_product bitwise — zero exchanges, zero Python,
+    an expression any scan can carry for free."""
+    m = jl_projection_matrix(in_dim, out_dim, seed)
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    v = F.col(vec_col).cast("array<double>")
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("d"),
+                F.round(
+                    dot(v, F.array(*[F.lit(x) for x in m[j]])), round_to
+                ).alias("val"),
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.explode(comps).alias("p"))
+        .select(id_col, F.col("p.d").alias("d"), F.col("p.val").alias("val"))
     )
 
 

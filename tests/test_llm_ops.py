@@ -784,3 +784,43 @@ def test_hard_negative_mining_excludes_same_label(spark):
     assert 1 not in ids and 5 not in ids
     assert ids[0] == 2
     assert len(ids) == 3 and set(ids) == {2, 3, 4}
+
+
+def test_jl_projection_preserves_distances_and_is_shuffle_free(spark, emb):
+    """JL law (round 7): squared pairwise distances survive the 64->16
+    Rademacher projection in expectation — per-pair ratio bounded, mean
+    ratio near 1 over a planted sample (Achlioptas 2003 Thm 1.1 at
+    k=16 is loose per-pair, tight on the mean); the projection plan
+    moves NOTHING (zero exchanges, zero Python)."""
+    import numpy as np
+
+    from play_with_pulsar_spark import plans
+    from play_with_pulsar_spark.operators import similarity
+
+    sub = emb.filter(F.col("vec_id") < 60)
+    proj = similarity.project_embeddings(sub, in_dim=64, out_dim=16)
+    assert plans.count_shuffles(proj) == 0
+    p = proj._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p and "InPandas" not in p
+
+    pv = {}
+    for r in proj.collect():
+        pv.setdefault(r.vec_id, [0.0] * 16)[r.d] = r.val
+    ov = {
+        r.vec_id: np.array(r.v)
+        for r in sub.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).collect()
+    }
+    ids = sorted(ov)
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d0 = float(np.sum((ov[a] - ov[b]) ** 2))
+        d1 = float(np.sum((np.array(pv[a]) - np.array(pv[b])) ** 2))
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    assert ratios
+    assert all(0.2 < r < 3.0 for r in ratios), ratios
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.25, mean
