@@ -680,3 +680,43 @@ def hdr_quantiles(
     return first.select(
         *g, "q", _hdr_lb(F.col("idx"), sub_bits).cast("long").alias("est")
     )
+
+
+def hdr_distance(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Total-variation distance between two SAME-GEOMETRY HDR
+    histograms: one row ``(n_a, n_b, tv)`` with
+    tv = 0.5 * Σ_buckets |p_i − q_i| over the normalized bucket
+    masses, in [0, 1] (0 = identical distributions at bucket
+    resolution, 1 = disjoint supports). The distribution-shift alarm
+    on any sketched metric — the doc-length complement of
+    ``embedding_drift_stats``: compare this crawl's (or this
+    domain's) maintained length tier against the reference corpus's
+    and trigger re-curation when the shape moves, from fixed-width
+    state and arithmetic only (hash-checkable: bucket counts are
+    integer-exact, the masses divide the engine-identical totals).
+    Plan: two sketch-width aggregates + a full outer bucket join of
+    two ≤-sketch-width frames — nothing rescans data. TV at bucket
+    resolution LOWER-bounds the true TV (coarsening can only merge
+    opposing mass), so alarms are conservative."""
+    na = sk_a.agg(F.sum("cnt").alias("n_a"))
+    nb = sk_b.agg(F.sum("cnt").alias("n_b"))
+    a = sk_a.select("idx", F.col("cnt").alias("ca"))
+    b = sk_b.select("idx", F.col("cnt").alias("cb"))
+    j = (
+        a.join(b, "idx", "full")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.coalesce(F.col("ca"), F.lit(0)) / F.col("n_a").cast("double")
+                - F.coalesce(F.col("cb"), F.lit(0)) / F.col("n_b").cast("double")
+            ).alias("ad"),
+        )
+    )
+    from ..oracle import dsum
+
+    return j.groupBy("n_a", "n_b").agg(
+        F.round(F.lit(0.5) * dsum(F.round(F.col("ad"), 9)), 6).alias("tv")
+    )

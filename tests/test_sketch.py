@@ -435,3 +435,24 @@ def test_hdr_exact_when_sub_bits_cover_range(spark):
     sv = sorted(vals)
     for q in qs:
         assert got[q] == sv[math.ceil(q * len(sv)) - 1]
+
+
+def test_hdr_distance_laws(spark):
+    """TV distance on HDR buckets (round 7): identity (d(P,P)=0),
+    disjoint supports (d=1), symmetry, and a planted shift registering
+    strictly between."""
+    import pyspark.sql.functions as SF
+
+    a = spark.range(1000).select((SF.col("id") % 50 + 10).alias("v"))
+    b = spark.range(1000).select((SF.col("id") % 50 + 100_000).alias("v"))
+    c = spark.range(1000).select((SF.col("id") % 80 + 10).alias("v"))
+    sa = sketch.hdr_build(a, "v", sub_bits=6)
+    sb = sketch.hdr_build(b, "v", sub_bits=6)
+    sc_ = sketch.hdr_build(c, "v", sub_bits=6)
+    same = sketch.hdr_distance(sa, sa).collect()[0]
+    assert same.tv == 0.0 and same.n_a == same.n_b == 1000
+    disj = sketch.hdr_distance(sa, sb).collect()[0]
+    assert disj.tv == 1.0
+    ab = sketch.hdr_distance(sa, sc_).collect()[0].tv
+    ba = sketch.hdr_distance(sc_, sa).collect()[0].tv
+    assert ab == ba and 0.0 < ab < 1.0
