@@ -903,6 +903,42 @@ def dedup_survivors(
     return docs.join(keep, id_col, "semi")
 
 
+def dedup_survivors_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup retention: one representative per connected
+    component, chosen as the member with the HIGHEST ``score`` (ties →
+    lowest id) instead of the arbitrary min-id — the production policy
+    (Rae et al. 2021 keep the higher-quality member of a near-dup
+    pair; min-id retention throws away a clean original whenever a
+    mangled copy got the smaller id). ``score`` is evaluated against
+    ``docs``'s columns (e.g. a length, a classifier score). Singleton
+    docs always survive.
+
+    Plan: the clusters table (pointer-jumping CC) joins the scored
+    docs once; selection is one row_number window partitioned by
+    cluster — the same single keyed exchange min-id retention costs,
+    so quality-awareness is free at any scale."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(docs, pairs, id_col=id_col)
+    scored = docs.select(F.col(id_col), score.alias("_score")).join(
+        clusters, id_col
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("_score"), F.asc(id_col)
+    )
+    keep = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "semi")
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release a localCheckpoint's storage blocks NOW.
 

@@ -201,3 +201,31 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_dedup_survivors_best_keeps_quality_not_min_id(spark):
+    """Quality-aware retention (round 7): in a planted near-dup
+    cluster whose LONGEST member has the LARGEST id, min-id retention
+    keeps the truncated copy; dedup_survivors_best must keep the long
+    original (ties fall back to min id); singletons always survive."""
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                      # truncated copy, smallest id
+        (2, base + " lambda mu"),       # the long original, larger id
+        (3, "totally unrelated text about completely other things"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+    best = {r.doc_id for r in dedup.dedup_survivors_best(docs, pairs, F.col("n_chars")).collect()}
+    assert best == {2, 3}
+    minid = {r.doc_id for r in dedup.dedup_survivors(docs, pairs).collect()}
+    assert minid == {1, 3}  # the policy difference is real
+    # tie on score -> min id
+    tied = docs.withColumn("n_chars", F.lit(7))
+    t = {r.doc_id for r in dedup.dedup_survivors_best(tied, pairs, F.col("n_chars")).collect()}
+    assert t == {1, 3}
