@@ -478,6 +478,88 @@ def bigram_logprob(
     )
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990): top-k adjacent
+    token pairs by pointwise mutual information
+    log(p(l,r) / (p(l) p(r))), with a minimum pair count (raw PMI
+    promotes hapax pairs; the floor is the standard fix). The
+    phrase-discovery pass a tokenizer/vocab pipeline runs before
+    multiword merges.
+
+    Plan: the bigram_logprob single-scan discipline — one doc_id
+    exchange feeds the unigram aggregate (vocabulary-sized), the
+    bigram-pair explode (its count is the pair total AND the type
+    table), and nothing else; PMI is a projection over the bigram-type
+    table joined to the two vocab-sized unigram sides (never
+    broadcast the bigram table — billions of types on real corpora);
+    the final cut is TakeOrdered. Rounded to 6 so the rank is
+    engine-exact."""
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+        .where(F.col("doc_id").isNotNull())
+        .repartition("doc_id")
+    )
+    t = F.col("_t")
+    uni = base.select("doc_id", F.explode_outer(t).alias("w")).where(
+        F.col("w").isNotNull()
+    )
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = uc.agg(F.sum("cw").alias("_n"))
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 2),
+                    lambda i: F.struct(
+                        F.element_at(t, i + 1).alias("l"),
+                        F.element_at(t, i + 2).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.expr("cast(array() as array<struct<l: string, r: string>>)"))
+        ).alias("p"),
+    ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    nb = bi.agg(F.count(F.lit(1)).alias("_npairs"))
+    bc = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("cb")).filter(
+        F.col("cb") >= min_count
+    )
+    ul = uc.select(F.col("w").alias("l"), F.col("cw").alias("cwl"))
+    ur = uc.select(F.col("w").alias("r"), F.col("cw").alias("cwr"))
+    pmi = (
+        bc.join(ul, "l")
+        .join(ur, "r")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "l",
+            "r",
+            "cb",
+            F.round(
+                F.log(
+                    (F.col("cb") / F.col("_npairs").cast("double"))
+                    / (
+                        (F.col("cwl") / F.col("_n").cast("double"))
+                        * (F.col("cwr") / F.col("_n").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    # orderBy().limit(k) => TakeOrdered (never a global sort); the
+    # rank column is a window over the k survivors only
+    top = pmi.orderBy(F.desc("pmi"), F.asc("l"), F.asc("r")).limit(k)
+    w = Window.orderBy(F.desc("pmi"), F.asc("l"), F.asc("r"))
+    return top.withColumn("rn", F.row_number().over(w).cast("int"))
+
+
 # --- rolling-hash document fingerprinting (winnowing-style) ---
 
 # Polynomial-hash parameters. Horner steps stay far inside int64:

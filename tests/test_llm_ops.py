@@ -824,3 +824,24 @@ def test_jl_projection_preserves_distances_and_is_shuffle_free(spark, emb):
     assert all(0.2 < r < 3.0 for r in ratios), ratios
     mean = sum(ratios) / len(ratios)
     assert 0.75 < mean < 1.25, mean
+
+
+def test_pmi_ranks_welded_pair_above_frequent_independent(spark):
+    """Church & Hanks collocation law: a pair that ALWAYS co-occurs
+    ('san francisco', welded) outranks pairs of frequent-but-
+    promiscuous words ('the X'), even when the latter have higher raw
+    counts; pairs under the count floor never appear."""
+    from play_with_pulsar_spark.operators import textops
+
+    rows = [(i, "the cat saw the dog near the tree by san francisco") for i in range(10)]
+    rows += [(100 + i, "the bird ate the seed in san francisco today") for i in range(10)]
+    rows += [(200, "rare pair rare pair")]  # count 2 < floor 5
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textops.pmi_collocations(d, min_count=5, k=30).collect()
+    by_pair = {(r.l, r.r): r for r in got}
+    assert ("san", "francisco") in by_pair
+    sf_pmi = by_pair[("san", "francisco")].pmi
+    the_pairs = [r.pmi for r in got if r.l == "the"]
+    assert the_pairs and all(sf_pmi > p for p in the_pairs)
+    assert ("rare", "pair") not in by_pair
+    assert [r.rn for r in sorted(got, key=lambda r: r.rn)] == list(range(1, len(got) + 1))
