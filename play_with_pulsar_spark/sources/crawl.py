@@ -1,0 +1,93 @@
+"""JSONL crawl-shard ingestion — the messy-input front door.
+
+Web-scale training corpora arrive as JSONL shards (Common Crawl
+derivatives, WARC extractions, API dumps): line-delimited records
+with an explicit schema contract, a long tail of malformed lines, and
+duplicate records across shard re-uploads. A 100 TB ingest that
+DROPS malformed lines silently (or dies on the first one) is not
+operable; this module is the validated front door the curator's
+``process_batch`` expects clean batches from:
+
+- ``read_jsonl_docs(spark, path, schema)`` — schema-ENFORCED read
+  with the raw text of every unparseable or contract-violating line
+  captured in a quarantine frame: one scan yields BOTH frames,
+  nothing is silently lost (accounting law: clean + quarantined ==
+  input lines; tested).
+- Contract checks beyond JSON well-formedness: required keys
+  non-null; id uniqueness WITHIN the shard (first occurrence by line
+  order wins — deterministic; later duplicates quarantine with
+  reason 'duplicate_id').
+- Quarantine rows carry (reason, raw) — the operator triage view.
+
+Scale shape: the parse is Spark's native from_json (JVM expression,
+one scan, splittable shards); the id-dedup is one window over the id
+key — the only exchange; the quarantine split is a filter, not a
+second read. Cite: the reference ingests through the broker's
+schema-validated producer (game-code/pulsar.go:133-167); this is the
+batch-world twin of that path (sources/event_log.py:100 implements
+the streaming envelope form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: the default crawl-record contract: the documents-table shape
+DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def read_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOC_SCHEMA,
+    id_col: str = "doc_id",
+    required: tuple[str, ...] = ("doc_id", "text"),
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL shard under the crawl contract → ``(clean,
+    quarantine)``.
+
+    ``clean``: rows that parsed as JSON, carry every ``required``
+    field non-null, and are the FIRST occurrence of their ``id_col``
+    in the shard (line order; deterministic). ``quarantine``:
+    ``(reason, raw)`` for everything else — ``unparseable`` (not a
+    JSON object), ``missing:<field>`` (parsed but violates the
+    contract; first failing field wins in ``required`` order), or
+    ``duplicate_id``. One underlying scan; the accounting law
+    clean + quarantine == input lines is tested.
+    """
+    raw = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("_line"),
+        F.col("value").alias("_raw"),
+    )
+    parsed = raw.select(
+        "_line",
+        "_raw",
+        F.from_json(
+            F.col("_raw"),
+            f"{schema}, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("_r"),
+    )
+    # PERMISSIVE from_json returns a null-FIELD struct (not a null
+    # struct) for malformed lines, so 'unparseable' is detected via
+    # the corrupt-record column, distinguishing it from 'parsed but
+    # missing a required field'
+    reason = F.when(
+        F.col("_r").isNull() | F.col("_r._corrupt").isNotNull(),
+        F.lit("unparseable"),
+    )
+    for r in required:
+        reason = reason.when(F.col(f"_r.{r}").isNull(), F.lit(f"missing:{r}"))
+    flagged = parsed.withColumn("_reason", reason)
+    bad = flagged.filter(F.col("_reason").isNotNull()).select(
+        F.col("_reason").alias("reason"), F.col("_raw").alias("raw")
+    )
+    ok = flagged.filter(F.col("_reason").isNull())
+    w = Window.partitionBy(F.col(f"_r.{id_col}")).orderBy("_line")
+    ranked = ok.withColumn("_rn", F.row_number().over(w))
+    dup = ranked.filter(F.col("_rn") > 1).select(
+        F.lit("duplicate_id").alias("reason"), F.col("_raw").alias("raw")
+    )
+    clean = ranked.filter(F.col("_rn") == 1).select("_r.*").drop("_corrupt")
+    return clean, bad.unionByName(dup)

@@ -1,0 +1,80 @@
+"""JSONL crawl front door (sources/crawl.py): nothing silently lost,
+contract violations triaged with reasons, deterministic first-
+occurrence dedup — the properties a 100 TB ingest is operable on."""
+
+from __future__ import annotations
+
+import json
+
+from play_with_pulsar_spark.sources.crawl import read_jsonl_docs
+
+
+def _write(tmp_path, lines):
+    p = tmp_path / "shard.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_jsonl_accounting_and_triage(spark, tmp_path):
+    good = [
+        {"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s0"},
+        {"doc_id": 2, "text": "gamma", "lang": "en", "source": "s0"},
+        {"doc_id": 3, "text": "delta", "lang": "de", "source": "s1"},
+    ]
+    lines = [json.dumps(g) for g in good]
+    lines.insert(1, "{not json at all")  # unparseable
+    lines.insert(3, json.dumps({"doc_id": 9}))  # missing:text
+    lines.append(json.dumps({"text": "orphan"}))  # missing:doc_id
+    lines.append(json.dumps({"doc_id": 2, "text": "REUPLOAD", "lang": "xx"}))
+    path = _write(tmp_path, lines)
+
+    clean, quarantine = read_jsonl_docs(spark, path)
+    crows = {r.doc_id: r for r in clean.collect()}
+    qrows = [(r.reason, r.raw) for r in quarantine.collect()]
+
+    # accounting law: every input line lands exactly once
+    assert clean.count() + quarantine.count() == len(lines)
+    assert set(crows) == {1, 2, 3}
+    # first occurrence wins, deterministically (line order)
+    assert crows[2].text == "gamma"
+    reasons = sorted(r for r, _ in qrows)
+    assert reasons == ["duplicate_id", "missing:doc_id", "missing:text", "unparseable"]
+    # quarantine keeps the raw line for triage
+    raw_by_reason = dict(qrows)
+    assert raw_by_reason["unparseable"] == "{not json at all"
+    assert json.loads(raw_by_reason["duplicate_id"])["text"] == "REUPLOAD"
+    # clean frame carries the declared schema
+    assert clean.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,lang:string,source:string>"
+    )
+
+
+def test_jsonl_clean_shard_passes_whole(spark, tmp_path):
+    lines = [
+        json.dumps({"doc_id": i, "text": f"t{i}", "lang": "en", "source": "s"})
+        for i in range(20)
+    ]
+    path = _write(tmp_path, lines)
+    clean, quarantine = read_jsonl_docs(spark, path)
+    assert clean.count() == 20 and quarantine.count() == 0
+
+
+def test_jsonl_feeds_curator_batch(spark, tmp_path):
+    """The front door composes with the curator: a shard with a junk
+    line and an intra-shard duplicate ingests cleanly; the curator
+    sees only contract-clean rows."""
+    from play_with_pulsar_spark.streaming.curator import StreamingCorpusCurator
+
+    lines = [
+        json.dumps({"doc_id": i, "text": f"unique tokens w{i}a w{i}b w{i}c w{i}d", "lang": "en", "source": "s"})
+        for i in range(6)
+    ]
+    lines.append("garbage line")
+    lines.append(json.dumps({"doc_id": 3, "text": "dup reupload"}))
+    path = _write(tmp_path, lines)
+    clean, quarantine = read_jsonl_docs(spark, path)
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"))
+    cur.process_batch(clean.select("doc_id", "text"), 0)
+    acc = {r.doc_id for r in cur.accepted().select("doc_id").collect()}
+    assert acc == set(range(6))
+    assert quarantine.count() == 2
