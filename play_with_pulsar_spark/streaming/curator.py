@@ -928,16 +928,22 @@ class StreamingCorpusCurator:
                 )
             )
         )
-        if (
+        screen_checkpointed = (
             self.contamination_bloom_path is not None
             or self.perplexity_lm_path is not None
-        ):
+            or self.quality_model_path is not None
+        )
+        if screen_checkpointed:
             # truncate the screen's lineage: every later reference to
-            # `docs` (pairs uses it twice, new_ids/keep again) would
-            # INLINE the bloom k-join + per-doc-count subtree into the
-            # plan text — multiplicative growth that OOMs the driver's
-            # AQE explain on a plain session. The checkpoint
-            # materialization is batch-sized by construction.
+            # `docs` (pairs uses it twice, new_ids/keep again, and —
+            # round 7 — the hdr tier write one more time) would INLINE
+            # the screen subtree (bloom k-join + per-doc count, or the
+            # z-score + logreg feature chain) into the plan text —
+            # multiplicative growth that OOMs the DRIVER's AQE explain
+            # on a plain 1g session (measured: the quality screen
+            # crossed that edge when the hdr write added a consumer).
+            # The checkpoint materialization is batch-sized by
+            # construction.
             docs = screened.localCheckpoint(eager=True)
         else:
             docs = screened.persist()
@@ -1040,7 +1046,11 @@ class StreamingCorpusCurator:
                 self._batch_dir(self.hdr_dir, batch_id)
             )
         keep.unpersist()
-        if self.contamination_bloom_path is not None:
+        # mirror of the creation gate above: unpersist() is a NO-OP on
+        # localCheckpoint blocks, so an un-mirrored gate (the pre-fix
+        # state: bloom only) silently leaked one checkpoint per batch
+        # under the perplexity/quality screens
+        if screen_checkpointed:
             from ..operators.dedup import _free_local_checkpoint
 
             _free_local_checkpoint(docs)  # single-use after this point
