@@ -44,6 +44,9 @@ TARGETS = [
     ("sketch_hll_overlap", "HLL set algebra (round 7 final): two 64-register max-aggs + their register-max union, three 1-row estimates crossJoin-broadcast into one output row. Watch: nothing rescans the corpus after the two sketch builds."),
     ("layout_zorder_slices", "Z-order clustering audit (round 7 final): the Morton code is pure codegen bit arithmetic over the scan; the ONLY exchange is the 16-group slice aggregation (map-side combined). Watch: no sort anywhere — equal-width z buckets need no range exchange."),
     ("dedup_simhash_checked", "Portable-hash SimHash (round 7 final): same vectorized vote kernel as dedup_simhash (range exchange + one Arrow stage), quarter-block self-join on the tiny signature table, popcount verify. Watch: the token table shuffles once; the pair join touches signatures only."),
+    ("text_pmi_collocations", "PMI collocations (round 7 final): unigram + bigram aggregates off one doc_id exchange; PMI is a projection over the bigram-type table joined to the two vocab-sized unigram sides; TakeOrdered cut. Watch: the bigram table is never broadcast; no global sort."),
+    ("sim_hard_negatives", "ANCE hard-negative mining (round 7 final): per-side norms precomputed, query side broadcast (BroadcastNestedLoopJoin), label inequality rides the join predicate, rank per query. Watch: the corpus side scans once; the whole scoring expression is codegen."),
+    ("sim_jl_projection", "JL compression (round 7 final): 16 literal-matrix fold expressions + one explode — pure codegen over the scan. Watch: ZERO exchanges, zero Python anywhere."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries
