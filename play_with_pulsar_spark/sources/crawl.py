@@ -45,18 +45,38 @@ def read_jsonl_docs(
     required: tuple[str, ...] = ("doc_id", "text"),
 ) -> tuple[DataFrame, DataFrame]:
     """Read a JSONL shard under the crawl contract → ``(clean,
-    quarantine)``.
+    quarantine)``. See :func:`triage_jsonl` for the contract; this is
+    the batch entry point (one ``spark.read.text`` scan)."""
+    return triage_jsonl(
+        spark.read.text(path), schema=schema, id_col=id_col, required=required
+    )
+
+
+def triage_jsonl(
+    lines: DataFrame,
+    schema: str = DOC_SCHEMA,
+    id_col: str = "doc_id",
+    required: tuple[str, ...] = ("doc_id", "text"),
+) -> tuple[DataFrame, DataFrame]:
+    """Triage a DataFrame of raw JSONL lines (column ``value``) under
+    the crawl contract → ``(clean, quarantine)``.
 
     ``clean``: rows that parsed as JSON, carry every ``required``
     field non-null, and are the FIRST occurrence of their ``id_col``
-    in the shard (line order; deterministic). ``quarantine``:
+    in the frame (line order; deterministic). ``quarantine``:
     ``(reason, raw)`` for everything else — ``unparseable`` (not a
     JSON object), ``missing:<field>`` (parsed but violates the
     contract; first failing field wins in ``required`` order), or
     ``duplicate_id``. One underlying scan; the accounting law
     clean + quarantine == input lines is tested.
+
+    DataFrame-in/DataFrame-out so it composes with streaming: inside
+    a ``foreachBatch`` hook, triage the micro-batch's lines and hand
+    ``clean`` to ``StreamingCorpusCurator.process_batch`` — the
+    continuous crawl-ingest loop (tested end-to-end in
+    test_crawl_source.py).
     """
-    raw = spark.read.text(path).select(
+    raw = lines.select(
         F.monotonically_increasing_id().alias("_line"),
         F.col("value").alias("_raw"),
     )

@@ -78,3 +78,47 @@ def test_jsonl_feeds_curator_batch(spark, tmp_path):
     acc = {r.doc_id for r in cur.accepted().select("doc_id").collect()}
     assert acc == set(range(6))
     assert quarantine.count() == 2
+
+
+def test_streaming_crawl_ingest_end_to_end(spark, tmp_path):
+    """The continuous crawl loop, last mile: readStream.text over a
+    shard directory → per-micro-batch JSONL triage → curator
+    process_batch via foreachBatch (availableNow). Clean rows land in
+    the accepted corpus exactly once; quarantine rows append to a
+    triage table; junk and contract violations never reach the
+    curator's state."""
+    import json
+
+    from play_with_pulsar_spark.sources.crawl import triage_jsonl
+    from play_with_pulsar_spark.streaming.curator import StreamingCorpusCurator
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    lines = [
+        json.dumps({"doc_id": i, "text": f"unique w{i}a w{i}b w{i}c w{i}d", "lang": "en", "source": "s"})
+        for i in range(8)
+    ]
+    lines.insert(3, "junk {{{")
+    lines.append(json.dumps({"text": "orphan"}))
+    (shards / "a.jsonl").write_text("\n".join(lines) + "\n")
+
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"))
+    qdir = str(tmp_path / "quarantine")
+
+    def ingest(batch_df, batch_id):
+        clean, quarantine = triage_jsonl(batch_df)
+        quarantine.write.mode("append").parquet(qdir)
+        cur.process_batch(clean.select("doc_id", "text"), batch_id)
+
+    q = (
+        spark.readStream.text(str(shards))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    acc = {r.doc_id for r in cur.accepted().select("doc_id").collect()}
+    assert acc == set(range(8))
+    reasons = sorted(r.reason for r in spark.read.parquet(qdir).collect())
+    assert reasons == ["missing:doc_id", "unparseable"]
