@@ -456,3 +456,38 @@ def test_hdr_distance_laws(spark):
     ab = sketch.hdr_distance(sa, sc_).collect()[0].tv
     ba = sketch.hdr_distance(sc_, sa).collect()[0].tv
     assert ab == ba and 0.0 < ab < 1.0
+
+
+def test_hdr_distance_lower_bounds_exact_tv(spark):
+    """The docstring's conservativeness claim, pinned: TV at bucket
+    resolution NEVER exceeds the exact-value TV (coarsening can only
+    merge opposing mass), across several shifted/scaled pairs — so a
+    drift alarm thresholded on the sketch never fires above the true
+    drift."""
+    import pyspark.sql.functions as SF
+
+    def exact_tv(a_vals, b_vals):
+        from collections import Counter
+
+        ca, cb = Counter(a_vals), Counter(b_vals)
+        na, nb = sum(ca.values()), sum(cb.values())
+        keys = set(ca) | set(cb)
+        return 0.5 * sum(abs(ca[k] / na - cb[k] / nb) for k in keys)
+
+    cases = [
+        (lambda i: i % 97 + 5, lambda i: i % 97 + 25),       # shift
+        (lambda i: i % 50 + 1, lambda i: (i % 50 + 1) * 3),  # scale
+        (lambda i: i % 200 + 1, lambda i: i % 40 + 1),       # support shrink
+    ]
+    for fa, fb in cases:
+        av = [fa(i) for i in range(2000)]
+        bv = [fb(i) for i in range(2000)]
+        sa = sketch.hdr_build(
+            spark.createDataFrame([(v,) for v in av], "v long"), "v", sub_bits=5
+        )
+        sb = sketch.hdr_build(
+            spark.createDataFrame([(v,) for v in bv], "v long"), "v", sub_bits=5
+        )
+        tv_sk = sketch.hdr_distance(sa, sb).collect()[0].tv
+        tv_ex = exact_tv(av, bv)
+        assert tv_sk <= tv_ex + 1e-6, (tv_sk, tv_ex)
