@@ -572,6 +572,17 @@ def dsir_importance_scores(
             target.cast("long").alias("_is_t"),
             F.explode(tokens(text_col)).alias("term"),
         )
+    if features == "hashed_ngrams":
+        # materialize the hashed-token table at ONE doc_id exchange so
+        # the per-term aggregate and the per-doc scoring join are both
+        # ReusedExchange consumers — without the boundary each branch
+        # re-runs tokenize + bigram-build + md5-bucket from the scan
+        # (the bm25/bigram single-scan protocol; measured 3.3 s →
+        # 1.9 s at sf0.1). The scoring groupBy(doc_id) also rides the
+        # same partitioning, saving its own shuffle. The unigram form
+        # deliberately SKIPS the boundary: its recompute is one cheap
+        # regex split, cheaper than exchanging the full token table.
+        toks = toks.repartition("doc_id")
     tf = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"), F.sum("_is_t").alias("tf_t")
     )
