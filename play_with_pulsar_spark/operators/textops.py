@@ -1296,12 +1296,18 @@ def line_dedup(
     keep-one-per-key (TableView, pulsar.go) — the same latest/first-
     per-key aggregation shape, keyed on content instead of message
     key."""
+    # line-splitting materialized at ONE _id exchange: the occurrence
+    # explode (consumed twice — winner agg + join probe) and the
+    # n_lines base branch otherwise each re-run split_lines from the
+    # scan. Static ReuseExchange does NOT unify these consumers (their
+    # pruned column sets differ), but AQE's runtime stage reuse does —
+    # measured 3.2 s -> 1.8 s at sf0.1 under the engine session.
     d = docs.select(
         F.col(id_col).alias("_id"),
         split_lines(text_col, delimiter=delimiter, segment_tokens=segment_tokens).alias(
             "_lines"
         ),
-    )
+    ).repartition("_id")
     occ = (
         d.select("_id", F.posexplode("_lines").alias("_idx", "_line"))
         .filter(F.col("_line") != "")
