@@ -1510,13 +1510,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
     within hamming ≤ 3 of 64 bits must agree on ≥1 of 4 quarters —
     pigeonhole), then verify hamming distance. Never all-pairs."""
     sigs = simhash64(docs, **kw)
-    quarters = sigs.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(*[F.shiftrightunsigned(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF)) for q in range(4)])
-        ).alias("q", "qv"),
-    )
+    quarters = _simhash_quarters(sigs)
     a = quarters.alias("a")
     b = quarters.alias("b")
     return (
@@ -1529,6 +1523,80 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_quarters(sigs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) → (doc_id, simhash, q, qv): the 4 pigeonhole
+    16-bit blocks (a pair within hamming ≤ 3 of 64 bits must agree on
+    ≥ 1 of 4 disjoint blocks — Manku et al. 2007's table scheme at
+    t = 4)."""
+    return sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * q).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("q", "qv"),
+    )
+
+
+def incremental_simhash_pairs(
+    index_sigs: DataFrame | None,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental SimHash near-dup screen: pairs TOUCHING the new
+    batch — (batch × stored index) ∪ (batch × batch) — against a
+    stored ``(doc_id, simhash)`` signature table, without ever
+    recomputing or rescanning the corpus's signatures (8 bytes/doc of
+    state; the cheapest stored dedup index in the engine). The
+    incremental sibling of ``incremental_minhash_pairs``, with the
+    index maintenance trivial by comparison: new accepted signatures
+    APPEND — there is no banding state or df tier to fold.
+
+    Disjointness contract (same as every incremental screen): batch
+    ids must not collide with index ids. Candidates come from the
+    batch side's quarter blocks probing index ∪ batch blocks, so
+    every emitted pair includes ≥ 1 batch doc by construction;
+    index × index pairs are structurally impossible. Verification is
+    the exact popcount, so candidates never inflate results — law
+    tested: incremental(index, batch) == full-corpus pairs restricted
+    to those touching the batch.
+
+    With ``hash_fn="md5_60"`` the whole screen is engine-portable and
+    hash-checked end-to-end (``dedup_incremental_simhash``)."""
+    bsigs = simhash64(batch, text_col, id_col, hash_fn=hash_fn)
+    all_sigs = (
+        index_sigs.select("doc_id", "simhash").unionByName(bsigs)
+        if index_sigs is not None
+        else bsigs
+    )
+    probe = _simhash_quarters(bsigs).alias("a")
+    side = _simhash_quarters(all_sigs).alias("b")
+    return (
+        probe.join(
+            side,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .distinct()

@@ -229,3 +229,36 @@ def test_dedup_survivors_best_keeps_quality_not_min_id(spark):
     tied = docs.withColumn("n_chars", F.lit(7))
     t = {r.doc_id for r in dedup.dedup_survivors_best(tied, pairs, F.col("n_chars")).collect()}
     assert t == {1, 3}
+
+
+def test_incremental_simhash_equals_batch_restricted_full(spark, sf_dir):
+    """Incremental-screen law (round 7): probing the stored signature
+    index with a new batch yields EXACTLY the full-corpus pair set
+    restricted to pairs touching the batch — for both hash choices;
+    index=None degenerates to within-batch pairs; no index x index
+    pair ever leaks."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for kw in ({}, {"hash_fn": "md5_60"}):
+        full = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_near_pairs(docs, max_hamming=3, **kw).collect()
+        }
+        want = {(a, b, h) for a, b, h in full if a % 5 == 0 or b % 5 == 0}
+        index_sigs = dedup.simhash64(docs.filter(F.col("doc_id") % 5 != 0), **kw)
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.incremental_simhash_pairs(
+                index_sigs, docs.filter(F.col("doc_id") % 5 == 0), max_hamming=3, **kw
+            ).collect()
+        }
+        assert got == want, kw
+        assert all(a % 5 == 0 or b % 5 == 0 for a, b, _ in got)
+        within = {
+            (r.id_a, r.id_b)
+            for r in dedup.incremental_simhash_pairs(
+                None, docs.filter(F.col("doc_id") % 5 == 0), max_hamming=3, **kw
+            ).collect()
+        }
+        assert within == {
+            (a, b) for a, b, _ in full if a % 5 == 0 and b % 5 == 0
+        }, kw
