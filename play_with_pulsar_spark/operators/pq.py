@@ -353,7 +353,21 @@ def pq_adc_topk(
                 take = min(kk, len(a))
                 if take == 0:
                     continue
-                part = np.argpartition(a, take - 1)[:take]
+                # ADC distances are highly degenerate (many docs share a
+                # code tuple), so the per-partition cut must be
+                # tie-deterministic: restrict to rows at-or-below the
+                # take-th smallest distance (O(n) argpartition), then
+                # lexsort that candidate set by (adc_dist, neighbor_id) —
+                # the global ORDER BY — so any dropped row is strictly
+                # after `take` same-partition rows and can never reach
+                # the global top-k. A bare argpartition picks an
+                # ARBITRARY subset of boundary-tied rows (ADVICE r7).
+                if take < len(a):
+                    thresh = a[np.argpartition(a, take - 1)[take - 1]]
+                    cand = np.flatnonzero(a <= thresh)
+                else:
+                    cand = np.arange(len(a))
+                part = cand[np.lexsort((n[cand], a[cand]))[:take]]
                 yield pd.DataFrame(
                     {"query_id": qid, "neighbor_id": n[part], "adc_dist": a[part]}
                 )

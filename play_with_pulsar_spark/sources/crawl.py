@@ -43,12 +43,17 @@ def read_jsonl_docs(
     schema: str = DOC_SCHEMA,
     id_col: str = "doc_id",
     required: tuple[str, ...] = ("doc_id", "text"),
+    order_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Read a JSONL shard under the crawl contract → ``(clean,
     quarantine)``. See :func:`triage_jsonl` for the contract; this is
     the batch entry point (one ``spark.read.text`` scan)."""
     return triage_jsonl(
-        spark.read.text(path), schema=schema, id_col=id_col, required=required
+        spark.read.text(path),
+        schema=schema,
+        id_col=id_col,
+        required=required,
+        order_col=order_col,
     )
 
 
@@ -57,18 +62,32 @@ def triage_jsonl(
     schema: str = DOC_SCHEMA,
     id_col: str = "doc_id",
     required: tuple[str, ...] = ("doc_id", "text"),
+    order_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Triage a DataFrame of raw JSONL lines (column ``value``) under
     the crawl contract → ``(clean, quarantine)``.
 
     ``clean``: rows that parsed as JSON, carry every ``required``
-    field non-null, and are the FIRST occurrence of their ``id_col``
-    in the frame (line order; deterministic). ``quarantine``:
-    ``(reason, raw)`` for everything else — ``unparseable`` (not a
-    JSON object), ``missing:<field>`` (parsed but violates the
-    contract; first failing field wins in ``required`` order), or
-    ``duplicate_id``. One underlying scan; the accounting law
-    clean + quarantine == input lines is tested.
+    field non-null, and are the CANONICAL occurrence of their
+    ``id_col`` in the frame. ``quarantine``: ``(reason, raw)`` for
+    everything else — ``unparseable`` (not a JSON object),
+    ``missing:<field>`` (parsed but violates the contract; first
+    failing field wins in ``required`` order), or ``duplicate_id``.
+    One underlying scan; the accounting law clean + quarantine ==
+    input lines is tested.
+
+    Duplicate-id survivor rule — deterministic BY CONTENT, never by
+    physical position: a distributed text scan has no stable per-row
+    offset (``monotonically_increasing_id`` depends on partition
+    layout and changes under task retry / stage recomputation — the
+    round-7 ADVICE finding), so "first line wins" is not a
+    well-defined rule at scale. Instead the survivor is the minimum
+    by ``(record[order_col], raw line text)`` — pass ``order_col``
+    (e.g. a crawl ``fetch_time`` field in the schema) to keep the
+    operationally-first record; without it the lexicographically
+    smallest raw line is the canonical pick. Rows tied on the full
+    key are byte-identical, so the output is deterministic under any
+    partitioning either way.
 
     DataFrame-in/DataFrame-out so it composes with streaming: inside
     a ``foreachBatch`` hook, triage the micro-batch's lines and hand
@@ -76,12 +95,8 @@ def triage_jsonl(
     continuous crawl-ingest loop (tested end-to-end in
     test_crawl_source.py).
     """
-    raw = lines.select(
-        F.monotonically_increasing_id().alias("_line"),
-        F.col("value").alias("_raw"),
-    )
+    raw = lines.select(F.col("value").alias("_raw"))
     parsed = raw.select(
-        "_line",
         "_raw",
         F.from_json(
             F.col("_raw"),
@@ -104,7 +119,10 @@ def triage_jsonl(
         F.col("_reason").alias("reason"), F.col("_raw").alias("raw")
     )
     ok = flagged.filter(F.col("_reason").isNull())
-    w = Window.partitionBy(F.col(f"_r.{id_col}")).orderBy("_line")
+    keys = [F.col("_raw")]
+    if order_col is not None:
+        keys.insert(0, F.col(f"_r.{order_col}"))
+    w = Window.partitionBy(F.col(f"_r.{id_col}")).orderBy(*keys)
     ranked = ok.withColumn("_rn", F.row_number().over(w))
     dup = ranked.filter(F.col("_rn") > 1).select(
         F.lit("duplicate_id").alias("reason"), F.col("_raw").alias("raw")

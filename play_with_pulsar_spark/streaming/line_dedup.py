@@ -249,42 +249,73 @@ class IncrementalLineDeduper:
         return self._read_partitioned(self.out_dir, self.out_schema, None)
 
     def compact(self) -> bool:
-        """Fold every committed index batch dir above the watermark,
-        plus the current compacted tier, into a NEW versioned data dir
-        (``data_v<k+1>``), flip the JSON marker atomically, and only
-        then delete the folded batch dirs and the predecessor version.
-        Steady state: one live version + the post-fold batch dirs,
-        whatever the stream age. Crash anywhere before the flip leaves
-        the old marker and every source dir intact (a re-run rewrites
-        the same version dir — idempotent overwrite); crash after the
-        flip only leaks directories the next compact() deletes."""
+        """Fold the CONTIGUOUS prefix of ``_SUCCESS``-committed index
+        batch dirs above the watermark, plus the current compacted
+        tier, into a NEW versioned data dir (``data_v<k+1>``), flip
+        the JSON marker atomically, and only then delete the folded
+        batch dirs and the predecessor version. Steady state: one
+        live version + the post-fold batch dirs, whatever the stream
+        age. Crash anywhere before the flip leaves the old marker and
+        every source dir intact (a re-run rewrites the same version
+        dir — idempotent overwrite); crash after the flip only leaks
+        directories the next compact() deletes.
+
+        Two correctness constraints on the fold input (a crash-window
+        compact used to violate both — permanent silent line loss,
+        reproduced in test_line_dedup_stream):
+
+        - ONLY committed dirs may be folded: an uncommitted batch's
+          partial hashes baked into the compacted tier cannot be
+          excluded by the replay's ``exclude_batch`` filter, so the
+          replayed batch would anti-join against its own lines and
+          delete every one of them.
+        - ``covered_upto`` must stop at the first gap (an uncommitted
+          or missing batch id): folding a LATER committed batch and
+          advancing the watermark past the gap would prune the gap
+          batch's replayed dir from every future index read — its
+          surviving lines would vanish from the index.
+        """
         import json
         import shutil
 
         man = self._compact_manifest()
         upto = man["covered_upto"] if man else -1
-        committed = []
+        present: dict[int, bool] = {}
         try:
             for name in os.listdir(self.lines_dir):
                 if not name.startswith("ingest_batch="):
                     continue
                 bid = int(name.split("=", 1)[1])
-                if bid > upto and self._committed(self.lines_dir, bid):
-                    committed.append(bid)
+                if bid > upto:
+                    present[bid] = self._committed(self.lines_dir, bid)
         except FileNotFoundError:
             return False
-        if not committed:
+        # contiguous committed prefix above the watermark; stop at the
+        # first uncommitted dir OR missing id (both are replay targets)
+        fold: list[int] = []
+        nxt = upto + 1
+        while present.get(nxt, False):
+            fold.append(nxt)
+            nxt += 1
+        if not fold:
             return False
         new_version = (man["version"] + 1) if man else 0
-        full = self._index(exclude_batch=None).distinct()
-        full.write.mode("overwrite").parquet(
+        live = self.spark.read.schema(self.lines_schema).parquet(
+            *[self._batch_dir(self.lines_dir, b) for b in fold]
+        ).select("lh")
+        if man is not None:
+            prev = self.spark.read.schema(self.lines_schema).parquet(
+                os.path.join(self.compacted_dir, f"data_v{man['version']}")
+            )
+            live = prev.unionByName(live)
+        live.distinct().write.mode("overwrite").parquet(
             os.path.join(self.compacted_dir, f"data_v{new_version}")
         )
         tmp = self._compact_marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"covered_upto": max(committed), "version": new_version}, f)
+            json.dump({"covered_upto": max(fold), "version": new_version}, f)
         os.replace(tmp, self._compact_marker)
-        for bid in committed:
+        for bid in fold:
             shutil.rmtree(self._batch_dir(self.lines_dir, bid), ignore_errors=True)
         if man is not None:
             shutil.rmtree(

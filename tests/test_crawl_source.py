@@ -35,14 +35,36 @@ def test_jsonl_accounting_and_triage(spark, tmp_path):
     # accounting law: every input line lands exactly once
     assert clean.count() + quarantine.count() == len(lines)
     assert set(crows) == {1, 2, 3}
-    # first occurrence wins, deterministically (line order)
-    assert crows[2].text == "gamma"
+    # canonical occurrence wins: min raw line text, deterministic
+    # under any partitioning ("line order" is not a stable key in a
+    # distributed scan — r7 ADVICE)
+    assert crows[2].text == "REUPLOAD"
     reasons = sorted(r for r, _ in qrows)
     assert reasons == ["duplicate_id", "missing:doc_id", "missing:text", "unparseable"]
     # quarantine keeps the raw line for triage
     raw_by_reason = dict(qrows)
     assert raw_by_reason["unparseable"] == "{not json at all"
-    assert json.loads(raw_by_reason["duplicate_id"])["text"] == "REUPLOAD"
+    assert json.loads(raw_by_reason["duplicate_id"])["text"] == "gamma"
+
+
+def test_jsonl_duplicate_survivor_by_order_col(spark, tmp_path):
+    """With order_col the survivor is the operationally-first record
+    (min fetch_time), whatever the raw-text ordering says."""
+    from play_with_pulsar_spark.sources.crawl import triage_jsonl
+
+    lines = [
+        json.dumps({"doc_id": 7, "text": "zz-late", "lang": "en", "source": "b"}),
+        json.dumps({"doc_id": 7, "text": "aa-early", "lang": "en", "source": "a"}),
+    ]
+    path = _write(tmp_path, lines)
+    # source doubles as the timestamp here: 'b' uploaded after 'a'
+    clean, quarantine = triage_jsonl(
+        spark.read.text(path),
+        order_col="source",
+    )
+    rows = clean.collect()
+    assert len(rows) == 1 and rows[0].text == "aa-early"
+    assert [r.reason for r in quarantine.collect()] == ["duplicate_id"]
     # clean frame carries the declared schema
     assert clean.schema.simpleString() == (
         "struct<doc_id:bigint,text:string,lang:string,source:string>"

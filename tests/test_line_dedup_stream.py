@@ -123,6 +123,66 @@ def test_compaction_is_decision_transparent(spark, tmp_path):
     )
 
 
+def test_compact_in_crash_window_preserves_replay(spark, tmp_path):
+    """ADVICE r7 (high): compact() between a batch's crash and its
+    replay must NOT fold the uncommitted batch's hashes into the
+    compacted tier — the replay's exclude_batch filter cannot reach
+    inside the tier, so the batch would anti-join against its own
+    lines and silently lose every unique line. The fold input is the
+    contiguous _SUCCESS-committed prefix only."""
+    b0 = _docs(spark, [(0, "c0 c1 c2 a0 a1")])
+    b1 = _docs(spark, [(1, "c0 c1 c2 b0 b1"), (2, "u0 u1 u2")])
+    clean = _run(spark, tmp_path / "clean", [b0, b1], segment_tokens=3)
+
+    d = IncrementalLineDeduper(spark, str(tmp_path / "crash"), segment_tokens=3)
+    d.process_batch(b0, 0)
+    d.process_batch(b1, 1)
+    # simulate the crash window: batch 1 wrote its dirs but neither
+    # commit marker landed
+    os.remove(os.path.join(d._batch_dir(d.lines_dir, 1), "_SUCCESS"))
+    os.remove(os.path.join(d._batch_dir(d.out_dir, 1), "_SUCCESS"))
+    assert d.compact() is True  # folds batch 0 ONLY
+    assert d._covered_upto() == 0
+    # the uncommitted dir is left for the replay, not folded
+    assert os.path.exists(d._batch_dir(d.lines_dir, 1))
+    d.process_batch(b1, 1)  # replay
+    assert sorted(map(tuple, d.deduped().collect())) == sorted(
+        map(tuple, clean.deduped().collect())
+    )
+    assert sorted(r.lh for r in d._index().collect()) == sorted(
+        r.lh for r in clean._index().collect()
+    )
+
+
+def test_compact_watermark_stops_at_gap(spark, tmp_path):
+    """covered_upto never advances past an uncommitted batch id, even
+    when LATER batches are committed — otherwise the gap batch's
+    replayed dir would be pruned from every future index read. The
+    later committed dir stays live and folds on the next compact."""
+    b0 = _docs(spark, [(0, "g0 g1 g2 a0 a1")])
+    b1 = _docs(spark, [(1, "g0 g1 g2 b0 b1")])
+    b2 = _docs(spark, [(2, "h0 h1 h2")])
+    clean = _run(spark, tmp_path / "clean", [b0, b1, b2], segment_tokens=3)
+
+    d = IncrementalLineDeduper(spark, str(tmp_path / "gap"), segment_tokens=3)
+    for k, b in enumerate([b0, b1, b2]):
+        d.process_batch(b, k)
+    os.remove(os.path.join(d._batch_dir(d.lines_dir, 1), "_SUCCESS"))
+    os.remove(os.path.join(d._batch_dir(d.out_dir, 1), "_SUCCESS"))
+    assert d.compact() is True
+    assert d._covered_upto() == 0
+    assert os.path.exists(d._batch_dir(d.lines_dir, 2))  # not folded
+    d.process_batch(b1, 1)  # replay heals the gap
+    assert d.compact() is True  # now folds 1 and 2
+    assert d._covered_upto() == 2
+    assert sorted(map(tuple, d.deduped().collect())) == sorted(
+        map(tuple, clean.deduped().collect())
+    )
+    assert sorted(r.lh for r in d._index().collect()) == sorted(
+        r.lh for r in clean._index().collect()
+    )
+
+
 def test_position_encoding_overflow_raises(spark, tmp_path):
     """A document with more lines than the position encoding admits
     fails loudly (distributed raise_error), not with silent wrong
