@@ -321,3 +321,68 @@ def test_containment_same_shuffle_count_as_jaccard(q):
     base = q("dedup_ngram_jaccard")
     cont = q("dedup_ngram_containment")
     assert plans.count_shuffles(cont) == plans.count_shuffles(base)
+
+
+# Entries whose BUILD legitimately runs Spark jobs, each under a
+# documented driver-side contract (bounded collects or iterative
+# algorithms whose loop structure is driver-scheduled). Everything
+# else in the registry must build with ZERO jobs — laziness to the
+# hash is the registry contract (r7 verdict #4 closed the last
+# violation, an eager emb.count() in dedup_embedding_lsh_auto).
+EAGER_BUILD_ALLOWLIST = {
+    # state-replay loops: the REAL incremental machinery (curator /
+    # line deduper / snapshot view) processes micro-batches at build
+    "fold_snapshot_maintained": "per-batch snapshot materialization",
+    # bounded collects by documented contract
+    "dedup_embedding_cosine": "broadcast normalized corpus (matmul contract)",
+    "sim_bruteforce_topk": "query-matrix toPandas (broadcast contract)",
+    "sim_ivf_topk": "K*D centroid fit + probe-cell list",
+    "sim_ivf_topk_clustered": "K*D centroid fit + probe-cell list",
+    "cluster_kmeans_assign": "K*D centroid fit",
+    "dedup_semantic": "K*D centroid fit",
+    "cluster_representatives": "K*D centroid fit",
+    "sim_ivf_pq_topk": "codebook fit (m*k*d_sub literals)",
+    "sim_pq_rerank_topk": "codebook fit",
+    "sim_pq_adc_topk": "codebook fit + LUT broadcast",
+    "quality_outlier_mad_continuous": "in-query approx-vs-exact band assert",
+    "approx_stats_bounded": "in-query error-bound asserts",
+    "text_tfidf_top_terms": "vocab/n_docs collect (D+1 doubles)",
+    "quality_classifier_scores": "unrolled GD fit (D+1 gradient doubles/iter)",
+    # iterative distributed algorithms: localCheckpoint per round
+    "dedup_clusters": "CC label propagation rounds",
+    "dedup_clusters_exact": "CC label propagation rounds",
+    "dedup_survivors": "CC rounds feeding the argmax",
+    "dedup_survivors_quality": "CC rounds feeding the argmax",
+    "audit_dup_rate_by_source": "CC rounds feeding the rollup",
+    "split_leakage_safe": "CC rounds for leakage groups",
+    "graph_pagerank_copurchase": "unrolled PR iterations + checkpoints",
+    "text_bpe_merges": "merge iterations over word types",
+    "text_bpe_encode": "merge iterations over word types",
+}
+
+
+def test_registry_builds_are_lazy(spark, sf_dir):
+    """Building any declared query OUTSIDE the documented eager set
+    triggers NO Spark job (r7 verdict #4): sizing reads parquet
+    footers, table loads are schema-enforced from cached footers, and
+    every plan stays lazy until the driver hashes it. The pipeline_*
+    family replays real per-batch state machinery by design and is
+    excluded wholesale (its laziness is meaningless — the collect IS
+    the contract)."""
+    sc = spark.sparkContext
+    assert set(EAGER_BUILD_ALLOWLIST) <= set(REGISTRY)
+    for name, spec in REGISTRY.items():
+        if name in EAGER_BUILD_ALLOWLIST or name.startswith("pipeline_"):
+            continue
+        group = f"lazy-{name}"
+        sc.setJobGroup(group, name)
+        try:
+            spec.fn(spark, "/root/testdata/sf0.001")
+        finally:
+            jobs = sc.statusTracker().getJobIdsForGroup(group)
+            sc.setJobGroup("idle", "idle")
+        assert not jobs, (
+            f"{name} ran {len(jobs)} Spark job(s) at build time; either "
+            "make it lazy or add it to EAGER_BUILD_ALLOWLIST with a "
+            "documented bounded-collect contract"
+        )
