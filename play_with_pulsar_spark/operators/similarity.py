@@ -1205,6 +1205,71 @@ def quantize_embeddings(
     )
 
 
+def with_int8_codes(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    qc: str = "qc",
+    qs: str = "qs",
+    vhat: str = "_vhat",
+) -> DataFrame:
+    """Append int8 quantization columns AND the dequantized vector to
+    ``df`` (round 8 — the curator's compressed embedding state):
+
+    - ``qc``: the :func:`quantize_embeddings` codes, with the zero-
+      vector NULL convention replaced by an all-zero code (state
+      tables keep one row per doc; a zero v̂ is excluded by the same
+      zero-norm guards as a zero v);
+    - ``qs``: the per-vector scale (0.0 for zero vectors);
+    - ``vhat``: ``qc * qs`` — the CANONICAL reconstructed vector.
+
+    Everything downstream of a compressed store (signatures, cosine
+    verify, rollover re-signing) must derive from ``vhat``, never the
+    original: quantization is the single approximation boundary, and
+    deriving sigs and verify from the same v̂ keeps stored state
+    byte-reproducible from itself — the property replay and geometry
+    rollovers rest on. Same projection-boundary discipline as
+    :func:`quantize_embeddings` (the scale is materialized before the
+    code lambda references it)."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    out = df.withColumn("_qs_raw", amax / F.lit(127.0))
+    s = F.col("_qs_raw")
+    out = (
+        out.withColumn(
+            qc,
+            F.when(
+                s > 0, F.transform(v, lambda x: F.round(x / s).cast("int"))
+            ).otherwise(F.array_repeat(F.lit(0), dim)),
+        )
+        .withColumn(qs, F.when(s > 0, s).otherwise(F.lit(0.0)))
+        .drop("_qs_raw")
+    )
+    return out.withColumn(
+        vhat,
+        F.transform(F.col(qc), lambda c: c.cast("double") * F.col(qs)),
+    )
+
+
+def dequantized_vecs(
+    codes: DataFrame, qc: str = "qc", qs: str = "qs"
+) -> DataFrame:
+    """(vec_id, v, nv) view of an int8-compressed vec state table —
+    the read-side inverse of :func:`with_int8_codes`: v = qc*qs, nv
+    recomputed over the reconstruction (exact in v̂). Pure per-row
+    codegen; the verify kernels downstream are unchanged."""
+    v = F.transform(F.col(qc), lambda c: c.cast("double") * F.col(qs))
+    out = codes.withColumn("v", v).drop(qc, qs)
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return out.withColumn("nv", nv)
+
+
 def dequantize(quantized: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Reconstruct approximate double vectors from int8 codes:
     ``v_j ~ code_j * scale``. A per-row codegen projection; NULL-scale

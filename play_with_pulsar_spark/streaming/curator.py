@@ -142,6 +142,8 @@ class StreamingCorpusCurator:
         perplexity_max_xent: float = 5.0,
         length_band: tuple[float, float] | None = None,
         length_band_min_docs: int = 50,
+        retention: str = "first",
+        score_col: str | None = None,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -265,11 +267,54 @@ class StreamingCorpusCurator:
         identical decision; a replay of a batch already folded into a
         compaction screens under the tier as of now (the model-
         refresh caveat, narrowed to post-compaction replays). Text
-        screens only."""
+        screens only.
+
+        ``retention`` (round 8 — r7 verdict #1): ``"first"`` keeps the
+        greedy first-writer-wins rule above; ``"best"`` makes the rule
+        VALUE-AWARE, the streaming analog of the batch
+        ``dedup_survivors_best`` policy (Rae et al. 2021 — keep the
+        highest-quality cluster member): a new doc that near-dups an
+        ACCEPTED doc with a strictly higher ``score_col`` REPLACES it
+        — the old doc is evicted from the corpus and un-indexed — and
+        loses (is rejected) otherwise, ties going to the incumbent.
+        Within a batch the higher score survives a pair, ties to the
+        smaller id. Decisions are still made against the PRE-batch
+        state, pair-wise (evictions apply at commit) — so the policy
+        is order-free within a batch, replayable, and expressible as
+        one unrolled SQL fold (``pipeline_streaming_retention``
+        hash-checks it end-to-end).
+
+        The eviction story (the part first-writer-wins never needed):
+        state tiers are append-only batch partitions, so eviction is a
+        TOMBSTONE tier (``tombstones/ingest_batch=<id>``, committed
+        with the batch, idempotent overwrite like every tier). Reads
+        of accepted/grams/banded anti-join the committed tombstones;
+        the additive df and hdr tiers get NEGATIVE delta rows for the
+        evicted docs' grams/lengths in the same batch write, so their
+        sums track the surviving corpus exactly; compaction applies
+        covered tombstones physically (folded tables never contain
+        evicted rows) and sweeps the applied tombstone dirs. The HLL
+        vocabulary monitor is max-merged and deliberately keeps
+        ever-accepted semantics (registers cannot be un-maxed) — it
+        is a growth monitor, not decision state. Text screens only;
+        requires ``score_col`` (a numeric column every batch carries,
+        stored with the accepted rows so later batches can compare
+        against incumbents without re-scoring). Reference anchor: the
+        compacted-topic keep-one-per-key retention (pulsar.go:160-167)
+        with the kept value chosen by score instead of arrival."""
         if screen not in ("jaccard", "minhash", "embedding"):
             raise ValueError(f"unknown screen {screen!r}")
         if screen == "embedding" and emb_dim is None:
             raise ValueError("screen='embedding' requires emb_dim")
+        if retention not in ("first", "best"):
+            raise ValueError(f"unknown retention {retention!r}")
+        if retention == "best":
+            if score_col is None:
+                raise ValueError("retention='best' requires score_col")
+            if screen == "embedding":
+                raise ValueError(
+                    "retention='best' applies to the text screens"
+                )
         self.spark = spark
         self.base_dir = base_dir
         self.accepted_dir = os.path.join(base_dir, "accepted")
@@ -280,7 +325,9 @@ class StreamingCorpusCurator:
         self.df_dir = os.path.join(base_dir, "df")
         self.hll_dir = os.path.join(base_dir, "hll")
         self.hdr_dir = os.path.join(base_dir, "hdr")
+        self.tomb_dir = os.path.join(base_dir, "tombstones")
         self.compacted_dir = os.path.join(base_dir, "compacted")
+        self.retention, self.score_col = retention, score_col
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
         self.screen = screen
@@ -346,6 +393,7 @@ class StreamingCorpusCurator:
         self.df_schema = "g long, df long"
         self.hll_schema = "bucket long, mreg int"
         self.hdr_schema = "idx long, cnt long"
+        self.tomb_schema = f"doc_id {id_type}"
         self.compact_after = compact_after
         self.n_buckets = n_buckets
         self.quality_model_path = quality_model_path
@@ -498,13 +546,52 @@ class StreamingCorpusCurator:
         comp = self._compacted_state(kind)
         return live if comp is None else comp.unionByName(live)
 
+    def _tombstones(self, exclude_batch: int | None = None) -> DataFrame:
+        """Committed evicted-doc ids above the compaction watermark
+        (``retention='best'``): compaction applies covered tombstones
+        PHYSICALLY — the folded tables never contain evicted rows —
+        so only the live dirs ever filter a read. Committed-only (an
+        uncommitted batch's evictions must not hide docs from a
+        concurrent reader) and excluding the in-flight batch (a
+        replay decides against exactly the pre-batch state)."""
+        dirs = [
+            d
+            for d in self._committed_batch_dirs(self.tomb_dir)
+            if self._batch_id_of(d) > self._covered_upto()
+            and self._batch_id_of(d) != exclude_batch
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], self.tomb_schema)
+        return (
+            self.spark.read.schema(self.tomb_schema + ", ingest_batch int")
+            .option("basePath", self.tomb_dir)
+            .parquet(*dirs)
+            .select("doc_id")
+        )
+
+    def _minus_tombstones(
+        self, df: DataFrame, key: str, exclude_batch: int | None = None
+    ) -> DataFrame:
+        """Anti-join the live tombstone set onto a state read — a
+        no-op under ``retention='first'`` (no tier, no plan nodes)."""
+        if self.retention != "best":
+            return df
+        t = self._tombstones(exclude_batch)
+        if key != "doc_id":
+            t = t.withColumnRenamed("doc_id", key)
+        return df.join(t, key, "anti")
+
     def _index(self, exclude_batch: int | None = None) -> DataFrame:
         live = self._read_state(self.grams_dir, self.grams_schema, exclude_batch)
-        return self._with_compacted(live, "grams")
+        return self._minus_tombstones(
+            self._with_compacted(live, "grams"), "doc_id", exclude_batch
+        )
 
     def _index_banded(self, exclude_batch: int | None = None) -> DataFrame:
         live = self._read_state(self.banded_dir, self.banded_schema, exclude_batch)
-        return self._with_compacted(live, "banded")
+        return self._minus_tombstones(
+            self._with_compacted(live, "banded"), "doc_id", exclude_batch
+        )
 
     def _committed_ids_above(self, base: str, exclude: int | None) -> set[int]:
         upto = self._covered_upto()
@@ -612,7 +699,7 @@ class StreamingCorpusCurator:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return self._minus_tombstones(out, self.id_col, exclude_batch=batch_id)
 
     def _length_sketch(self, exclude_batch: int | None = None) -> DataFrame:
         """Folded (idx, cnt) HDR buckets of the accepted corpus's
@@ -712,8 +799,10 @@ class StreamingCorpusCurator:
                 raw = raw.where(F.lit(False))
             return raw.drop("ingest_batch")
         if comp is None:
-            return live
-        return comp if live is None else comp.unionByName(live)
+            out = live
+        else:
+            out = comp if live is None else comp.unionByName(live)
+        return self._minus_tombstones(out, self.id_col)
 
     # ------------------------------------------------------------------
     # batch-commit bookkeeping
@@ -885,6 +974,93 @@ class StreamingCorpusCurator:
         ).select(F.col("id_b").alias("doc_id"))  # new id_b dups accepted id_a
         return both.unionByName(a_vs_old).unionByName(b_vs_old).distinct()
 
+    def _retention_decisions(
+        self, pairs: DataFrame, docs: DataFrame, batch_id: int
+    ) -> tuple[DataFrame, DataFrame]:
+        """``retention='best'`` pair rules → ``(rejected, evicted)``
+        id frames (column ``doc_id``). Per touching-new pair, against
+        the PRE-batch state:
+
+        - both new: the lower score loses, ties to the larger id;
+        - new vs accepted: the new doc loses on ``score <=``
+          (incumbent keeps ties), and on ``score >`` the ACCEPTED doc
+          is marked for eviction — applied only when the challenger
+          itself survives every pair it is in (a doc rejected by a
+          better in-batch twin must not knock out an incumbent).
+
+        Incumbent scores come from the accepted tier's own stored
+        ``score_col`` column — a (id, score) projection, columnar-
+        pruned, never a re-score and never the text column. NULL
+        scores rank below everything (coalesced to -inf)."""
+        sid = self.id_col
+        ninf = F.lit(float("-inf"))
+        sc = F.coalesce(F.col(self.score_col).cast("double"), ninf)
+        scores = docs.select(
+            F.col(sid).alias("_id"), sc.alias("_s"), F.lit(True).alias("_new")
+        )
+        old = self._accepted_excluding(batch_id)
+        if old is not None:
+            scores = scores.unionByName(
+                old.select(
+                    F.col(sid).alias("_id"), sc.alias("_s"),
+                    F.lit(False).alias("_new"),
+                )
+            )
+        p = (
+            pairs.select("id_a", "id_b")
+            .join(
+                scores.select(
+                    F.col("_id").alias("id_a"),
+                    F.col("_s").alias("s_a"),
+                    F.col("_new").alias("na"),
+                ),
+                "id_a",
+            )
+            .join(
+                scores.select(
+                    F.col("_id").alias("id_b"),
+                    F.col("_s").alias("s_b"),
+                    F.col("_new").alias("nb"),
+                ),
+                "id_b",
+            )
+        )
+        na, nb = F.col("na"), F.col("nb")
+        sa, sb = F.col("s_a"), F.col("s_b")
+        loser = (
+            F.when(
+                na & nb,
+                F.when(sa < sb, F.col("id_a"))
+                .when(sb < sa, F.col("id_b"))
+                .otherwise(F.greatest("id_a", "id_b")),
+            )
+            .when(na & ~nb & (sa <= sb), F.col("id_a"))
+            .when(nb & ~na & (sb <= sa), F.col("id_b"))
+        )
+        rejected = (
+            p.select(loser.alias("doc_id"))
+            .filter(F.col("doc_id").isNotNull())
+            .distinct()
+        )
+        evp = p.select(
+            F.when(na & ~nb & (sa > sb), F.col("id_b"))
+            .when(nb & ~na & (sb > sa), F.col("id_a"))
+            .alias("_old"),
+            F.when(na & ~nb & (sa > sb), F.col("id_a"))
+            .when(nb & ~na & (sb > sa), F.col("id_b"))
+            .alias("_challenger"),
+        ).filter(F.col("_old").isNotNull())
+        evicted = (
+            evp.join(
+                rejected.withColumnRenamed("doc_id", "_challenger"),
+                "_challenger",
+                "anti",
+            )
+            .select(F.col("_old").alias("doc_id"))
+            .distinct()
+        )
+        return rejected, evicted
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: screen, reject, write survivors into this
         batch's partition (idempotent on ``batch_id`` — see module
@@ -911,9 +1087,15 @@ class StreamingCorpusCurator:
         # deriving from the accepted corpus when a partition is
         # missing, and compaction heals pre-feature state
         hdr_done = self._committed(self.hdr_dir, batch_id)
+        # tombstones are DECISION state (retention='best'): an
+        # eviction that never commits would leave the replaced doc
+        # visible forever, so the tier is part of the commit contract
+        tomb_done = self.retention != "best" or self._committed(
+            self.tomb_dir, batch_id
+        )
         if (
             acc_done and grams_done and banded_done and df_done and hll_done
-            and hdr_done
+            and hdr_done and tomb_done
         ):  # committed replay
             return
         # pre-screens BEFORE the persist (quality first — a cheap
@@ -977,7 +1159,12 @@ class StreamingCorpusCurator:
                 ),
             )
         new_ids = docs.select(F.col(self.id_col).alias("nid"))
-        rejected = self._rejected_ids(pairs, new_ids)
+        evicted = None
+        if self.retention == "best":
+            rejected, evicted = self._retention_decisions(pairs, docs, batch_id)
+            evicted = evicted.persist()  # tombstone write + df/hdr deltas
+        else:
+            rejected = self._rejected_ids(pairs, new_ids)
         keep = docs.join(
             rejected.withColumnRenamed("doc_id", self.id_col), self.id_col, "anti"
         ).persist()
@@ -986,6 +1173,15 @@ class StreamingCorpusCurator:
         if not acc_done:
             keep.write.mode("overwrite").parquet(
                 self._batch_dir(self.accepted_dir, batch_id)
+            )
+        if evicted is not None and not tomb_done:
+            # accepted first, tombstones second: the crash window
+            # between the two shows a reader a transient DUPLICATE
+            # (replacement + incumbent), never a hole — the replay
+            # heals it. An empty eviction set still writes the dir:
+            # its _SUCCESS is the tier's replay-skip marker.
+            evicted.write.mode("overwrite").parquet(
+                self._batch_dir(self.tomb_dir, batch_id)
             )
         # one shingling of the kept docs feeds ALL index writes;
         # persist only when ≥2 consumers will actually run (a
@@ -1014,8 +1210,23 @@ class StreamingCorpusCurator:
         if not minhash and not df_done:
             # maintained per-batch df rows (round 7): the jaccard
             # screen's stop-shingle cap reads the SUM of these instead
-            # of recounting the corpus gram table every batch
-            build_df_index(keep_grams).write.mode("overwrite").parquet(
+            # of recounting the corpus gram table every batch. Under
+            # retention='best' the batch ALSO writes NEGATIVE rows for
+            # the evicted docs' grams (round 8) — the tier is additive,
+            # so the decrement keeps its sum equal to the df of the
+            # SURVIVING corpus exactly, replay-safe by the same
+            # overwrite-into-batch-dir discipline.
+            df_rows = build_df_index(keep_grams)
+            if evicted is not None:
+                ev_grams = self._index(exclude_batch=batch_id).join(
+                    evicted, "doc_id", "semi"
+                )
+                df_rows = df_rows.unionByName(
+                    build_df_index(ev_grams).withColumn(
+                        "df", (-F.col("df")).cast("long")
+                    )
+                )
+            df_rows.write.mode("overwrite").parquet(
                 self._batch_dir(self.df_dir, batch_id)
             )
         if not hll_done:
@@ -1034,18 +1245,43 @@ class StreamingCorpusCurator:
             # per-batch doc-length HDR buckets (round 7): ≤ sketch-
             # width rows from a map-side-combined agg over the kept
             # docs; replay-safe by the same overwrite-into-batch-dir
-            # discipline as the (also additive) df tier
+            # discipline as the (also additive) df tier. retention=
+            # 'best' adds negative buckets for the evicted docs'
+            # lengths (round 8) so the length_band screen's quantiles
+            # track the surviving corpus.
             from ..operators.sketch import hdr_build
             from ..operators.textops import token_count
 
-            hdr_build(
+            hdr_rows = hdr_build(
                 keep.select(token_count(self.text_col).cast("long").alias("v")),
                 "v",
                 sub_bits=LEN_HDR_SUB_BITS,
-            ).write.mode("overwrite").parquet(
+            )
+            if evicted is not None:
+                acc_prev = self._accepted_excluding(batch_id)
+                if acc_prev is not None:
+                    ev_docs = acc_prev.join(
+                        evicted.withColumnRenamed("doc_id", self.id_col),
+                        self.id_col,
+                        "semi",
+                    )
+                    hdr_rows = hdr_rows.unionByName(
+                        hdr_build(
+                            ev_docs.select(
+                                token_count(self.text_col)
+                                .cast("long")
+                                .alias("v")
+                            ),
+                            "v",
+                            sub_bits=LEN_HDR_SUB_BITS,
+                        ).withColumn("cnt", (-F.col("cnt")).cast("long"))
+                    )
+            hdr_rows.write.mode("overwrite").parquet(
                 self._batch_dir(self.hdr_dir, batch_id)
             )
         keep.unpersist()
+        if evicted is not None:
+            evicted.unpersist()
         # mirror of the creation gate above: unpersist() is a NO-OP on
         # localCheckpoint blocks, so an un-mirrored gate (the pre-fix
         # state: bloom only) silently leaked one checkpoint per batch
@@ -1196,6 +1432,8 @@ class StreamingCorpusCurator:
         tables = [self.accepted_dir, self.grams_dir]
         if self.screen == "minhash":
             tables.append(self.banded_dir)
+        if self.retention == "best":
+            tables.append(self.tomb_dir)  # decision state, commit-gated
         return tables
 
     @property
@@ -1288,6 +1526,20 @@ class StreamingCorpusCurator:
             acc_new = self.spark.read.parquet(man["accepted_path"]).unionByName(
                 acc_new
             )
+        # retention='best': apply the COVERED tombstones physically —
+        # the folded tables never contain evicted rows, so their dirs
+        # can be swept with the other folded dirs; tombstones above
+        # the new watermark stay live and keep filtering reads
+        covered_tombs = None
+        if self.retention == "best":
+            covered_tombs = self._read_committed(
+                self.tomb_dir, self.tomb_schema, old_upto, new_upto
+            )
+            acc_new = acc_new.join(
+                covered_tombs.withColumnRenamed("doc_id", self.id_col),
+                self.id_col,
+                "anti",
+            )
         acc_new.write.mode("overwrite").parquet(acc_path)
 
         manifest = {
@@ -1347,6 +1599,8 @@ class StreamingCorpusCurator:
         comp_grams = self._compacted_state("grams")
         if comp_grams is not None:
             grams_full = comp_grams.unionByName(grams_full)
+        if covered_tombs is not None:
+            grams_full = grams_full.join(covered_tombs, "doc_id", "anti")
         if self.screen == "minhash":
             banded_full = self._read_committed(
                 self.banded_dir, self.banded_schema, old_upto, new_upto
@@ -1354,6 +1608,8 @@ class StreamingCorpusCurator:
             comp_banded = self._compacted_state("banded")
             if comp_banded is not None:
                 banded_full = comp_banded.unionByName(banded_full)
+            if covered_tombs is not None:
+                banded_full = banded_full.join(covered_tombs, "doc_id", "anti")
             write_minhash_index(
                 grams_full,
                 None,
@@ -1407,7 +1663,7 @@ class StreamingCorpusCurator:
                     df_full = comp_df.unionByName(df_full)
                 df_full = df_full.groupBy("g").agg(
                     F.sum("df").cast("long").alias("df")
-                )
+                ).filter(F.col("df") != 0)  # fully-evicted grams
             else:
                 df_full = build_df_index(grams_full)
             from ..operators.bucketing import write_bucketed
@@ -1475,7 +1731,7 @@ class StreamingCorpusCurator:
                 hdr_full = comp_hdr.unionByName(hdr_full)
             hdr_full = hdr_full.groupBy("idx").agg(
                 F.sum("cnt").cast("long").alias("cnt")
-            )
+            ).filter(F.col("cnt") != 0)  # fully-evicted length buckets
         else:
             from ..operators.sketch import hdr_build
             from ..operators.textops import token_count
@@ -1739,6 +1995,7 @@ class StreamingCorpusCurator:
         comp = self._compacted_state("grams")
         if comp is not None:
             grams = comp.unionByName(grams)
+        grams = self._minus_tombstones(grams, "doc_id")
         if self.screen == "minhash":
             banded = self._read_committed(
                 self.banded_dir, self.banded_schema, lo=upto
@@ -1746,6 +2003,7 @@ class StreamingCorpusCurator:
             comp_b = self._compacted_state("banded")
             if comp_b is not None:
                 banded = comp_b.unionByName(banded)
+            banded = self._minus_tombstones(banded, "doc_id")
             write_minhash_index(
                 grams,
                 None,

@@ -61,3 +61,19 @@ def test_all_queries_run_with_scalar_schemas(spark, sf_dir):
         df.limit(1).collect()
         release_intermediates(df)
     assert not offenders, offenders
+
+
+def test_retention_policy_nonvacuous(spark, sf_dir):
+    """The value-aware retention pipeline must actually DIVERGE from
+    first-writer-wins on the fixture — if the two accepted sets were
+    equal, the retention oracle would hash-pass without ever
+    exercising an eviction or a score-based rejection."""
+    a = {
+        r.doc_id
+        for r in REGISTRY["pipeline_streaming_retention"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        r.doc_id
+        for r in REGISTRY["pipeline_streaming_curation"].fn(spark, sf_dir).collect()
+    }
+    assert a != b and len(a ^ b) >= 2  # at least one eviction swap

@@ -1094,3 +1094,214 @@ def test_curator_adaptive_length_band_screen(spark, tmp_path):
     # the maintained quantiles reflect accepted docs only (no 500/2)
     q = cur.length_quantiles([0.05, 0.95])
     assert q[0.95] < 100 and q[0.05] >= 19
+
+
+# ---------------------------------------------------------------------
+# retention='best' (round 8 — r7 verdict #1): value-aware retention
+# with idempotent tombstone evictions
+
+def _rdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, score double")
+
+
+_DUP = "w0 w1 w2 w3 w4 w5"
+_UNIQ = "u0 u1 u2 u3 u4"
+
+
+def _rcur(spark, path, **kw):
+    kw.setdefault("threshold", 0.8)
+    kw.setdefault("max_shingle_freq", 50)
+    return StreamingCorpusCurator(
+        spark, str(path), retention="best", score_col="score", **kw
+    )
+
+
+def test_retention_best_validation(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="score_col"):
+        StreamingCorpusCurator(spark, str(tmp_path / "a"), retention="best")
+    with pytest.raises(ValueError, match="text screens"):
+        StreamingCorpusCurator(
+            spark, str(tmp_path / "b"), retention="best", score_col="s",
+            screen="embedding", emb_dim=4,
+        )
+    with pytest.raises(ValueError, match="retention"):
+        StreamingCorpusCurator(spark, str(tmp_path / "c"), retention="bogus")
+
+
+def test_retention_best_eviction_tie_and_unindex(spark, tmp_path):
+    """A later higher-scoring near-dup REPLACES the incumbent (the
+    batch dedup_survivors_best policy, streamed); ties keep the
+    incumbent; the evicted doc leaves accepted() AND the gram index
+    (a later copy is judged against the survivor's score only)."""
+    cur = _rcur(spark, tmp_path / "c")
+    cur.process_batch(_rdocs(spark, [(10, _DUP, 1.0), (11, _UNIQ, 5.0)]), 0)
+    # tie -> incumbent 10 keeps, 5 rejected
+    cur.process_batch(_rdocs(spark, [(5, _DUP, 1.0)]), 1)
+    assert {r.doc_id for r in cur.accepted().collect()} == {10, 11}
+    # strictly better -> evicts 10
+    cur.process_batch(_rdocs(spark, [(7, _DUP, 2.0)]), 2)
+    assert {r.doc_id for r in cur.accepted().collect()} == {7, 11}
+    assert {r.doc_id for r in cur._index().collect()} == {7, 11}
+    # the evicted doc's score no longer gates anything: 1.5 < 2.0
+    cur.process_batch(_rdocs(spark, [(20, _DUP, 1.5)]), 3)
+    assert {r.doc_id for r in cur.accepted().collect()} == {7, 11}
+    # rejected docs were never indexed; evicted doc is tombstoned
+    assert {r.doc_id for r in cur._tombstones().collect()} == {10}
+
+
+def test_retention_within_batch_best_wins_ties_min_id(spark, tmp_path):
+    cur = _rcur(spark, tmp_path / "c")
+    cur.process_batch(
+        _rdocs(spark, [(3, _DUP, 1.0), (4, _DUP, 5.0), (9, _DUP, 5.0)]), 0
+    )
+    assert {r.doc_id for r in cur.accepted().collect()} == {4}
+
+
+def test_retention_rejected_challenger_does_not_evict(spark, tmp_path):
+    """A challenger beaten by its own in-batch twin must not knock
+    out an incumbent it merely tied pairs with. Non-transitive
+    fixture: T2 near-dups both T10 and T1, but T1 !~ T10 (first/last
+    token swaps of a 12-token doc; jaccard 9/11 = 0.82 vs 8/12 =
+    0.67 at threshold 0.8)."""
+    base = [f"t{i}" for i in range(12)]
+    t2 = " ".join(base)
+    t10 = " ".join(["x0"] + base[1:])
+    t1 = " ".join(base[:-1] + ["x1"])
+    cur = _rcur(spark, tmp_path / "c")
+    cur.process_batch(_rdocs(spark, [(10, t10, 5.0)]), 0)
+    # doc 2 (score 6) would evict 10, but loses to in-batch doc 1
+    # (score 7), which itself does NOT pair with 10
+    cur.process_batch(_rdocs(spark, [(2, t2, 6.0), (1, t1, 7.0)]), 1)
+    assert {r.doc_id for r in cur.accepted().collect()} == {10, 1}
+    assert cur._tombstones().count() == 0
+
+
+def test_retention_replay_idempotent(spark, tmp_path):
+    """Replaying the eviction batch after a partial commit decides
+    identically: same accepted set, same tombstones, no duplicate
+    index rows, df tier still sums to the surviving corpus."""
+    import os
+
+    cur = _rcur(spark, tmp_path / "c")
+    cur.process_batch(_rdocs(spark, [(10, _DUP, 1.0), (11, _UNIQ, 2.0)]), 0)
+    b1 = _rdocs(spark, [(5, _DUP, 3.0), (6, _UNIQ, 1.0)])
+    cur.process_batch(b1, 1)  # evicts 10, rejects 6
+    want_acc = {r.doc_id for r in cur.accepted().collect()}
+    assert want_acc == {5, 11}
+    want_idx = sorted(map(tuple, cur._index().collect()))
+    want_tomb = {r.doc_id for r in cur._tombstones().collect()}
+    want_df = sorted(map(tuple, cur._index_df().collect()))
+    for tier in ("accepted", "grams", "df", "hll", "hdr", "tombstones"):
+        m = os.path.join(str(tmp_path / "c"), tier, "ingest_batch=1", "_SUCCESS")
+        if os.path.exists(m):
+            os.remove(m)
+    cur.process_batch(b1, 1)  # replay
+    assert {r.doc_id for r in cur.accepted().collect()} == want_acc
+    assert sorted(map(tuple, cur._index().collect())) == want_idx
+    assert {r.doc_id for r in cur._tombstones().collect()} == want_tomb
+    assert sorted(map(tuple, cur._index_df().collect())) == want_df
+
+
+def test_retention_compaction_physical_removal_and_transparency(spark, tmp_path):
+    """Compaction applies covered tombstones PHYSICALLY (the folded
+    gram/accepted tables never contain evicted rows), sweeps the
+    applied tombstone dirs, and later decisions are identical to an
+    uncompacted twin's."""
+    batches = [
+        [(10, _DUP, 1.0), (11, _UNIQ, 2.0)],
+        [(5, _DUP, 3.0)],           # evicts 10
+        [(20, _DUP, 2.5)],          # rejected by 5
+        [(30, _DUP, 9.0)],          # evicts 5
+    ]
+    plain = _rcur(spark, tmp_path / "plain")
+    comp = _rcur(spark, tmp_path / "comp", compact_after=1, n_buckets=4)
+    for k, rows in enumerate(batches):
+        plain.process_batch(_rdocs(spark, rows), k)
+        comp.process_batch(_rdocs(spark, rows), k)
+    assert {r.doc_id for r in comp.accepted().collect()} == {
+        r.doc_id for r in plain.accepted().collect()
+    } == {11, 30}
+    assert comp.compact() in (True, False)
+    # folded tables: no evicted ids physically present
+    man = comp._manifest()
+    acc_raw = {r.doc_id for r in spark.read.parquet(man["accepted_path"]).collect()}
+    assert 10 not in acc_raw and 5 not in acc_raw
+    gr = comp._compacted_state("grams")
+    assert gr.filter(F.col("doc_id").isin(10, 5)).count() == 0
+    # df tier of both curators sums to the surviving corpus
+    assert sorted(map(tuple, comp._index_df().collect())) == sorted(
+        map(tuple, plain._index_df().collect())
+    )
+    # decisions continue identically post-compaction: 40 rejected by
+    # incumbent 30 (5 < 9); 41 EVICTS incumbent 11 (9 > 2) — an
+    # eviction whose incumbent lives in the COMPACTED tier
+    nxt = _rdocs(spark, [(40, _DUP, 5.0), (41, _UNIQ, 9.0)])
+    plain.process_batch(nxt, 4)
+    comp.process_batch(nxt, 4)
+    assert {r.doc_id for r in comp.accepted().collect()} == {
+        r.doc_id for r in plain.accepted().collect()
+    } == {30, 41}
+
+
+def test_retention_df_fallback_decisions_identical(spark, tmp_path):
+    """The maintained df tier (with its negative eviction deltas) and
+    the recount fallback gate the SAME decisions — delete the df dirs
+    mid-stream and the next batch still decides identically."""
+    import shutil
+
+    a = _rcur(spark, tmp_path / "a")
+    b = _rcur(spark, tmp_path / "b")
+    batches = [
+        [(10, _DUP, 1.0), (11, _UNIQ, 2.0)],
+        [(5, _DUP, 3.0)],  # evicts 10
+    ]
+    for k, rows in enumerate(batches):
+        a.process_batch(_rdocs(spark, rows), k)
+        b.process_batch(_rdocs(spark, rows), k)
+    shutil.rmtree(str(tmp_path / "b" / "df"), ignore_errors=True)
+    assert b._index_df() is None  # fallback engaged
+    nxt = _rdocs(spark, [(20, _DUP, 2.0), (21, _DUP, 4.0)])
+    a.process_batch(nxt, 2)
+    b.process_batch(nxt, 2)
+    assert {r.doc_id for r in a.accepted().collect()} == {
+        r.doc_id for r in b.accepted().collect()
+    } == {11, 21}
+
+
+def test_retention_minhash_screen_evicts_and_unindexes(spark, tmp_path):
+    cur = _rcur(spark, tmp_path / "c", screen="minhash", max_shingle_freq=None)
+    cur.process_batch(_rdocs(spark, [(10, _DUP, 1.0)]), 0)
+    cur.process_batch(_rdocs(spark, [(5, _DUP, 3.0)]), 1)  # evicts 10
+    assert {r.doc_id for r in cur.accepted().collect()} == {5}
+    assert {r.doc_id for r in cur._index_banded().collect()} == {5}
+    cur.process_batch(_rdocs(spark, [(20, _DUP, 2.0)]), 2)  # rejected by 5
+    assert {r.doc_id for r in cur.accepted().collect()} == {5}
+
+
+def test_retention_length_sketch_tracks_survivors(spark, tmp_path):
+    """The maintained HDR tier (negative deltas applied) equals a
+    fresh derive over the surviving accepted corpus."""
+    cur = _rcur(spark, tmp_path / "c")
+    long_dup = " ".join(f"w{i}" for i in range(40))
+    cur.process_batch(_rdocs(spark, [(10, long_dup, 1.0), (11, _UNIQ, 2.0)]), 0)
+    cur.process_batch(_rdocs(spark, [(5, long_dup, 3.0)]), 1)  # evicts 10
+    maintained = {
+        (r.idx, r.cnt)
+        for r in cur._length_sketch().collect()
+        if r.cnt != 0
+    }
+    from play_with_pulsar_spark.operators.sketch import hdr_build
+    from play_with_pulsar_spark.operators.textops import token_count
+    from play_with_pulsar_spark.streaming.curator import LEN_HDR_SUB_BITS
+
+    derived = {
+        (r.idx, r.cnt)
+        for r in hdr_build(
+            cur.accepted().select(token_count("text").cast("long").alias("v")),
+            "v",
+            sub_bits=LEN_HDR_SUB_BITS,
+        ).collect()
+    }
+    assert maintained == derived
