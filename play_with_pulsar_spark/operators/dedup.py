@@ -1681,3 +1681,114 @@ def ngram_containment_pairs(
         ).alias("p")
     ).select("p.id_src", "p.id_dst", "p.containment")
     return directed.filter(F.col("containment") >= threshold)
+
+
+# =====================================================================
+# Manku multi-rotation Hamming index (round 8 — r7 verdict #5):
+# the generalization of the quarter-block scheme to HIGHER radii
+# without widening blocks (Manku et al. 2007 §3, "Detecting
+# near-duplicates for web crawling" — the sorted-permuted-tables
+# construction). Split the 64-bit signature into ``blocks`` disjoint
+# blocks; a pair within hamming ≤ ``radius`` leaves at least
+# ``blocks - radius`` blocks untouched (pigeonhole), so matching on
+# every (blocks - radius)-subset of blocks — one "rotation"/table per
+# subset, keyed by those blocks' concatenated bits — finds EVERY such
+# pair, and the exact popcount verify keeps precision at 100%.
+#
+# Why not just widen the quarter scheme? radius 6 with single-block
+# match needs 7 blocks of ~9 bits — a 512-value key space whose
+# buckets hold corpus/512 docs each (candidate blow-up). The
+# multi-rotation form keeps 16-bit keys (blocks=8, match on block
+# PAIRS): C(8,2) = 28 tables of 65k-value keys — probe cost bounded
+# by table count instead of bucket occupancy. Storage is 28 rows of
+# (tbl, key, sig) per doc — still tiny next to gram/banded tiers, and
+# the stored form is append-only like the quarter signature index.
+# =====================================================================
+
+
+def _simhash_combos(blocks: int, radius: int) -> list[tuple[int, ...]]:
+    from itertools import combinations
+
+    m = blocks - radius
+    if m < 1:
+        raise ValueError(
+            f"radius {radius} needs more than {blocks} blocks (pigeonhole: "
+            "at least one block subset must be untouched)"
+        )
+    if 64 % blocks != 0:
+        raise ValueError(f"blocks={blocks} must divide 64")
+    return list(combinations(range(blocks), m))
+
+
+def simhash_rotation_keys(
+    sigs: DataFrame, blocks: int = 8, radius: int = 6
+) -> DataFrame:
+    """(doc_id, simhash, tbl, key) — one row per rotation table: the
+    key packs the combination's blocks (extracted with UNSIGNED
+    shifts — xxhash64 signatures use the sign bit) into the low bits,
+    exactly the top-bits-after-rotation match of Manku's sorted
+    tables, expressed as an equi-join key. Pure codegen projection +
+    one explode; ``blocks=4, radius=3`` reproduces the quarter
+    scheme's candidate set (law-tested)."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    combos = _simhash_combos(blocks, radius)
+    entries = []
+    for t, combo in enumerate(combos):
+        key = F.lit(0).cast("long")
+        for pos, bi in enumerate(combo):
+            blk = F.shiftrightunsigned(F.col("simhash"), width * bi).bitwiseAND(
+                F.lit(mask)
+            )
+            key = key + F.shiftleft(blk, width * pos)
+        entries.append(
+            F.struct(F.lit(t).cast("int").alias("tbl"), key.alias("key"))
+        )
+    return sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "simhash", F.col("e.tbl").alias("tbl"), F.col("e.key").alias("key"))
+
+
+def incremental_simhash_pairs_rotated(
+    index_keys: DataFrame | None,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocks: int = 8,
+    radius: int = 6,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental SimHash screen at radius > 3: batch rotation keys
+    probe (stored ∪ batch) rotation keys on (tbl, key); the exact
+    popcount verifies candidates, so the result EQUALS the brute-force
+    hamming ≤ radius pair set restricted to pairs touching the batch
+    (coverage is the pigeonhole argument, not probability — law
+    tested). ``index_keys`` is the append-only
+    :func:`simhash_rotation_keys` table of all accepted signatures
+    (28·8 bytes/doc at the defaults); pass None for a first batch.
+    With ``hash_fn="md5_60"`` the whole screen is engine-portable —
+    ``dedup_simhash_rotated`` rebuilds the rotations, neighborhoods
+    and verdicts in DuckDB."""
+    bsigs = simhash64(batch, text_col, id_col, hash_fn=hash_fn)
+    bkeys = simhash_rotation_keys(bsigs, blocks=blocks, radius=radius)
+    side = (
+        index_keys.select("doc_id", "simhash", "tbl", "key").unionByName(bkeys)
+        if index_keys is not None
+        else bkeys
+    )
+    a, b = bkeys.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= radius)
+    )

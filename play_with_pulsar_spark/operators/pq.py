@@ -545,3 +545,406 @@ def ivf_pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rn")
     )
+
+
+# =====================================================================
+# Materialized IVF-PQ index lifecycle (round 8 — r7 verdict #3): the
+# stored, maintainable form of ``ivf_pq_topk``, with the append /
+# versioned-rebalance story the IVF-Flat index already has
+# (``similarity.ivf_append_index`` / ``ivf_rebalance_index``) extended
+# to the part IVF-Flat never had to worry about: the CODEBOOKS are
+# part of the quantizer, so a quantizer swap must replace codes,
+# centroids and codebooks in ONE atomic cutover (the mixed-reader
+# hazard the curator's geometry rollover solves for LSH signatures).
+#
+# Layout under <path>/:
+#   current                    -> "v<N>" (atomic pointer, os.replace)
+#   v<N>/meta.json             -- m, k_sub, n_cells, dim, dist_round,
+#                                 version (the codebook version)
+#   v<N>/centroids/            -- (cell, centroid) coarse quantizer
+#   v<N>/codebooks/            -- (sub, cl, vals) PQ codebooks
+#   v<N>/codes/cell=*/         -- (vec_id, codes) — m bytes of info
+#                                 per vector, partition-pruned probes
+#   v<N>/batches/<id>/cell=*/  -- appended batches: (vec_id, codes,
+#                                 vec) — the delta tier KEEPS the raw
+#                                 vector so a later rebalance can
+#                                 re-encode it under new quantizers
+#                                 without touching the canonical
+#                                 corpus; bounded by append volume
+#                                 since the last rebalance
+#   v<N>/appends.json          -- committed batch ids (atomic flip)
+# =====================================================================
+
+
+def _pq_resolve(path: str) -> str:
+    import os
+
+    ptr = os.path.join(path, "current")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            target = f.read().strip()
+        vdir = os.path.join(path, target)
+        if target and os.path.isdir(vdir):
+            return vdir
+    raise FileNotFoundError(f"no committed IVF-PQ index at {path}")
+
+
+def _pq_meta(vdir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(vdir, "meta.json")) as f:
+        return json.load(f)
+
+
+def _pq_load(spark, vdir: str) -> tuple[Centroids, Codebooks, dict]:
+    """(coarse centroids, codebooks, meta) of one index version —
+    n_cells·D + m·k_sub·(D/m) doubles, driver-side by the same
+    bounded-collect contract as the k-means centroids."""
+    import os
+
+    meta = _pq_meta(vdir)
+    cents = [
+        (int(r.cell), [float(x) for x in r.centroid])
+        for r in spark.read.parquet(os.path.join(vdir, "centroids")).collect()
+    ]
+    brows = spark.read.parquet(os.path.join(vdir, "codebooks")).collect()
+    books: Codebooks = [[] for _ in range(int(meta["m"]))]
+    for r in brows:
+        books[int(r.sub)].append((int(r.cl), [float(x) for x in r.vals]))
+    return sorted(cents, key=lambda t: t[0]), [
+        sorted(b, key=lambda t: t[0]) for b in books
+    ], meta
+
+
+def _pq_write_version(
+    spark,
+    vdir: str,
+    corpus: DataFrame,
+    cents: Centroids,
+    books: Codebooks,
+    meta: dict,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    import json
+    import os
+
+    from .clustering import kmeans_assign
+
+    os.makedirs(vdir, exist_ok=True)
+    spark.createDataFrame(
+        [(int(cl), [float(x) for x in cv]) for cl, cv in cents],
+        "cell long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
+    spark.createDataFrame(
+        [
+            (j, int(cl), [float(x) for x in cv])
+            for j, book in enumerate(books)
+            for cl, cv in book
+        ],
+        "sub int, cl int, vals array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "codebooks"))
+    codes = pq_encode(
+        corpus, books, id_col=id_col, vec_col=vec_col,
+        dist_round=int(meta["dist_round"]),
+    )
+    cells = kmeans_assign(corpus, cents, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col("cluster").alias("cell")
+    )
+    codes.join(cells, id_col).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(vdir, "codes")
+    )
+    from .similarity import _ivf_flip_manifest
+
+    _ivf_flip_manifest(vdir, [])
+    with open(os.path.join(vdir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def pq_write_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+    fit_on: DataFrame | None = None,
+) -> int:
+    """Build and commit version 0 of a materialized IVF-PQ index:
+    deterministic coarse k-means + PQ codebooks fit on ``fit_on``
+    (default: the corpus itself — at 100 TB pass a sample, which is
+    how FAISS trains), the corpus encoded and written cell-partitioned,
+    the ``current`` pointer flipped last. Built with the same fits as
+    ``ivf_pq_topk``, so a stored-index probe is hash-equal to the
+    in-memory query (pinned in test_pq.py and by the
+    ``sim_ivf_pq_stored`` oracle).
+
+    ``fit_on`` also states the append law precisely:
+    ``pq_write_index(data=A∪B, fit_on=A)`` equals
+    ``pq_write_index(A)`` then ``pq_append_index(B)`` — appends are
+    FAISS ``add`` semantics under frozen quantizers (tested)."""
+    src = corpus if fit_on is None else fit_on
+    first = src.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_write_index: empty fit corpus")
+    dim = int(first["d"])
+    cents = kmeans_fit(
+        src, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        dist_round=dist_round,
+    )
+    books = pq_fit(
+        src, m=m, k_sub=k_sub, iters=iters, id_col=id_col, vec_col=vec_col,
+        dist_round=dist_round,
+    )
+    meta = {
+        "version": 0, "m": m, "k_sub": k_sub, "n_cells": n_cells,
+        "dim": dim, "dist_round": dist_round,
+    }
+    import os
+
+    from .similarity import _ivf_flip_pointer
+
+    _pq_write_version(
+        spark, os.path.join(path, "v0"), corpus, cents, books, meta,
+        id_col, vec_col,
+    )
+    _ivf_flip_pointer(path, 0)
+    return 0
+
+
+def pq_append_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    batch_id: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Append a batch under the FROZEN quantizers (coarse centroids
+    AND codebooks — FAISS ``add``): one encode + one assignment over
+    the batch, one idempotent write, never a corpus rewrite. The
+    batch dir keeps the raw vectors alongside the codes (see the
+    layout note — that is what lets ``pq_rebalance_index`` carry a
+    late append over a quantizer swap by re-encoding it). Same
+    ``batch_id`` exactly-once protocol and SINGLE-WRITER contract as
+    ``similarity.ivf_append_index``; returns False when ``batch_id``
+    is already committed."""
+    import os
+
+    from .clustering import kmeans_assign
+    from .similarity import _ivf_flip_manifest, _ivf_manifest
+
+    vdir = _pq_resolve(path)
+    if batch_id is not None and batch_id in _ivf_manifest(vdir):
+        return False
+    cents, books, meta = _pq_load(spark, vdir)
+    codes = pq_encode(
+        batch, books, id_col=id_col, vec_col=vec_col,
+        dist_round=int(meta["dist_round"]),
+    )
+    cells = kmeans_assign(batch, cents, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col("cluster").alias("cell")
+    )
+    rows = (
+        batch.select(F.col(id_col), F.col(vec_col).alias("vec"))
+        .join(codes, id_col)
+        .join(cells, id_col)
+    )
+    if batch_id is None:
+        rows.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(vdir, "batches", "_legacy")
+        )
+        ids = _ivf_manifest(vdir)
+        if "_legacy" not in ids:
+            _ivf_flip_manifest(vdir, ids + ["_legacy"])
+    else:
+        rows.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(vdir, "batches", batch_id)
+        )
+        _ivf_flip_manifest(vdir, _ivf_manifest(vdir) + [batch_id])
+    return True
+
+
+def _pq_codes(spark, vdir: str) -> DataFrame:
+    """(vec_id, codes, cell) across base + committed batches, each
+    root its own partition-pruned scan."""
+    import os
+
+    from .similarity import _ivf_manifest
+
+    df = spark.read.parquet(os.path.join(vdir, "codes"))
+    cols = df.columns
+    for bid in _ivf_manifest(vdir):
+        df = df.unionByName(
+            spark.read.parquet(os.path.join(vdir, "batches", bid)).select(*cols)
+        )
+    return df
+
+
+def pq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF-PQ index: the version pointer is
+    resolved ONCE (a concurrent rebalance cutover can never mix
+    quantizers — codes, centroids and codebooks travel together in
+    the version dir), probe cells rank the stored-centroid literals,
+    and only the probed cells' code partitions are scanned and
+    ADC-scored. Identical arithmetic to ``ivf_pq_topk``, so a stored
+    probe of an index built with the same fits is hash-equal to the
+    in-memory query (and to its DuckDB oracle)."""
+    vdir = _pq_resolve(path)
+    cents, books, meta = _pq_load(spark, vdir)
+    dist_round = int(meta["dist_round"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cl)).cast("bigint").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cl, cv in cents
+        ]
+    )
+    scored_cells = q.select(
+        "query_id", "qv", F.explode(cent_lit).alias("c")
+    ).select(
+        "query_id",
+        "qv",
+        F.col("c.cell").alias("cell"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), F.col("c.cv"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            dist_round,
+        ).alias("cd"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cd"), F.asc("cell"))
+    probed = (
+        scored_cells.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    probe_cells = sorted(
+        {int(r.cell) for r in probed.select("cell").distinct().collect()}
+    )
+    corpus = _pq_codes(spark, vdir).filter(F.col("cell").isin(probe_cells))
+    cand = (
+        corpus.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = cand.withColumn(
+        "adc_dist", adc_expr(books, F.col("qv"), F.col("codes"), dist_round)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rn")
+    )
+
+
+def pq_rebalance_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    n_cells: int | None = None,
+    m: int | None = None,
+    k_sub: int | None = None,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Retrain-and-cutover for a drifted IVF-PQ index: refit BOTH
+    quantizer stages on the canonical ``corpus`` (PQ codes are lossy,
+    so the index is a DERIVED artifact — the rebuild reads the source
+    of truth, which must include every row appended so far), write a
+    complete new version dir (codes + centroids + codebooks + meta
+    with the bumped codebook version), then flip the pointer
+    atomically. An append committed DURING the rebuild is carried
+    over by re-encoding its raw-vector delta rows under the NEW
+    quantizers before the flip (the reason the batch dirs keep
+    vectors). One superseded version is retained as reader grace;
+    older ones are pruned. Single-writer, like the append path."""
+    import os
+    import shutil
+
+    from .similarity import (
+        _ivf_flip_manifest,
+        _ivf_flip_pointer,
+        _ivf_manifest,
+    )
+
+    vdir = _pq_resolve(path)
+    old_meta = _pq_meta(vdir)
+    pre_set = set(_ivf_manifest(vdir))
+    n_cells = int(old_meta["n_cells"]) if n_cells is None else n_cells
+    m = int(old_meta["m"]) if m is None else m
+    k_sub = int(old_meta["k_sub"]) if k_sub is None else k_sub
+    dist_round = int(old_meta["dist_round"])
+    cents = kmeans_fit(
+        corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        dist_round=dist_round,
+    )
+    books = pq_fit(
+        corpus, m=m, k_sub=k_sub, iters=iters, id_col=id_col, vec_col=vec_col,
+        dist_round=dist_round,
+    )
+    old_v = int(old_meta["version"])
+    new_v = old_v + 1
+    new_dir = os.path.join(path, f"v{new_v}")
+    shutil.rmtree(new_dir, ignore_errors=True)  # crashed attempt
+    meta = dict(old_meta, version=new_v, n_cells=n_cells, m=m, k_sub=k_sub)
+    _pq_write_version(
+        spark, new_dir, corpus, cents, books, meta, id_col, vec_col
+    )
+    # carry over appends committed while the refit/rewrite ran: their
+    # dirs hold raw vectors, so they re-encode under the new books
+    for bid in sorted(set(_ivf_manifest(vdir)) - pre_set):
+        late = spark.read.parquet(os.path.join(vdir, "batches", bid)).select(
+            F.col(id_col), F.col("vec").alias(vec_col)
+        )
+        codes = pq_encode(
+            late, books, id_col=id_col, vec_col=vec_col, dist_round=dist_round
+        )
+        from .clustering import kmeans_assign
+
+        cells = kmeans_assign(late, cents, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col), F.col("cluster").alias("cell")
+        )
+        (
+            late.select(F.col(id_col), F.col(vec_col).alias("vec"))
+            .join(codes, id_col)
+            .join(cells, id_col)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(new_dir, "batches", bid))
+        )
+        _ivf_flip_manifest(new_dir, _ivf_manifest(new_dir) + [bid])
+    _ivf_flip_pointer(path, new_v)
+    for d in os.listdir(path):
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < old_v:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return new_v

@@ -144,6 +144,7 @@ class StreamingCorpusCurator:
         length_band_min_docs: int = 50,
         retention: str = "first",
         score_col: str | None = None,
+        vec_format: str | None = None,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -308,6 +309,12 @@ class StreamingCorpusCurator:
             raise ValueError("screen='embedding' requires emb_dim")
         if retention not in ("first", "best"):
             raise ValueError(f"unknown retention {retention!r}")
+        if vec_format is not None:
+            if vec_format not in ("int8", "float64"):
+                raise ValueError(f"unknown vec_format {vec_format!r}")
+            if screen != "embedding":
+                raise ValueError("vec_format applies to screen='embedding'")
+        self.vec_format: str | None = None  # resolved in the embedding branch
         if retention == "best":
             if score_col is None:
                 raise ValueError("retention='best' requires score_col")
@@ -345,14 +352,34 @@ class StreamingCorpusCurator:
             # manifest (whose sig tables ARE the new geometry); then
             # the sidecar; then derive-and-freeze.
             frozen = None
+            frozen_fmt = None
+            sidecar = None
+            if os.path.exists(geo_path):
+                with open(geo_path) as f:
+                    sidecar = json.load(f)
             man = self._manifest()
             if man is not None and man.get("geometry") is not None:
                 g = man["geometry"]
                 frozen = (int(g["num_planes"]), int(g["num_tables"]))
-            elif os.path.exists(geo_path):
-                with open(geo_path) as f:
-                    geo = json.load(f)
-                frozen = (int(geo["num_planes"]), int(geo["num_tables"]))
+                # vec_format resolves manifest-first like geometry: a
+                # crashed migrate_vec_format healed by attach. A
+                # manifest without the key is pre-round-8 state =
+                # float64 by construction.
+                frozen_fmt = man.get("vec_format", "float64")
+            elif sidecar is not None:
+                frozen = (int(sidecar["num_planes"]), int(sidecar["num_tables"]))
+                frozen_fmt = sidecar.get("vec_format", "float64")
+            if frozen_fmt is not None:
+                if vec_format is not None and vec_format != frozen_fmt:
+                    raise ValueError(
+                        f"curator at {base_dir} has frozen vec_format="
+                        f"{frozen_fmt!r} but was re-attached with explicit "
+                        f"vec_format={vec_format!r}; stored vec state can "
+                        "only change format through migrate_vec_format()"
+                    )
+                self.vec_format = frozen_fmt
+            else:
+                self.vec_format = vec_format or "int8"
             if frozen is not None:
                 # explicit constructor args that CONFLICT with the
                 # frozen geometry are the docstring's failure mode —
@@ -388,7 +415,13 @@ class StreamingCorpusCurator:
                 self._write_geometry_sidecar()
         self.grams_schema = f"doc_id {id_type}, g long"
         self.banded_schema = f"doc_id {id_type}, band int, bucket long"
-        self.vec_schema = f"vec_id {id_type}, v array<double>, nv double"
+        # int8 (default for fresh round-8 state dirs): 1 byte/dim codes
+        # + one double scale — ~4x smaller vec state, the curator's
+        # dominant storage term at 100 TB. float64 = pre-round-8 dirs.
+        if self.vec_format == "int8":
+            self.vec_schema = f"vec_id {id_type}, qc array<tinyint>, qs double"
+        else:
+            self.vec_schema = f"vec_id {id_type}, v array<double>, nv double"
         self.sig_schema = f"vec_id {id_type}, tbl int, bucket long"
         self.df_schema = "g long, df long"
         self.hll_schema = "bucket long, mreg int"
@@ -453,7 +486,11 @@ class StreamingCorpusCurator:
         sidecar a crashed rollover left stale — the manifest's record
         wins at attach), and after a rollover flip."""
         geo_path = os.path.join(self.base_dir, "geometry.json")
-        want = {"num_planes": self.num_planes, "num_tables": self.num_tables}
+        want = {
+            "num_planes": self.num_planes,
+            "num_tables": self.num_tables,
+            "vec_format": self.vec_format or "float64",
+        }
         try:
             with open(geo_path) as f:
                 if json.load(f) == want:
@@ -759,8 +796,16 @@ class StreamingCorpusCurator:
         return {float(r.q): int(r.est) for r in rows}
 
     def _index_vec(self, exclude_batch: int | None = None) -> DataFrame:
+        """(vec_id, v, nv) view of the vec state whatever the storage
+        format — int8 state is dequantized on read (pure per-row
+        codegen), so the verify kernel downstream never changes."""
         live = self._read_state(self.vec_dir, self.vec_schema, exclude_batch)
-        return self._with_compacted(live, "vec")
+        full = self._with_compacted(live, "vec")
+        if self.vec_format == "int8":
+            from ..operators.similarity import dequantized_vecs
+
+            return dequantized_vecs(full)
+        return full
 
     def _index_sig(self, exclude_batch: int | None = None) -> DataFrame:
         live = self._read_state(self.sig_dir, self.sig_schema, exclude_batch)
@@ -1305,6 +1350,20 @@ class StreamingCorpusCurator:
         sig_done = self._committed(self.sig_dir, batch_id)
         if acc_done and vec_done and sig_done:  # committed replay
             return
+        screen_col = self.vec_col
+        if self.vec_format == "int8":
+            # quantize FIRST and derive everything — the screen's
+            # batch side, the signatures, and the stored state — from
+            # the dequantized v̂ (round 8): quantization is the single
+            # approximation boundary, and a state row stays byte-
+            # reproducible from itself (replay, rollover re-signing)
+            from ..operators.similarity import with_int8_codes
+
+            batch = with_int8_codes(
+                batch, self.vec_col, self.emb_dim, qc="_qc", qs="_qs",
+                vhat="_vhat",
+            )
+            screen_col = "_vhat"
         docs = batch.persist()  # screened once, written once
         pairs = incremental_embedding_pairs(
             self._index_vec(exclude_batch=batch_id),
@@ -1316,7 +1375,7 @@ class StreamingCorpusCurator:
             num_tables=self.num_tables,
             seed=self.seed,
             id_col=self.id_col,
-            vec_col=self.vec_col,
+            vec_col=screen_col,
             max_bucket_size=self.max_bucket_size,
         )
         new_ids = docs.select(F.col(self.id_col).alias("nid"))
@@ -1325,18 +1384,36 @@ class StreamingCorpusCurator:
             rejected.withColumnRenamed("doc_id", self.id_col), self.id_col, "anti"
         ).persist()
         if not acc_done:
-            keep.write.mode("overwrite").parquet(
+            keep.drop("_qc", "_qs", "_vhat").write.mode("overwrite").parquet(
                 self._batch_dir(self.accepted_dir, batch_id)
             )
-        keep_vecs, keep_sigs = build_embedding_index(
-            keep,
-            dim=self.emb_dim,
-            num_planes=self.num_planes,
-            num_tables=self.num_tables,
-            seed=self.seed,
-            id_col=self.id_col,
-            vec_col=self.vec_col,
-        )
+        if self.vec_format == "int8":
+            from ..operators.similarity import hyperplane_signatures_multi
+
+            keep_vecs = keep.select(
+                F.col(self.id_col).alias("vec_id"),
+                F.col("_qc").cast("array<tinyint>").alias("qc"),
+                F.col("_qs").alias("qs"),
+            )
+            keep_sigs = hyperplane_signatures_multi(
+                keep,
+                dim=self.emb_dim,
+                num_planes=self.num_planes,
+                num_tables=self.num_tables,
+                seed=self.seed,
+                id_col=self.id_col,
+                vec_col="_vhat",
+            )
+        else:
+            keep_vecs, keep_sigs = build_embedding_index(
+                keep,
+                dim=self.emb_dim,
+                num_planes=self.num_planes,
+                num_tables=self.num_tables,
+                seed=self.seed,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+            )
         if not vec_done:
             keep_vecs.write.mode("overwrite").parquet(
                 self._batch_dir(self.vec_dir, batch_id)
@@ -1558,6 +1635,7 @@ class StreamingCorpusCurator:
                 "num_planes": self.num_planes,
                 "num_tables": self.num_tables,
             }
+            manifest["vec_format"] = self.vec_format or "float64"
             from ..operators.dedup import write_embedding_index
 
             def _full(kind, base, schema):
@@ -1858,8 +1936,15 @@ class StreamingCorpusCurator:
             "overwrite"
         ).parquet(acc_path)
         vecs = self._compacted_state("vec")
+        sign_src = vecs
+        if self.vec_format == "int8":
+            # the stored codes ARE the canonical vectors: re-sign from
+            # the same dequantized v̂ the original signatures used
+            from ..operators.similarity import dequantized_vecs
+
+            sign_src = dequantized_vecs(vecs)
         sigs_new = hyperplane_signatures_multi(
-            vecs,
+            sign_src,
             dim=self.emb_dim,
             num_planes=new_p,
             num_tables=new_t,
@@ -1881,6 +1966,7 @@ class StreamingCorpusCurator:
             "accepted_path": acc_path,
             "banded": None,
             "geometry": {"num_planes": new_p, "num_tables": new_t},
+            "vec_format": self.vec_format or "float64",
             "vec": {
                 "table": f"{pfx}_vec",
                 "path": os.path.join(vdir, "idx_vec"),
@@ -1900,6 +1986,128 @@ class StreamingCorpusCurator:
         os.replace(tmp, self._manifest_path)
 
         self.num_planes, self.num_tables = new_p, new_t
+        self._write_geometry_sidecar()
+        self._cleanup_covered(man["covered_upto"])
+        self._drop_old_versions(version)
+        return True
+
+    def migrate_vec_format(self, new_format: str = "int8") -> bool:
+        """Versioned migration of the stored vec state to a new
+        format (round 8 — r7 verdict #2): the same cutover protocol as
+        ``rollover_geometry``, because it is the same hazard class — a
+        format change swaps the CANONICAL vector (float64 v → int8
+        v̂), so signatures must be re-derived from the new canon in
+        the same atomic flip, or stored sigs and future batch sigs
+        would disagree near hyperplane boundaries.
+
+        1. ``compact()``; partially-committed leftovers refuse.
+        2. Quantize the full compacted vec state; re-sign from the
+           dequantized v̂ under the UNCHANGED geometry.
+        3. Write a new compacted version, flip the manifest with the
+           ``vec_format`` record inside it, heal the sidecar after
+           (attach resolves manifest-first, so the crash window
+           between the two flips is safe — the round-7 rollover
+           argument verbatim).
+
+        float64 → int8 cuts vec-state bytes ~4× (measured row in
+        ROADMAP); int8 → float64 is refused — the precision is gone.
+        Returns False when the state already has ``new_format``."""
+        if self.screen != "embedding":
+            raise ValueError("migrate_vec_format applies to screen='embedding'")
+        if new_format not in ("int8",):
+            raise ValueError(
+                f"cannot migrate to {new_format!r}: float64 precision "
+                "is unrecoverable from int8 codes"
+            )
+        if (self.vec_format or "float64") == new_format:
+            return False
+        from ..operators.dedup import write_embedding_index
+        from ..operators.similarity import (
+            hyperplane_signatures_multi,
+            with_int8_codes,
+        )
+
+        self.compact()
+        man = self._manifest()
+        leftovers = self._committed_ids_above(
+            self.vec_dir, None
+        ) | self._committed_ids_above(self.sig_dir, None)
+        if leftovers:
+            raise RuntimeError(
+                f"batches {sorted(leftovers)} are partially committed; "
+                "replay them (restart the stream) before a vec-format "
+                "migration"
+            )
+        if man is None:
+            # nothing stored yet: re-freezing the sidecar IS the cutover
+            id_type = self.vec_schema.split(",")[0].split()[1]
+            self.vec_format = new_format
+            self.vec_schema = f"vec_id {id_type}, qc array<tinyint>, qs double"
+            self._write_geometry_sidecar()
+            return True
+
+        version = man["version"] + 1
+        vdir = os.path.join(self.compacted_dir, f"v{version}")
+        self._delete_dir(vdir)
+        pfx = f"{self.catalog_prefix}_v{version}"
+        acc_path = os.path.join(vdir, "accepted")
+        self.spark.read.parquet(man["accepted_path"]).write.mode(
+            "overwrite"
+        ).parquet(acc_path)
+        old_vecs = self._compacted_state("vec")  # (vec_id, v, nv)
+        q = with_int8_codes(old_vecs, "v", self.emb_dim)
+        new_vecs = q.select(
+            "vec_id",
+            F.col("qc").cast("array<tinyint>").alias("qc"),
+            F.col("qs"),
+        )
+        sigs_new = hyperplane_signatures_multi(
+            q.select("vec_id", F.col("_vhat").alias("v")),
+            dim=self.emb_dim,
+            num_planes=self.num_planes,
+            num_tables=self.num_tables,
+            seed=self.seed,
+            id_col="vec_id",
+            vec_col="v",
+        )
+        write_embedding_index(
+            new_vecs,
+            sigs_new,
+            pfx,
+            n_buckets=self.n_buckets,
+            path_prefix=os.path.join(vdir, "idx"),
+        )
+        manifest = {
+            "version": version,
+            "covered_upto": man["covered_upto"],
+            "n_buckets": self.n_buckets,
+            "accepted_path": acc_path,
+            "banded": None,
+            "geometry": {
+                "num_planes": self.num_planes,
+                "num_tables": self.num_tables,
+            },
+            "vec_format": new_format,
+            "vec": {
+                "table": f"{pfx}_vec",
+                "path": os.path.join(vdir, "idx_vec"),
+                "keys": ["vec_id"],
+            },
+            "sig": {
+                "table": f"{pfx}_sig",
+                "path": os.path.join(vdir, "idx_sig"),
+                "keys": ["tbl", "bucket"],
+            },
+        }
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)
+        self.vec_format = new_format
+        id_type = self.vec_schema.split(",")[0].split()[1]
+        self.vec_schema = f"vec_id {id_type}, qc array<tinyint>, qs double"
         self._write_geometry_sidecar()
         self._cleanup_covered(man["covered_upto"])
         self._drop_old_versions(version)
@@ -1985,6 +2193,12 @@ class StreamingCorpusCurator:
             comp_v = self._compacted_state("vec")
             if comp_v is not None:
                 vecs = comp_v.unionByName(vecs)
+            if self.vec_format == "int8":
+                # the export contract is the canonical (v, nv) probe
+                # layout — dequantize so batch consumers stay unchanged
+                from ..operators.similarity import dequantized_vecs
+
+                vecs = dequantized_vecs(vecs)
             sigs = self._read_committed(self.sig_dir, self.sig_schema, lo=upto)
             comp_s = self._compacted_state("sig")
             if comp_s is not None:

@@ -147,3 +147,90 @@ def test_ivf_pq_candidates_only_from_probed_cells(spark, emb):
     for r in out:
         per_q[r["query_id"]].add(cells[r["neighbor_id"]])
     assert all(len(cs) <= 2 for cs in per_q.values())
+
+
+# ---------------------------------------------------------------------
+# materialized IVF-PQ index lifecycle (round 8 — r7 verdict #3)
+
+def test_pq_index_stored_equals_in_memory(spark, emb, tmp_path):
+    q = emb.filter(F.col("vec_id") < 5)
+    mem = sorted(map(tuple, pq.ivf_pq_topk(
+        emb, q, n_cells=8, nprobe=2, m=8, k_sub=16, k=10).collect()))
+    pq.pq_write_index(spark, str(tmp_path / "idx"), emb, n_cells=8, m=8, k_sub=16)
+    st = sorted(map(tuple, pq.pq_query_index(
+        spark, str(tmp_path / "idx"), q, k=10, nprobe=2).collect()))
+    assert st == mem and len(st) == 50
+
+
+def test_pq_index_append_law_and_idempotence(spark, emb, tmp_path):
+    """FAISS `add` semantics: write(A)+append(B) == write(data=A∪B,
+    fit_on=A) — the quantizers are frozen, so an appended index is
+    indistinguishable from one built with the same quantizers on all
+    the data. Replaying a committed batch_id is a no-op."""
+    A = emb.filter(F.col("vec_id") % 4 != 0)
+    B = emb.filter(F.col("vec_id") % 4 == 0)
+    q = emb.filter(F.col("vec_id") < 5)
+    pq.pq_write_index(spark, str(tmp_path / "full"), emb, fit_on=A,
+                      n_cells=8, m=8, k_sub=16)
+    pq.pq_write_index(spark, str(tmp_path / "inc"), A, n_cells=8, m=8, k_sub=16)
+    assert pq.pq_append_index(spark, str(tmp_path / "inc"), B, batch_id="b0")
+    assert not pq.pq_append_index(spark, str(tmp_path / "inc"), B, batch_id="b0")
+    x1 = sorted(map(tuple, pq.pq_query_index(
+        spark, str(tmp_path / "full"), q, k=10, nprobe=2).collect()))
+    x2 = sorted(map(tuple, pq.pq_query_index(
+        spark, str(tmp_path / "inc"), q, k=10, nprobe=2).collect()))
+    assert x1 == x2 and len(x1) == 50
+
+
+def test_pq_index_rebalance_cutover(spark, emb, tmp_path):
+    """Quantizer swap: rebalance refits BOTH stages on the canonical
+    corpus, bumps the codebook version in meta, flips the pointer
+    atomically, keeps one superseded version as reader grace, and the
+    probes equal a fresh full-corpus build."""
+    import json
+    import os
+
+    A = emb.filter(F.col("vec_id") % 4 != 0)
+    B = emb.filter(F.col("vec_id") % 4 == 0)
+    q = emb.filter(F.col("vec_id") < 5)
+    root = str(tmp_path / "idx")
+    pq.pq_write_index(spark, root, A, n_cells=8, m=8, k_sub=16)
+    pq.pq_append_index(spark, root, B, batch_id="b0")
+    v = pq.pq_rebalance_index(spark, root, emb)
+    assert v == 1
+    with open(os.path.join(root, "current")) as f:
+        assert f.read().strip() == "v1"
+    assert json.load(open(os.path.join(root, "v1", "meta.json")))["version"] == 1
+    assert os.path.isdir(os.path.join(root, "v0"))  # reader grace
+    pq.pq_write_index(spark, str(tmp_path / "fresh"), emb, n_cells=8, m=8, k_sub=16)
+    assert sorted(map(tuple, pq.pq_query_index(spark, root, q, k=10, nprobe=2).collect())) == \
+        sorted(map(tuple, pq.pq_query_index(spark, str(tmp_path / "fresh"), q, k=10, nprobe=2).collect()))
+    # a second rebalance prunes v0 (older than the superseded v1)
+    pq.pq_rebalance_index(spark, root, emb)
+    assert not os.path.isdir(os.path.join(root, "v0"))
+    assert os.path.isdir(os.path.join(root, "v1"))
+
+
+def test_pq_index_crash_window_replay(spark, emb, tmp_path):
+    """Crash between the batch-dir write and the manifest flip: the
+    batch id is not committed, readers do not see the partial rows,
+    and the replayed append overwrites the same dir exactly-once."""
+    import json
+    import os
+
+    A = emb.filter(F.col("vec_id") % 4 != 0)
+    B = emb.filter(F.col("vec_id") % 4 == 0)
+    q = emb.filter(F.col("vec_id") < 5)
+    root = str(tmp_path / "idx")
+    pq.pq_write_index(spark, root, A, n_cells=8, m=8, k_sub=16)
+    pq.pq_append_index(spark, root, B, batch_id="b0")
+    base = sorted(map(tuple, pq.pq_query_index(spark, root, q, k=10, nprobe=2).collect()))
+    # simulate the crash window: rewind the manifest (dir stays)
+    mf = os.path.join(root, "v0", "appends.json")
+    with open(mf, "w") as f:
+        json.dump([], f)
+    pre = sorted(map(tuple, pq.pq_query_index(spark, root, q, k=10, nprobe=2).collect()))
+    assert pre != base  # uncommitted rows invisible
+    assert pq.pq_append_index(spark, root, B, batch_id="b0")  # replay
+    post = sorted(map(tuple, pq.pq_query_index(spark, root, q, k=10, nprobe=2).collect()))
+    assert post == base

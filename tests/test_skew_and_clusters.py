@@ -262,3 +262,72 @@ def test_incremental_simhash_equals_batch_restricted_full(spark, sf_dir):
         assert within == {
             (a, b) for a, b, _ in full if a % 5 == 0 and b % 5 == 0
         }, kw
+
+
+def test_rotated_simhash_coverage_and_quarter_equivalence(spark, sf_dir):
+    """Manku multi-rotation screen laws (round 8):
+
+    - coverage is pigeonhole-EXACT: the radius-6 rotated screen
+      equals brute-force hamming <= 6 pairs restricted to the batch
+      (all-pairs computed directly on the signatures — fixture-sized);
+    - blocks=4, radius=3 reproduces the quarter scheme's results;
+    - index=None degenerates to within-batch pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dedup.simhash64(docs, hash_fn="md5_60")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    want = {(x, y, h) for x, y, h in brute if x % 5 == 0 or y % 5 == 0}
+    index_keys = dedup.simhash_rotation_keys(
+        dedup.simhash64(docs.filter(F.col("doc_id") % 5 != 0), hash_fn="md5_60"),
+        blocks=8, radius=6,
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.incremental_simhash_pairs_rotated(
+            index_keys, docs.filter(F.col("doc_id") % 5 == 0),
+            blocks=8, radius=6, hash_fn="md5_60",
+        ).collect()
+    }
+    assert got == want and got  # non-vacuous on the fixture
+    # quarter equivalence at (blocks=4, radius=3)
+    quarter = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.incremental_simhash_pairs(
+            dedup.simhash64(docs.filter(F.col("doc_id") % 5 != 0), hash_fn="md5_60"),
+            docs.filter(F.col("doc_id") % 5 == 0),
+            max_hamming=3, hash_fn="md5_60",
+        ).collect()
+    }
+    rotated4 = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.incremental_simhash_pairs_rotated(
+            dedup.simhash_rotation_keys(
+                dedup.simhash64(
+                    docs.filter(F.col("doc_id") % 5 != 0), hash_fn="md5_60"
+                ),
+                blocks=4, radius=3,
+            ),
+            docs.filter(F.col("doc_id") % 5 == 0),
+            blocks=4, radius=3, hash_fn="md5_60",
+        ).collect()
+    }
+    assert rotated4 == quarter
+    # no index: within-batch only
+    within = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_simhash_pairs_rotated(
+            None, docs.filter(F.col("doc_id") % 5 == 0),
+            blocks=8, radius=6, hash_fn="md5_60",
+        ).collect()
+    }
+    assert within == {(x, y) for x, y, _ in brute if x % 5 == 0 and y % 5 == 0}

@@ -570,7 +570,7 @@ def test_embedding_curator_auto_geometry_frozen(spark, tmp_path):
     want = lsh_auto_geometry(100_000, threshold=0.95)
     assert (cur.num_planes, cur.num_tables) == want
     with open(os.path.join(path, "geometry.json")) as f:
-        assert json.load(f) == {"num_planes": want[0], "num_tables": want[1]}
+        assert json.load(f) == {"num_planes": want[0], "num_tables": want[1], "vec_format": "int8"}
 
     cur.process_batch(_vecs(spark, [(1, _deg(0)), (2, _deg(90))]), 0)
     before = sorted(r["doc_id"] for r in cur.accepted().collect())
@@ -605,7 +605,7 @@ def test_embedding_curator_explicit_geometry_frozen_and_conflict(spark, tmp_path
     )
     assert (cur.num_planes, cur.num_tables) == (6, 10)
     with open(os.path.join(path, "geometry.json")) as f:
-        assert json.load(f) == {"num_planes": 6, "num_tables": 10}
+        assert json.load(f) == {"num_planes": 6, "num_tables": 10, "vec_format": "int8"}
 
     cur.process_batch(_vecs(spark, [(1, _deg(0)), (2, _deg(90))]), 0)
     before = sorted(r["doc_id"] for r in cur.accepted().collect())
@@ -630,7 +630,7 @@ def test_embedding_curator_explicit_geometry_frozen_and_conflict(spark, tmp_path
     path2 = str(tmp_path / "default")
     StreamingCorpusCurator(spark, path2, screen="embedding", emb_dim=2)
     with open(os.path.join(path2, "geometry.json")) as f:
-        assert json.load(f) == {"num_planes": 8, "num_tables": 8}
+        assert json.load(f) == {"num_planes": 8, "num_tables": 8, "vec_format": "int8"}
 
 
 def test_curator_quality_screen_gates_dedup(spark, tmp_path):
@@ -921,7 +921,8 @@ def test_embedding_geometry_rollover_reattach_and_stale_sidecar(spark, tmp_path)
     )
     assert (cur2.num_planes, cur2.num_tables) == (4, 6)  # manifest wins
     with open(geo_path) as f:
-        assert json.load(f) == {"num_planes": 4, "num_tables": 6}  # healed
+        healed = json.load(f)
+        assert (healed["num_planes"], healed["num_tables"]) == (4, 6)  # healed
 
     import pytest as _pytest
 
@@ -1305,3 +1306,123 @@ def test_retention_length_sketch_tracks_survivors(spark, tmp_path):
         ).collect()
     }
     assert maintained == derived
+
+
+# ---------------------------------------------------------------------
+# int8-compressed embedding state (round 8 — r7 verdict #2)
+
+def _cvecs(spark, ids, cluster, seed=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed * 1000 + cluster)
+    rows = []
+    for i in ids:
+        base = np.zeros(8)
+        base[cluster] = 1.0
+        v = base + 0.05 * rng.randn(8)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+_EKW = dict(screen="embedding", emb_dim=8, threshold=0.9, id_col="vec_id")
+
+
+def test_vec_format_int8_matches_float64_decisions(spark, tmp_path):
+    """At near-dup margins (within-cluster ~0.99 vs threshold 0.9)
+    the compressed state decides identically to float64 state, and
+    the stored tier really is int8 codes + scale. (At razor-thin
+    margins the int8 path has its own exact oracle —
+    pipeline_embedding_curation_int8 replays the quantizer.)"""
+    a = StreamingCorpusCurator(spark, str(tmp_path / "a"), **_EKW)  # int8 default
+    b = StreamingCorpusCurator(
+        spark, str(tmp_path / "b"), vec_format="float64", **_EKW
+    )
+    assert (a.vec_format, b.vec_format) == ("int8", "float64")
+    batches = [
+        _cvecs(spark, [1, 2], 0, 1).unionByName(_cvecs(spark, [3], 1, 1)),
+        _cvecs(spark, [10], 0, 2).unionByName(_cvecs(spark, [12], 2, 2)),
+    ]
+    for k, bt in enumerate(batches):
+        a.process_batch(bt, k)
+        b.process_batch(bt, k)
+    aa = sorted(r.vec_id for r in a.accepted().collect())
+    assert aa == sorted(r.vec_id for r in b.accepted().collect()) == [1, 3, 12]
+    sch = spark.read.parquet(str(tmp_path / "a" / "vec")).schema.simpleString()
+    assert "qc:array<tinyint>" in sch and "qs:double" in sch
+    # replay idempotence on the compressed tier
+    import os
+
+    os.remove(os.path.join(str(tmp_path / "a"), "vec", "ingest_batch=1", "_SUCCESS"))
+    a.process_batch(batches[1], 1)
+    assert sorted(r.vec_id for r in a.accepted().collect()) == aa
+
+
+def test_vec_format_frozen_conflict_and_legacy(spark, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    a = StreamingCorpusCurator(spark, str(tmp_path / "a"), **_EKW)
+    a.process_batch(_cvecs(spark, [1], 0), 0)
+    # re-attach inherits; explicit conflicting format raises
+    a2 = StreamingCorpusCurator(spark, str(tmp_path / "a"), **_EKW)
+    assert a2.vec_format == "int8"
+    with pytest.raises(ValueError, match="vec_format"):
+        StreamingCorpusCurator(
+            spark, str(tmp_path / "a"), vec_format="float64", **_EKW
+        )
+    # a pre-round-8 sidecar (no vec_format key) attaches as float64
+    geo = os.path.join(str(tmp_path / "a"), "geometry.json")
+    with open(geo) as f:
+        d = json.load(f)
+    d.pop("vec_format")
+    with open(geo, "w") as f:
+        json.dump(d, f)
+    a3 = StreamingCorpusCurator(spark, str(tmp_path / "a"), **_EKW)
+    assert a3.vec_format == "float64"
+
+
+def test_migrate_vec_format_cutover(spark, tmp_path):
+    """float64 → int8 migration: versioned rewrite + manifest flip,
+    re-signed-from-v̂ signatures, decisions continue, format survives
+    re-attach, and int8 → anything is refused."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "m"), vec_format="float64", **_EKW
+    )
+    cur.process_batch(_cvecs(spark, [1, 2], 0).unionByName(_cvecs(spark, [3], 1)), 0)
+    cur.process_batch(_cvecs(spark, [10], 2), 1)
+    assert cur.migrate_vec_format("int8") is True
+    assert cur.vec_format == "int8"
+    man = cur._manifest()
+    assert man["vec_format"] == "int8"
+    sch = spark.read.parquet(man["vec"]["path"]).schema.simpleString()
+    assert "qc:array<tinyint>" in sch
+    # re-signed state == signing the dequantized state from scratch
+    from play_with_pulsar_spark.operators.similarity import (
+        dequantized_vecs,
+        hyperplane_signatures_multi,
+    )
+
+    fresh = hyperplane_signatures_multi(
+        dequantized_vecs(cur._compacted_state("vec")),
+        dim=8, num_planes=cur.num_planes, num_tables=cur.num_tables,
+        seed=cur.seed, id_col="vec_id", vec_col="v",
+    )
+    assert sorted(map(tuple, cur._index_sig().collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    # decisions continue: dup of accepted 1 rejected, novel accepted
+    cur.process_batch(_cvecs(spark, [20], 0).unionByName(_cvecs(spark, [21], 5)), 2)
+    assert {r.vec_id for r in cur.accepted().collect()} == {1, 3, 10, 21}
+    # format survives re-attach; downgrade refused; no-op returns False
+    cur2 = StreamingCorpusCurator(spark, str(tmp_path / "m"), **_EKW)
+    assert cur2.vec_format == "int8"
+    assert cur2.migrate_vec_format("int8") is False
+    with pytest.raises(ValueError, match="unrecoverable"):
+        cur2.migrate_vec_format("float64")
