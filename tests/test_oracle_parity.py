@@ -77,3 +77,57 @@ def test_retention_policy_nonvacuous(spark, sf_dir):
         for r in REGISTRY["pipeline_streaming_curation"].fn(spark, sf_dir).collect()
     }
     assert a != b and len(a ^ b) >= 2  # at least one eviction swap
+
+
+def test_full_stack_screens_nonvacuous(spark, sf_dir):
+    """Every screen in pipeline_streaming_full_stack actually bites on
+    the fixture — otherwise the composed oracle would hash-pass while
+    pinning nothing beyond plain dedup:
+
+    - quality: >=1 corpus doc below the 0.5 score threshold;
+    - perplexity: >=1 corpus doc above xent 3.44;
+    - decontamination: >=1 corpus doc with >=10% of its trigrams in
+      the benchmark set (exact containment lower-bounds the Bloom
+      hit rate — no false negatives);
+    - composition: the all-screens accepted set differs from plain
+      greedy curation's (the screens, not just the fold, decide)."""
+    from pyspark.sql import functions as F
+
+    from play_with_pulsar_spark.operators import classifier, textops
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 83 != 0)
+    scored = classifier.quality_classifier_scores(
+        docs, label=F.length("text") >= 400, iters=6, lr=2.0
+    )
+    q_rej = scored.filter(
+        (~F.col("keep")) & (F.col("doc_id") % 83 != 0)
+    ).count()
+    assert q_rej > 0
+    uc, ctx, bc, meta = textops.fit_bigram_lm(docs)
+    sx = textops.score_with_bigram_lm(docs, uc, ctx, bc, meta)
+    p_rej = sx.filter(
+        (F.col("xent") > 3.44) & (F.col("doc_id") % 83 != 0)
+    ).count()
+    assert p_rej > 0
+    grams = textops.exploded_ngrams(docs, n=3)
+    bench_g = grams.filter(F.col("doc_id") % 83 == 0).select("g").distinct()
+    cg = grams.filter(F.col("doc_id") % 83 != 0)
+    hit = cg.join(bench_g, "g", "semi").groupBy("doc_id").count()
+    tot = cg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    c_rej = (
+        tot.join(hit, "doc_id", "left")
+        .filter(F.coalesce(F.col("count"), F.lit(0)) / F.col("ng") >= 0.1)
+        .count()
+    )
+    assert c_rej > 0
+    full = {
+        r.doc_id
+        for r in REGISTRY["pipeline_streaming_full_stack"].fn(spark, sf_dir).collect()
+    }
+    plain = {
+        r.doc_id
+        for r in REGISTRY["pipeline_streaming_curation"].fn(spark, sf_dir).collect()
+    }
+    assert full != plain and len(plain - full) > 0
