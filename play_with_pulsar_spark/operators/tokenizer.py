@@ -210,3 +210,94 @@ def apply_bpe(
     for x, y in merges:
         per_word = F.transform(per_word, lambda s: _merge_fold(s, x, y))
     return docs.withColumn(out_col, F.flatten(per_word))
+
+
+def _symbol_counts(vocab: DataFrame) -> DataFrame:
+    """(sym, cu) symbol-occurrence counts weighted by word count over
+    the type table — the denominator side of the WordPiece score."""
+    return (
+        vocab.select("cnt", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("cu"))
+    )
+
+
+def wordpiece_learn_merges(
+    docs: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece merge learning (Schuster & Nakajima 2012; the BERT
+    vocabulary recipe as HF ``tokenizers`` trains it): identical
+    machinery to :func:`bpe_learn_merges` — one corpus-scale word
+    count, merge iterations over word TYPES, greedy leftmost
+    non-overlapping rewrite as a literal-pair Catalyst fold — but the
+    winning pair maximizes the LIKELIHOOD score
+    ``count(pair) / (count(lhs) * count(rhs))`` instead of the raw
+    pair count: merge the pair whose parts co-occur most above chance,
+    not the most frequent one. Counts are exact BIGINTs cast to
+    DOUBLE before the ratio, so the score is one IEEE division of
+    identical inputs in both engines — byte-deterministic, no rounding
+    protocol needed; ties break by (lhs, rhs) like BPE. The same
+    ``c >= 2`` floor stops degenerate tails. Returns (rnk, lhs, rhs,
+    merged, pair_count, score).
+
+    Encoding with the learned table is merge application
+    (:func:`apply_bpe`) — the continuation-prefix ("##") rendering of
+    a serialized BERT vocab is a formatting concern of the artifact,
+    not of the learned merges."""
+    from .dedup import _free_local_checkpoint
+
+    spark = docs.sparkSession
+    vocab = (
+        word_counts(docs, text_col)
+        .select("word", "cnt", _chars("word").alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int, float]] = []
+    pending: DataFrame | None = None
+    try:
+        for k in range(1, num_merges + 1):
+            pc = _pair_counts(vocab).filter(F.col("c") >= 2)
+            uc = _symbol_counts(vocab)
+            top = (
+                pc.join(
+                    uc.select(F.col("sym").alias("lhs"), F.col("cu").alias("cl")),
+                    "lhs",
+                )
+                .join(
+                    uc.select(F.col("sym").alias("rhs"), F.col("cu").alias("cr")),
+                    "rhs",
+                )
+                .withColumn(
+                    "score",
+                    F.col("c").cast("double")
+                    / (F.col("cl").cast("double") * F.col("cr").cast("double")),
+                )
+                .orderBy(F.desc("score"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if pending is not None:
+                _free_local_checkpoint(pending)
+                pending = None
+            if not top:
+                break
+            x, y = top[0]["lhs"], top[0]["rhs"]
+            merges.append(
+                (k, x, y, x + y, int(top[0]["c"]), float(top[0]["score"]))
+            )
+            new_vocab = vocab.select(
+                "word", "cnt", _merge_fold(F.col("syms"), x, y).alias("syms")
+            ).localCheckpoint(eager=False)
+            pending = vocab
+            vocab = new_vocab
+    finally:
+        if pending is not None:
+            _free_local_checkpoint(pending)
+        _free_local_checkpoint(vocab)
+    return spark.createDataFrame(
+        merges,
+        "rnk INT, lhs STRING, rhs STRING, merged STRING, "
+        "pair_count BIGINT, score DOUBLE",
+    )

@@ -359,6 +359,7 @@ EAGER_BUILD_ALLOWLIST = {
     "graph_pagerank_copurchase": "unrolled PR iterations + checkpoints",
     "text_bpe_merges": "merge iterations over word types",
     "text_bpe_encode": "merge iterations over word types",
+    "text_wordpiece_merges": "merge iterations over word types",
 }
 
 

@@ -131,3 +131,65 @@ def test_word_counts_is_corpus_agg_only(spark):
     d = _docs(spark, ["x y x"])
     rows = {(r["word"], r["cnt"]) for r in tk.word_counts(d).collect()}
     assert rows == {("x", 2), ("y", 1)}
+
+
+def ref_wordpiece(texts: list[str], num_merges: int):
+    """Reference WordPiece trainer: the ref_bpe loop with the winner
+    chosen by score = c / (count(lhs) * count(rhs)), ties by
+    (lhs, rhs); same c >= 2 floor and greedy rewrite."""
+    wc = Counter(w for t in texts for w in t.strip().lower().split())
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for k in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        uc: Counter = Counter()
+        for w, syms in vocab.items():
+            for s in syms:
+                uc[s] += wc[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        cands = [
+            (c / (uc[p[0]] * uc[p[1]]), p, c) for p, c in pc.items() if c >= 2
+        ]
+        if not cands:
+            break
+        # deterministic: max score, then lexicographically SMALLEST pair
+        top_score = max(t[0] for t in cands)
+        tied = sorted(p for s, p, c in cands if s == top_score)
+        x, y = tied[0]
+        c = pc[(x, y)]
+        merges.append((k, x, y, x + y, c, c / (uc[x] * uc[y])))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_wordpiece_matches_reference_and_differs_from_bpe(spark):
+    """The likelihood score is load-bearing: on a corpus where the
+    most FREQUENT pair is not the most above-chance one, WordPiece
+    and BPE learn different tables; the Spark fit equals the pure
+    python reference exactly (score included — one IEEE division)."""
+    texts = [
+        "aaaaa banana banana x qu qu ququ",
+        "aaaaa bandana low lower lowest",
+        "low low newer new quick quick",
+    ]
+    got = [tuple(r) for r in tk.wordpiece_learn_merges(_docs(spark, texts), 6).collect()]
+    want = ref_wordpiece(texts, 6)
+    assert got == want
+    bpe = [tuple(r)[:3] for r in tk.bpe_learn_merges(_docs(spark, texts), 6).collect()]
+    assert [g[:3] for g in got] != bpe
+
+
+def test_wordpiece_early_stop(spark):
+    texts = ["a b c d", "e f g h"]  # no pair reaches count 2
+    got = tk.wordpiece_learn_merges(_docs(spark, texts), 4).collect()
+    assert got == []
