@@ -297,7 +297,9 @@ class StreamingCorpusCurator:
         evicted rows) and sweeps the applied tombstone dirs. The HLL
         vocabulary monitor is max-merged and deliberately keeps
         ever-accepted semantics (registers cannot be un-maxed) — it
-        is a growth monitor, not decision state. Text screens only;
+        is a growth monitor, not decision state. All screens,
+        including the embedding screen (round 8: vec/sig tiers filter
+        by the same tombstones, keyed on vec ids);
         requires ``score_col`` (a numeric column every batch carries,
         stored with the accepted rows so later batches can compare
         against incumbents without re-scoring). Reference anchor: the
@@ -315,13 +317,8 @@ class StreamingCorpusCurator:
             if screen != "embedding":
                 raise ValueError("vec_format applies to screen='embedding'")
         self.vec_format: str | None = None  # resolved in the embedding branch
-        if retention == "best":
-            if score_col is None:
-                raise ValueError("retention='best' requires score_col")
-            if screen == "embedding":
-                raise ValueError(
-                    "retention='best' applies to the text screens"
-                )
+        if retention == "best" and score_col is None:
+            raise ValueError("retention='best' requires score_col")
         self.spark = spark
         self.base_dir = base_dir
         self.accepted_dir = os.path.join(base_dir, "accepted")
@@ -800,7 +797,9 @@ class StreamingCorpusCurator:
         format — int8 state is dequantized on read (pure per-row
         codegen), so the verify kernel downstream never changes."""
         live = self._read_state(self.vec_dir, self.vec_schema, exclude_batch)
-        full = self._with_compacted(live, "vec")
+        full = self._minus_tombstones(
+            self._with_compacted(live, "vec"), "vec_id", exclude_batch
+        )
         if self.vec_format == "int8":
             from ..operators.similarity import dequantized_vecs
 
@@ -809,7 +808,9 @@ class StreamingCorpusCurator:
 
     def _index_sig(self, exclude_batch: int | None = None) -> DataFrame:
         live = self._read_state(self.sig_dir, self.sig_schema, exclude_batch)
-        return self._with_compacted(live, "sig")
+        return self._minus_tombstones(
+            self._with_compacted(live, "sig"), "vec_id", exclude_batch
+        )
 
     def accepted(self) -> DataFrame:
         """Accepted corpus: compacted tier + COMMITTED live batch
@@ -1348,7 +1349,10 @@ class StreamingCorpusCurator:
         acc_done = self._committed(self.accepted_dir, batch_id)
         vec_done = self._committed(self.vec_dir, batch_id)
         sig_done = self._committed(self.sig_dir, batch_id)
-        if acc_done and vec_done and sig_done:  # committed replay
+        tomb_done = self.retention != "best" or self._committed(
+            self.tomb_dir, batch_id
+        )
+        if acc_done and vec_done and sig_done and tomb_done:  # committed replay
             return
         screen_col = self.vec_col
         if self.vec_format == "int8":
@@ -1379,13 +1383,25 @@ class StreamingCorpusCurator:
             max_bucket_size=self.max_bucket_size,
         )
         new_ids = docs.select(F.col(self.id_col).alias("nid"))
-        rejected = self._rejected_ids(pairs, new_ids)
+        evicted = None
+        if self.retention == "best":
+            # same value-aware pair rules as the text screens (the
+            # docstring's retention contract); incumbents' scores come
+            # from the accepted tier's stored score column
+            rejected, evicted = self._retention_decisions(pairs, docs, batch_id)
+            evicted = evicted.persist()
+        else:
+            rejected = self._rejected_ids(pairs, new_ids)
         keep = docs.join(
             rejected.withColumnRenamed("doc_id", self.id_col), self.id_col, "anti"
         ).persist()
         if not acc_done:
             keep.drop("_qc", "_qs", "_vhat").write.mode("overwrite").parquet(
                 self._batch_dir(self.accepted_dir, batch_id)
+            )
+        if evicted is not None and not tomb_done:
+            evicted.write.mode("overwrite").parquet(
+                self._batch_dir(self.tomb_dir, batch_id)
             )
         if self.vec_format == "int8":
             from ..operators.similarity import hyperplane_signatures_multi
@@ -1423,6 +1439,8 @@ class StreamingCorpusCurator:
                 self._batch_dir(self.sig_dir, batch_id)
             )
         keep.unpersist()
+        if evicted is not None:
+            evicted.unpersist()
         docs.unpersist()
         release_intermediates(pairs)
         self.maybe_compact()
@@ -1505,10 +1523,11 @@ class StreamingCorpusCurator:
 
     def _state_tables(self) -> list[str]:
         if self.screen == "embedding":
-            return [self.accepted_dir, self.vec_dir, self.sig_dir]
-        tables = [self.accepted_dir, self.grams_dir]
-        if self.screen == "minhash":
-            tables.append(self.banded_dir)
+            tables = [self.accepted_dir, self.vec_dir, self.sig_dir]
+        else:
+            tables = [self.accepted_dir, self.grams_dir]
+            if self.screen == "minhash":
+                tables.append(self.banded_dir)
         if self.retention == "best":
             tables.append(self.tomb_dir)  # decision state, commit-gated
         return tables
@@ -1641,7 +1660,14 @@ class StreamingCorpusCurator:
             def _full(kind, base, schema):
                 cur = self._read_committed(base, schema, old_upto, new_upto)
                 comp = self._compacted_state(kind)
-                return cur if comp is None else comp.unionByName(cur)
+                out = cur if comp is None else comp.unionByName(cur)
+                if covered_tombs is not None:
+                    out = out.join(
+                        covered_tombs.withColumnRenamed("doc_id", "vec_id"),
+                        "vec_id",
+                        "anti",
+                    )
+                return out
 
             write_embedding_index(
                 _full("vec", self.vec_dir, self.vec_schema),

@@ -1122,11 +1122,6 @@ def test_retention_best_validation(spark, tmp_path):
 
     with pytest.raises(ValueError, match="score_col"):
         StreamingCorpusCurator(spark, str(tmp_path / "a"), retention="best")
-    with pytest.raises(ValueError, match="text screens"):
-        StreamingCorpusCurator(
-            spark, str(tmp_path / "b"), retention="best", score_col="s",
-            screen="embedding", emb_dim=4,
-        )
     with pytest.raises(ValueError, match="retention"):
         StreamingCorpusCurator(spark, str(tmp_path / "c"), retention="bogus")
 
@@ -1426,3 +1421,57 @@ def test_migrate_vec_format_cutover(spark, tmp_path):
     assert cur2.migrate_vec_format("int8") is False
     with pytest.raises(ValueError, match="unrecoverable"):
         cur2.migrate_vec_format("float64")
+
+
+def test_embedding_retention_evicts_and_unindexes(spark, tmp_path):
+    """retention='best' on the embedding screen (round 8): a later
+    higher-scoring semantic near-dup evicts its incumbent from the
+    accepted tier AND both index tiers; ties keep the incumbent;
+    replay decides identically; compaction applies the tombstones
+    physically and later evictions still work."""
+    import os
+
+    def vx(rows):  # (id, cluster, score)
+        import numpy as np
+
+        out = []
+        for i, c, s in rows:
+            base = [0.0] * 8
+            base[c] = 1.0
+            rng = np.random.RandomState(i)
+            v = [float(b + 0.05 * g) for b, g in zip(base, rng.randn(8))]
+            out.append((i, v, float(s)))
+        return spark.createDataFrame(
+            out, "vec_id long, embedding array<double>, score double"
+        )
+
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "c"), screen="embedding", emb_dim=8,
+        threshold=0.9, id_col="vec_id", retention="best", score_col="score",
+    )
+    cur.process_batch(vx([(10, 0, 1.0), (11, 1, 5.0)]), 0)
+    b1 = vx([(5, 0, 3.0)])
+    cur.process_batch(b1, 1)  # evicts 10
+    assert {r.vec_id for r in cur.accepted().collect()} == {5, 11}
+    assert {r.vec_id for r in cur._index_vec().collect()} == {5, 11}
+    assert {r.vec_id for r in cur._index_sig().collect()} == {5, 11}
+    # replay idempotence
+    for tier in ("accepted", "vec", "sig", "tombstones"):
+        m = os.path.join(str(tmp_path / "c"), tier, "ingest_batch=1", "_SUCCESS")
+        if os.path.exists(m):
+            os.remove(m)
+    cur.process_batch(b1, 1)
+    assert {r.vec_id for r in cur.accepted().collect()} == {5, 11}
+    assert {r.doc_id for r in cur._tombstones().collect()} == {10}
+    # tie keeps incumbent
+    cur.process_batch(vx([(20, 0, 3.0)]), 2)
+    assert {r.vec_id for r in cur.accepted().collect()} == {5, 11}
+    # compaction applies tombstones physically; evictions continue
+    assert cur.compact() is True
+    man = cur._manifest()
+    assert 10 not in {
+        r.vec_id for r in spark.read.parquet(man["accepted_path"]).collect()
+    }
+    assert cur._compacted_state("vec").filter(F.col("vec_id") == 10).count() == 0
+    cur.process_batch(vx([(30, 0, 9.0)]), 3)  # evicts compacted incumbent 5
+    assert {r.vec_id for r in cur.accepted().collect()} == {11, 30}
