@@ -145,6 +145,9 @@ class StreamingCorpusCurator:
         retention: str = "first",
         score_col: str | None = None,
         vec_format: str | None = None,
+        max_hamming: int = 3,
+        sh_blocks: int | None = None,
+        sh_hash_fn: str = "xxhash64",
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -305,7 +308,7 @@ class StreamingCorpusCurator:
         against incumbents without re-scoring). Reference anchor: the
         compacted-topic keep-one-per-key retention (pulsar.go:160-167)
         with the kept value chosen by score instead of arrival."""
-        if screen not in ("jaccard", "minhash", "embedding"):
+        if screen not in ("jaccard", "minhash", "embedding", "simhash"):
             raise ValueError(f"unknown screen {screen!r}")
         if screen == "embedding" and emb_dim is None:
             raise ValueError("screen='embedding' requires emb_dim")
@@ -330,6 +333,7 @@ class StreamingCorpusCurator:
         self.hll_dir = os.path.join(base_dir, "hll")
         self.hdr_dir = os.path.join(base_dir, "hdr")
         self.tomb_dir = os.path.join(base_dir, "tombstones")
+        self.shsig_dir = os.path.join(base_dir, "shsig")
         self.compacted_dir = os.path.join(base_dir, "compacted")
         self.retention, self.score_col = retention, score_col
         self.text_col, self.id_col, self.n = text_col, id_col, n
@@ -424,6 +428,14 @@ class StreamingCorpusCurator:
         self.hll_schema = "bucket long, mreg int"
         self.hdr_schema = "idx long, cnt long"
         self.tomb_schema = f"doc_id {id_type}"
+        self.shsig_schema = f"doc_id {id_type}, simhash long"
+        self.max_hamming, self.sh_hash_fn = max_hamming, sh_hash_fn
+        # 4 blocks (the quarter scheme) carry radius <= 3; higher radii
+        # switch to 8x8-bit blocks with 2-block combination keys
+        # (Manku multi-rotation — see dedup.simhash_rotation_keys)
+        self.sh_blocks = sh_blocks if sh_blocks is not None else (
+            4 if max_hamming <= 3 else 8
+        )
         self.compact_after = compact_after
         self.n_buckets = n_buckets
         self.quality_model_path = quality_model_path
@@ -540,6 +552,7 @@ class StreamingCorpusCurator:
             "vec": self.vec_schema,
             "sig": self.sig_schema,
             "df": self.df_schema,
+            "shsig": self.shsig_schema,
         }[kind]
 
     def _compacted_state(self, kind: str) -> DataFrame | None:
@@ -677,8 +690,11 @@ class StreamingCorpusCurator:
         gram table — missing registers would silently UNDERcount, the
         one direction a growth monitor must never err — and the next
         compaction heals the tier. Text screens only."""
-        if self.screen == "embedding":
-            raise ValueError("vocab_estimate applies to the text screens")
+        if self.screen in ("embedding", "simhash"):
+            raise ValueError(
+                "vocab_estimate applies to the shingle screens "
+                "(jaccard/minhash)"
+            )
         from ..operators.sketch import hll_build, hll_estimate
 
         man = self._manifest()
@@ -811,6 +827,20 @@ class StreamingCorpusCurator:
         return self._minus_tombstones(
             self._with_compacted(live, "sig"), "vec_id", exclude_batch
         )
+
+    def _index_shsig(self, exclude_batch: int | None = None) -> DataFrame:
+        """(doc_id, simhash) accepted-signature state of the simhash
+        screen — 8 bytes/doc, the cheapest dedup index in the engine;
+        rotation keys are DERIVED at probe time (a pure codegen
+        projection over this table), so nothing else is stored."""
+        live = self._read_state(self.shsig_dir, self.shsig_schema, exclude_batch)
+        man = self._manifest()
+        if man is not None and man.get("shsig") is not None:
+            comp = self.spark.read.schema(self.shsig_schema).parquet(
+                man["shsig"]["path"]
+            )
+            live = comp.unionByName(live)
+        return self._minus_tombstones(live, "doc_id", exclude_batch)
 
     def accepted(self) -> DataFrame:
         """Accepted corpus: compacted tier + COMMITTED live batch
@@ -1116,6 +1146,9 @@ class StreamingCorpusCurator:
         if self.screen == "embedding":
             self._process_batch_embedding(batch, batch_id)
             return
+        if self.screen == "simhash":
+            self._process_batch_simhash(batch, batch_id)
+            return
         acc_done = self._committed(self.accepted_dir, batch_id)
         grams_done = self._committed(self.grams_dir, batch_id)
         banded_done = not minhash or self._committed(self.banded_dir, batch_id)
@@ -1341,6 +1374,130 @@ class StreamingCorpusCurator:
         release_intermediates(pairs)  # the screen's cached intermediates
         self.maybe_compact()
 
+    def _process_batch_simhash(self, batch: DataFrame, batch_id: int) -> None:
+        """The simhash screen's half of ``process_batch`` (round 8):
+        same commit protocol, text pre-screens (length band / quality
+        / perplexity / Bloom) and retention semantics as the shingle
+        screens, with the state tier a single (doc_id, simhash) table
+        — 8 bytes/doc. Candidates come from Manku rotation keys
+        DERIVED from the stored signatures at probe time (pigeonhole-
+        exact coverage at ``max_hamming``), verified by the exact
+        popcount, so the screen's pair set equals brute force — the
+        cheapest per-batch screen in the family: one signature kernel
+        over the batch + one key join against an 8-byte/doc column.
+        No gram table exists, so the HLL vocabulary tier does not
+        apply; the HDR length tier (length_band's feed) is maintained
+        exactly like the shingle screens'."""
+        from ..operators.dedup import (
+            incremental_simhash_pairs_rotated,
+            simhash64,
+            simhash_rotation_keys,
+        )
+
+        acc_done = self._committed(self.accepted_dir, batch_id)
+        sig_done = self._committed(self.shsig_dir, batch_id)
+        hdr_done = self._committed(self.hdr_dir, batch_id)
+        tomb_done = self.retention != "best" or self._committed(
+            self.tomb_dir, batch_id
+        )
+        if acc_done and sig_done and hdr_done and tomb_done:
+            return
+        screened = self._apply_contamination_screen(
+            self._apply_perplexity_screen(
+                self._apply_quality_screen(
+                    self._apply_length_screen(batch, batch_id)
+                )
+            )
+        )
+        screen_checkpointed = (
+            self.contamination_bloom_path is not None
+            or self.perplexity_lm_path is not None
+            or self.quality_model_path is not None
+        )
+        if screen_checkpointed:
+            docs = screened.localCheckpoint(eager=True)
+        else:
+            docs = screened.persist()
+        index_keys = simhash_rotation_keys(
+            self._index_shsig(exclude_batch=batch_id),
+            blocks=self.sh_blocks,
+            radius=self.max_hamming,
+        )
+        pairs = incremental_simhash_pairs_rotated(
+            index_keys,
+            docs,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            blocks=self.sh_blocks,
+            radius=self.max_hamming,
+            hash_fn=self.sh_hash_fn,
+        ).select("id_a", "id_b")
+        new_ids = docs.select(F.col(self.id_col).alias("nid"))
+        evicted = None
+        if self.retention == "best":
+            rejected, evicted = self._retention_decisions(pairs, docs, batch_id)
+            evicted = evicted.persist()
+        else:
+            rejected = self._rejected_ids(pairs, new_ids)
+        keep = docs.join(
+            rejected.withColumnRenamed("doc_id", self.id_col), self.id_col, "anti"
+        ).persist()
+        if not acc_done:
+            keep.write.mode("overwrite").parquet(
+                self._batch_dir(self.accepted_dir, batch_id)
+            )
+        if evicted is not None and not tomb_done:
+            evicted.write.mode("overwrite").parquet(
+                self._batch_dir(self.tomb_dir, batch_id)
+            )
+        if not sig_done:
+            simhash64(
+                keep, self.text_col, self.id_col, hash_fn=self.sh_hash_fn
+            ).write.mode("overwrite").parquet(
+                self._batch_dir(self.shsig_dir, batch_id)
+            )
+        if not hdr_done:
+            from ..operators.sketch import hdr_build
+            from ..operators.textops import token_count
+
+            hdr_rows = hdr_build(
+                keep.select(token_count(self.text_col).cast("long").alias("v")),
+                "v",
+                sub_bits=LEN_HDR_SUB_BITS,
+            )
+            if evicted is not None:
+                acc_prev = self._accepted_excluding(batch_id)
+                if acc_prev is not None:
+                    ev_docs = acc_prev.join(
+                        evicted.withColumnRenamed("doc_id", self.id_col),
+                        self.id_col,
+                        "semi",
+                    )
+                    hdr_rows = hdr_rows.unionByName(
+                        hdr_build(
+                            ev_docs.select(
+                                token_count(self.text_col)
+                                .cast("long")
+                                .alias("v")
+                            ),
+                            "v",
+                            sub_bits=LEN_HDR_SUB_BITS,
+                        ).withColumn("cnt", (-F.col("cnt")).cast("long"))
+                    )
+            hdr_rows.write.mode("overwrite").parquet(
+                self._batch_dir(self.hdr_dir, batch_id)
+            )
+        keep.unpersist()
+        if evicted is not None:
+            evicted.unpersist()
+        if screen_checkpointed:
+            from ..operators.dedup import _free_local_checkpoint
+
+            _free_local_checkpoint(docs)
+        else:
+            docs.unpersist()
+        self.maybe_compact()
+
     def _process_batch_embedding(self, batch: DataFrame, batch_id: int) -> None:
         """The embedding screen's half of ``process_batch`` — same
         commit protocol (idempotent batch partitions, pre-batch state
@@ -1524,6 +1681,8 @@ class StreamingCorpusCurator:
     def _state_tables(self) -> list[str]:
         if self.screen == "embedding":
             tables = [self.accepted_dir, self.vec_dir, self.sig_dir]
+        elif self.screen == "simhash":
+            tables = [self.accepted_dir, self.shsig_dir]
         else:
             tables = [self.accepted_dir, self.grams_dir]
             if self.screen == "minhash":
@@ -1536,7 +1695,11 @@ class StreamingCorpusCurator:
     def _primary_state_dir(self) -> str:
         """The state table whose committed batch-dir count drives the
         compaction threshold (every screen writes it each batch)."""
-        return self.vec_dir if self.screen == "embedding" else self.grams_dir
+        if self.screen == "embedding":
+            return self.vec_dir
+        if self.screen == "simhash":
+            return self.shsig_dir
+        return self.grams_dir
 
     def maybe_compact(self) -> bool:
         """Compact iff more than ``compact_after`` committed batch
@@ -1552,6 +1715,41 @@ class StreamingCorpusCurator:
         if len(residual) <= self.compact_after:
             return False
         return self.compact()
+
+    def _hdr_fold_for_compact(
+        self, man, old_upto: int, new_upto: int, fully: set, acc_path: str
+    ):
+        """Folded (idx, cnt) HDR rows for a compaction: the additive
+        fast fold over previous compacted buckets + covered per-batch
+        buckets (negative eviction deltas cancel exactly), or — when
+        any covered batch lacks its hdr partition — ONE derive from
+        the just-written tombstone-filtered accepted corpus (healing,
+        like the df/hll tiers)."""
+        covered_hdr = {
+            self._batch_id_of(d)
+            for d in self._committed_batch_dirs(self.hdr_dir)
+            if old_upto < self._batch_id_of(d) <= new_upto
+        }
+        if fully <= covered_hdr and (man is None or man.get("hdr") is not None):
+            hdr_full = self._read_committed(
+                self.hdr_dir, self.hdr_schema, old_upto, new_upto
+            )
+            comp_hdr = self._compacted_hdr()
+            if comp_hdr is not None:
+                hdr_full = comp_hdr.unionByName(hdr_full)
+            return hdr_full.groupBy("idx").agg(
+                F.sum("cnt").cast("long").alias("cnt")
+            ).filter(F.col("cnt") != 0)  # fully-evicted length buckets
+        from ..operators.sketch import hdr_build
+        from ..operators.textops import token_count
+
+        return hdr_build(
+            self.spark.read.parquet(acc_path).select(
+                token_count(self.text_col).cast("long").alias("v")
+            ),
+            "v",
+            sub_bits=LEN_HDR_SUB_BITS,
+        )
 
     def compact(self) -> bool:
         """Fold every FULLY-committed batch directory into the
@@ -1696,6 +1894,40 @@ class StreamingCorpusCurator:
             self._drop_old_versions(version)
             return True
 
+        if self.screen == "simhash":
+            # the whole dedup state is one (doc_id, simhash) table —
+            # fold live committed rows onto the compacted tier, apply
+            # covered tombstones physically, flip, clean up. No
+            # bucketing: the probe derives rotation keys in-scan over
+            # the 8-byte signature column.
+            sh_full = self._read_committed(
+                self.shsig_dir, self.shsig_schema, old_upto, new_upto
+            )
+            if man is not None and man.get("shsig") is not None:
+                sh_full = self.spark.read.schema(self.shsig_schema).parquet(
+                    man["shsig"]["path"]
+                ).unionByName(sh_full)
+            if covered_tombs is not None:
+                sh_full = sh_full.join(covered_tombs, "doc_id", "anti")
+            sh_path = os.path.join(vdir, "shsig")
+            sh_full.write.mode("overwrite").parquet(sh_path)
+            manifest["shsig"] = {"path": sh_path}
+            hdr_full = self._hdr_fold_for_compact(
+                man, old_upto, new_upto, fully, acc_path
+            )
+            hdr_path = os.path.join(vdir, "hdr")
+            hdr_full.write.mode("overwrite").parquet(hdr_path)
+            manifest["hdr"] = {"path": hdr_path}
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._manifest_path)
+            self._cleanup_covered(old_upto)
+            self._drop_old_versions(version)
+            return True
+
         # shingle index (+ banded) in the canonical bucketed layout
         grams_full = self._read_committed(
             self.grams_dir, self.grams_schema, old_upto, new_upto
@@ -1816,37 +2048,9 @@ class StreamingCorpusCurator:
         hll_full.write.mode("overwrite").parquet(hll_path)
         manifest["hll"] = {"path": hll_path}
 
-        # doc-length HDR monitor tier (round 7): fast fold = additive
-        # bucket sum over previous compacted buckets + covered
-        # per-batch buckets; when any covered batch lacks its hdr
-        # partition (pre-feature state / crash window) DERIVE from the
-        # just-written full accepted corpus — healing, like df/hll.
-        covered_hdr = {
-            self._batch_id_of(d)
-            for d in self._committed_batch_dirs(self.hdr_dir)
-            if old_upto < self._batch_id_of(d) <= new_upto
-        }
-        if fully <= covered_hdr and (man is None or man.get("hdr") is not None):
-            hdr_full = self._read_committed(
-                self.hdr_dir, self.hdr_schema, old_upto, new_upto
-            )
-            comp_hdr = self._compacted_hdr()
-            if comp_hdr is not None:
-                hdr_full = comp_hdr.unionByName(hdr_full)
-            hdr_full = hdr_full.groupBy("idx").agg(
-                F.sum("cnt").cast("long").alias("cnt")
-            ).filter(F.col("cnt") != 0)  # fully-evicted length buckets
-        else:
-            from ..operators.sketch import hdr_build
-            from ..operators.textops import token_count
-
-            hdr_full = hdr_build(
-                self.spark.read.parquet(acc_path).select(
-                    token_count(self.text_col).cast("long").alias("v")
-                ),
-                "v",
-                sub_bits=LEN_HDR_SUB_BITS,
-            )
+        # doc-length HDR monitor tier (round 7): additive fast fold
+        # or healing derive — shared with the simhash branch
+        hdr_full = self._hdr_fold_for_compact(man, old_upto, new_upto, fully, acc_path)
         hdr_path = os.path.join(vdir, "hdr")
         hdr_full.write.mode("overwrite").parquet(hdr_path)
         manifest["hdr"] = {"path": hdr_path}
@@ -2230,6 +2434,18 @@ class StreamingCorpusCurator:
             if comp_s is not None:
                 sigs = comp_s.unionByName(sigs)
             write_embedding_index(vecs, sigs, prefix, n_buckets=n_buckets)
+            return
+        if self.screen == "simhash":
+            from ..operators.bucketing import write_bucketed
+
+            sh = self._read_committed(self.shsig_dir, self.shsig_schema, lo=upto)
+            man2 = self._manifest()
+            if man2 is not None and man2.get("shsig") is not None:
+                sh = self.spark.read.schema(self.shsig_schema).parquet(
+                    man2["shsig"]["path"]
+                ).unionByName(sh)
+            sh = self._minus_tombstones(sh, "doc_id")
+            write_bucketed(sh, f"{prefix}_shsig", ["doc_id"], n_buckets=n_buckets)
             return
         grams = self._read_committed(self.grams_dir, self.grams_schema, lo=upto)
         comp = self._compacted_state("grams")

@@ -1475,3 +1475,82 @@ def test_embedding_retention_evicts_and_unindexes(spark, tmp_path):
     assert cur._compacted_state("vec").filter(F.col("vec_id") == 10).count() == 0
     cur.process_batch(vx([(30, 0, 9.0)]), 3)  # evicts compacted incumbent 5
     assert {r.vec_id for r in cur.accepted().collect()} == {11, 30}
+
+
+# ---------------------------------------------------------------------
+# simhash screen (round 8): the 8-byte/doc dedup state
+
+def _shcur(spark, path, **kw):
+    kw.setdefault("max_hamming", 3)
+    return StreamingCorpusCurator(spark, str(path), screen="simhash", **kw)
+
+
+def test_simhash_screen_greedy_and_compaction(spark, tmp_path):
+    """Cross-batch rejection from the stored signature table, replay
+    idempotence, compaction transparency (decisions equal an
+    uncompacted twin, manifest carries the folded shsig tier)."""
+    import os
+
+    W = " ".join(f"w{i}" for i in range(30))
+    U = " ".join(f"u{i}" for i in range(30))
+    batches = [
+        [(1, W), (2, U)],
+        [(10, W), (11, "fresh text " + " ".join(f"f{i}" for i in range(20)))],
+        [(20, U), (21, W)],
+    ]
+    plain = _shcur(spark, tmp_path / "plain")
+    comp = _shcur(spark, tmp_path / "comp", compact_after=1)
+    for k, rows in enumerate(batches):
+        b = _docs(spark, rows)
+        plain.process_batch(b, k)
+        comp.process_batch(b, k)
+    want = {1, 2, 11}
+    assert {r.doc_id for r in plain.accepted().collect()} == want
+    assert {r.doc_id for r in comp.accepted().collect()} == want
+    # rejected docs never indexed
+    assert {r.doc_id for r in plain._index_shsig().collect()} == want
+    man = comp._manifest()
+    assert man is not None and man.get("shsig") is not None
+    # replay idempotence on the plain curator
+    for tier in ("accepted", "shsig", "hdr"):
+        m = os.path.join(str(tmp_path / "plain"), tier, "ingest_batch=2", "_SUCCESS")
+        if os.path.exists(m):
+            os.remove(m)
+    plain.process_batch(_docs(spark, batches[2]), 2)
+    assert {r.doc_id for r in plain.accepted().collect()} == want
+    idx = plain._index_shsig()
+    assert idx.count() == idx.distinct().count() == 3
+
+
+def test_simhash_screen_retention_best(spark, tmp_path):
+    W = " ".join(f"w{i}" for i in range(30))
+    d = spark.createDataFrame(
+        [(10, W, 1.0)], "doc_id long, text string, score double"
+    )
+    cur = _shcur(spark, tmp_path / "r", retention="best", score_col="score")
+    cur.process_batch(d, 0)
+    cur.process_batch(
+        spark.createDataFrame([(5, W, 3.0)], "doc_id long, text string, score double"),
+        1,
+    )  # evicts 10
+    assert {r.doc_id for r in cur.accepted().collect()} == {5}
+    assert {r.doc_id for r in cur._index_shsig().collect()} == {5}
+    assert {r.doc_id for r in cur._tombstones().collect()} == {10}
+
+
+def test_simhash_screen_equals_batch_rotated_law(spark, tmp_path, sf_dir):
+    """One batch containing the whole fixture == the batch operator's
+    pair-driven greedy rejection (min-id survives each hamming-<=3
+    pair edge) — the screen's pair set is pigeonhole-exact."""
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cur = _shcur(spark, tmp_path / "one", sh_hash_fn="md5_60")
+    cur.process_batch(docs, 0)
+    got = {r.doc_id for r in cur.accepted().collect()}
+    from play_with_pulsar_spark.operators import dedup
+
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3, hash_fn="md5_60")
+    rejected = {r.id_b for r in pairs.collect()}  # both-new: larger id loses
+    want = {r.doc_id for r in docs.collect()} - rejected
+    assert got == want
