@@ -1554,3 +1554,35 @@ def test_simhash_screen_equals_batch_rotated_law(spark, tmp_path, sf_dir):
     rejected = {r.id_b for r in pairs.collect()}  # both-new: larger id loses
     want = {r.doc_id for r in docs.collect()} - rejected
     assert got == want
+
+
+def test_simhash_screen_via_real_stream_with_retention(spark, tmp_path):
+    """The new screen + retention through REAL structured streaming
+    (readStream → attach → availableNow): the higher-scoring file-2
+    duplicate evicts the file-1 incumbent regardless of which
+    micro-batch order the engine picks, because eviction is
+    value-driven, not arrival-driven."""
+    W = " ".join(f"w{i}" for i in range(30))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, W, 1.0), (2, "u0 u1 u2 u3 u4", 2.0)],
+        "doc_id long, text string, score double",
+    ).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(9, W, 9.0)], "doc_id long, text string, score double"
+    ).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, score double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "c"), screen="simhash", max_hamming=3,
+        retention="best", score_col="score",
+    )
+    q = cur.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in cur.accepted().collect()}
+    # doc 9 (score 9) survives the W cluster whatever the batch order;
+    # doc 2 is untouched
+    assert kept == {2, 9}
