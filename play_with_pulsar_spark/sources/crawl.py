@@ -57,6 +57,80 @@ def read_jsonl_docs(
     )
 
 
+def read_csv_docs(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOC_SCHEMA,
+    id_col: str = "doc_id",
+    required: tuple[str, ...] = ("doc_id", "text"),
+    order_col: str | None = None,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV sibling of :func:`read_jsonl_docs` — the other format crawl
+    metadata dumps actually arrive in. Same quarantine contract via
+    the same one-scan triage (``from_csv`` instead of ``from_json``)."""
+    return triage_csv(
+        spark.read.text(path),
+        schema=schema,
+        id_col=id_col,
+        required=required,
+        order_col=order_col,
+        sep=sep,
+    )
+
+
+def triage_csv(
+    lines: DataFrame,
+    schema: str = DOC_SCHEMA,
+    id_col: str = "doc_id",
+    required: tuple[str, ...] = ("doc_id", "text"),
+    order_col: str | None = None,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """Triage a DataFrame of raw CSV lines (column ``value``) under
+    the crawl contract → ``(clean, quarantine)`` — the
+    :func:`triage_jsonl` contract verbatim (accounting law, reason
+    taxonomy, content-deterministic duplicate survivor), with the
+    parse swapped to Spark's native ``from_csv`` (JVM expression, one
+    scan, PERMISSIVE corrupt-record capture). No header handling:
+    crawl shards are headerless record streams; strip a header line
+    upstream if a dump carries one."""
+    raw = lines.select(F.col("value").alias("_raw"))
+    parsed = raw.select(
+        "_raw",
+        F.from_csv(
+            F.col("_raw"),
+            f"{schema}, _corrupt string",
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt",
+                "sep": sep,
+            },
+        ).alias("_r"),
+    )
+    reason = F.when(
+        F.col("_r").isNull() | F.col("_r._corrupt").isNotNull(),
+        F.lit("unparseable"),
+    )
+    for r in required:
+        reason = reason.when(F.col(f"_r.{r}").isNull(), F.lit(f"missing:{r}"))
+    flagged = parsed.withColumn("_reason", reason)
+    bad = flagged.filter(F.col("_reason").isNotNull()).select(
+        F.col("_reason").alias("reason"), F.col("_raw").alias("raw")
+    )
+    ok = flagged.filter(F.col("_reason").isNull())
+    keys = [F.col("_raw")]
+    if order_col is not None:
+        keys.insert(0, F.col(f"_r.{order_col}"))
+    w = Window.partitionBy(F.col(f"_r.{id_col}")).orderBy(*keys)
+    ranked = ok.withColumn("_rn", F.row_number().over(w))
+    dup = ranked.filter(F.col("_rn") > 1).select(
+        F.lit("duplicate_id").alias("reason"), F.col("_raw").alias("raw")
+    )
+    clean = ranked.filter(F.col("_rn") == 1).select("_r.*").drop("_corrupt")
+    return clean, bad.unionByName(dup)
+
+
 def triage_jsonl(
     lines: DataFrame,
     schema: str = DOC_SCHEMA,

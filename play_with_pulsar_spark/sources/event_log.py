@@ -165,14 +165,23 @@ def read_evolved_log(spark: SparkSession, path: str, defaults: dict | None = Non
     return df
 
 
-def write_event_log(events: DataFrame, path: str, mode: str = "append") -> None:
-    """S1: append to the room-partitioned parquet log."""
-    events.write.mode(mode).partitionBy("room").parquet(path)
+def write_event_log(
+    events: DataFrame, path: str, mode: str = "append", format: str = "parquet"
+) -> None:
+    """S1: append to the room-partitioned log. ``format`` is any
+    columnar source Spark bundles (``parquet`` default, ``orc`` the
+    second first-class choice — both splittable, predicate-pushing,
+    column-pruning; cross-format fold equality is tested). Avro needs
+    the external spark-avro module, absent in this image — the call
+    fails loudly with Spark's own message if requested."""
+    events.write.mode(mode).partitionBy("room").format(format).save(path)
 
 
-def read_event_log(spark: SparkSession, path: str) -> DataFrame:
+def read_event_log(
+    spark: SparkSession, path: str, format: str = "parquet"
+) -> DataFrame:
     """S3: full scan from earliest, explicit schema."""
-    return spark.read.schema(GAME_EVENT_SCHEMA).parquet(path)
+    return spark.read.schema(GAME_EVENT_SCHEMA).format(format).load(path)
 
 
 def write_event_log_bucketed(

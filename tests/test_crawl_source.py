@@ -144,3 +144,49 @@ def test_streaming_crawl_ingest_end_to_end(spark, tmp_path):
     assert acc == set(range(8))
     reasons = sorted(r.reason for r in spark.read.parquet(qdir).collect())
     assert reasons == ["missing:doc_id", "unparseable"]
+
+
+def test_csv_front_door_triage_and_accounting(spark, tmp_path):
+    """CSV sibling of the JSONL front door: same accounting law, same
+    reason taxonomy, same content-deterministic duplicate rule."""
+    from play_with_pulsar_spark.sources.crawl import read_csv_docs
+
+    lines = [
+        "1,alpha beta,en,s0",
+        "2,gamma,en,s0",
+        'x,"not a number id",en,s0',      # type violation -> unparseable
+        "3,delta,de,s1",
+        ",orphan,en,s0",                   # missing doc_id
+        "2,REUPLOAD,xx,s9",                # duplicate id
+    ]
+    p = tmp_path / "shard.csv"
+    p.write_text("\n".join(lines) + "\n")
+    clean, quarantine = read_csv_docs(spark, str(p))
+    assert clean.count() + quarantine.count() == len(lines)
+    crows = {r.doc_id: r for r in clean.collect()}
+    assert set(crows) == {1, 2, 3}
+    # canonical (min-raw) survivor: "2,REUPLOAD..." < "2,gamma..."
+    assert crows[2].text == "REUPLOAD"
+    reasons = sorted(r.reason for r in quarantine.collect())
+    # from_csv PERMISSIVE marks a failed BIGINT conversion as a corrupt
+    # RECORD (unlike from_json's null field) — a type violation is
+    # "unparseable", a present-but-empty field is "missing:<field>"
+    assert reasons == ["duplicate_id", "missing:doc_id", "unparseable"]
+    assert clean.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,lang:string,source:string>"
+    )
+
+
+def test_csv_front_door_feeds_curator(spark, tmp_path):
+    from play_with_pulsar_spark.sources.crawl import read_csv_docs
+    from play_with_pulsar_spark.streaming.curator import StreamingCorpusCurator
+
+    lines = [f"{i},unique tokens w{i}a w{i}b w{i}c w{i}d,en,s" for i in range(6)]
+    lines.append("3,dup reupload,en,s")
+    p = tmp_path / "shard.csv"
+    p.write_text("\n".join(lines) + "\n")
+    clean, quarantine = read_csv_docs(spark, str(p))
+    cur = StreamingCorpusCurator(spark, str(tmp_path / "c"))
+    cur.process_batch(clean.select("doc_id", "text"), 0)
+    assert {r.doc_id for r in cur.accepted().collect()} == set(range(6))
+    assert quarantine.count() == 1

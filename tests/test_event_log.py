@@ -163,3 +163,27 @@ def test_failfast_rejects_malformed_payload(spark):
     # PERMISSIVE quarantines instead
     out = el.parse_envelope(raw, mode="PERMISSIVE").collect()
     assert len(out) == 1 and out[0].type is None
+
+
+def test_event_log_orc_round_trip_equals_parquet(spark, tmp_path):
+    """S1/S3 second source format: the room-partitioned log written as
+    ORC round-trips identically to parquet — same rows, same fold."""
+    from play_with_pulsar_spark.operators import replay
+    from play_with_pulsar_spark.sources.event_log import (
+        read_event_log,
+        write_event_log,
+    )
+    from play_with_pulsar_spark.sources.fixtures import game_event_log
+
+    log = game_event_log(spark, n_rooms=4, events_per_room=200, seed=3)
+    write_event_log(log, str(tmp_path / "pq"), mode="overwrite")
+    write_event_log(log, str(tmp_path / "orc"), mode="overwrite", format="orc")
+    a = read_event_log(spark, str(tmp_path / "pq"))
+    b = read_event_log(spark, str(tmp_path / "orc"), format="orc")
+    cols = sorted(a.columns)
+    ra = sorted((repr(tuple(r)) for r in a.select(*cols).collect()))
+    rb = sorted((repr(tuple(r)) for r in b.select(*cols).collect()))
+    assert ra == rb
+    fa = sorted(map(tuple, replay.replay_state_grouped(a).collect()))
+    fb = sorted(map(tuple, replay.replay_state_grouped(b).collect()))
+    assert fa == fb
