@@ -1351,3 +1351,68 @@ def line_dedup(
             .alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# HTML -> text extraction (round 8): the first step of every real
+# crawl pipeline (trafilatura/jusText class, reduced to the regex
+# subset Java regex and RE2 agree on so the operation stays
+# hash-checkable cross-engine).
+
+#: the entity subset decoded — the five XML predefined entities plus
+#: &nbsp;, which covers the overwhelming share of crawl HTML entities
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: decoding it earlier would double-decode
+]
+
+
+def html_extract(col: Column | str) -> Column:
+    """Visible text of an HTML fragment as one codegen expression
+    chain — no Python, rides inside the corpus scan:
+
+    1. drop <script>/<style>/<!-- --> blocks wholesale ((?is) +
+       non-greedy, supported identically by Java regex and RE2 —
+       no backreferences, which RE2 lacks);
+    2. turn block-level closers (</p>, </div>, <br>, </li>, </h_>,
+       </tr>) into spaces so words don't weld across block boundaries;
+    3. strip every remaining tag (<[^>]*>);
+    4. decode the predefined entities (&amp; LAST — the standard
+       double-decode trap);
+    5. collapse whitespace runs and trim.
+
+    This is deliberately an EXTRACTION baseline, not a boilerplate
+    classifier — main-content detection (jusText's stopword-density
+    blocks) composes downstream via the existing quality screens,
+    which is where the engine already keeps such policies."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)</?(p|div|br|li|h[1-6]|tr)[^>]*>", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", "")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def oracle_html_extract_sql(col: str) -> str:
+    """The DuckDB twin of :func:`html_extract`, generated from the
+    same steps/entity table so the two cannot drift."""
+    expr = col
+    expr = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?i)</?(p|div|br|li|h[1-6]|tr)[^>]*>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '<[^>]*>', '', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        ent_sql = ent.replace("'", "''")
+        rep_sql = rep.replace("'", "''")
+        expr = f"replace({expr}, '{ent_sql}', '{rep_sql}')"
+    expr = f"regexp_replace({expr}, '\\s+', ' ', 'g')"
+    return f"trim({expr})"
