@@ -1416,3 +1416,84 @@ def oracle_html_extract_sql(col: str) -> str:
         expr = f"replace({expr}, '{ent_sql}', '{rep_sql}')"
     expr = f"regexp_replace({expr}, '\\s+', ' ', 'g')"
     return f"trim({expr})"
+
+
+def html_main_content(
+    col: Column | str,
+    min_words: int = 5,
+    min_stopword_ratio: float = 0.1,
+) -> Column:
+    """jusText-style main-content extraction (Pomikálek 2011, reduced
+    to the engine-portable core): segment the HTML into BLOCKS at
+    block-level tag boundaries, score each block by length and
+    stopword density, keep only "good" blocks — navigation chrome,
+    link lists and footers are short and function-word-poor, body
+    prose is neither — and reassemble in document order.
+
+    One codegen expression chain (split → per-element transform with
+    the :func:`html_extract` cleanup steps → filter by word count and
+    stopword ratio → ordered join); the classification policy is the
+    simplified two-feature core of jusText's good/bad heuristic (the
+    full algorithm adds context-sensitive relabeling of short blocks
+    between good neighbors — a second pass over the block array that
+    composes here if ever needed). Complements :func:`html_extract`,
+    which extracts EVERYTHING: use extract for recall, main_content
+    for precision."""
+    c = F.col(col) if isinstance(col, str) else col
+    # comments/script/style first — a block split inside them would
+    # leak fragments into blocks
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    blocks = F.split(c, r"(?i)</?(?:p|div|br|li|h[1-6]|tr|td|ul|ol|table|section|article|nav|footer|header)[^>]*>")
+
+    def clean(b: Column) -> Column:
+        b = F.regexp_replace(b, r"<[^>]*>", "")
+        for ent, rep in _HTML_ENTITIES:
+            b = F.replace(b, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(b, r"\s+", " "))
+
+    cleaned = F.transform(blocks, clean)
+
+    def good(b: Column) -> Column:
+        t = F.split(b, r"\s+")
+        nw = F.size(t)
+        nstop = F.size(F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS)))
+        return (
+            (b != "")
+            & (nw >= F.lit(min_words))
+            & (nstop.cast("double") / nw >= F.lit(float(min_stopword_ratio)))
+        )
+
+    kept = F.filter(cleaned, good)
+    return F.array_join(kept, " ")
+
+
+def oracle_html_main_content_sql(
+    col: str, min_words: int = 5, min_stopword_ratio: float = 0.1
+) -> str:
+    """DuckDB twin of :func:`html_main_content`, generated from the
+    same steps, split pattern, entity table, and stopword list."""
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    expr = col
+    expr = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    split = (
+        f"string_split_regex({expr}, "
+        "'(?i)</?(?:p|div|br|li|h[1-6]|tr|td|ul|ol|table|section|article|nav|footer|header)[^>]*>')"
+    )
+    b = "regexp_replace(x, '<[^>]*>', '', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        b = f"replace({b}, '{ent.replace(chr(39), chr(39)*2)}', '{rep.replace(chr(39), chr(39)*2)}')"
+    b = f"trim(regexp_replace({b}, '\\s+', ' ', 'g'))"
+    cleaned = f"list_transform({split}, x -> {b})"
+    good = (
+        "x <> '' AND len(string_split_regex(x, '\\s+')) >= "
+        f"{min_words} AND CAST(len(list_filter(string_split_regex(x, '\\s+'), "
+        f"w -> lower(w) IN ({stops}))) AS DOUBLE) "
+        f"/ len(string_split_regex(x, '\\s+')) >= {min_stopword_ratio!r}"
+    )
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+    # Spark's array_join is '' — the all-blocks-dropped page
+    return f"coalesce(array_to_string(list_filter({cleaned}, x -> {good}), ' '), '')"

@@ -845,3 +845,35 @@ def test_pmi_ranks_welded_pair_above_frequent_independent(spark):
     assert the_pairs and all(sf_pmi > p for p in the_pairs)
     assert ("rare", "pair") not in by_pair
     assert [r.rn for r in sorted(got, key=lambda r: r.rn)] == list(range(1, len(got) + 1))
+
+
+def test_html_extract_and_main_content(spark):
+    """Round 8: extraction recall half + jusText-style precision half.
+    The extractor keeps everything visible (entities decoded, script
+    content with a bare '<' gone); the main-content classifier keeps
+    the stopword-dense prose block and drops every chrome block."""
+    from play_with_pulsar_spark.operators import textops
+
+    html = (
+        '<html><head><style>p {color: red}</style>'
+        '<script>var x = 1 < 2; nav("menu");</script></head>'
+        "<body><!-- comment --><div>Home | About | Login | Register</div>"
+        "<p>the quick brown fox jumps over a lazy dog in the sun and "
+        "rests on a warm stone for an hour</p>"
+        "<footer>contact privacy terms sitemap careers</footer>"
+        "&lt;tag&gt; &amp;amp; done</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    ext = df.select(textops.html_extract("html").alias("t")).collect()[0].t
+    assert "var x" not in ext and "color" not in ext and "comment" not in ext
+    assert "<tag> &amp; done" in ext  # entities decoded, &amp; exactly once
+    assert "Home | About" in ext  # extract keeps chrome (recall half)
+    main = df.select(
+        textops.html_main_content("html").alias("t")
+    ).collect()[0].t
+    assert main.startswith("the quick brown fox")
+    assert "Home" not in main and "privacy" not in main and "<tag>" not in main
+    # all-chrome page -> empty string (matches the oracle's coalesce)
+    chrome = "<div>Home | About</div><footer>contact us</footer>"
+    df2 = spark.createDataFrame([(1, chrome)], "id long, html string")
+    assert df2.select(textops.html_main_content("html").alias("t")).collect()[0].t == ""
