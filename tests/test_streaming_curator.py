@@ -1586,3 +1586,88 @@ def test_simhash_screen_via_real_stream_with_retention(spark, tmp_path):
     # doc 9 (score 9) survives the W cluster whatever the batch order;
     # doc 2 is untouched
     assert kept == {2, 9}
+
+
+# ---------------------------------------------------------------------
+# property test: the retention='best' fold vs a pure-python reference
+# over RANDOM corpora and batch splits (the fold family's hypothesis
+# discipline applied to the greedy-with-replacement rule)
+
+def _ref_retention_fold(batches, threshold=0.5):
+    """Pure-python greedy-with-replacement over exact token-set
+    Jaccard (no df cap — the test drives the curator with
+    max_shingle_freq=None and n=1 so shingles ARE tokens): per batch,
+    pairs over accepted ∪ batch; both-new → lower score loses (tie:
+    larger id); new-vs-old → tie-or-lower rejected, higher marks the
+    old for eviction, applied only when the challenger survived every
+    pair; accepted = (accepted − evicted) ∪ survivors."""
+    acc = {}  # id -> (tokens, score)
+    for batch in batches:
+        new = {i: (frozenset(t.split()), s) for i, t, s in batch}
+
+        def j(a, b):
+            u = len(a | b)
+            return len(a & b) / u if u else 0.0
+
+        rejected, ev_cand = set(), []
+        ids = sorted(new)
+        for k, i in enumerate(ids):
+            ti, si = new[i]
+            for i2 in ids[k + 1:]:
+                t2, s2 = new[i2]
+                if j(ti, t2) >= threshold:
+                    if si < s2:
+                        rejected.add(i)
+                    elif s2 < si:
+                        rejected.add(i2)
+                    else:
+                        rejected.add(max(i, i2))
+            for o, (to, so) in acc.items():
+                if j(ti, to) >= threshold:
+                    if si > so:
+                        ev_cand.append((i, o))
+                    else:
+                        rejected.add(i)
+        evicted = {o for i, o in ev_cand if i not in rejected}
+        acc = {o: v for o, v in acc.items() if o not in evicted}
+        for i in ids:
+            if i not in rejected:
+                acc[i] = new[i]
+    return set(acc)
+
+
+def test_retention_fold_matches_reference_random(spark, tmp_path):
+    """Randomized corpora (small token alphabet so near-dups are
+    common), random scores, random 2-3-batch splits: the curator's
+    distributed greedy-with-replacement equals the pure-python
+    reference on every case. n=1 shingles + no df cap make the pair
+    semantics exactly token-set Jaccard."""
+    import random
+
+    rng = random.Random(80)
+    alphabet = [f"t{i}" for i in range(8)]
+    for case in range(5):
+        docs = []
+        for i in range(rng.randint(6, 12)):
+            toks = rng.sample(alphabet, rng.randint(3, 5))
+            docs.append((i, " ".join(toks), float(rng.randint(0, 4))))
+        n_batches = rng.choice([2, 3])
+        batches = [[] for _ in range(n_batches)]
+        for d in docs:
+            batches[rng.randrange(n_batches)].append(d)
+        batches = [b for b in batches if b]
+        want = _ref_retention_fold(batches, threshold=0.5)
+        cur = StreamingCorpusCurator(
+            spark, str(tmp_path / f"case{case}"),
+            threshold=0.5, n=1, max_shingle_freq=None,
+            retention="best", score_col="score",
+        )
+        for k, rows in enumerate(batches):
+            cur.process_batch(
+                spark.createDataFrame(
+                    rows, "doc_id long, text string, score double"
+                ),
+                k,
+            )
+        got = {r.doc_id for r in cur.accepted().collect()}
+        assert got == want, (case, batches, got, want)
