@@ -234,3 +234,16 @@ def test_pq_index_crash_window_replay(spark, emb, tmp_path):
     assert pq.pq_append_index(spark, root, B, batch_id="b0")  # replay
     post = sorted(map(tuple, pq.pq_query_index(spark, root, q, k=10, nprobe=2).collect()))
     assert post == base
+
+
+def test_pq_index_query_kernel_parity(spark, emb, tmp_path):
+    """The stored-probe numpy LUT kernel returns exactly the sql
+    kernel's rows (same rounding protocol, tie-inclusive lexsorted
+    cut) — the throughput path carries the same hash."""
+    q = emb.filter(F.col("vec_id") < 5)
+    pq.pq_write_index(spark, str(tmp_path / "i"), emb, n_cells=8, m=8, k_sub=16)
+    a = sorted(map(tuple, pq.pq_query_index(
+        spark, str(tmp_path / "i"), q, k=10, nprobe=2).collect()))
+    b = sorted(map(tuple, pq.pq_query_index(
+        spark, str(tmp_path / "i"), q, k=10, nprobe=2, kernel="numpy").collect()))
+    assert a == b and len(a) == 50
