@@ -1671,3 +1671,66 @@ def test_retention_fold_matches_reference_random(spark, tmp_path):
             )
         got = {r.doc_id for r in cur.accepted().collect()}
         assert got == want, (case, batches, got, want)
+
+
+def _ref_simhash_fold(batches, radius=3):
+    """Pure-python simhash screen reference: the md5_60 vote chain
+    (the dedup_simhash_checked oracle's arithmetic) + greedy
+    first-writer-wins over hamming<=radius pairs per batch."""
+    import hashlib
+
+    def sig(text):
+        votes = [0] * 60
+        for tok in text.strip().lower().split():
+            h = int(hashlib.md5((tok + ":sh").encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 2 * ((h >> b) & 1) - 1
+        return sum(1 << b for b in range(60) if votes[b] > 0)
+
+    acc = {}
+    for batch in batches:
+        new = {i: sig(t) for i, t in batch}
+        rejected = set()
+        ids = sorted(new)
+        for k, i in enumerate(ids):
+            for i2 in ids[k + 1:]:
+                if bin(new[i] ^ new[i2]).count("1") <= radius:
+                    rejected.add(max(i, i2))
+            for o, so in acc.items():
+                if bin(new[i] ^ so).count("1") <= radius:
+                    rejected.add(i)
+        for i in ids:
+            if i not in rejected:
+                acc[i] = new[i]
+    return set(acc)
+
+
+def test_simhash_screen_matches_reference_random(spark, tmp_path):
+    """Randomized corpora with a tiny alphabet (exact and near dups
+    common), random 2-3-batch splits: the curator's simhash screen
+    (md5_60) equals the pure-python vote-chain + greedy-fold
+    reference on every case — signatures, candidate coverage and the
+    first-writer rule all pinned at once."""
+    import random
+
+    rng = random.Random(81)
+    alphabet = [f"s{i}" for i in range(6)]
+    for case in range(4):
+        docs = []
+        for i in range(rng.randint(6, 10)):
+            toks = [rng.choice(alphabet) for _ in range(rng.randint(4, 7))]
+            docs.append((i, " ".join(toks)))
+        n_batches = rng.choice([2, 3])
+        batches = [[] for _ in range(n_batches)]
+        for d in docs:
+            batches[rng.randrange(n_batches)].append(d)
+        batches = [b for b in batches if b]
+        want = _ref_simhash_fold(batches, radius=3)
+        cur = StreamingCorpusCurator(
+            spark, str(tmp_path / f"sh{case}"),
+            screen="simhash", max_hamming=3, sh_hash_fn="md5_60",
+        )
+        for k, rows in enumerate(batches):
+            cur.process_batch(_docs(spark, rows), k)
+        got = {r.doc_id for r in cur.accepted().collect()}
+        assert got == want, (case, batches, got, want)
