@@ -877,3 +877,31 @@ def test_html_extract_and_main_content(spark):
     chrome = "<div>Home | About</div><footer>contact us</footer>"
     df2 = spark.createDataFrame([(1, chrome)], "id long, html string")
     assert df2.select(textops.html_main_content("html").alias("t")).collect()[0].t == ""
+
+
+def test_url_features_edges(spark):
+    """Ports dropped from host, schemeless/empty inputs degrade to
+    empty features (never error), depth/query arity on edge shapes."""
+    from play_with_pulsar_spark.operators import urlops
+
+    rows = [
+        (1, "https://a.b.example.com:8443/x/y?p=1&q=2&r=3"),
+        (2, "http://example.org"),
+        (3, "http://10.1.2.3/admin"),
+        (4, "not a url at all"),
+        (5, "ftp://files.example.net/a/"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r for r in urlops.url_features(df).collect()}
+    assert got[1].host == "a.b.example.com"  # port stripped
+    assert got[1].registered_domain == "example.com"
+    assert got[1].tld == "com"
+    assert (got[1].path_depth, got[1].n_query_params) == (2, 3)
+    assert (got[2].path_depth, got[2].n_query_params) == (0, 0)
+    assert got[3].is_ip_host and not got[1].is_ip_host
+    assert got[4].host == "" and got[4].scheme == ""
+    assert got[5].scheme == "ftp" and got[5].path_depth == 1
+    scr = {r.id: r for r in urlops.url_screen(df, max_path_depth=1).collect()}
+    assert scr[3].reject_reason == "ip-host"
+    assert scr[1].reject_reason == "deep-path"
+    assert scr[2].keep
