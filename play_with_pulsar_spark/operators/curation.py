@@ -882,3 +882,118 @@ def curriculum_shards(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
         .select(key_col, "shard", "pos", "q")
     )
+
+
+def unimax_language_rates(
+    docs: DataFrame,
+    budget_fraction: float = 0.8,
+    max_epochs: float = 1.0,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    rate_round: int = 9,
+) -> DataFrame:
+    """UniMax language budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and more effective language sampling for
+    large-scale multilingual pretraining" — public): split a total
+    token budget across languages AS EQUALLY AS POSSIBLE, subject to
+    a per-language cap of ``max_epochs`` passes over its data —
+    low-resource languages get their full cap, the giants absorb the
+    leftover equally. This is the successor to temperature sampling
+    (``temperature_domain_rates``), which over-samples the tail
+    without an epoch bound.
+
+    The waterfilling is CLOSED-FORM over the language-sized aggregate
+    (no driver loop, no unrolled iterations): with languages sorted
+    by cap ascending, the capped set is the prefix where
+    ``cap_i < (B − cumsum_{<i}(cap)) / (L − i + 1)`` (standard
+    waterfilling lemma; property-tested against the iterative
+    reference), everyone after it shares the remainder equally. One
+    map-side-combined token-count aggregate + window arithmetic over
+    ≤L rows; rates round to ``rate_round`` before any membership
+    threshold, the engine's bit-portability protocol.
+
+    Returns (lang, n_tokens, cap, alloc, rate) with
+    ``rate = alloc / n_tokens ≤ max_epochs``. ``max_epochs ≤ 1``
+    makes the rates directly usable by ``weighted_domain_sample``;
+    larger epoch caps express repetition factors for a packing stage.
+    """
+    from .textops import token_count
+
+    cnt = docs.groupBy(lang_col).agg(
+        F.sum(token_count(text_col)).cast("double").alias("n_tokens")
+    )
+    tot = cnt.agg(
+        F.sum("n_tokens").alias("_tt"), F.count(F.lit(1)).alias("_l")
+    )
+    w = Window.orderBy(F.asc("cap"), F.asc(lang_col))
+    ranked = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn("cap", F.col("n_tokens") * F.lit(float(max_epochs)))
+        .withColumn("_b", F.col("_tt") * F.lit(float(budget_fraction)))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_cum_prev",
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "_share", (F.col("_b") - F.col("_cum_prev")) / (F.col("_l") - F.col("_i") + 1)
+        )
+        .withColumn("_capped", F.col("cap") < F.col("_share"))
+    )
+    fin = ranked.agg(
+        F.sum(F.when(F.col("_capped"), F.col("cap")).otherwise(F.lit(0.0))).alias("_csum"),
+        F.sum(F.col("_capped").cast("int")).alias("_k"),
+        F.first("_b").alias("_bb"),
+        F.first("_l").alias("_ll"),
+    ).select(
+        F.when(
+            F.col("_ll") > F.col("_k"),
+            (F.col("_bb") - F.col("_csum")) / (F.col("_ll") - F.col("_k")),
+        ).otherwise(F.lit(0.0)).alias("_final_share")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(fin))
+        .withColumn(
+            "alloc",
+            F.when(F.col("_capped"), F.col("cap")).otherwise(
+                F.least(F.col("cap"), F.col("_final_share"))
+            ),
+        )
+        .select(
+            lang_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cap"),
+            F.col("alloc"),
+            F.round(F.col("alloc") / F.col("n_tokens"), rate_round).alias("rate"),
+        )
+    )
+
+
+def unimax_language_sample(
+    docs: DataFrame,
+    budget_fraction: float = 0.8,
+    max_epochs: float = 1.0,
+    key_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """UniMax end to end (``max_epochs ≤ 1``): derive the language
+    rates, then the deterministic salted-md5 membership of
+    ``weighted_domain_sample`` — low-resource languages kept whole,
+    the giants downsampled to the equal share."""
+    if max_epochs > 1.0:
+        raise ValueError(
+            "sampling cannot repeat documents; max_epochs > 1 expresses "
+            "repetition for a packing stage — use unimax_language_rates"
+        )
+    rates = unimax_language_rates(
+        docs, budget_fraction=budget_fraction, max_epochs=max_epochs,
+        lang_col=lang_col, text_col=text_col,
+    ).select(lang_col, "rate")
+    return weighted_domain_sample(
+        docs, rates, key_col=key_col, group_col=lang_col, buckets=buckets
+    )

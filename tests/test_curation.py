@@ -762,3 +762,55 @@ def test_hdr_outlier_median_understates_within_bound(spark):
     exact_mad = resid[math.ceil(0.5 * len(resid)) - 1]
     assert hdr_mad <= exact_mad < hdr_mad * (1 + 2 ** -s) + 1
     assert r is not None
+
+
+def test_unimax_waterfilling_matches_iterative_reference(spark):
+    """The closed-form window waterfilling equals the textbook
+    iterative algorithm (Chung et al. 2023) on random language/token
+    distributions — including all-capped (budget exceeds every cap)
+    and none-capped (tiny budget) corners."""
+    import random
+
+    from play_with_pulsar_spark.operators import curation
+
+    def ref(tokens, budget_fraction, max_epochs):
+        langs = sorted(tokens)
+        caps = {l: tokens[l] * max_epochs for l in langs}
+        b = sum(tokens.values()) * budget_fraction
+        alloc = {}
+        remaining = sorted(langs, key=lambda l: (caps[l], l))
+        while remaining:
+            share = b / len(remaining)
+            capped = [l for l in remaining if caps[l] < share]
+            if not capped:
+                for l in remaining:
+                    alloc[l] = min(caps[l], share)
+                break
+            for l in capped:
+                alloc[l] = caps[l]
+                b -= caps[l]
+            remaining = [l for l in remaining if l not in capped]
+        return {l: round(alloc.get(l, 0.0) / tokens[l], 9) for l in langs}
+
+    rng = random.Random(82)
+    cases = [
+        {f"l{i}": rng.randint(50, 5000) for i in range(rng.randint(2, 7))}
+        for _ in range(4)
+    ]
+    cases.append({"a": 100, "b": 100})            # symmetric
+    cases.append({"a": 10, "b": 10000})           # extreme skew
+    for tokens in cases:
+        for bf, me in ((0.8, 1.0), (0.3, 1.0), (2.0, 2.0)):
+            rows = [
+                (i, l, " ".join(f"w{j}" for j in range(n)))
+                for i, (l, n) in enumerate(tokens.items())
+            ]
+            docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+            got = {
+                r.lang: r.rate
+                for r in curation.unimax_language_rates(
+                    docs, budget_fraction=bf, max_epochs=me
+                ).collect()
+            }
+            want = ref(tokens, bf, me)
+            assert got == want, (tokens, bf, me, got, want)
