@@ -997,3 +997,48 @@ def unimax_language_sample(
     return weighted_domain_sample(
         docs, rates, key_col=key_col, group_col=lang_col, buckets=buckets
     )
+
+
+def unimax_epoch_expand(
+    docs: DataFrame,
+    budget_fraction: float = 2.0,
+    max_epochs: float = 3.0,
+    key_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """The ``max_epochs > 1`` half of UniMax: rates above 1 are
+    REPETITION factors, not keep probabilities — each document is
+    emitted ``floor(rate)`` times plus one more with probability
+    ``frac(rate)`` (deterministic salted-md5 membership, the same
+    bucket the sampling path thresholds), so a language allotted 2.4
+    epochs contributes every doc twice and a reproducible 40% of them
+    a third time. Output rows carry ``copy`` (1-based) — the
+    repetition stream a packing stage (``pack_training_sequences``)
+    consumes. Expansion is one broadcast rate join + one
+    ``explode(sequence(...))`` riding the corpus scan — the blow-up
+    factor is the data you ASKED for, never a shuffle."""
+    rates = unimax_language_rates(
+        docs, budget_fraction=budget_fraction, max_epochs=max_epochs,
+        lang_col=lang_col, text_col=text_col,
+    ).select(lang_col, "rate")
+    bucket = _md5_bucket(key_col, buckets, salt=":mix")
+    joined = docs.join(F.broadcast(rates), lang_col, "left").withColumn(
+        "_rate", F.coalesce(F.col("rate"), F.lit(0.0))
+    )
+    n_copies = (
+        F.floor(F.col("_rate")).cast("int")
+        + (
+            bucket
+            < F.round((F.col("_rate") - F.floor(F.col("_rate"))) * buckets, 0).cast(
+                "bigint"
+            )
+        ).cast("int")
+    )
+    return (
+        joined.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("rate", "_rate", "_n")
+    )
