@@ -26,9 +26,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # (pattern, group) per feature — the single source both engines'
-# expressions are generated from
+# expressions are generated from. Extraction runs on the LOWERCASED
+# url (round 9 — r8 advice: 'HTTP://BLOCKED.COM/' used to parse as
+# schemeless with empty host/domain and sail past the blocklist);
+# the host additionally strips a userinfo prefix and a :port suffix
+# ('http://u:p@blocked.xyz:8080/' screens as blocked.xyz, not as
+# 'u' or 'u@blocked.xyz').
 _SCHEME_PAT = r"^([a-z][a-z0-9+.-]*)://"
-_HOST_PAT = r"^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+_AUTHORITY_PAT = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_USERINFO_PAT = r"^[^/?#@]*@"
+_PORT_PAT = r":[0-9]*$"
 _PATH_PAT = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
 _QUERY_PAT = r"\?([^#]*)"
 _DOMAIN_PAT = r"([^.]+\.[^.]+)$"
@@ -39,9 +46,15 @@ _IP_PAT = r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append (scheme, host, registered_domain, tld, path_depth,
     n_query_params, is_ip_host) columns — pure codegen projections."""
-    u = F.col(url_col)
+    u = F.lower(F.col(url_col))
     scheme = F.regexp_extract(u, _SCHEME_PAT, 1)
-    host = F.regexp_extract(u, _HOST_PAT, 1)
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(u, _AUTHORITY_PAT, 1), _USERINFO_PAT, ""
+        ),
+        _PORT_PAT,
+        "",
+    )
     path = F.regexp_extract(u, _PATH_PAT, 1)
     query = F.regexp_extract(u, _QUERY_PAT, 1)
     out = (
@@ -103,11 +116,16 @@ def oracle_url_features_sql(url: str) -> dict[str, str]:
     """DuckDB expressions per feature, generated from the same
     patterns (regexp_extract group semantics match Java's here — all
     patterns are anchored, single-group, backreference-free)."""
-    host = f"regexp_extract({url}, '{_HOST_PAT}', 1)"
-    path = f"regexp_extract({url}, '{_PATH_PAT}', 1)"
-    query = f"regexp_extract({url}, '{_QUERY_PAT}', 1)"
+    low = f"lower({url})"
+    host = (
+        f"regexp_replace(regexp_replace(regexp_extract({low}, "
+        f"'{_AUTHORITY_PAT}', 1), '{_USERINFO_PAT}', ''), "
+        f"'{_PORT_PAT}', '')"
+    )
+    path = f"regexp_extract({low}, '{_PATH_PAT}', 1)"
+    query = f"regexp_extract({low}, '{_QUERY_PAT}', 1)"
     return {
-        "scheme": f"regexp_extract({url}, '{_SCHEME_PAT}', 1)",
+        "scheme": f"regexp_extract({low}, '{_SCHEME_PAT}', 1)",
         "host": host,
         "registered_domain": f"regexp_extract({host}, '{_DOMAIN_PAT}', 1)",
         "tld": f"regexp_extract({host}, '{_TLD_PAT}', 1)",

@@ -905,3 +905,58 @@ def test_url_features_edges(spark):
     assert scr[3].reject_reason == "ip-host"
     assert scr[1].reject_reason == "deep-path"
     assert scr[2].keep
+
+
+def test_url_screen_case_and_userinfo_bypass(spark):
+    """r8 advice: trivially-cased or userinfo-carrying URLs used to
+    bypass the blocklist (uppercase parsed as schemeless; userinfo
+    polluted the host). Both now screen on the canonical host — and
+    the DuckDB twin agrees expression for expression."""
+    import duckdb
+
+    from play_with_pulsar_spark.operators import urlops
+
+    rows = [
+        (1, "HTTP://BLOCKED.COM/"),
+        (2, "http://u@blocked.xyz/"),
+        (3, "https://u:p@evil.example.com:8080/a/b"),
+        (4, "HTTPS://Sub.Blocked.COM:443/x?A=1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r for r in urlops.url_features(df).collect()}
+    assert got[1].scheme == "http" and got[1].host == "blocked.com"
+    assert got[2].host == "blocked.xyz" and got[2].tld == "xyz"
+    assert got[3].host == "evil.example.com"  # userinfo AND port gone
+    assert got[4].registered_domain == "blocked.com"
+    scr = {
+        r.id: r
+        for r in urlops.url_screen(
+            df, blocked_domains=("blocked.com",), blocked_tlds=("xyz",)
+        ).collect()
+    }
+    assert scr[1].reject_reason == "blocked-domain"
+    assert scr[2].reject_reason == "blocked-tld"
+    assert scr[4].reject_reason == "blocked-domain"
+    assert scr[3].keep
+    # cross-engine parity of every generated expression on these shapes
+    exprs = urlops.oracle_url_screen_sql(
+        "url", blocked_domains=("blocked.com",), blocked_tlds=("xyz",)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{u}')" for i, u in rows)
+        + ") t(id, url)"
+    )
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in exprs.items())
+    ora = {
+        r[0]: dict(zip([c[0] for c in con.description][1:], r[1:]))
+        for r in con.execute(f"SELECT id, {sel} FROM u ORDER BY id").fetchall()
+    }
+    for i, _ in rows:
+        for col in ("scheme", "host", "registered_domain", "tld",
+                    "path_depth", "n_query_params"):
+            assert ora[i][col] == got[i][col], (i, col, ora[i][col])
+        assert ora[i]["reject_reason"] == scr[i]["reject_reason"], (
+            i, ora[i]["reject_reason"],
+        )
