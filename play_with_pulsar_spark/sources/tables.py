@@ -43,13 +43,24 @@ def _table_schema(spark: SparkSession, path: str, key: tuple[str, str]) -> Struc
     try:
         import os
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
         if os.path.isfile(path):
-            schema = from_arrow_schema(
-                pq.read_schema(path), prefer_timestamp_ntz=True
-            )
+            arrow = pq.read_schema(path)
+            # timestamp[ns] fields read as LONG under the engine's
+            # nanosAsLong contract (Spark has no ns timestamp type),
+            # but from_arrow_schema maps them to TimestampNTZ — which
+            # would silently skip load_table's div-1000 conversion
+            # (round 9 — r8 advice). Pin them to int64 so the footer
+            # schema matches what the native read produces.
+            for i, fld in enumerate(arrow):
+                if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns":
+                    arrow = arrow.set(
+                        i, pa.field(fld.name, pa.int64(), fld.nullable)
+                    )
+            schema = from_arrow_schema(arrow, prefer_timestamp_ntz=True)
     except Exception:
         schema = None
     if schema is None:  # directory dataset / unconvertible footer

@@ -388,3 +388,49 @@ def test_registry_builds_are_lazy(spark, sf_dir):
             "make it lazy or add it to EAGER_BUILD_ALLOWLIST with a "
             "documented bounded-collect contract"
         )
+
+
+def test_footer_schema_matches_native_inference(spark):
+    """The docstring promise in sources/tables.py, made real (round 9
+    — r8 advice): for EVERY driver table the arrow-footer-derived read
+    schema equals Spark's own inference, including the nanosAsLong
+    contract for declared ns columns."""
+    from play_with_pulsar_spark.schema import DRIVER_TABLES
+    from play_with_pulsar_spark.sources import tables as T
+
+    sf = "/root/testdata/sf0.001"
+    for name in DRIVER_TABLES:
+        path = f"{sf}/{name}.parquet"
+        if name in T.NANO_TS_COLS:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        native = spark.read.parquet(path).schema
+        footer = T._table_schema(spark, path, ("schema-eq-test", name))
+        assert footer == native, (name, footer, native)
+
+
+def test_footer_schema_ns_timestamp_reads_as_long(spark, tmp_path):
+    """A real timestamp[ns] parquet column: from_arrow_schema alone
+    would map it to TimestampNTZ (silently skipping load_table's
+    div-1000 conversion); the footer path pins it to long, matching
+    the nanosAsLong native read bit for bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType
+
+    from play_with_pulsar_spark.sources import tables as T
+
+    p = str(tmp_path / "ns.parquet")
+    ns_vals = [1700000000123456789, 1700000001987654321]
+    pq.write_table(
+        pa.table({"ts": pa.array(ns_vals, type=pa.timestamp("ns")),
+                  "v": [1, 2]}),
+        p,
+    )
+    footer = T._table_schema(spark, p, ("schema-ns-test", p))
+    assert footer["ts"].dataType == LongType(), footer
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    native = spark.read.parquet(p).schema
+    assert footer == native
+    got = [r.ts for r in
+           spark.read.schema(footer).parquet(p).orderBy("v").collect()]
+    assert got == ns_vals
