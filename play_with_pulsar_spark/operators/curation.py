@@ -919,8 +919,13 @@ def unimax_language_rates(
     """
     from .textops import token_count
 
+    # all-NULL-text languages sum to NULL — pin them to 0 tokens so
+    # the waterfilling arithmetic stays well-defined (cap 0, alloc 0)
+    # and the rate guard below emits 0.0 instead of NULL (r8 advice)
     cnt = docs.groupBy(lang_col).agg(
-        F.sum(token_count(text_col)).cast("double").alias("n_tokens")
+        F.coalesce(F.sum(token_count(text_col)), F.lit(0))
+        .cast("double")
+        .alias("n_tokens")
     )
     tot = cnt.agg(
         F.sum("n_tokens").alias("_tt"), F.count(F.lit(1)).alias("_l")
@@ -967,7 +972,18 @@ def unimax_language_rates(
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("cap"),
             F.col("alloc"),
-            F.round(F.col("alloc") / F.col("n_tokens"), rate_round).alias("rate"),
+            # a zero-token language would divide 0/0 = NULL here, and
+            # the two consumers coalesced NULL oppositely (sample kept
+            # every doc via default_rate, epoch_expand dropped them
+            # all) — r8 advice: emit rate 0.0 so both agree (no tokens
+            # ⇒ no budget share ⇒ drop)
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("alloc") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                rate_round,
+            ).alias("rate"),
         )
     )
 

@@ -814,3 +814,40 @@ def test_unimax_waterfilling_matches_iterative_reference(spark):
             }
             want = ref(tokens, bf, me)
             assert got == want, (tokens, bf, me, got, want)
+
+
+def test_unimax_zero_token_language_consistent(spark):
+    """r8 advice: a language whose every doc has zero tokens (NULL
+    texts — the tokenizer yields NULL, the sum NULL) used to
+    get rate = NULL, which the two consumers coalesced
+    OPPOSITELY (sample kept every doc, epoch_expand dropped them all).
+    The rate is now 0.0 — both consumers drop the degenerate
+    language and keep the real ones."""
+    from play_with_pulsar_spark.operators import curation
+
+    rows = [
+        (1, "en", " ".join(f"w{j}" for j in range(40))),
+        (2, "en", " ".join(f"v{j}" for j in range(40))),
+        (3, "zz", None),
+        (4, "zz", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    rates = {
+        r.lang: r.rate
+        for r in curation.unimax_language_rates(docs).collect()
+    }
+    assert rates["zz"] == 0.0 and rates["zz"] is not None
+    assert rates["en"] is not None and rates["en"] > 0
+    kept_sample = {
+        r.doc_id
+        for r in curation.unimax_language_sample(
+            docs, budget_fraction=2.0
+        ).collect()
+    }
+    kept_expand = {
+        r.doc_id
+        for r in curation.unimax_epoch_expand(
+            docs, budget_fraction=2.0, max_epochs=1.0
+        ).collect()
+    }
+    assert kept_sample == kept_expand == {1, 2}
