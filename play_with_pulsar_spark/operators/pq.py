@@ -733,14 +733,21 @@ def pq_append_index(
     late append over a quantizer swap by re-encoding it). Same
     ``batch_id`` exactly-once protocol and SINGLE-WRITER contract as
     ``similarity.ivf_append_index``; returns False when ``batch_id``
-    is already committed."""
+    is already committed. Without ``batch_id`` a content-derived id
+    replaces the old mode('append') ``_legacy`` dir (round 9 — r8
+    advice: a crashed/retried anonymous append duplicated every
+    vector, and the duplicates took multiple row_number ranks in
+    ``pq_query_index``, displacing genuine neighbors); pre-existing
+    ``_legacy`` dirs are still read."""
     import os
 
     from .clustering import kmeans_assign
-    from .similarity import _ivf_flip_manifest, _ivf_manifest
+    from .similarity import _content_batch_id, _ivf_flip_manifest, _ivf_manifest
 
     vdir = _pq_resolve(path)
-    if batch_id is not None and batch_id in _ivf_manifest(vdir):
+    if batch_id is None:
+        batch_id = _content_batch_id(batch, id_col)
+    if batch_id in _ivf_manifest(vdir):
         return False
     cents, books, meta = _pq_load(spark, vdir)
     codes = pq_encode(
@@ -755,18 +762,10 @@ def pq_append_index(
         .join(codes, id_col)
         .join(cells, id_col)
     )
-    if batch_id is None:
-        rows.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(vdir, "batches", "_legacy")
-        )
-        ids = _ivf_manifest(vdir)
-        if "_legacy" not in ids:
-            _ivf_flip_manifest(vdir, ids + ["_legacy"])
-    else:
-        rows.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(vdir, "batches", batch_id)
-        )
-        _ivf_flip_manifest(vdir, _ivf_manifest(vdir) + [batch_id])
+    rows.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(vdir, "batches", batch_id)
+    )
+    _ivf_flip_manifest(vdir, _ivf_manifest(vdir) + [batch_id])
     return True
 
 

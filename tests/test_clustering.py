@@ -385,3 +385,23 @@ def test_ivf_rebalance_carries_over_mid_rebalance_append(
         sum(r.n for r in similarity.ivf_cell_stats(spark, path).collect())
         == v.count()
     )
+
+
+def test_ivf_append_without_batch_id_is_idempotent(spark, sf_dir, tmp_path):
+    """Same r8-advice fix on the IVF-Flat side: an anonymous append
+    derives a content id, so a crash-retry cannot duplicate vectors
+    (the old path appended straight into cells/)."""
+    from play_with_pulsar_spark.operators import similarity
+
+    v = _clustered(spark, sf_dir)
+    corpus = v.filter(F.col("vec_id") >= 100)
+    batch = v.filter(F.col("vec_id") < 100)
+    p = str(tmp_path / "ivf_anon")
+    similarity.ivf_build_index(corpus, p, n_cells=8,
+                               cents=similarity.ivf_fit_centroids(corpus, n_cells=8, seed=42))
+    assert similarity.ivf_append_index(spark, p, batch)
+    assert not similarity.ivf_append_index(spark, p, batch)
+    from play_with_pulsar_spark.operators.similarity import _ivf_data, _ivf_resolve
+
+    data = _ivf_data(spark, _ivf_resolve(p))
+    assert data.count() == data.select("vec_id").distinct().count()

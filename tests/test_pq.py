@@ -247,3 +247,31 @@ def test_pq_index_query_kernel_parity(spark, emb, tmp_path):
     b = sorted(map(tuple, pq.pq_query_index(
         spark, str(tmp_path / "i"), q, k=10, nprobe=2, kernel="numpy").collect()))
     assert a == b and len(a) == 50
+
+
+def test_pq_append_without_batch_id_is_idempotent(spark, emb, tmp_path):
+    """r8 advice: batch_id=None used to mode('append') into a shared
+    _legacy dir — a retried append duplicated every vector and the
+    duplicates took extra row_number ranks in pq_query_index. The
+    content-derived id makes the retry a committed no-op and the
+    probe results identical to a single append."""
+    A = emb.filter(F.col("vec_id") % 4 != 0)
+    B = emb.filter(F.col("vec_id") % 4 == 0)
+    q = emb.filter(F.col("vec_id") < 5)
+    root = str(tmp_path / "anon")
+    pq.pq_write_index(spark, root, A, n_cells=8, m=8, k_sub=16)
+    assert pq.pq_append_index(spark, root, B)
+    # the retry (crash-replay of the same anonymous batch) is a no-op
+    assert not pq.pq_append_index(spark, root, B)
+    ref_root = str(tmp_path / "named")
+    pq.pq_write_index(spark, ref_root, A, n_cells=8, m=8, k_sub=16)
+    pq.pq_append_index(spark, ref_root, B, batch_id="b0")
+    x1 = sorted(map(tuple, pq.pq_query_index(spark, root, q, k=10, nprobe=2).collect()))
+    x2 = sorted(map(tuple, pq.pq_query_index(spark, ref_root, q, k=10, nprobe=2).collect()))
+    assert x1 == x2 and len(x1) == 50
+    # no duplicate (vec_id) rows anywhere in the stored codes
+    from play_with_pulsar_spark.operators.pq import _pq_codes
+    from play_with_pulsar_spark.operators.similarity import _ivf_resolve
+
+    codes = _pq_codes(spark, _ivf_resolve(root))
+    assert codes.count() == codes.select("vec_id").distinct().count()
