@@ -142,12 +142,12 @@ class StreamingCorpusCurator:
         perplexity_max_xent: float = 5.0,
         length_band: tuple[float, float] | None = None,
         length_band_min_docs: int = 50,
-        retention: str = "first",
+        retention: str | None = None,
         score_col: str | None = None,
         vec_format: str | None = None,
-        max_hamming: int = 3,
+        max_hamming: int | None = None,
         sh_blocks: int | None = None,
-        sh_hash_fn: str = "xxhash64",
+        sh_hash_fn: str | None = None,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -307,12 +307,26 @@ class StreamingCorpusCurator:
         stored with the accepted rows so later batches can compare
         against incumbents without re-scoring). Reference anchor: the
         compacted-topic keep-one-per-key retention (pulsar.go:160-167)
-        with the kept value chosen by score instead of arrival."""
+        with the kept value chosen by score instead of arrival.
+
+        ``retention``/``score_col``/``sh_hash_fn``/``max_hamming``/
+        ``sh_blocks`` FREEZE like geometry and ``vec_format`` (round 9
+        — r8 advice, medium): the resolved values are persisted into
+        ``geometry.json`` at construction (and into the compaction
+        manifest, which wins at attach), the ``None`` defaults INHERIT
+        the frozen record on re-attach, and an explicit conflicting
+        arg raises. Before the freeze, re-attaching a
+        ``retention='best'`` state dir with the old default
+        ``retention='first'`` silently skipped the tombstone anti-join
+        on every read (evicted docs resurfaced) and the next
+        ``compact()`` folded evicted rows back in PERMANENTLY; a
+        ``sh_hash_fn`` change mid-state would stop stored simhash
+        signatures from colliding with new ones."""
         if screen not in ("jaccard", "minhash", "embedding", "simhash"):
             raise ValueError(f"unknown screen {screen!r}")
         if screen == "embedding" and emb_dim is None:
             raise ValueError("screen='embedding' requires emb_dim")
-        if retention not in ("first", "best"):
+        if retention is not None and retention not in ("first", "best"):
             raise ValueError(f"unknown retention {retention!r}")
         if vec_format is not None:
             if vec_format not in ("int8", "float64"):
@@ -320,8 +334,6 @@ class StreamingCorpusCurator:
             if screen != "embedding":
                 raise ValueError("vec_format applies to screen='embedding'")
         self.vec_format: str | None = None  # resolved in the embedding branch
-        if retention == "best" and score_col is None:
-            raise ValueError("retention='best' requires score_col")
         self.spark = spark
         self.base_dir = base_dir
         self.accepted_dir = os.path.join(base_dir, "accepted")
@@ -335,10 +347,80 @@ class StreamingCorpusCurator:
         self.tomb_dir = os.path.join(base_dir, "tombstones")
         self.shsig_dir = os.path.join(base_dir, "shsig")
         self.compacted_dir = os.path.join(base_dir, "compacted")
-        self.retention, self.score_col = retention, score_col
+        self.screen = screen
+        # --- frozen policy record (round 9 — r8 advice): retention,
+        # score_col and the simhash signature params resolve
+        # manifest-first, then sidecar, then the constructor args
+        # (which then freeze via _write_geometry_sidecar below) ---
+        _man = self._manifest()
+        _sidecar: dict = {}
+        _geo_path = os.path.join(base_dir, "geometry.json")
+        if os.path.exists(_geo_path):
+            try:
+                with open(_geo_path) as f:
+                    _sidecar = json.load(f)
+            except json.JSONDecodeError:
+                _sidecar = {}
+
+        def _frozen(key):
+            if _man is not None and key in _man:
+                return _man[key]
+            return _sidecar.get(key)
+
+        def _resolve(key, explicit, default):
+            froz = _frozen(key)
+            if froz is not None:
+                if explicit is not None and explicit != froz:
+                    raise ValueError(
+                        f"curator at {base_dir} has frozen {key}={froz!r} "
+                        f"but was re-attached with explicit {key}="
+                        f"{explicit!r}; stored state was written under the "
+                        f"frozen value — delete the state to change it"
+                    )
+                return froz
+            return default if explicit is None else explicit
+
+        self.retention: str = _resolve("retention", retention, "first")
+        self.score_col: str | None = _resolve("score_col", score_col, None)
+        if self.retention == "best" and self.score_col is None:
+            raise ValueError("retention='best' requires score_col")
+        # legacy guard: a pre-round-9 dir carries no retention record,
+        # but committed tombstone batches are themselves proof of
+        # retention='best' history — attaching it as 'first' would
+        # resurface every evicted doc and the next compact() would
+        # fold them back permanently
+        if (
+            _frozen("retention") is None
+            and self.retention == "first"
+            and os.path.isdir(self.tomb_dir)
+            and self._committed_batch_dirs(self.tomb_dir)
+        ):
+            raise ValueError(
+                f"curator at {base_dir} has committed tombstone batches "
+                "(retention='best' history) but no frozen retention "
+                "record; re-attach with retention='best' and the original "
+                "score_col to freeze them"
+            )
+        if screen == "simhash":
+            self.sh_hash_fn: str = _resolve("sh_hash_fn", sh_hash_fn, "xxhash64")
+            self.max_hamming: int = int(
+                _resolve("max_hamming", max_hamming, 3)
+            )
+            self.sh_blocks: int = int(
+                _resolve(
+                    "sh_blocks",
+                    sh_blocks,
+                    4 if self.max_hamming <= 3 else 8,
+                )
+            )
+        else:
+            self.sh_hash_fn = sh_hash_fn or "xxhash64"
+            self.max_hamming = 3 if max_hamming is None else max_hamming
+            self.sh_blocks = sh_blocks if sh_blocks is not None else (
+                4 if self.max_hamming <= 3 else 8
+            )
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
-        self.screen = screen
         self.num_hashes, self.num_bands, self.seed = num_hashes, num_bands, seed
         self.vec_col, self.emb_dim = vec_col, emb_dim
         self.num_planes, self.num_tables = num_planes, num_tables
@@ -429,13 +511,11 @@ class StreamingCorpusCurator:
         self.hdr_schema = "idx long, cnt long"
         self.tomb_schema = f"doc_id {id_type}"
         self.shsig_schema = f"doc_id {id_type}, simhash long"
-        self.max_hamming, self.sh_hash_fn = max_hamming, sh_hash_fn
-        # 4 blocks (the quarter scheme) carry radius <= 3; higher radii
-        # switch to 8x8-bit blocks with 2-block combination keys
-        # (Manku multi-rotation — see dedup.simhash_rotation_keys)
-        self.sh_blocks = sh_blocks if sh_blocks is not None else (
-            4 if max_hamming <= 3 else 8
-        )
+        # sh_hash_fn / max_hamming / sh_blocks resolved (and, for the
+        # simhash screen, frozen) in the policy block above; 4 blocks
+        # (the quarter scheme) carry radius <= 3, higher radii switch
+        # to 8x8-bit blocks with 2-block combination keys (Manku
+        # multi-rotation — see dedup.simhash_rotation_keys)
         self.compact_after = compact_after
         self.n_buckets = n_buckets
         self.quality_model_path = quality_model_path
@@ -458,6 +538,10 @@ class StreamingCorpusCurator:
         self.catalog_prefix = catalog_prefix or (
             "pwp_curator_" + hashlib.md5(base_dir.encode()).hexdigest()[:8]
         )
+        # freeze the resolved policy (all screens — the embedding
+        # branch above already wrote it together with the geometry;
+        # idempotent when the sidecar is current)
+        self._write_geometry_sidecar()
 
     # ------------------------------------------------------------------
     # compacted-tier manifest
@@ -488,18 +572,36 @@ class StreamingCorpusCurator:
         man = self._manifest()
         return man["covered_upto"] if man else -1
 
+    def _policy_record(self) -> dict:
+        """The frozen-policy keys (round 9 — r8 advice): written into
+        the sidecar at construction and into every compaction/rollover
+        manifest, resolved manifest-first at attach like geometry."""
+        rec: dict = {"retention": self.retention}
+        if self.score_col is not None:
+            rec["score_col"] = self.score_col
+        if self.screen == "simhash":
+            rec["sh_hash_fn"] = self.sh_hash_fn
+            rec["max_hamming"] = self.max_hamming
+            rec["sh_blocks"] = self.sh_blocks
+        return rec
+
     def _write_geometry_sidecar(self) -> None:
-        """Freeze the CURRENT (num_planes, num_tables) into
+        """Freeze the CURRENT (num_planes, num_tables) — and, round 9,
+        the policy record (retention/score_col/simhash params) — into
         ``geometry.json`` (atomic replace; skipped when already
         identical). Called on first derive, on attach (healing a
         sidecar a crashed rollover left stale — the manifest's record
         wins at attach), and after a rollover flip."""
         geo_path = os.path.join(self.base_dir, "geometry.json")
-        want = {
-            "num_planes": self.num_planes,
-            "num_tables": self.num_tables,
-            "vec_format": self.vec_format or "float64",
-        }
+        want = dict(self._policy_record())
+        if self.screen == "embedding":
+            want.update(
+                {
+                    "num_planes": self.num_planes,
+                    "num_tables": self.num_tables,
+                    "vec_format": self.vec_format or "float64",
+                }
+            )
         try:
             with open(geo_path) as f:
                 if json.load(f) == want:
@@ -1842,6 +1944,7 @@ class StreamingCorpusCurator:
             "n_buckets": self.n_buckets,
             "accepted_path": acc_path,
             "banded": None,
+            **self._policy_record(),
         }
         if self.screen == "embedding":
             # geometry travels IN the manifest (round 7): the sig
@@ -2195,6 +2298,7 @@ class StreamingCorpusCurator:
             "n_buckets": self.n_buckets,
             "accepted_path": acc_path,
             "banded": None,
+            **self._policy_record(),
             "geometry": {"num_planes": new_p, "num_tables": new_t},
             "vec_format": self.vec_format or "float64",
             "vec": {
@@ -2313,6 +2417,7 @@ class StreamingCorpusCurator:
             "n_buckets": self.n_buckets,
             "accepted_path": acc_path,
             "banded": None,
+            **self._policy_record(),
             "geometry": {
                 "num_planes": self.num_planes,
                 "num_tables": self.num_tables,

@@ -570,7 +570,7 @@ def test_embedding_curator_auto_geometry_frozen(spark, tmp_path):
     want = lsh_auto_geometry(100_000, threshold=0.95)
     assert (cur.num_planes, cur.num_tables) == want
     with open(os.path.join(path, "geometry.json")) as f:
-        assert json.load(f) == {"num_planes": want[0], "num_tables": want[1], "vec_format": "int8"}
+        assert json.load(f) == {"num_planes": want[0], "num_tables": want[1], "vec_format": "int8", "retention": "first"}
 
     cur.process_batch(_vecs(spark, [(1, _deg(0)), (2, _deg(90))]), 0)
     before = sorted(r["doc_id"] for r in cur.accepted().collect())
@@ -605,7 +605,7 @@ def test_embedding_curator_explicit_geometry_frozen_and_conflict(spark, tmp_path
     )
     assert (cur.num_planes, cur.num_tables) == (6, 10)
     with open(os.path.join(path, "geometry.json")) as f:
-        assert json.load(f) == {"num_planes": 6, "num_tables": 10, "vec_format": "int8"}
+        assert json.load(f) == {"num_planes": 6, "num_tables": 10, "vec_format": "int8", "retention": "first"}
 
     cur.process_batch(_vecs(spark, [(1, _deg(0)), (2, _deg(90))]), 0)
     before = sorted(r["doc_id"] for r in cur.accepted().collect())
@@ -630,7 +630,7 @@ def test_embedding_curator_explicit_geometry_frozen_and_conflict(spark, tmp_path
     path2 = str(tmp_path / "default")
     StreamingCorpusCurator(spark, path2, screen="embedding", emb_dim=2)
     with open(os.path.join(path2, "geometry.json")) as f:
-        assert json.load(f) == {"num_planes": 8, "num_tables": 8, "vec_format": "int8"}
+        assert json.load(f) == {"num_planes": 8, "num_tables": 8, "vec_format": "int8", "retention": "first"}
 
 
 def test_curator_quality_screen_gates_dedup(spark, tmp_path):
@@ -1734,3 +1734,116 @@ def test_simhash_screen_matches_reference_random(spark, tmp_path):
             cur.process_batch(_docs(spark, rows), k)
         got = {r.doc_id for r in cur.accepted().collect()}
         assert got == want, (case, batches, got, want)
+
+
+# frozen policy record (round 9 — r8 advice, medium): retention /
+# score_col / simhash params persist like geometry and vec_format
+
+
+def test_retention_policy_frozen_in_sidecar_and_manifest(spark, tmp_path):
+    """The failure mode the freeze closes: a retention='best' state dir
+    re-attached with the old default retention='first' silently skipped
+    the tombstone anti-join (evicted docs resurfaced in accepted() and
+    the indexes) and the next compact() omitted covered_tombs, folding
+    evicted rows back in PERMANENTLY. Now the default inherits the
+    frozen policy, conflicts raise, and the manifest carries the record
+    through compaction."""
+    import json
+    import os
+
+    import pytest
+
+    path = tmp_path / "c"
+    cur = _rcur(spark, path)
+    cur.process_batch(_rdocs(spark, [(10, _DUP, 1.0), (11, _UNIQ, 5.0)]), 0)
+    cur.process_batch(_rdocs(spark, [(7, _DUP, 2.0)]), 1)  # evicts 10
+    with open(os.path.join(str(path), "geometry.json")) as f:
+        rec = json.load(f)
+    assert rec["retention"] == "best" and rec["score_col"] == "score"
+    # default re-attach INHERITS the frozen policy — the old silent
+    # downgrade to first-wins is structurally impossible now
+    cur2 = StreamingCorpusCurator(
+        spark, str(path), threshold=0.8, max_shingle_freq=50
+    )
+    assert cur2.retention == "best" and cur2.score_col == "score"
+    assert {r.doc_id for r in cur2.accepted().collect()} == {7, 11}
+    # compaction under the inherited policy applies the tombstones
+    # physically AND records the policy in the manifest
+    assert cur2.compact()
+    assert {r.doc_id for r in cur2.accepted().collect()} == {7, 11}
+    with open(cur2._manifest_path) as f:
+        man = json.load(f)
+    assert man["retention"] == "best" and man["score_col"] == "score"
+    # manifest-first: a stale/deleted sidecar still resolves 'best'
+    os.remove(os.path.join(str(path), "geometry.json"))
+    cur3 = StreamingCorpusCurator(
+        spark, str(path), threshold=0.8, max_shingle_freq=50
+    )
+    assert cur3.retention == "best" and cur3.score_col == "score"
+    # explicit conflicts raise instead of silently changing policy
+    with pytest.raises(ValueError, match="frozen retention"):
+        StreamingCorpusCurator(spark, str(path), retention="first")
+    with pytest.raises(ValueError, match="frozen score_col"):
+        StreamingCorpusCurator(
+            spark, str(path), retention="best", score_col="other"
+        )
+
+
+def test_retention_legacy_dir_with_tombstones_refuses_first(spark, tmp_path):
+    """A pre-round-9 'best' dir carries no frozen record, but committed
+    tombstone batches are proof of retention='best' history — a 'first'
+    attach (default or explicit) refuses instead of resurfacing every
+    evicted doc."""
+    import os
+
+    import pytest
+
+    path = tmp_path / "legacy"
+    cur = _rcur(spark, path)
+    cur.process_batch(_rdocs(spark, [(10, _DUP, 1.0)]), 0)
+    cur.process_batch(_rdocs(spark, [(7, _DUP, 2.0)]), 1)  # evicts 10
+    os.remove(os.path.join(str(path), "geometry.json"))  # legacy state
+    with pytest.raises(ValueError, match="tombstone"):
+        StreamingCorpusCurator(spark, str(path))
+    # the documented recovery: re-attach with the original policy,
+    # which re-freezes it
+    cur2 = StreamingCorpusCurator(
+        spark, str(path), retention="best", score_col="score",
+        threshold=0.8, max_shingle_freq=50,
+    )
+    assert {r.doc_id for r in cur2.accepted().collect()} == {7}
+    assert os.path.exists(os.path.join(str(path), "geometry.json"))
+
+
+def test_simhash_params_frozen(spark, tmp_path):
+    """sh_hash_fn is state-compat-critical (stored signatures were
+    computed under it); max_hamming/sh_blocks are decision params —
+    all three freeze at first construction and conflicting re-attach
+    raises; defaults inherit."""
+    import json
+    import os
+
+    import pytest
+
+    path = tmp_path / "s"
+    cur = _shcur(spark, path, sh_hash_fn="md5_60", max_hamming=6)
+    assert cur.sh_blocks == 8
+    cur.process_batch(_docs(spark, [(1, _w(1))]), 0)
+    with open(os.path.join(str(path), "geometry.json")) as f:
+        rec = json.load(f)
+    assert rec["sh_hash_fn"] == "md5_60"
+    assert rec["max_hamming"] == 6 and rec["sh_blocks"] == 8
+    # default re-attach inherits all three (no helper: _shcur would
+    # pass an explicit-but-equal max_hamming=3 and mask the conflict)
+    cur2 = StreamingCorpusCurator(spark, str(path), screen="simhash")
+    assert (cur2.sh_hash_fn, cur2.max_hamming, cur2.sh_blocks) == (
+        "md5_60", 6, 8,
+    )
+    with pytest.raises(ValueError, match="frozen sh_hash_fn"):
+        StreamingCorpusCurator(
+            spark, str(path), screen="simhash", sh_hash_fn="xxhash64"
+        )
+    with pytest.raises(ValueError, match="frozen max_hamming"):
+        StreamingCorpusCurator(
+            spark, str(path), screen="simhash", max_hamming=3
+        )
