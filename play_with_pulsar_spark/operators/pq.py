@@ -245,6 +245,106 @@ def _book_literal(book: Centroids) -> F.Column:
     )
 
 
+def pq_decode_expr(codes_col: F.Column, books: Codebooks) -> F.Column:
+    """v̂ — the PQ reconstruction of a codes column under LITERAL
+    codebooks: per subspace, the coded centroid, concatenated back to
+    the full dimension. Pure per-row codegen (array lookups), no
+    shuffle, no Python — the read-side decode of a PQ-compressed
+    state tier."""
+    return F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    _book_literal(books[j]),
+                    F.element_at(codes_col, j + 1) + F.lit(1),
+                )
+                for j in range(len(books))
+            ]
+        )
+    )
+
+
+def with_pq_codes(
+    df: DataFrame,
+    books: Codebooks,
+    vec_col: str,
+    pc: str = "_pc",
+    vhat: str = "_vhat",
+    dist_round: int = 6,
+) -> DataFrame:
+    """Append PQ code columns AND the decoded vector to ``df`` — the
+    PQ sibling of ``similarity.with_int8_codes`` (round 9, the
+    curator's third vec-state rung: float64 → int8 (~6×) → PQ codes
+    (m small ints per vector)).
+
+    - ``pc``: the per-subspace rounded-argmin codes (the ``sql``
+      strategy of :func:`pq_encode`, appended in place — no join);
+      NULL for zero vectors, which have no meaningful nearest
+      centroid;
+    - ``vhat``: the decoded reconstruction — all-zero for zero
+      vectors, so the zero-norm guards of every cosine path exclude
+      them exactly as they exclude a zero v.
+
+    Everything downstream of the compressed store (signatures, cosine
+    verify, rollover re-signing) must derive from ``vhat``: PQ is the
+    single approximation boundary, and a state row stays
+    byte-reproducible from itself (decode of the stored codes IS the
+    canonical vector)."""
+    m = len(books)
+    d_sub = len(books[0][0][1])
+    em = F.col(vec_col).cast("array<double>")
+    code_cols = [
+        nearest_centroid(_subvec(em, j, d_sub), books[j], dist_round)
+        .getField("cl")
+        .cast("int")
+        for j in range(m)
+    ]
+    nrm = F.aggregate(
+        F.transform(em, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    out = df.withColumn(pc, F.when(nrm > 0, F.array(*code_cols)))
+    return out.withColumn(
+        vhat,
+        F.when(
+            F.col(pc).isNotNull(), pq_decode_expr(F.col(pc), books)
+        ).otherwise(F.array_repeat(F.lit(0.0), m * d_sub)),
+    )
+
+
+def decoded_vecs(codes: DataFrame, books: Codebooks, pc: str = "pc") -> DataFrame:
+    """(vec_id, v, nv) view of a PQ-compressed vec state table — the
+    read-side inverse of :func:`with_pq_codes` (NULL codes decode to
+    the zero vector, matching its zero-vector convention). Pure
+    per-row codegen; verify kernels downstream are unchanged."""
+    m = len(books)
+    d_sub = len(books[0][0][1])
+    v = F.when(
+        F.col(pc).isNotNull(), pq_decode_expr(F.col(pc), books)
+    ).otherwise(F.array_repeat(F.lit(0.0), m * d_sub))
+    out = codes.withColumn("v", v).drop(pc)
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return out.withColumn("nv", nv)
+
+
+def books_to_jsonable(books: Codebooks) -> list:
+    """JSON-portable form of PQ codebooks (m × k_sub × d_sub floats —
+    model-sized by contract, like the k-means centroids)."""
+    return [
+        [[int(cl), [float(x) for x in cv]] for cl, cv in book]
+        for book in books
+    ]
+
+
+def books_from_jsonable(data: list) -> Codebooks:
+    return [[(int(cl), [float(x) for x in cv]) for cl, cv in book] for book in data]
+
+
 def pq_adc_topk(
     codes: DataFrame,
     books: Codebooks,

@@ -145,6 +145,8 @@ class StreamingCorpusCurator:
         retention: str | None = None,
         score_col: str | None = None,
         vec_format: str | None = None,
+        pq_m: int | None = None,
+        pq_ksub: int | None = None,
         max_hamming: int | None = None,
         sh_blocks: int | None = None,
         sh_hash_fn: str | None = None,
@@ -329,11 +331,12 @@ class StreamingCorpusCurator:
         if retention is not None and retention not in ("first", "best"):
             raise ValueError(f"unknown retention {retention!r}")
         if vec_format is not None:
-            if vec_format not in ("int8", "float64"):
+            if vec_format not in ("int8", "float64", "pq"):
                 raise ValueError(f"unknown vec_format {vec_format!r}")
             if screen != "embedding":
                 raise ValueError("vec_format applies to screen='embedding'")
         self.vec_format: str | None = None  # resolved in the embedding branch
+        self._pq_books = None  # pq codebooks, loaded/fit lazily
         self.spark = spark
         self.base_dir = base_dir
         self.accepted_dir = os.path.join(base_dir, "accepted")
@@ -463,6 +466,32 @@ class StreamingCorpusCurator:
                 self.vec_format = frozen_fmt
             else:
                 self.vec_format = vec_format or "int8"
+            # PQ geometry (round 9): m/k_sub freeze like the LSH
+            # geometry — stored codes were encoded under them, and the
+            # codebooks artifact (pq_books.json) is their model half
+            def _pq_frozen(key):
+                if man is not None and key in man:
+                    return man[key]
+                if sidecar is not None:
+                    return sidecar.get(key)
+                return None
+
+            for attr, explicit, dflt in (
+                ("pq_m", pq_m, 8),
+                ("pq_ksub", pq_ksub, 16),
+            ):
+                froz = _pq_frozen(attr)
+                if froz is not None:
+                    if explicit is not None and int(explicit) != int(froz):
+                        raise ValueError(
+                            f"curator at {base_dir} has frozen {attr}="
+                            f"{froz} but was re-attached with explicit "
+                            f"{attr}={explicit}; stored PQ codes were "
+                            "encoded under the frozen value"
+                        )
+                    setattr(self, attr, int(froz))
+                else:
+                    setattr(self, attr, int(dflt if explicit is None else explicit))
             if frozen is not None:
                 # explicit constructor args that CONFLICT with the
                 # frozen geometry are the docstring's failure mode —
@@ -500,11 +529,10 @@ class StreamingCorpusCurator:
         self.banded_schema = f"doc_id {id_type}, band int, bucket long"
         # int8 (default for fresh round-8 state dirs): 1 byte/dim codes
         # + one double scale — ~4x smaller vec state, the curator's
-        # dominant storage term at 100 TB. float64 = pre-round-8 dirs.
-        if self.vec_format == "int8":
-            self.vec_schema = f"vec_id {id_type}, qc array<tinyint>, qs double"
-        else:
-            self.vec_schema = f"vec_id {id_type}, v array<double>, nv double"
+        # dominant storage term at 100 TB. pq (round 9): m small codes
+        # per VECTOR (~32x vs float64 at 64 dims / m=8) + a bounded
+        # codebooks artifact. float64 = pre-round-8 dirs.
+        self.vec_schema = self._vec_schema_for(self.vec_format, id_type)
         self.sig_schema = f"vec_id {id_type}, tbl int, bucket long"
         self.df_schema = "g long, df long"
         self.hll_schema = "bucket long, mreg int"
@@ -572,6 +600,87 @@ class StreamingCorpusCurator:
         man = self._manifest()
         return man["covered_upto"] if man else -1
 
+    @staticmethod
+    def _vec_schema_for(fmt: str | None, id_type: str) -> str:
+        if fmt == "int8":
+            return f"vec_id {id_type}, qc array<tinyint>, qs double"
+        if fmt == "pq":
+            return f"vec_id {id_type}, pc array<int>"
+        return f"vec_id {id_type}, v array<double>, nv double"
+
+    def _vec_format_record(self) -> dict:
+        """The vec-format keys every manifest/sidecar carries for an
+        embedding screen — PQ adds its geometry (m, k_sub) because
+        stored codes were encoded under it."""
+        rec = {"vec_format": self.vec_format or "float64"}
+        if self.vec_format == "pq":
+            rec["pq_m"] = self.pq_m
+            rec["pq_ksub"] = self.pq_ksub
+        return rec
+
+    # ------------------------------------------------------------------
+    # PQ codebooks artifact (vec_format='pq', round 9)
+
+    @property
+    def _pq_books_path(self) -> str:
+        return os.path.join(self.base_dir, "pq_books.json")
+
+    def _require_pq_books(self):
+        """Codebooks for decoding STORED pq state — when state exists
+        the artifact must too (it is the model half of every stored
+        code); a missing file with live codes is corruption, not a
+        fit-me signal."""
+        if self._pq_books is not None:
+            return self._pq_books
+        from ..operators.pq import books_from_jsonable
+
+        try:
+            with open(self._pq_books_path) as f:
+                self._pq_books = books_from_jsonable(json.load(f))
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"curator at {self.base_dir} has vec_format='pq' state "
+                "but no pq_books.json — stored codes are undecodable "
+                "without their codebooks; restore the artifact"
+            ) from None
+        return self._pq_books
+
+    def _ensure_pq_books(self, batch: DataFrame) -> None:
+        """Load the frozen codebooks, or — on the very first batch of
+        a fresh pq state dir — FIT them on that batch (iters=1, the
+        FAISS train-on-a-sample story: the first micro-batch is the
+        sample) and freeze them atomically. Deterministic fit ⇒ a
+        replay of batch 0 after a crash that lost the artifact refits
+        the identical books; once any vec batch is committed the
+        artifact is required (see ``_require_pq_books``)."""
+        if self._pq_books is not None:
+            return
+        if os.path.exists(self._pq_books_path):
+            self._require_pq_books()
+            return
+        has_state = bool(self._committed_batch_dirs(self.vec_dir)) or (
+            (self._manifest() or {}).get("vec") is not None
+        )
+        if has_state:
+            self._require_pq_books()  # raises: state without books
+            return
+        from ..operators.pq import books_to_jsonable, pq_fit
+
+        books = pq_fit(
+            batch,
+            m=self.pq_m,
+            k_sub=self.pq_ksub,
+            iters=1,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self._pq_books_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(books_to_jsonable(books), f)
+        os.replace(tmp, self._pq_books_path)
+        self._pq_books = books
+
     def _policy_record(self) -> dict:
         """The frozen-policy keys (round 9 — r8 advice): written into
         the sidecar at construction and into every compaction/rollover
@@ -599,7 +708,7 @@ class StreamingCorpusCurator:
                 {
                     "num_planes": self.num_planes,
                     "num_tables": self.num_tables,
-                    "vec_format": self.vec_format or "float64",
+                    **self._vec_format_record(),
                 }
             )
         try:
@@ -922,6 +1031,10 @@ class StreamingCorpusCurator:
             from ..operators.similarity import dequantized_vecs
 
             return dequantized_vecs(full)
+        if self.vec_format == "pq":
+            from ..operators.pq import decoded_vecs
+
+            return decoded_vecs(full, self._require_pq_books())
         return full
 
     def _index_sig(self, exclude_batch: int | None = None) -> DataFrame:
@@ -1627,6 +1740,18 @@ class StreamingCorpusCurator:
                 vhat="_vhat",
             )
             screen_col = "_vhat"
+        elif self.vec_format == "pq":
+            # same single-approximation-boundary discipline at the PQ
+            # rung (round 9): codebooks frozen on first use, codes +
+            # decoded v̂ derived in-scan, everything downstream (screen
+            # cosines, signatures, stored state) from v̂
+            from ..operators.pq import with_pq_codes
+
+            self._ensure_pq_books(batch)
+            batch = with_pq_codes(
+                batch, self._pq_books, self.vec_col, pc="_pc", vhat="_vhat"
+            )
+            screen_col = "_vhat"
         docs = batch.persist()  # screened once, written once
         pairs = incremental_embedding_pairs(
             self._index_vec(exclude_batch=batch_id),
@@ -1655,21 +1780,27 @@ class StreamingCorpusCurator:
             rejected.withColumnRenamed("doc_id", self.id_col), self.id_col, "anti"
         ).persist()
         if not acc_done:
-            keep.drop("_qc", "_qs", "_vhat").write.mode("overwrite").parquet(
-                self._batch_dir(self.accepted_dir, batch_id)
-            )
+            keep.drop("_qc", "_qs", "_pc", "_vhat").write.mode(
+                "overwrite"
+            ).parquet(self._batch_dir(self.accepted_dir, batch_id))
         if evicted is not None and not tomb_done:
             evicted.write.mode("overwrite").parquet(
                 self._batch_dir(self.tomb_dir, batch_id)
             )
-        if self.vec_format == "int8":
+        if self.vec_format in ("int8", "pq"):
             from ..operators.similarity import hyperplane_signatures_multi
 
-            keep_vecs = keep.select(
-                F.col(self.id_col).alias("vec_id"),
-                F.col("_qc").cast("array<tinyint>").alias("qc"),
-                F.col("_qs").alias("qs"),
-            )
+            if self.vec_format == "int8":
+                keep_vecs = keep.select(
+                    F.col(self.id_col).alias("vec_id"),
+                    F.col("_qc").cast("array<tinyint>").alias("qc"),
+                    F.col("_qs").alias("qs"),
+                )
+            else:
+                keep_vecs = keep.select(
+                    F.col(self.id_col).alias("vec_id"),
+                    F.col("_pc").alias("pc"),
+                )
             keep_sigs = hyperplane_signatures_multi(
                 keep,
                 dim=self.emb_dim,
@@ -1955,7 +2086,7 @@ class StreamingCorpusCurator:
                 "num_planes": self.num_planes,
                 "num_tables": self.num_tables,
             }
-            manifest["vec_format"] = self.vec_format or "float64"
+            manifest.update(self._vec_format_record())
             from ..operators.dedup import write_embedding_index
 
             def _full(kind, base, schema):
@@ -2276,6 +2407,10 @@ class StreamingCorpusCurator:
             from ..operators.similarity import dequantized_vecs
 
             sign_src = dequantized_vecs(vecs)
+        elif self.vec_format == "pq":
+            from ..operators.pq import decoded_vecs
+
+            sign_src = decoded_vecs(vecs, self._require_pq_books())
         sigs_new = hyperplane_signatures_multi(
             sign_src,
             dim=self.emb_dim,
@@ -2300,7 +2435,7 @@ class StreamingCorpusCurator:
             "banded": None,
             **self._policy_record(),
             "geometry": {"num_planes": new_p, "num_tables": new_t},
-            "vec_format": self.vec_format or "float64",
+            **self._vec_format_record(),
             "vec": {
                 "table": f"{pfx}_vec",
                 "path": os.path.join(vdir, "idx_vec"),
@@ -2344,22 +2479,44 @@ class StreamingCorpusCurator:
            argument verbatim).
 
         float64 → int8 cuts vec-state bytes ~4× (measured row in
-        ROADMAP); int8 → float64 is refused — the precision is gone.
-        Returns False when the state already has ``new_format``."""
+        ROADMAP); round 9 adds the PQ rung — float64/int8 → pq stores
+        m small codes per vector (books fit on the canonical corpus at
+        migration, frozen into ``pq_books.json`` before the manifest
+        flip — a crash between the two refits identical books from the
+        same compacted state). Migrations DOWN the precision ladder
+        only: int8 → float64 and pq → anything are refused — the
+        precision is gone. Returns False when the state already has
+        ``new_format``."""
         if self.screen != "embedding":
             raise ValueError("migrate_vec_format applies to screen='embedding'")
-        if new_format not in ("int8",):
+        if new_format not in ("int8", "pq"):
             raise ValueError(
-                f"cannot migrate to {new_format!r}: float64 precision "
-                "is unrecoverable from int8 codes"
+                f"cannot migrate to {new_format!r}: discarded precision "
+                "is unrecoverable from stored codes"
             )
-        if (self.vec_format or "float64") == new_format:
+        cur_fmt = self.vec_format or "float64"
+        if cur_fmt == new_format:
+            return False
+        if cur_fmt == "pq":
+            raise ValueError(
+                "cannot migrate away from vec_format='pq': only the "
+                "codes survive — the reconstruction is the canonical "
+                "vector already"
+            )
+        if cur_fmt == "int8" and new_format == "int8":
             return False
         from ..operators.dedup import write_embedding_index
         from ..operators.similarity import (
+            dequantized_vecs,
             hyperplane_signatures_multi,
             with_int8_codes,
         )
+
+        if cur_fmt == "int8" and new_format != "pq":
+            raise ValueError(
+                "int8 state can only migrate to 'pq' (further down the "
+                "precision ladder)"
+            )
 
         self.compact()
         man = self._manifest()
@@ -2376,7 +2533,8 @@ class StreamingCorpusCurator:
             # nothing stored yet: re-freezing the sidecar IS the cutover
             id_type = self.vec_schema.split(",")[0].split()[1]
             self.vec_format = new_format
-            self.vec_schema = f"vec_id {id_type}, qc array<tinyint>, qs double"
+            self.vec_schema = self._vec_schema_for(new_format, id_type)
+            self._pq_books = None  # pq target: fit on the first batch
             self._write_geometry_sidecar()
             return True
 
@@ -2388,13 +2546,43 @@ class StreamingCorpusCurator:
         self.spark.read.parquet(man["accepted_path"]).write.mode(
             "overwrite"
         ).parquet(acc_path)
-        old_vecs = self._compacted_state("vec")  # (vec_id, v, nv)
-        q = with_int8_codes(old_vecs, "v", self.emb_dim)
-        new_vecs = q.select(
-            "vec_id",
-            F.col("qc").cast("array<tinyint>").alias("qc"),
-            F.col("qs"),
-        )
+        old_vecs = self._compacted_state("vec")  # current vec_schema cols
+        if cur_fmt == "int8":
+            # the canonical corpus an int8 state represents is v̂
+            old_vecs = dequantized_vecs(old_vecs)
+        if new_format == "pq":
+            from ..operators.pq import (
+                books_to_jsonable,
+                pq_fit,
+                with_pq_codes,
+            )
+
+            books = pq_fit(
+                old_vecs,
+                m=self.pq_m,
+                k_sub=self.pq_ksub,
+                iters=1,
+                id_col="vec_id",
+                vec_col="v",
+            )
+            # freeze the books BEFORE the manifest flip: a crash in
+            # between refits identical books from the same compacted
+            # state (deterministic fit), and an attach still resolves
+            # the old manifest's vec_format until the flip lands
+            tmpb = self._pq_books_path + ".tmp"
+            with open(tmpb, "w") as f:
+                json.dump(books_to_jsonable(books), f)
+            os.replace(tmpb, self._pq_books_path)
+            self._pq_books = books
+            q = with_pq_codes(old_vecs, books, "v", pc="_pc", vhat="_vhat")
+            new_vecs = q.select("vec_id", F.col("_pc").alias("pc"))
+        else:
+            q = with_int8_codes(old_vecs, "v", self.emb_dim)
+            new_vecs = q.select(
+                "vec_id",
+                F.col("qc").cast("array<tinyint>").alias("qc"),
+                F.col("qs"),
+            )
         sigs_new = hyperplane_signatures_multi(
             q.select("vec_id", F.col("_vhat").alias("v")),
             dim=self.emb_dim,
@@ -2423,6 +2611,11 @@ class StreamingCorpusCurator:
                 "num_tables": self.num_tables,
             },
             "vec_format": new_format,
+            **(
+                {"pq_m": self.pq_m, "pq_ksub": self.pq_ksub}
+                if new_format == "pq"
+                else {}
+            ),
             "vec": {
                 "table": f"{pfx}_vec",
                 "path": os.path.join(vdir, "idx_vec"),
@@ -2442,7 +2635,7 @@ class StreamingCorpusCurator:
         os.replace(tmp, self._manifest_path)
         self.vec_format = new_format
         id_type = self.vec_schema.split(",")[0].split()[1]
-        self.vec_schema = f"vec_id {id_type}, qc array<tinyint>, qs double"
+        self.vec_schema = self._vec_schema_for(new_format, id_type)
         self._write_geometry_sidecar()
         self._cleanup_covered(man["covered_upto"])
         self._drop_old_versions(version)
@@ -2534,6 +2727,10 @@ class StreamingCorpusCurator:
                 from ..operators.similarity import dequantized_vecs
 
                 vecs = dequantized_vecs(vecs)
+            elif self.vec_format == "pq":
+                from ..operators.pq import decoded_vecs
+
+                vecs = decoded_vecs(vecs, self._require_pq_books())
             sigs = self._read_committed(self.sig_dir, self.sig_schema, lo=upto)
             comp_s = self._compacted_state("sig")
             if comp_s is not None:

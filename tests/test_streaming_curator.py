@@ -1847,3 +1847,152 @@ def test_simhash_params_frozen(spark, tmp_path):
         StreamingCorpusCurator(
             spark, str(path), screen="simhash", max_hamming=3
         )
+
+
+# vec_format='pq' (round 9): the third vec-state rung — m PQ codes per
+# vector, codebooks frozen on first use, everything derived from the
+# decoded v̂ (pipeline_embedding_curation_pq is the exact hash gate)
+
+
+def test_vec_format_pq_state_and_freeze(spark, tmp_path):
+    """PQ state decides like float64 at wide margins, stores only
+    (vec_id, pc array<int>) + a books artifact, freezes pq geometry,
+    inherits on re-attach, replays idempotently, and refuses to read
+    codes without their codebooks."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    a = StreamingCorpusCurator(
+        spark, str(tmp_path / "a"), vec_format="pq", pq_m=2, pq_ksub=8, **_EKW
+    )
+    b = StreamingCorpusCurator(
+        spark, str(tmp_path / "b"), vec_format="float64", **_EKW
+    )
+    assert a.vec_format == "pq" and (a.pq_m, a.pq_ksub) == (2, 8)
+    # batch 0 carries the codebook's training diversity (the FAISS
+    # train-on-a-sample contract): 4 clusters, 2 members each, so the
+    # 8-entry books can reconstruct every cluster it will ever screen.
+    # A tiny codebook degrades PQ dedup to cluster-level dedup — that
+    # is the fidelity/memory dial, not a bug (the fixture-scale oracle
+    # runs 16 entries over 8 subspaces and is fine-grained).
+    b0 = _cvecs(spark, [1, 2], 0, 1)
+    for cl, ids in ((1, [3, 4]), (2, [5, 6]), (3, [7, 8])):
+        b0 = b0.unionByName(_cvecs(spark, ids, cl, 1))
+    batches = [
+        b0,
+        _cvecs(spark, [10], 0, 2).unionByName(_cvecs(spark, [12], 2, 2)),
+    ]
+    for k, bt in enumerate(batches):
+        a.process_batch(bt, k)
+        b.process_batch(bt, k)
+    aa = sorted(r.vec_id for r in a.accepted().collect())
+    assert aa == sorted(r.vec_id for r in b.accepted().collect()) == [1, 3, 5, 7]
+    sch = spark.read.parquet(str(tmp_path / "a" / "vec")).schema.simpleString()
+    assert "pc:array<int>" in sch and "qc" not in sch and ",v:" not in sch
+    assert os.path.exists(os.path.join(str(tmp_path / "a"), "pq_books.json"))
+    with open(os.path.join(str(tmp_path / "a"), "geometry.json")) as f:
+        rec = json.load(f)
+    assert rec["vec_format"] == "pq" and (rec["pq_m"], rec["pq_ksub"]) == (2, 8)
+    # default re-attach inherits format + pq geometry + books
+    a2 = StreamingCorpusCurator(spark, str(tmp_path / "a"), **_EKW)
+    assert a2.vec_format == "pq" and (a2.pq_m, a2.pq_ksub) == (2, 8)
+    assert sorted(r.vec_id for r in a2.accepted().collect()) == aa
+    with pytest.raises(ValueError, match="frozen pq_m"):
+        StreamingCorpusCurator(
+            spark, str(tmp_path / "a"), vec_format="pq", pq_m=8, **_EKW
+        )
+    # replay idempotence on the pq tier
+    os.remove(os.path.join(str(tmp_path / "a"), "vec", "ingest_batch=1", "_SUCCESS"))
+    a2.process_batch(batches[1], 1)
+    assert sorted(r.vec_id for r in a2.accepted().collect()) == aa
+    # stored codes without their books artifact are undecodable: the
+    # screen refuses loudly instead of re-fitting different books
+    shutil.copytree(str(tmp_path / "a"), str(tmp_path / "c"))
+    os.remove(os.path.join(str(tmp_path / "c"), "pq_books.json"))
+    c = StreamingCorpusCurator(spark, str(tmp_path / "c"), **_EKW)
+    with pytest.raises(RuntimeError, match="pq_books"):
+        c.process_batch(_cvecs(spark, [30], 3, 3), 2)
+
+
+def test_migrate_vec_format_to_pq(spark, tmp_path):
+    """int8 → pq migration: versioned cutover with books fit on the
+    canonical v̂ corpus and frozen BEFORE the manifest flip, signatures
+    re-derived from the decoded state, decisions continue, and pq →
+    anything is refused (the precision ladder is one-way)."""
+    import os
+
+    import pytest
+
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "m"), pq_m=4, pq_ksub=4, **_EKW
+    )  # int8 default
+    cur.process_batch(_cvecs(spark, [1, 2], 0).unionByName(_cvecs(spark, [3], 1)), 0)
+    cur.process_batch(_cvecs(spark, [10], 2), 1)
+    before = {r.vec_id for r in cur.accepted().collect()}
+    assert cur.migrate_vec_format("pq") is True
+    assert cur.vec_format == "pq"
+    man = cur._manifest()
+    assert man["vec_format"] == "pq" and (man["pq_m"], man["pq_ksub"]) == (4, 4)
+    sch = spark.read.parquet(man["vec"]["path"]).schema.simpleString()
+    assert "pc:array<int>" in sch
+    assert os.path.exists(os.path.join(str(tmp_path / "m"), "pq_books.json"))
+    # re-signed state == signing the decoded state from scratch
+    from play_with_pulsar_spark.operators.pq import decoded_vecs
+    from play_with_pulsar_spark.operators.similarity import (
+        hyperplane_signatures_multi,
+    )
+
+    fresh = hyperplane_signatures_multi(
+        decoded_vecs(cur._compacted_state("vec"), cur._require_pq_books()),
+        dim=8, num_planes=cur.num_planes, num_tables=cur.num_tables,
+        seed=cur.seed, id_col="vec_id", vec_col="v",
+    )
+    assert sorted(map(tuple, cur._index_sig().collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    # decisions continue across the cutover: dup of an accepted
+    # cluster rejected; a NOVEL COMBINATION of known subspace patterns
+    # (c0's spike in subspace 0 + c2's in subspace 1 — exactly the
+    # product structure PQ represents: cos vs either pure cluster
+    # ≈ 1/√2 < 0.9) accepted
+    combo = spark.createDataFrame(
+        [(21, [1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cur.process_batch(_cvecs(spark, [20], 0).unionByName(combo), 2)
+    assert {r.vec_id for r in cur.accepted().collect()} == before | {21}
+    # format survives re-attach; the ladder is one-way from pq
+    cur2 = StreamingCorpusCurator(spark, str(tmp_path / "m"), **_EKW)
+    assert cur2.vec_format == "pq"
+    assert cur2.migrate_vec_format("pq") is False
+    with pytest.raises(ValueError, match="migrate away"):
+        cur2.migrate_vec_format("int8")
+
+
+def test_pq_rollover_geometry_resigns_from_decoded(spark, tmp_path):
+    """A geometry rollover on pq state re-signs from the DECODED v̂
+    (the canonical vector a pq store represents) and decisions
+    continue across the cutover."""
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "r"), vec_format="pq", pq_m=4, pq_ksub=4,
+        **_EKW,
+    )
+    cur.process_batch(
+        _cvecs(spark, [1, 2], 0)
+        .unionByName(_cvecs(spark, [3], 1))
+        .unionByName(_cvecs(spark, [4], 2)),
+        0,
+    )
+    cur.process_batch(_cvecs(spark, [10], 2), 1)
+    before = {r.vec_id for r in cur.accepted().collect()}
+    assert cur.rollover_geometry(num_planes=6, num_tables=12) is True
+    assert (cur.num_planes, cur.num_tables) == (6, 12)
+    combo = spark.createDataFrame(
+        [(21, [1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cur.process_batch(_cvecs(spark, [20], 0).unionByName(combo), 2)
+    assert {r.vec_id for r in cur.accepted().collect()} == before | {21}
