@@ -136,6 +136,10 @@ class StreamingCorpusCurator:
         expected_corpus: int | None = None,
         quality_model_path: str | None = None,
         quality_threshold: float = 0.5,
+        url_col: str | None = None,
+        url_blocked_domains: tuple[str, ...] = (),
+        url_blocked_tlds: tuple[str, ...] = ("xyz", "click", "top"),
+        url_max_path_depth: int = 8,
         contamination_bloom_path: str | None = None,
         contamination_max_fraction: float = 0.1,
         perplexity_lm_path: str | None = None,
@@ -548,6 +552,10 @@ class StreamingCorpusCurator:
         self.n_buckets = n_buckets
         self.quality_model_path = quality_model_path
         self.quality_threshold = quality_threshold
+        self.url_col = url_col
+        self.url_blocked_domains = tuple(url_blocked_domains)
+        self.url_blocked_tlds = tuple(url_blocked_tlds)
+        self.url_max_path_depth = url_max_path_depth
         self.perplexity_lm_path = perplexity_lm_path
         self.perplexity_max_xent = perplexity_max_xent
         self._perplexity_lm: tuple | None = None
@@ -1151,6 +1159,31 @@ class StreamingCorpusCurator:
         tc = token_count(self.text_col).cast("long")
         return docs.filter((tc >= F.lit(lo)) & (tc <= F.lit(hi)))
 
+    def _apply_url_screen(self, docs: DataFrame) -> DataFrame:
+        """URL blocklist pre-screen (``url_col``, round 9): the
+        crawl-METADATA filter every web pipeline runs before reading
+        a byte of content (CCNet/RefinedWeb discard by domain
+        reputation, TLD class, IP-literal hosts, crawler-trap path
+        shapes). FIRST in the screen order — it is a pure codegen
+        projection over one string column, the cheapest screen there
+        is, and everything downstream (including tokenization) only
+        sees docs whose provenance survived. Rejected docs are never
+        indexed, so they never block a later near-dup — the same
+        never-indexed contract as every pre-screen. Text screens
+        only."""
+        if self.url_col is None:
+            return docs
+        from ..operators.urlops import url_screen
+
+        scr = url_screen(
+            docs,
+            url_col=self.url_col,
+            blocked_domains=self.url_blocked_domains,
+            blocked_tlds=self.url_blocked_tlds,
+            max_path_depth=self.url_max_path_depth,
+        )
+        return scr.filter(F.col("keep")).select(*docs.columns)
+
     def _apply_quality_screen(self, docs: DataFrame) -> DataFrame:
         """Learned-quality pre-screen (``quality_model_path``): keep
         only docs the classifier scores ≥ ``quality_threshold``. The
@@ -1400,7 +1433,9 @@ class StreamingCorpusCurator:
         screened = self._apply_contamination_screen(
             self._apply_perplexity_screen(
                 self._apply_quality_screen(
-                    self._apply_length_screen(batch, batch_id)
+                    self._apply_length_screen(
+                        self._apply_url_screen(batch), batch_id
+                    )
                 )
             )
         )
@@ -1620,7 +1655,9 @@ class StreamingCorpusCurator:
         screened = self._apply_contamination_screen(
             self._apply_perplexity_screen(
                 self._apply_quality_screen(
-                    self._apply_length_screen(batch, batch_id)
+                    self._apply_length_screen(
+                        self._apply_url_screen(batch), batch_id
+                    )
                 )
             )
         )

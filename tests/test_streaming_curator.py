@@ -1996,3 +1996,35 @@ def test_pq_rollover_geometry_resigns_from_decoded(spark, tmp_path):
     )
     cur.process_batch(_cvecs(spark, [20], 0).unionByName(combo), 2)
     assert {r.vec_id for r in cur.accepted().collect()} == before | {21}
+
+
+def test_url_screen_rejects_and_never_indexes(spark, tmp_path):
+    """URL pre-screen (round 9): blocked provenance is rejected FIRST
+    (before tokenization), rejected docs are never indexed — so a
+    URL-rejected near-dup cannot block a later clean twin — and kept
+    docs still dedup normally."""
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "u"),
+        threshold=0.8, max_shingle_freq=50,
+        url_col="url", url_blocked_domains=("blocked.com",),
+    )
+
+    def d(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, url string")
+
+    t = " ".join(f"w{i}" for i in range(12))
+    cur.process_batch(d([
+        (1, t, "https://u:p@BLOCKED.com/x"),      # blocked (case+userinfo too)
+        (2, _w(2), "http://ok.example.org/a"),
+        (3, _w(3), "http://10.1.2.3/x"),          # ip-host
+        (4, _w(4), "http://spam.example.xyz/"),   # blocked tld (default list)
+        (5, _w(5), "http://ok.example.net" + "/s" * 9),  # deep path
+    ]), 0)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2}
+    assert {r.doc_id for r in cur._index().collect()} == {2}
+    # doc 1's text never entered the index: its clean twin is accepted
+    cur.process_batch(d([(10, t, "https://ok.example.com/y")]), 1)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2, 10}
+    # and kept docs still dedup: a near-dup of 10 with clean URL rejected
+    cur.process_batch(d([(11, t, "https://ok2.example.com/z")]), 2)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2, 10}
