@@ -1058,3 +1058,110 @@ def unimax_epoch_expand(
         .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n"))))
         .drop("rate", "_rate", "_n")
     )
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    iters: int = 3,
+    eta: float = 1.0,
+    smoothing: float = 0.2,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining" — public),
+    Algorithm 1 run as a STATIC analysis pass over the corpus: the
+    training-mixture weights are multiplicative-weight updates driven
+    by per-domain EXCESS LOSS — domains where the weak model still
+    has headroom against the reference get upweighted.
+
+    The paper's proxy/reference pair is two trained transformers; the
+    engine's self-contained analog uses its two corpus-fit LMs —
+    proxy ℓ_p = unigram cross-entropy (the weak model) and reference
+    ℓ_r = interpolated-bigram cross-entropy (the stronger one) — so
+    excess(d) = avg_d(max(ℓ_p − ℓ_r, 0)) measures each domain's
+    learnable contextual structure. Docs without a bigram score
+    (<2 tokens) are excluded from the domain average (no loss is
+    defined for them under either model).
+
+    The multiplicative-weights fold is exactly the paper's update,
+    iterated ``iters`` times from uniform:
+
+        g_d   = round(w_d · exp(η · λ_d), 6)
+        w_d'  = round((1−c) · g_d / Σ g + c / L, 9)
+
+    with smoothing ``c`` mixing back toward uniform each step (the
+    smoothing is what makes the iteration a genuine fold rather than
+    one closed-form softmax). Everything is the engine's portability
+    protocol: λ rounded to 6 via exact decimal averages, gains
+    rounded before the exact decimal normalizer, weights rounded to
+    9 — so the whole optimization unrolls into a DuckDB oracle
+    (``mix_doremi_weights``).
+
+    Scale shape: two LM scoring passes over the corpus (each the
+    single-tokenization-scan plan of its scorer), ONE domain-sized
+    aggregate, then ``iters`` iterations over ≤L rows with 1-row
+    broadcast normalizers — the fold costs nothing at any corpus
+    size. Returns (``domain_col``, excess, weight); feed the weights
+    to ``weighted_domain_sample`` as rates ∝ weight/share to realize
+    the mixture."""
+    from ..oracle import dsum
+    from .textops import bigram_logprob, unigram_logprob
+
+    if not 0.0 <= smoothing < 1.0:
+        raise ValueError(f"smoothing must be in [0, 1), got {smoothing}")
+    uni = unigram_logprob(docs, text_col=text_col, id_col=id_col).select(
+        "doc_id", "mean_logprob"
+    )
+    bi = bigram_logprob(docs, text_col=text_col, id_col=id_col).select(
+        "doc_id", "xent"
+    ).filter(F.col("xent").isNotNull())
+    perdoc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(domain_col).alias("_dom")
+        )
+        .join(uni, "doc_id")
+        .join(bi, "doc_id")
+        .select(
+            "_dom",
+            F.round(
+                F.greatest(
+                    (-F.col("mean_logprob")) - F.col("xent"), F.lit(0.0)
+                ),
+                6,
+            ).alias("_ex"),
+        )
+    )
+    lam = perdoc.groupBy("_dom").agg(
+        F.round(dsum("_ex") / F.count(F.lit(1)), 6).alias("excess")
+    )
+    nl = lam.agg(F.count(F.lit(1)).alias("_l"))
+    cur = lam.crossJoin(F.broadcast(nl)).withColumn(
+        "weight", F.round(F.lit(1.0) / F.col("_l"), 9)
+    )
+    c = float(smoothing)
+    for _ in range(iters):
+        g = cur.withColumn(
+            "_g",
+            F.round(
+                F.col("weight") * F.exp(F.lit(float(eta)) * F.col("excess")),
+                6,
+            ),
+        )
+        tot = g.agg(dsum("_g").alias("_tg"))
+        cur = (
+            g.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "weight",
+                F.round(
+                    F.lit(1.0 - c) * F.col("_g") / F.col("_tg")
+                    + F.lit(c) / F.col("_l"),
+                    9,
+                ),
+            )
+            .drop("_g", "_tg")
+        )
+    return cur.select(
+        F.col("_dom").alias(domain_col), F.col("excess"), F.col("weight")
+    )

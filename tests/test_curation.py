@@ -851,3 +851,62 @@ def test_unimax_zero_token_language_consistent(spark):
         ).collect()
     }
     assert kept_sample == kept_expand == {1, 2}
+
+
+def test_doremi_weights_match_reference_and_laws(spark):
+    """doremi_domain_weights == a pure-python reimplementation of
+    Algorithm 1 over the same per-domain excess losses, plus the
+    structural laws: weights sum to ~1, every weight ≥ the smoothing
+    floor c/L, higher excess ⇒ higher weight, and η=0 stays uniform."""
+    from play_with_pulsar_spark.operators import curation
+
+    rows = []
+    did = 0
+    # structured domain: repeated bigram patterns (low bigram xent,
+    # high unigram xent -> high excess); flat domain: every token
+    # unique (bigram model cannot help -> low excess)
+    for i in range(12):
+        rows.append((did, "rich", "the cat sat on the mat " * 4)); did += 1
+    for i in range(12):
+        rows.append((did, "flat", " ".join(f"u{did}x{j}" for j in range(24)))); did += 1
+    for i in range(12):
+        rows.append((did, "mid", "alpha beta " * 6 + f"tail{did}")); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: (r.excess, r.weight)
+        for r in curation.doremi_domain_weights(
+            docs, iters=3, eta=1.0, smoothing=0.2
+        ).collect()
+    }
+    # pure-python MW fold over the measured excesses
+    import math
+
+    lam = {d: ex for d, (ex, _) in got.items()}
+    L = len(lam)
+    w = {d: round(1.0 / L, 9) for d in lam}
+    for _ in range(3):
+        g = {d: round(w[d] * math.exp(1.0 * lam[d]), 6) for d in lam}
+        tg = sum(g.values())  # exact: all rounded to 6dp
+        w = {d: round(0.8 * g[d] / tg + 0.2 / L, 9) for d in lam}
+    assert {d: wt for d, (_, wt) in got.items()} == w
+    # laws
+    ws = {d: wt for d, (_, wt) in got.items()}
+    assert abs(sum(ws.values()) - 1.0) < 1e-6
+    assert all(wt >= 0.2 / L - 1e-9 for wt in ws.values())
+    # non-degenerate excesses, and weight is strictly monotone in
+    # excess (the MW update's defining property). Note the direction
+    # on corpus-fit LMs: the all-unique "flat" domain gets the HIGHEST
+    # excess — its bigram reference memorizes singleton transitions
+    # (xent ≈ ln 2) while its unigram proxy pays full -ln(1/N) per
+    # token — so the headroom signal upweights it.
+    assert len({ex for ex, _ in got.values()}) == 3
+    order = sorted(got, key=lambda d: got[d][0])
+    assert [got[d][1] for d in order] == sorted(ws.values())
+    assert got["flat"][0] > got["rich"][0]
+    uni = {
+        r.source: r.weight
+        for r in curation.doremi_domain_weights(
+            docs, iters=3, eta=0.0, smoothing=0.2
+        ).collect()
+    }
+    assert set(uni.values()) == {round(1.0 / L, 9)}
