@@ -301,3 +301,224 @@ def wordpiece_learn_merges(
         "rnk INT, lhs STRING, rhs STRING, merged STRING, "
         "pair_count BIGINT, score DOUBLE",
     )
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo 2018, "Subword regularization" —
+# the SentencePiece `unigram` model; public). Round 9 completes the
+# engine's subword-trainer trio: BPE (greedy merges), WordPiece
+# (likelihood-scored merges), unigram LM (probabilistic pieces pruned
+# by EM). The variant here is hard-EM (Viterbi counts — the
+# deterministic member of the EM family; SentencePiece's full
+# forward-backward E-step is a soft version of the same fixed point),
+# which keeps every quantity integer-or-rounded and therefore lets an
+# independent pure-python reference reproduce the model byte for byte
+# (the committed-golden oracle protocol of the fold family).
+#
+# Scale contract — the same one the real trainers use and BPE above
+# documents: ONE corpus-scale stage (the word-frequency aggregate);
+# the substring seeding and every EM iteration run over word TYPES
+# weighted by count; the driver holds only the piece table, bounded
+# by ``vocab_size`` BY CONSTRUCTION (the learned model itself, the
+# k-means-centroids bounded-collect contract).
+
+UNIGRAM_SCHEMA = "piece STRING, logprob DOUBLE"
+
+
+def _viterbi_segment(word: str, lp: dict, max_len: int):
+    """Best segmentation of ``word`` under piece log-probs ``lp``:
+    maximize the logprob sum; EXACT-TIE break prefers the longer last
+    piece at each DP cell (deterministic, and identical in the
+    pure-python golden generator). Returns None when unsegmentable
+    (cannot happen while the alphabet floor keeps every single char
+    in the model)."""
+    n = len(word)
+    best = [None] * (n + 1)
+    best[0] = 0.0
+    back = [0] * (n + 1)
+    for pos in range(1, n + 1):
+        b = None
+        bl = 0
+        for length in range(1, min(max_len, pos) + 1):
+            prev = best[pos - length]
+            if prev is None:
+                continue
+            v = lp.get(word[pos - length : pos])
+            if v is None:
+                continue
+            cand = prev + v
+            if b is None or cand > b or (cand == b and length > bl):
+                b, bl = cand, length
+        best[pos], back[pos] = b, bl
+    if best[n] is None:
+        return None
+    out = []
+    pos = n
+    while pos > 0:
+        length = back[pos]
+        out.append(word[pos - length : pos])
+        pos -= length
+    out.reverse()
+    return out
+
+
+def _seed_piece_counts(wc: DataFrame, max_piece_len: int) -> DataFrame:
+    """(piece, c): every substring occurrence of every word TYPE up to
+    ``max_piece_len`` chars, weighted by the word's corpus count — the
+    Kudo seed vocabulary statistics. Two nested explodes over the
+    type table + one map-side-combined aggregate; output is bounded
+    by the substring-type vocabulary, never the corpus."""
+    w = F.col("word")
+    lens = wc.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.length(w), F.lit(max_piece_len)))
+        ).alias("L"),
+    )
+    subs = lens.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - F.col("L") + 1),
+                lambda i: F.col("word").substr(i, F.col("L")),
+            )
+        ).alias("piece"),
+    )
+    return subs.groupBy("piece").agg(F.sum("cnt").alias("c"))
+
+
+def unigram_learn_pieces(
+    docs: DataFrame,
+    vocab_size: int = 60,
+    max_piece_len: int = 4,
+    iters: int = 2,
+    text_col: str = "text",
+    round_to: int = 9,
+) -> DataFrame:
+    """Learn a unigram-LM piece table: seed = all single chars plus
+    the top multi-char substrings by weighted count (ties → piece
+    string order); then ``iters`` hard-EM rounds — E: Viterbi-best
+    segmentation of every word type under the current log-probs
+    (Arrow-batched kernel over the TYPE table, counts weighted by
+    word frequency); M: logprob = round(ln(count/total), round_to).
+    Multi-char pieces that win zero segmentations self-prune out of
+    the model (the EM analog of SentencePiece's pruning schedule);
+    single chars carry a count floor of 1 so every word stays
+    segmentable (the alphabet never prunes — SentencePiece's
+    required-chars rule). Returns (piece, logprob) sorted by piece."""
+    import math
+
+    from collections import Counter
+
+    import pandas as pd
+
+    spark = docs.sparkSession
+    wc = word_counts(docs, text_col).persist()
+    pc = _seed_piece_counts(wc, max_piece_len)
+    chars_rows = pc.filter(F.length("piece") == 1).collect()  # alphabet-sized
+    k_multi = max(0, vocab_size - len(chars_rows))
+    multi_rows = (
+        pc.filter(F.length("piece") > 1)
+        .orderBy(F.desc("c"), F.asc("piece"))
+        .limit(k_multi)
+        .collect()
+    )
+    counts = {r["piece"]: int(r["c"]) for r in list(chars_rows) + list(multi_rows)}
+    tot = sum(counts.values())
+    lp = {p: round(math.log(c / tot), round_to) for p, c in counts.items()}
+    for _ in range(iters):
+        blp = spark.sparkContext.broadcast(lp)
+        mpl = max_piece_len
+
+        def estep(batches):
+            agg: Counter = Counter()
+            for pdf in batches:
+                for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                    seg = _viterbi_segment(word, blp.value, mpl)
+                    if seg is None:
+                        continue
+                    c = int(cnt)
+                    for p in seg:
+                        agg[p] += c
+            if agg:
+                yield pd.DataFrame(
+                    {"piece": list(agg.keys()), "c": list(agg.values())}
+                )
+
+        rows = (
+            wc.mapInPandas(estep, "piece string, c long")
+            .groupBy("piece")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        new_counts = {r["piece"]: int(r["c"]) for r in rows}
+        for p in lp:
+            if len(p) == 1:
+                new_counts.setdefault(p, 1)  # alphabet floor
+        tot = sum(new_counts.values())
+        lp = {
+            p: round(math.log(c / tot), round_to)
+            for p, c in new_counts.items()
+        }
+    wc.unpersist()
+    return spark.createDataFrame(sorted(lp.items()), UNIGRAM_SCHEMA)
+
+
+def unigram_encode(
+    docs: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Tokenize the corpus under a learned unigram piece table:
+    Viterbi segmentation runs ONCE PER WORD TYPE (Arrow kernel over
+    the type table — the train/encode shape BPE's ``apply_bpe``
+    documents), then a positional join rebuilds each document as its
+    space-joined piece stream. Returns (doc_id, n_pieces, encoded)."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    lp = {
+        r["piece"]: float(r["logprob"]) for r in pieces.collect()
+    }  # model-sized by the vocab_size contract
+    blp = spark.sparkContext.broadcast(lp)
+    mpl = max_piece_len
+
+    def seg_types(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            segs, ns = [], []
+            for word in pdf["word"]:
+                seg = _viterbi_segment(word, blp.value, mpl)
+                if seg is None:
+                    seg = [word]  # OOV chars: emit the word unsplit
+                segs.append(" ".join(seg))
+                ns.append(len(seg))
+            yield pd.DataFrame(
+                {"word": pdf["word"], "seg": segs, "np": ns}
+            )
+
+    wtypes = word_counts(docs, text_col).select("word")
+    seg_map = wtypes.mapInPandas(seg_types, "word string, seg string, np int")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col))
+    ).select("doc_id", F.col("pos"), F.col("col").alias("word"))
+    joined = toks.join(seg_map, "word")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("np").cast("long").alias("n_pieces"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                    ),
+                    lambda s: s.getField("seg"),
+                ),
+            ).alias("encoded"),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Pure-python golden generator for the unigram-LM tokenizer queries
+(``text_unigram_pieces`` / ``text_unigram_encode``) — the fold-family
+committed-golden protocol: an INDEPENDENT single-threaded
+implementation of the same hard-EM algorithm, computed from the
+sf0.01 ``documents`` fixture (the driver's correctness SF) and
+written to ``fixtures/``. The distributed trainer must match these
+files byte for byte (pinned in test_tokenizer.py and by the driver's
+oracle compare).
+
+Run: python scripts/gen_unigram_golden.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.01"
+FIXDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+VOCAB_SIZE, MAX_PIECE_LEN, ITERS, ROUND_TO = 60, 4, 2, 9
+
+
+def tokenize(t: str) -> list[str]:
+    # the engine's tokens(): split(trim(lower(text)), r"\s+")
+    return re.split(r"\s+", (t or "").strip().lower())
+
+
+def viterbi(word: str, lp: dict, max_len: int):
+    n = len(word)
+    best = [None] * (n + 1)
+    best[0] = 0.0
+    back = [0] * (n + 1)
+    for pos in range(1, n + 1):
+        b, bl = None, 0
+        for length in range(1, min(max_len, pos) + 1):
+            prev = best[pos - length]
+            if prev is None:
+                continue
+            v = lp.get(word[pos - length : pos])
+            if v is None:
+                continue
+            cand = prev + v
+            if b is None or cand > b or (cand == b and length > bl):
+                b, bl = cand, length
+        best[pos], back[pos] = b, bl
+    if best[n] is None:
+        return None
+    out, pos = [], n
+    while pos > 0:
+        length = back[pos]
+        out.append(word[pos - length : pos])
+        pos -= length
+    out.reverse()
+    return out
+
+
+def train(word_cnt: dict[str, int]):
+    seed: Counter = Counter()
+    for w, c in word_cnt.items():
+        for i in range(len(w)):
+            for L in range(1, min(MAX_PIECE_LEN, len(w) - i) + 1):
+                seed[w[i : i + L]] += c
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    k_multi = max(0, VOCAB_SIZE - len(chars))
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:k_multi]
+    counts = dict(chars)
+    counts.update(dict(multi))
+    tot = sum(counts.values())
+    lp = {p: round(math.log(c / tot), ROUND_TO) for p, c in counts.items()}
+    for _ in range(ITERS):
+        agg: Counter = Counter()
+        for w, c in word_cnt.items():
+            seg = viterbi(w, lp, MAX_PIECE_LEN)
+            if seg is None:
+                continue
+            for p in seg:
+                agg[p] += c
+        new_counts = dict(agg)
+        for p in lp:
+            if len(p) == 1:
+                new_counts.setdefault(p, 1)  # alphabet floor
+        tot = sum(new_counts.values())
+        lp = {
+            p: round(math.log(c / tot), ROUND_TO)
+            for p, c in new_counts.items()
+        }
+    return lp
+
+
+def main() -> None:
+    docs = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = list(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    word_cnt: Counter = Counter()
+    doc_words = {}
+    for did, text in rows:
+        ws = tokenize(text)
+        doc_words[did] = ws
+        word_cnt.update(ws)
+    lp = train(dict(word_cnt))
+    pieces = sorted(lp.items())
+    pq.write_table(
+        pa.table(
+            {
+                "piece": [p for p, _ in pieces],
+                "logprob": [v for _, v in pieces],
+            }
+        ),
+        os.path.join(FIXDIR, "unigram_pieces_golden.parquet"),
+    )
+    seg_cache = {}
+    ids, nps, encs = [], [], []
+    for did, ws in sorted(doc_words.items()):
+        parts, np_ = [], 0
+        for w in ws:
+            if w not in seg_cache:
+                seg_cache[w] = viterbi(w, lp, MAX_PIECE_LEN) or [w]
+            s = seg_cache[w]
+            parts.append(" ".join(s))
+            np_ += len(s)
+        ids.append(did)
+        nps.append(np_)
+        encs.append(" ".join(parts))
+    pq.write_table(
+        pa.table({"doc_id": ids, "n_pieces": nps, "encoded": encs}),
+        os.path.join(FIXDIR, "unigram_encode_golden.parquet"),
+    )
+    print(f"pieces: {len(pieces)}; docs encoded: {len(ids)}")
+
+
+if __name__ == "__main__":
+    main()

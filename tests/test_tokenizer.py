@@ -193,3 +193,117 @@ def test_wordpiece_early_stop(spark):
     texts = ["a b c d", "e f g h"]  # no pair reaches count 2
     got = tk.wordpiece_learn_merges(_docs(spark, texts), 4).collect()
     assert got == []
+
+
+# Unigram-LM tokenizer (round 9 — Kudo 2018, hard-EM variant)
+
+
+def _unigram_ref():
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import gen_unigram_golden as G
+
+    return G
+
+
+def test_unigram_trainer_matches_pure_python_reference(spark):
+    """The distributed trainer equals the independent pure-python
+    implementation (the golden generator) on corpora with genuine
+    segmentation ambiguity, and the structural laws hold: alphabet
+    always present, multi-char pieces self-prune, every word
+    reconstructs from its segmentation."""
+    from play_with_pulsar_spark.operators import tokenizer
+
+    G = _unigram_ref()
+    corpora = [
+        ["banana bandana ana nab " * 3, "banana anab nana", "dana ban ana"],
+        ["aaa aa a aaaa " * 2, "ab ba aab baa abab"],
+        ["the cat sat on the mat", "the mat sat on the cat", "cats mats"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.piece: r.logprob
+            for r in tokenizer.unigram_learn_pieces(
+                docs, vocab_size=20, max_piece_len=3, iters=2
+            ).collect()
+        }
+        from collections import Counter
+
+        wc = Counter()
+        for t in texts:
+            wc.update(G.tokenize(t))
+        G.VOCAB_SIZE, G.MAX_PIECE_LEN, G.ITERS = 20, 3, 2
+        want = G.train(dict(wc))
+        assert got == want, (texts[0][:30], got, want)
+        # laws: alphabet floor, pruning, reconstruction
+        chars = {c for w in wc for c in w}
+        assert chars <= set(got)
+        for w in wc:
+            seg = G.viterbi(w, want, 3)
+            assert seg is not None and "".join(seg) == w
+
+
+def test_unigram_goldens_in_sync_with_generator():
+    """Committed goldens == a fresh pure-python recomputation from the
+    sf0.01 fixture (the fold-family sync gate)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    G = _unigram_ref()
+    G.VOCAB_SIZE, G.MAX_PIECE_LEN, G.ITERS = 60, 4, 2
+    from collections import Counter
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    wc = Counter()
+    dw = {}
+    for did, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        ws = G.tokenize(t)
+        dw[did] = ws
+        wc.update(ws)
+    lp = G.train(dict(wc))
+    fixdir = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+    gp = pq.read_table(os.path.join(fixdir, "unigram_pieces_golden.parquet"))
+    assert sorted(lp.items()) == list(
+        zip(gp["piece"].to_pylist(), gp["logprob"].to_pylist())
+    )
+    ge = pq.read_table(os.path.join(fixdir, "unigram_encode_golden.parquet"))
+    want_enc = dict(
+        zip(ge["doc_id"].to_pylist(), ge["encoded"].to_pylist())
+    )
+    for did, ws in list(dw.items())[:50]:
+        parts = []
+        for w in ws:
+            parts.append(" ".join(G.viterbi(w, lp, 4) or [w]))
+        assert " ".join(parts) == want_enc[did], did
+
+
+def test_unigram_encode_consistency(spark):
+    """Encode laws on the fixture: n_pieces == the piece count of the
+    encoded string, every emitted piece is in the final table, and
+    stripping the spaces reconstructs the tokenized document."""
+    from play_with_pulsar_spark.operators import tokenizer
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pieces = tokenizer.unigram_learn_pieces(d)
+    vocab = {r.piece for r in pieces.collect()}
+    rows = tokenizer.unigram_encode(d, pieces).collect()
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    assert len(rows) == len(texts)
+    for r in rows[:100]:
+        ps = r.encoded.split(" ")
+        assert r.n_pieces == len(ps)
+        assert set(ps) <= vocab
+        assert "".join(ps) == "".join(
+            texts[r.doc_id].strip().lower().split()
+        )
