@@ -1497,3 +1497,61 @@ def oracle_html_main_content_sql(
     # coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
     # Spark's array_join is '' — the all-blocks-dropped page
     return f"coalesce(array_to_string(list_filter({cleaned}, x -> {good}), ' '), '')"
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    page_col: str = "page",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2 —
+    the most-cited web-corpus recipe), applied per page:
+
+    line keeps (all must hold):
+      - ends in a terminal punctuation mark (``. ! ? "``),
+      - carries at least ``min_words_per_line`` whitespace words,
+      - does not contain the word ``javascript``;
+    page rejects (reason precedence, first match wins):
+      - ``lorem-ipsum``: the placeholder phrase appears anywhere,
+      - ``curly-brace``: a ``{`` appears anywhere (code, JSON),
+      - ``too-few-sentences``: fewer than ``min_sentences`` lines
+        survive the line rules.
+
+    Output: (id, n_lines, n_kept, page_kept, reject_reason, cleaned)
+    with ``cleaned`` = the surviving lines newline-joined (empty when
+    nothing survives — the page verdict is a separate column so the
+    drop decision stays explicit, the ``line_dedup`` convention).
+
+    Scale shape: ONE per-row codegen projection — split, filter,
+    rejoin; no shuffle, no Python, rides inside the page scan at any
+    corpus size. Every expression has a DuckDB twin generated from
+    the same constants (``queries._c4_oracle``)."""
+    lines = F.split(F.col(page_col), "\n")
+    low = F.lower(F.col(page_col))
+
+    def line_ok(ln):
+        words = F.size(F.split(F.trim(ln), TOKEN_RE))
+        return (
+            ln.rlike('[.!?"]$')
+            & (words >= min_words_per_line)
+            & ~F.lower(ln).rlike("(^|\\s)javascript(\\s|$|[.!?])")
+        )
+
+    kept = F.filter(lines, line_ok)
+    reason = (
+        F.when(low.contains("lorem ipsum"), F.lit("lorem-ipsum"))
+        .when(F.col(page_col).contains("{"), F.lit("curly-brace"))
+        .when(
+            F.size(kept) < min_sentences, F.lit("too-few-sentences")
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        reason.isNull().alias("page_kept"),
+        reason.alias("reject_reason"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )

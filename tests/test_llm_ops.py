@@ -960,3 +960,36 @@ def test_url_screen_case_and_userinfo_bypass(spark):
         assert ora[i]["reject_reason"] == scr[i]["reject_reason"], (
             i, ora[i]["reject_reason"],
         )
+
+
+def test_c4_line_filters_rules(spark):
+    """Each C4 rule in isolation on hand-built pages: terminal punct,
+    min words, the javascript line rule, and the three page rejects
+    with their precedence."""
+    from play_with_pulsar_spark.operators import textops
+
+    pages = [
+        # 5 good sentences -> kept whole
+        (1, "\n".join(f"this is sentence number {i}." for i in range(5))),
+        # nav + short lines dropped; result below min_sentences
+        (2, "home | about\nclick here.\n" + "a good long sentence here."),
+        # javascript line dropped but page otherwise fine
+        (3, "please enable javascript now.\n"
+            + "\n".join(f"this is sentence number {i}!" for i in range(5))),
+        # lorem ipsum beats curly brace in precedence
+        (4, "lorem ipsum dolor sit amet { x }.\n"
+            + "\n".join(f'this is sentence number {i}"' for i in range(5))),
+        (5, "var x = { a }\n"
+            + "\n".join(f"this is sentence number {i}?" for i in range(5))),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, page string")
+    got = {r.doc_id: r for r in textops.c4_line_filters(df).collect()}
+    assert got[1].page_kept and got[1].n_kept == 5
+    assert got[1].cleaned == pages[0][1]
+    assert got[2].reject_reason == "too-few-sentences" and got[2].n_kept == 1
+    assert got[3].page_kept and got[3].n_kept == 5  # js line dropped
+    assert "javascript" not in got[3].cleaned
+    assert got[4].reject_reason == "lorem-ipsum"
+    assert got[5].reject_reason == "curly-brace"
+    # terminal punctuation accepts . ! ? " (all four appear above)
+    assert got[3].cleaned.endswith("!") or "!" in got[3].cleaned
