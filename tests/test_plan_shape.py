@@ -360,6 +360,10 @@ EAGER_BUILD_ALLOWLIST = {
     "text_bpe_merges": "merge iterations over word types",
     "text_bpe_encode": "merge iterations over word types",
     "text_wordpiece_merges": "merge iterations over word types",
+    # round 9: unigram-LM hard-EM — seed top-k + per-iteration piece
+    # counts collect (bounded by vocab_size by construction)
+    "text_unigram_pieces": "EM iterations over word types (vocab-bounded collects)",
+    "text_unigram_encode": "EM iterations over word types (vocab-bounded collects)",
 }
 
 
