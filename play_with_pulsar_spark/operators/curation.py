@@ -1136,6 +1136,16 @@ def doremi_domain_weights(
     lam = perdoc.groupBy("_dom").agg(
         F.round(dsum("_ex") / F.count(F.lit(1)), 6).alias("excess")
     )
+    # share the scoring across the MW branches: every iteration's
+    # normalizer references lam, and without a materialization each
+    # branch RE-EXECUTES the two corpus-scale LM scoring passes
+    # (measured: 5.1 s vs the ~2.6 s scoring floor at sf0.1).
+    # persist(), not localCheckpoint: the cache is domain-sized (≤L
+    # rows), three iterations cannot blow up plan depth (the hazard
+    # checkpoints exist for — see graph.py), and under AQE the .rdd
+    # conversion a checkpoint needs executes query stages AT BUILD
+    # TIME, which would break the registry's zero-job build contract.
+    lam = lam.persist()
     nl = lam.agg(F.count(F.lit(1)).alias("_l"))
     cur = lam.crossJoin(F.broadcast(nl)).withColumn(
         "weight", F.round(F.lit(1.0) / F.col("_l"), 9)
