@@ -271,6 +271,7 @@ def with_pq_codes(
     pc: str = "_pc",
     vhat: str = "_vhat",
     dist_round: int = 6,
+    strategy: str = "sql",
 ) -> DataFrame:
     """Append PQ code columns AND the decoded vector to ``df`` — the
     PQ sibling of ``similarity.with_int8_codes`` (round 9, the
@@ -289,10 +290,75 @@ def with_pq_codes(
     verify, rollover re-signing) must derive from ``vhat``: PQ is the
     single approximation boundary, and a state row stays
     byte-reproducible from itself (decode of the stored codes IS the
-    canonical vector)."""
+    canonical vector).
+
+    ``strategy="sql"``: m literal-codebook ``nearest_centroid``
+    argmins + a literal decode — fully declarative (the hash-gate
+    reference form), but the per-element lambdas are interpreted
+    (the ``pq_encode`` ~10× constant). ``strategy="numpy"``: ONE
+    Arrow pass computing codes AND the decoded v̂ (a float64 gather
+    of the same codebook values, no arithmetic) with every other
+    column carried through — the curator's per-batch path (measured
+    2.4× screen-cost gap closed); same rounded-argmin answer
+    (cross-kernel parity tested)."""
     m = len(books)
     d_sub = len(books[0][0][1])
     em = F.col(vec_col).cast("array<double>")
+    if strategy == "numpy":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        cmats, clss = _sorted_books(books)
+        in_cols = df.columns
+        # fresh StructType — StructType.add MUTATES in place, and the
+        # classic DataFrame caches its schema object, so building the
+        # output schema with .add() would corrupt the INPUT df's
+        # columns for every later use (bit a replay reusing the same
+        # batch frame)
+        out_schema = StructType(
+            list(df.schema.fields)
+            + [
+                StructField(pc, ArrayType(IntegerType())),
+                StructField(vhat, ArrayType(DoubleType())),
+            ]
+        )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                nz = (mat * mat).sum(axis=1) > 0
+                cols, parts = [], []
+                for j in range(m):
+                    sub = mat[:, j * d_sub : (j + 1) * d_sub]
+                    idx = np.argmin(
+                        _dist_matrix(sub, cmats[j], dist_round), axis=1
+                    )
+                    cols.append(clss[j][idx].astype(np.int32))
+                    parts.append(cmats[j][idx])
+                codes = np.stack(cols, axis=1)
+                dec = np.concatenate(parts, axis=1)
+                dec[~nz] = 0.0
+                pdf = pdf.copy()
+                pdf[pc] = [
+                    c.tolist() if ok else None for c, ok in zip(codes, nz)
+                ]
+                pdf[vhat] = list(dec)
+                yield pdf
+
+        return df.select(*in_cols).mapInPandas(kernel, out_schema)
+    if strategy != "sql":
+        raise ValueError(f"unknown strategy {strategy!r}")
     code_cols = [
         nearest_centroid(_subvec(em, j, d_sub), books[j], dist_round)
         .getField("cl")

@@ -1786,7 +1786,8 @@ class StreamingCorpusCurator:
 
             self._ensure_pq_books(batch)
             batch = with_pq_codes(
-                batch, self._pq_books, self.vec_col, pc="_pc", vhat="_vhat"
+                batch, self._pq_books, self.vec_col, pc="_pc", vhat="_vhat",
+                strategy="numpy",
             )
             screen_col = "_vhat"
         docs = batch.persist()  # screened once, written once

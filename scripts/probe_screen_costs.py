@@ -50,11 +50,18 @@ def main() -> None:
         "embedding": dict(
             screen="embedding", emb_dim=64, threshold=0.9, id_col="vec_id"
         ),
+        # round 9: the PQ state tier — same screen, 3.5x less state
+        # than int8; the probe shows what the compression costs per
+        # batch (encode is an in-scan projection, decode rides reads)
+        "emb-pq": dict(
+            screen="embedding", emb_dim=64, threshold=0.9, id_col="vec_id",
+            vec_format="pq",
+        ),
     }
     rows = []
     for name, kw in screens.items():
-        s = eseed if name == "embedding" else seed
-        b = ebatch if name == "embedding" else batch
+        s = eseed if name.startswith("emb") else seed
+        b = ebatch if name.startswith("emb") else batch
         best_seed, best_batch = float("inf"), float("inf")
         for _ in range(args.reps):
             base = tempfile.mkdtemp(prefix=f"pwp_scr_{name}_")

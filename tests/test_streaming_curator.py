@@ -2028,3 +2028,41 @@ def test_url_screen_rejects_and_never_indexes(spark, tmp_path):
     # and kept docs still dedup: a near-dup of 10 with clean URL rejected
     cur.process_batch(d([(11, t, "https://ok2.example.com/z")]), 2)
     assert {r.doc_id for r in cur.accepted().collect()} == {2, 10}
+
+
+def test_pq_retention_best_evicts_and_unindexes(spark, tmp_path):
+    """retention='best' composes with vec_format='pq': a later
+    higher-scoring near-dup evicts its incumbent from the accepted
+    tier AND the pq/sig tiers (tombstone-filtered by vec id), with
+    decisions made over the decoded v̂."""
+    import numpy as np
+
+    def vx(rows):  # (id, cluster, score)
+        out = []
+        for i, c, s in rows:
+            rng = np.random.RandomState(i)
+            base = [0.0] * 8
+            base[c] = 1.0
+            v = [float(b + 0.02 * x) for b, x in zip(base, rng.randn(8))]
+            out.append((i, v, float(s)))
+        return spark.createDataFrame(
+            out, "vec_id long, embedding array<double>, score double"
+        )
+
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "pr"), vec_format="pq", pq_m=2, pq_ksub=8,
+        retention="best", score_col="score", **_EKW,
+    )
+    # books diversity batch: clusters 0..3, one survivor each
+    cur.process_batch(vx([(1, 0, 1.0), (2, 0, 0.5), (3, 1, 1.0),
+                          (5, 2, 1.0), (7, 3, 1.0)]), 0)
+    assert {r.vec_id for r in cur.accepted().collect()} == {1, 3, 5, 7}
+    # higher-scoring near-dup of 1 evicts it; lower-scoring of 3 loses
+    cur.process_batch(vx([(10, 0, 2.0), (11, 1, 0.5)]), 1)
+    assert {r.vec_id for r in cur.accepted().collect()} == {10, 3, 5, 7}
+    assert {r.doc_id for r in cur._tombstones().collect()} == {1}
+    assert {r.vec_id for r in cur._index_vec().collect()} == {10, 3, 5, 7}
+    # compaction applies tombstones physically on the pq tier
+    assert cur.compact()
+    assert {r.vec_id for r in cur.accepted().collect()} == {10, 3, 5, 7}
+    assert {r.vec_id for r in cur._index_vec().collect()} == {10, 3, 5, 7}
