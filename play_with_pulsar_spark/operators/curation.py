@@ -1175,3 +1175,48 @@ def doremi_domain_weights(
     return cur.select(
         F.col("_dom").alias(domain_col), F.col("excess"), F.col("weight")
     )
+
+
+def doremi_domain_sample(
+    docs: DataFrame,
+    target_fraction: float = 0.5,
+    iters: int = 3,
+    eta: float = 1.0,
+    smoothing: float = 0.2,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Realize the DoReMi mixture: per-domain keep rates from the
+    MW-optimized weights (rate_d = min(1, f·N·w_d / n_d) — the
+    ``temperature_domain_rates`` realization with the optimized
+    weights as target shares), membership via the deterministic
+    salted-md5 bucket of :func:`weighted_domain_sample`. Returns the
+    kept (id, domain) rows."""
+    w = doremi_domain_weights(
+        docs, iters=iters, eta=eta, smoothing=smoothing,
+        domain_col=domain_col, text_col=text_col, id_col=id_col,
+    ).select(domain_col, "weight")
+    cnt = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = cnt.agg(F.sum("_n").alias("_nn"))
+    rates = (
+        w.join(cnt, domain_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_fraction))
+                    * F.col("_nn")
+                    * F.col("weight")
+                    / F.col("_n"),
+                ),
+                9,
+            ).alias("rate"),
+        )
+    )
+    return weighted_domain_sample(
+        docs, rates, key_col=id_col, group_col=domain_col, buckets=buckets
+    ).select(id_col, domain_col)

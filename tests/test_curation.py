@@ -910,3 +910,28 @@ def test_doremi_weights_match_reference_and_laws(spark):
         ).collect()
     }
     assert set(uni.values()) == {round(1.0 / L, 9)}
+
+
+def test_doremi_sample_realizes_weights(spark):
+    """The realized mixture tracks the optimized weights: overall kept
+    fraction ~ target, and a higher-weight domain keeps a larger
+    multiple of its natural share."""
+    from play_with_pulsar_spark.operators import curation
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n = docs.count()
+    kept = curation.doremi_domain_sample(docs, target_fraction=0.5)
+    k = kept.count()
+    assert 0.35 * n <= k <= 0.65 * n, (k, n)
+    w = {
+        r.source: r.weight
+        for r in curation.doremi_domain_weights(docs).collect()
+    }
+    shares = {r.source: r.cnt for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    krate = {r.source: r.cnt for r in
+             kept.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    hi = max(w, key=w.get)
+    lo = min(w, key=w.get)
+    assert krate[hi] / shares[hi] >= krate.get(lo, 0) / shares[lo]
