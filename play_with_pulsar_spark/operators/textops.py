@@ -1555,3 +1555,125 @@ def c4_line_filters(
         reason.alias("reject_reason"),
         F.array_join(kept, "\n").alias("cleaned"),
     )
+
+
+def trigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Order-3 interpolated Kneser-Ney perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.17 applied RECURSIVELY — the full KenLM
+    structure at order 3, round 9):
+
+        p(w|u,v) = max(c(uvw)−D,0)/c(uv·)
+                 + (D·N1+(uv·)/c(uv·)) · p_mid(w|v)
+        p_mid(w|v) = max(N1+(·vw)−D,0)/N1+(·v·)
+                 + (D·N1+c(v·)/N1+(·v·)) · p_cont(w)
+        p_cont(w) = N1+(··w)/N1+(···)
+
+    with every lower-order quantity a CONTINUATION count derived from
+    the trigram-type table itself (distinct-context counts, not raw
+    frequencies — the "San Francisco" correction at both backoff
+    levels), so the whole model is a self-consistent function of ONE
+    trigram aggregate. Scoring runs over the training corpus, so
+    every scored trigram is observed (c ≥ 1, no zero-context branch —
+    the property that keeps the model closed-form here, as in the
+    bigram form). Per-context probabilities sum to 1 exactly (law
+    tested against a pure-python model).
+
+    Scale shape: one tokenization scan; the trigram-TYPE aggregate is
+    the only corpus-scale shuffle (NOT broadcast — real corpora have
+    more trigram types than bigram types); the two continuation
+    tables (N1+(·vw) and its v-level totals) and the unigram
+    continuation are vocabulary-class aggregates OF the trigram
+    table, never a second corpus pass; scoring joins on the trigram
+    key co-partitioned. Docs with <3 tokens survive with
+    n_trigrams = 0 and NULL scores. Determinism: per-trigram log p
+    rounded to 8 before the exact decimal sum (the family protocol)."""
+    from ..oracle import dsum
+
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+        .where(F.col("doc_id").isNotNull())
+        .repartition("doc_id")
+    )
+    t = F.col("_t")
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 3),
+                    lambda i: F.struct(
+                        F.element_at(t, i + 1).alias("u"),
+                        F.element_at(t, i + 2).alias("v"),
+                        F.element_at(t, i + 3).alias("w"),
+                    ),
+                ),
+            ).otherwise(
+                F.expr(
+                    "cast(array() as array<struct<u: string, v: string, w: string>>)"
+                )
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.u").alias("u"), F.col("g.v").alias("v"), F.col("g.w").alias("w"))
+    tc = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    # top level: c(uv·) and N1+(uv·) in ONE (u,v)-keyed agg
+    cuv = tc.groupBy("u", "v").agg(
+        F.sum("c3").alias("cuv"), F.count(F.lit(1)).alias("n1uv")
+    )
+    # middle level: continuation counts N1+(·vw), then their v-totals
+    cont2 = tc.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n1vw"))
+    midv = cont2.groupBy("v").agg(
+        F.sum("n1vw").alias("n1v_"), F.count(F.lit(1)).alias("nv_")
+    )
+    # bottom level: unigram continuation over the SAME cont2 table
+    contw = cont2.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    ntot = cont2.agg(F.count(F.lit(1)).alias("_ntc"))
+    d = F.lit(float(discount))
+    p_cont = F.col("n1w") / F.col("_ntc").cast("double")
+    p_mid = (
+        F.greatest(F.col("n1vw") - d, F.lit(0.0)) / F.col("n1v_")
+        + (d * F.col("nv_") / F.col("n1v_")) * p_cont
+    )
+    lp = (
+        tc.join(cuv, ["u", "v"])
+        .join(cont2, ["v", "w"])
+        .join(midv, "v")
+        .join(contw, "w")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "u",
+            "v",
+            "w",
+            F.round(
+                F.log(
+                    F.greatest(F.col("c3") - d, F.lit(0.0)) / F.col("cuv")
+                    + (d * F.col("n1uv") / F.col("cuv")) * p_mid
+                ),
+                8,
+            ).alias("lp"),
+        )
+    )
+    scored = (
+        tri.join(lp, ["u", "v", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(-dsum("lp") / F.count(F.lit(1)), 6).alias("xent"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("_t").cast("bigint").alias("n_tokens"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            "xent",
+            F.round(F.exp("xent"), 6).alias("ppl"),
+        )
+    )

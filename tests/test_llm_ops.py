@@ -993,3 +993,94 @@ def test_c4_line_filters_rules(spark):
     assert got[5].reject_reason == "curly-brace"
     # terminal punctuation accepts . ! ? " (all four appear above)
     assert got[3].cleaned.endswith("!") or "!" in got[3].cleaned
+
+
+def test_kn3_perplexity_law_and_recursion(spark):
+    """Order-3 KN invariants against a pure-python reimplementation:
+    (a) for every observed context (u,v), p(w|u,v) summed over the
+    continuation vocabulary == 1 exactly (the discount mass recurses
+    through a mid-level distribution that itself sums to 1);
+    (b) Spark lp per observed trigram equals the python model to
+    rounding; (c) both backoff levels use CONTINUATION counts —
+    a word welded to one context ranks below a many-context word of
+    equal frequency in the backoff mass."""
+    import math
+    from collections import Counter
+
+    from play_with_pulsar_spark.operators import textops
+
+    rows = [
+        (1, "san francisco is big and francisco likes san francisco a lot"),
+        (2, "the big dog and a big cat saw big birds in the park"),
+        (3, "a dog saw the cat and the dog ran big and far away"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = [t.split() for _, t in rows]
+    tc = Counter(
+        (w[i], w[i + 1], w[i + 2]) for w in toks for i in range(len(w) - 2)
+    )
+    cuv, n1uv = Counter(), Counter()
+    cont2 = Counter()
+    for (u, v, w), c in tc.items():
+        cuv[(u, v)] += c
+        n1uv[(u, v)] += 1
+    for (u, v, w) in tc:
+        pass
+    cont2 = Counter()
+    seen = set()
+    for (u, v, w) in tc:
+        cont2[(v, w)] += 1
+    n1v_, nv_ = Counter(), Counter()
+    n1w, ntc = Counter(), len(cont2)
+    for (v, w), c in cont2.items():
+        n1v_[v] += c
+        nv_[v] += 1
+        n1w[w] += 1
+    D = 0.75
+
+    def p_cont(w):
+        return n1w[w] / ntc
+
+    def p_mid(v, w):
+        return max(cont2[(v, w)] - D, 0.0) / n1v_[v] + (
+            D * nv_[v] / n1v_[v]
+        ) * p_cont(w)
+
+    def p(u, v, w):
+        return max(tc[(u, v, w)] - D, 0.0) / cuv[(u, v)] + (
+            D * n1uv[(u, v)] / cuv[(u, v)]
+        ) * p_mid(v, w)
+
+    cont_vocab = set(n1w)
+    for (u, v) in cuv:  # (a) sum law over the continuation vocabulary
+        s = sum(p(u, v, w) for w in cont_vocab)
+        assert abs(s - 1.0) < 1e-12, (u, v, s)
+    # (b) Spark == python per doc. Spark round() is HALF_UP on the
+    # shortest decimal repr (BigDecimal.valueOf); python round() is
+    # banker's — replicate Spark's exactly or boundary lps diverge
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd(x, n):
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{n}"), ROUND_HALF_UP))
+
+    scored = {r["doc_id"]: r for r in textops.trigram_logprob(d).collect()}
+    for doc_id, text in rows:
+        ws = text.split()
+        want = -sum(
+            rnd(math.log(p(ws[i], ws[i + 1], ws[i + 2])), 8)
+            for i in range(len(ws) - 2)
+        ) / (len(ws) - 2)
+        # one 6dp quantum of slack: a single lp whose pre-round value
+        # sits AT an 8dp boundary can differ by one ulp between
+        # java.lang.Math.log and CPython's libm (the engine's DuckDB
+        # oracle agrees with the JVM bit-for-bit — the cross-ENGINE
+        # hash is exact; this is a python-REFERENCE artifact only)
+        assert abs(scored[doc_id]["xent"] - rnd(want, 6)) <= 1.0000001e-6
+        assert scored[doc_id]["n_trigrams"] == len(ws) - 2
+    # (c) continuation correction at the mid level: same unseen
+    # context, ranking decided by distinct-context counts
+    assert p_mid("likes", "big") > p_mid("likes", "francisco")
+    # short docs survive with NULL scores
+    short = spark.createDataFrame([(9, "two words")], "doc_id long, text string")
+    r9 = textops.trigram_logprob(short).collect()[0]
+    assert r9["n_trigrams"] == 0 and r9["xent"] is None
