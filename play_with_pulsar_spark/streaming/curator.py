@@ -279,6 +279,20 @@ class StreamingCorpusCurator:
         refresh caveat, narrowed to post-compaction replays). Text
         screens only.
 
+        ``vec_format`` (embedding screen): the state-compression
+        ladder for the vec tier — ``"float64"`` (pre-round-8 dirs),
+        ``"int8"`` (default for fresh dirs: 1 byte/dim codes + scale,
+        ~6×), ``"pq"`` (round 9: ``pq_m`` codes per VECTOR under
+        codebooks fit once on the first micro-batch and frozen into
+        ``pq_books.json`` — measured 542.7 → 81.8 → 23.5 bytes/doc at
+        64 dims). Whatever the format, signatures / cosine verify /
+        replay / rollover re-signing derive from the RECONSTRUCTED
+        vector (one approximation boundary; state byte-reproducible
+        from itself); the exact decision effect of each rung is
+        hash-gated by its own pipeline oracle
+        (``pipeline_embedding_curation[_int8|_pq]``), and
+        ``migrate_vec_format`` moves a dir one way down the ladder.
+
         ``retention`` (round 8 — r7 verdict #1): ``"first"`` keeps the
         greedy first-writer-wins rule above; ``"best"`` makes the rule
         VALUE-AWARE, the streaming analog of the batch
