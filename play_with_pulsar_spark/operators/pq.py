@@ -908,11 +908,19 @@ def pq_append_index(
     import os
 
     from .clustering import kmeans_assign
-    from .similarity import _content_batch_id, _ivf_flip_manifest, _ivf_manifest
+    from .similarity import (
+        _ivf_flip_manifest,
+        _ivf_manifest,
+        _resolve_auto_batch_id,
+    )
 
     vdir = _pq_resolve(path)
     if batch_id is None:
-        batch_id = _content_batch_id(batch, id_col)
+        batch_id, done = _resolve_auto_batch_id(
+            batch, _ivf_manifest(vdir), id_col, vec_col
+        )
+        if done:
+            return False
     if batch_id in _ivf_manifest(vdir):
         return False
     cents, books, meta = _pq_load(spark, vdir)

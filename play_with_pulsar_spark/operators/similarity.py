@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -610,31 +610,72 @@ def ivf_build_index(
     _ivf_flip_pointer(path, 0)
 
 
-def _content_batch_id(batch: DataFrame, id_col: str) -> str:
+def _content_batch_id(batch: DataFrame, id_col: str, vec_col: str) -> str:
     """Deterministic, order- and partition-insensitive batch id for
     appends called WITHOUT an explicit ``batch_id`` (round 9 — r8
     advice): ``mode('append')`` into a shared legacy dir meant a
     crashed-and-retried append DUPLICATED every vector, and duplicate
     candidate rows then took multiple ``row_number`` ranks in the
-    probe's top-k, displacing genuine neighbors. The id-set
-    fingerprint (sum of 60-bit md5 prefixes — the
-    ``audit_dataset_fingerprint`` protocol) routes every append
-    through the idempotent per-dir overwrite path instead: a retry of
-    the same batch is a committed-id no-op, and a *different* batch
-    carrying the same vec-ids is refused by the same check (duplicate
-    ids would corrupt the index regardless of the write protocol).
+    probe's top-k, displacing genuine neighbors. Two fingerprints
+    (each a sum of 60-bit md5 prefixes — the
+    ``audit_dataset_fingerprint`` protocol): the id set AND the
+    (id, vector) content (round 10 — r9 advice: with the id-only
+    form, a re-encoded batch reusing the same vec-ids silently
+    no-op'd, indistinguishable from a retry — unnoticed data loss).
+    ``_resolve_auto_batch_id`` keys retry detection on the full id
+    and raises on an id-set match with different vector content.
     One bounded aggregate job per append — appends run jobs anyway."""
+
+    def _fp(col: Column) -> Column:
+        return F.sum(
+            F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(
+                "decimal(38,0)"
+            )
+        )
+
     row = batch.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.conv(
-                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-                16,
-                10,
-            ).cast("decimal(38,0)")
-        ).alias("fp"),
+        _fp(F.col(id_col).cast("string")).alias("idfp"),
+        _fp(
+            F.concat_ws(
+                ",",
+                F.col(id_col).cast("string"),
+                F.col(vec_col).cast("string"),
+            )
+        ).alias("vecfp"),
     ).first()
-    return f"auto_{int(row['n'])}_{int(row['fp'] or 0):x}"
+    return (
+        f"auto_{int(row['n'])}_{int(row['idfp'] or 0):x}"
+        f"_{int(row['vecfp'] or 0):x}"
+    )
+
+
+def _resolve_auto_batch_id(
+    batch: DataFrame, committed: list[str], id_col: str, vec_col: str
+) -> tuple[str, bool]:
+    """(content-derived batch id, already-committed?) for an anonymous
+    append. A true retry (same ids AND same vectors) resolves
+    committed=True, as does a retry of a round-9-era append committed
+    under the legacy 2-part id-only form. An id-set match whose
+    VECTOR content differs raises — it is a different batch (e.g.
+    re-encoded embeddings) that would either silently vanish (the r9
+    behavior this closes) or duplicate every id in the index."""
+    batch_id = _content_batch_id(batch, id_col, vec_col)
+    if batch_id in committed:
+        return batch_id, True
+    legacy = batch_id.rsplit("_", 1)[0]  # the r9 2-part form
+    if legacy in committed:
+        return batch_id, True
+    clash = [b for b in committed if b.startswith(legacy + "_")]
+    if clash:
+        raise ValueError(
+            f"anonymous append matches committed batch {clash[0]} on its "
+            "vec-id set but carries DIFFERENT vector content (re-encoded "
+            "embeddings?). Refusing: appending would duplicate every id "
+            "in the index. Pass an explicit batch_id after removing or "
+            "rebuilding the stale batch."
+        )
+    return batch_id, False
 
 
 def ivf_append_index(
@@ -662,11 +703,14 @@ def ivf_append_index(
     only see manifest-listed dirs, so every crash window resolves to
     exactly-once. Returns False (no work) when ``batch_id`` is
     already committed. Without ``batch_id`` a content-derived id is
-    computed from the batch's vec-id set (``_content_batch_id`` —
-    round 9, r8 advice), so a retried anonymous append is ALSO a
-    no-op instead of duplicating rows; the old straight-into-
-    ``cells/`` mode('append') legacy protocol is gone (its dirs are
-    still read).
+    computed from the batch's (vec-id, vector) content
+    (``_content_batch_id`` — round 9 r8 advice; vector digest added
+    round 10, r9 advice), so a retried anonymous append is ALSO a
+    no-op instead of duplicating rows, while a DIFFERENT batch
+    reusing committed vec-ids (re-encoded embeddings) raises loudly
+    instead of silently vanishing; the old straight-into-``cells/``
+    mode('append') legacy protocol is gone (its dirs are still
+    read).
 
     SINGLE WRITER: the ``appends.json`` update is a read-modify-write
     (atomic against readers and against crash/retry of the SAME
@@ -685,7 +729,11 @@ def ivf_append_index(
 
     vdir = _ivf_resolve(path)
     if batch_id is None:
-        batch_id = _content_batch_id(batch, id_col)
+        batch_id, done = _resolve_auto_batch_id(
+            batch, _ivf_manifest(vdir), id_col, vec_col
+        )
+        if done:
+            return False
     if batch_id in _ivf_manifest(vdir):
         return False
     cents = _ivf_centroids(spark, vdir)

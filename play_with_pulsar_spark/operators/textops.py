@@ -1509,7 +1509,10 @@ def c4_line_filters(
     """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2 —
     the most-cited web-corpus recipe), applied per page:
 
-    line keeps (all must hold):
+    line keeps (all must hold, applied to the WHITESPACE-TRIMMED
+    line — C4 strips each line before the rules, so a CRLF page
+    split on ``\\n`` does not fail every line on the trailing
+    ``\\r``, and trailing spaces don't hide terminal punctuation):
       - ends in a terminal punctuation mark (``. ! ? "``),
       - carries at least ``min_words_per_line`` whitespace words,
       - does not contain the word ``javascript``;
@@ -1520,9 +1523,10 @@ def c4_line_filters(
         survive the line rules.
 
     Output: (id, n_lines, n_kept, page_kept, reject_reason, cleaned)
-    with ``cleaned`` = the surviving lines newline-joined (empty when
-    nothing survives — the page verdict is a separate column so the
-    drop decision stays explicit, the ``line_dedup`` convention).
+    with ``cleaned`` = the surviving TRIMMED lines newline-joined
+    (empty when nothing survives — the page verdict is a separate
+    column so the drop decision stays explicit, the ``line_dedup``
+    convention).
 
     Scale shape: ONE per-row codegen projection — split, filter,
     rejoin; no shuffle, no Python, rides inside the page scan at any
@@ -1530,16 +1534,21 @@ def c4_line_filters(
     the same constants (``queries._c4_oracle``)."""
     lines = F.split(F.col(page_col), "\n")
     low = F.lower(F.col(page_col))
+    # F.trim strips only ASCII spaces — a CRLF page needs the \r
+    # gone too, so trim \s (space/tab/\r) at both ends via regexp.
+    trimmed = F.transform(
+        lines, lambda ln: F.regexp_replace(ln, r"^\s+|\s+$", "")
+    )
 
     def line_ok(ln):
-        words = F.size(F.split(F.trim(ln), TOKEN_RE))
+        words = F.size(F.split(ln, TOKEN_RE))
         return (
             ln.rlike('[.!?"]$')
             & (words >= min_words_per_line)
             & ~F.lower(ln).rlike("(^|\\s)javascript(\\s|$|[.!?])")
         )
 
-    kept = F.filter(lines, line_ok)
+    kept = F.filter(trimmed, line_ok)
     reason = (
         F.when(low.contains("lorem ipsum"), F.lit("lorem-ipsum"))
         .when(F.col(page_col).contains("{"), F.lit("curly-brace"))

@@ -452,6 +452,10 @@ def unigram_learn_pieces(
             .agg(F.sum("c").alias("c"))
             .collect()
         )
+        # the collect() fully materialized this E-step — drop the
+        # iteration's broadcast now so a long-lived session doesn't
+        # accumulate one vocab-sized blob per EM round (r9 ADVICE)
+        blp.destroy()
         new_counts = {r["piece"]: int(r["c"]) for r in rows}
         for p in lp:
             if len(p) == 1:

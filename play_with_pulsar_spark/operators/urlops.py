@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 # 'u' or 'u@blocked.xyz').
 _SCHEME_PAT = r"^([a-z][a-z0-9+.-]*)://"
 _AUTHORITY_PAT = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
-_USERINFO_PAT = r"^[^/?#@]*@"
+# Greedy to the LAST '@' — URL parsers treat the last '@' in the
+# authority as the userinfo delimiter, so 'http://a@b@blocked.com/'
+# must resolve host=blocked.com, not 'b@blocked.com' (round-10
+# ADVICE: the first-'@' form was exactly the bypass class the
+# blocklist screen exists to close). The authority group already
+# excludes /?#, so the greedy [^/?#]* backtracks to the final '@'.
+_USERINFO_PAT = r"^[^/?#]*@"
 _PORT_PAT = r":[0-9]*$"
 _PATH_PAT = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
 _QUERY_PAT = r"\?([^#]*)"

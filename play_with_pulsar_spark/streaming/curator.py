@@ -2555,20 +2555,15 @@ class StreamingCorpusCurator:
                 "codes survive — the reconstruction is the canonical "
                 "vector already"
             )
-        if cur_fmt == "int8" and new_format == "int8":
-            return False
+        # (no int8->int8 / int8->non-pq guards needed here: equal
+        # formats returned above and new_format is validated to
+        # {int8, pq}, so int8 state can only be migrating to pq)
         from ..operators.dedup import write_embedding_index
         from ..operators.similarity import (
             dequantized_vecs,
             hyperplane_signatures_multi,
             with_int8_codes,
         )
-
-        if cur_fmt == "int8" and new_format != "pq":
-            raise ValueError(
-                "int8 state can only migrate to 'pq' (further down the "
-                "precision ladder)"
-            )
 
         self.compact()
         man = self._manifest()

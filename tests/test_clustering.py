@@ -405,3 +405,46 @@ def test_ivf_append_without_batch_id_is_idempotent(spark, sf_dir, tmp_path):
 
     data = _ivf_data(spark, _ivf_resolve(p))
     assert data.count() == data.select("vec_id").distinct().count()
+
+
+def test_ivf_anon_append_reencoded_batch_raises(spark, sf_dir, tmp_path):
+    """r9 advice: with the id-only fingerprint, an anonymous append of
+    a genuinely DIFFERENT batch reusing committed vec-ids (re-encoded
+    vectors) silently no-op'd — unnoticed data loss. The content id
+    now folds in a vector digest: a true retry still no-ops, the
+    re-encoded batch raises, and a round-9-era legacy 2-part id is
+    still recognized as committed."""
+    import pytest
+
+    from play_with_pulsar_spark.operators import similarity
+    from play_with_pulsar_spark.operators.similarity import (
+        _ivf_flip_manifest,
+        _ivf_manifest,
+        _ivf_resolve,
+    )
+
+    v = _clustered(spark, sf_dir)
+    corpus = v.filter(F.col("vec_id") >= 100)
+    batch = v.filter(F.col("vec_id") < 100)
+    reenc = batch.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 2.0)
+    )
+    p = str(tmp_path / "ivf_reenc")
+    similarity.ivf_build_index(
+        corpus, p, n_cells=8,
+        cents=similarity.ivf_fit_centroids(corpus, n_cells=8, seed=42),
+    )
+    assert similarity.ivf_append_index(spark, p, batch)
+    assert not similarity.ivf_append_index(spark, p, batch)  # true retry
+    with pytest.raises(ValueError, match="DIFFERENT vector content"):
+        similarity.ivf_append_index(spark, p, reenc)
+    # legacy 2-part content id (r9 format) committed -> retry no-ops
+    vdir = _ivf_resolve(p)
+    full = [
+        b for b in _ivf_manifest(vdir) if b.startswith("auto_")
+    ][0]
+    legacy = full.rsplit("_", 1)[0]
+    _ivf_flip_manifest(
+        vdir, [legacy if b == full else b for b in _ivf_manifest(vdir)]
+    )
+    assert not similarity.ivf_append_index(spark, p, batch)

@@ -935,3 +935,28 @@ def test_doremi_sample_realizes_weights(spark):
     hi = max(w, key=w.get)
     lo = min(w, key=w.get)
     assert krate[hi] / shares[hi] >= krate.get(lo, 0) / shares[lo]
+
+
+def test_doremi_cache_lifecycle(spark):
+    """r9 ADVICE: the domain-sized excess cache rides on the result as
+    _engine_caches and release_caches() unpersists it — repeated calls
+    in a long-lived session must not accumulate cached subtrees."""
+    from play_with_pulsar_spark.operators import curation
+
+    rows = [(i, f"src{i % 3}", "the quick brown fox jumps over the dog")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = curation.doremi_domain_weights(docs, iters=2)
+    handles = getattr(w, "_engine_caches", None)
+    assert handles and len(handles) == 1
+    w.collect()
+    assert handles[0].is_cached
+    curation.release_caches(w)
+    assert not handles[0].is_cached
+    s = curation.doremi_domain_sample(docs, target_fraction=0.5, iters=2)
+    sh = getattr(s, "_engine_caches", None)
+    assert sh and len(sh) == 1  # handle propagates through the sampler
+    s.collect()
+    curation.release_caches(s)
+    assert not sh[0].is_cached
+    curation.release_caches(docs)  # no handle -> clean no-op
