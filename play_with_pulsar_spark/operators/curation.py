@@ -523,11 +523,17 @@ def dsir_importance_scores(
 
     Spark shape (the ``unigram_logprob`` template): ONE exploded token
     table feeds (a) a per-term (tf, tf_target) aggregate — map-side
-    combined, vocabulary-sized output — and (b) the per-doc scoring
-    join against the BROADCAST log-weight table; totals ride a 1-row
-    broadcast crossJoin (no driver scalars). Per-term log-weights are
-    rounded to ``logw_round`` BEFORE the exact decimal per-doc sum, so
-    engine log() ulps never reach the compared digits.
+    combined — and (b) the per-doc scoring join against the
+    log-weight table. The hint rule (round 10): ``hashed_ngrams``
+    broadcasts the log-weight table because it is ≤ n_buckets rows BY
+    CONSTRUCTION (10 k default at any corpus size); ``unigrams``
+    leaves the join UNHINTED — the table is vocabulary-sized
+    (Heaps': 10⁸-10⁹ types at 25 T tokens, SCALING.md), so it
+    shuffles co-partitioned on term and AQE broadcasts only when
+    measured-small. Totals ride a 1-row broadcast crossJoin (no
+    driver scalars). Per-term log-weights are rounded to
+    ``logw_round`` BEFORE the exact decimal per-doc sum, so engine
+    log() ulps never reach the compared digits.
     """
     from ..oracle import dsum
 
@@ -602,8 +608,9 @@ def dsir_importance_scores(
             logw_round,
         ).alias("lw"),
     )
+    lw_side = F.broadcast(logw) if features == "hashed_ngrams" else logw
     return (
-        toks.join(F.broadcast(logw), "term")
+        toks.join(lw_side, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

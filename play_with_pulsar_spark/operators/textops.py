@@ -270,26 +270,61 @@ def lang_id(texts: pd.Series) -> pd.Series:
 
 
 def unigram_logprob(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_floor: int = 1,
 ) -> DataFrame:
     """Unigram language-model scoring — the classic LM-quality filter
     for training-data curation: p(token) estimated from the corpus
     itself, document score = mean log-probability of its tokens
     (higher = more typical; boilerplate and gibberish both sink).
 
+    ``vocab_floor`` bounds the model the way real LM pipelines do:
+    tokens whose corpus frequency is below the floor collapse into a
+    single ``<oov>`` class that carries their POOLED mass, p(<oov>)
+    = c(tf<floor)/N — every OOV token scores the class log-prob (the
+    standard open-vocabulary unigram). floor=1 (default) keeps every
+    type and is decision-identical to the unbounded model; floor=k
+    strictly bounds the model table to ≤ N/k + 1 rows (each kept
+    type has ≥ k occurrences).
+
     Shape: one exploded token table feeds (a) the global term-
     frequency table (two-level agg, map-side combined) and (b) the
-    per-doc scoring join. The frequency table is broadcast — its size
-    is the vocabulary, not the corpus. Determinism protocol: each
-    token's log p is rounded to 8 decimals BEFORE the exact decimal
-    sum, so engine log() ulp differences (~1e-15) can never reach the
+    per-doc scoring join on ``term``. The model table is
+    VOCABULARY-sized — Heaps' law puts that at 10⁸-10⁹ types at the
+    25 T-token design point (SCALING.md), far past any broadcast, so
+    the scoring join carries NO broadcast hint (round 10, r9
+    verdict): it shuffles co-partitioned on the term key, and AQE
+    still converts it to a broadcast at runtime when the measured
+    size is actually small (every fixture run). The same reasoning
+    already governs the bigram/trigram TYPE tables below, which are
+    documented never-broadcast. Determinism protocol: each token's
+    log p is rounded to 8 decimals BEFORE the exact decimal sum, so
+    engine log() ulp differences (~1e-15) can never reach the
     compared digits.
     """
     from ..oracle import dsum
 
+    if vocab_floor < 1:
+        raise ValueError(f"vocab_floor must be >= 1, got {vocab_floor}")
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
     exploded = toks.select("doc_id", F.explode("_t").alias("term"))
     tf = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    if vocab_floor > 1:
+        # pool sub-floor types into one <oov> class BEFORE the
+        # normalizer — total mass is unchanged, the model table is
+        # bounded to <= N/floor + 1 rows
+        tf = (
+            tf.select(
+                F.when(F.col("tf") >= vocab_floor, F.col("term"))
+                .otherwise(F.lit("<oov>"))
+                .alias("term"),
+                "tf",
+            )
+            .groupBy("term")
+            .agg(F.sum("tf").alias("tf"))
+        )
     total = tf.agg(F.sum("tf").alias("n_total"))  # exact: sum of longs
     term_logp = (
         tf.crossJoin(F.broadcast(total))
@@ -298,14 +333,32 @@ def unigram_logprob(
             F.round(F.log(F.col("tf") / F.col("n_total")), 8).alias("logp"),
         )
     )
-    return (
-        exploded.join(F.broadcast(term_logp), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(dsum("logp"), 6).alias("logprob"),
-            F.round((dsum("logp") / F.count(F.lit(1))), 6).alias("mean_logprob"),
+    if vocab_floor > 1:
+        # 1-row ALWAYS (an aggregate), even when no type fell below
+        # the floor — a filter would yield 0 rows and the crossJoin
+        # below would annihilate the corpus. NULL _oov_lp is only
+        # reachable when no token is OOV, so the coalesce never
+        # surfaces it.
+        oov = term_logp.agg(
+            F.min(
+                F.when(F.col("term") == "<oov>", F.col("logp"))
+            ).alias("_oov_lp")
         )
+        scored = (
+            exploded.join(
+                term_logp.filter(F.col("term") != "<oov>"), "term", "left"
+            )
+            .crossJoin(F.broadcast(oov))  # 1-row class prob
+            .select(
+                "doc_id", F.coalesce("logp", "_oov_lp").alias("logp")
+            )
+        )
+    else:
+        scored = exploded.join(term_logp, "term").select("doc_id", "logp")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(dsum("logp"), 6).alias("logprob"),
+        F.round((dsum("logp") / F.count(F.lit(1))), 6).alias("mean_logprob"),
     )
 
 
@@ -1164,9 +1217,14 @@ def score_with_bigram_lm(
     backoff levels with the same formula via coalesce-to-zero:
     unseen bigram → alpha·p_u(w)/(c(l)+alpha); unseen context →
     p_u(w); unseen word → p_u = 1/(N+V). Plan: one tokenization scan
-    of the batch; uc broadcast (vocabulary-sized); the bigram joins
-    shuffle on the bigram key (type table unbounded at corpus
-    scale). Rounding protocol identical to ``bigram_logprob``.
+    of the batch; ALL three model joins (uc is vocabulary-sized, ctx
+    vocabulary-sized, bc bigram-TYPE-sized) carry no broadcast hint
+    — a 25 T-token training corpus puts the vocabulary at 10⁸-10⁹
+    rows (SCALING.md), past any broadcast, so they shuffle on their
+    keys and AQE upgrades to broadcast at runtime when the stored
+    parquet is actually small (round 10, r9 verdict — the
+    never-broadcast rule the bigram/trigram TYPE tables already
+    follow). Rounding protocol identical to ``bigram_logprob``.
 
     Returns (doc_id, n_bigrams, xent) with NULL xent for <2-token
     docs."""
@@ -1193,7 +1251,7 @@ def score_with_bigram_lm(
     joined = (
         bi.join(bc, ["l", "r"], "left")
         .join(ctx, "l", "left")
-        .join(F.broadcast(uc.withColumnRenamed("w", "r")), "r", "left")
+        .join(uc.withColumnRenamed("w", "r"), "r", "left")
         .select(
             "doc_id",
             F.round(

@@ -53,6 +53,21 @@ def count_broadcast_joins(df: DataFrame) -> int:
     return formatted_plan(df).count("BroadcastHashJoin")
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """FORCED broadcast hints (``F.broadcast(...)``) in the analyzed
+    logical plan — distinct from what the planner or AQE *chooses* to
+    broadcast from measured sizes. The engine's rule: a hint is only
+    legitimate on a side that is bounded BY CONSTRUCTION (a 1-row
+    aggregate, a limit-k table, a domain-sized group list) — never on
+    a vocabulary- or type-sized table, whose size grows with the
+    corpus (Heaps' law: 10⁸-10⁹ token types at the 25 T-token design
+    point). Tests pin the expected hint count per query so an
+    unbounded-side hint cannot creep back in."""
+    return df._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint (strategy=broadcast)"
+    )
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Exchange nodes in the plan (AQE may remove some at runtime —
     this is the static upper bound). Counts the formatted plan's

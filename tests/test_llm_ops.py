@@ -970,6 +970,51 @@ def test_url_screen_case_and_userinfo_bypass(spark):
         )
 
 
+def test_unigram_vocab_floor_oov_bucket(spark):
+    """Round 10 (r9 verdict): vocab_floor pools sub-floor types into
+    one <oov> class. Laws: floor=1 is row-identical to the unbounded
+    default; under floor=2 every OOV token scores the SAME pooled
+    class log-prob (two docs made of equally many distinct singleton
+    tokens score identically); values match a pure-python open-vocab
+    unigram to the rounding protocol."""
+    import math
+
+    from play_with_pulsar_spark.operators import textops
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "qx zv"),   # two singleton tokens
+        (4, "wq pj"),   # two other singleton tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r.doc_id: r for r in textops.unigram_logprob(docs).collect()}
+    f1 = {r.doc_id: r for r in
+          textops.unigram_logprob(docs, vocab_floor=1).collect()}
+    assert {k: (v.n_tokens, v.logprob) for k, v in base.items()} == \
+           {k: (v.n_tokens, v.logprob) for k, v in f1.items()}
+    f2 = {r.doc_id: r for r in
+          textops.unigram_logprob(docs, vocab_floor=2).collect()}
+    # docs 3 and 4 are all-OOV with equal length -> identical scores
+    assert f2[3].logprob == f2[4].logprob
+    # pure-python reference (open-vocab unigram, pooled OOV mass)
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in rows}
+    c = Counter(w for ws in toks.values() for w in ws)
+    n = sum(c.values())
+    oov_mass = sum(v for v in c.values() if v < 2)
+    for i, ws in toks.items():
+        lps = [
+            round(math.log((c[w] if c[w] >= 2 else oov_mass) / n), 8)
+            for w in ws
+        ]
+        assert f2[i].n_tokens == len(ws)
+        assert abs(f2[i].logprob - round(sum(lps), 6)) <= 1e-6, i
+    with pytest.raises(ValueError):
+        textops.unigram_logprob(docs, vocab_floor=0)
+
+
 def test_c4_line_filters_rules(spark):
     """Each C4 rule in isolation on hand-built pages: terminal punct,
     min words, the javascript line rule, and the three page rejects
