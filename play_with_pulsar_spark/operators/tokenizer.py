@@ -362,6 +362,66 @@ def _viterbi_segment(word: str, lp: dict, max_len: int):
     return out
 
 
+def _alt_logprob(piece: str, lp: dict, max_len: int) -> float | None:
+    """Best segmentation log-prob of ``piece`` WITHOUT using the
+    full-span piece itself — the re-segmentation cost its occurrences
+    pay if it is pruned (Kudo 2018 §3.2 loss, hard-EM form). A piece
+    cannot occur as a proper substring of itself, so excluding the
+    full span is the complete exclusion. None = unsegmentable without
+    it (keep forever; unreachable while the alphabet floor holds)."""
+    n = len(piece)
+    best = [None] * (n + 1)
+    best[0] = 0.0
+    for pos in range(1, n + 1):
+        b = None
+        for length in range(1, min(max_len, pos) + 1):
+            if length == n:  # the full-span candidate IS the piece
+                continue
+            prev = best[pos - length]
+            if prev is None:
+                continue
+            v = lp.get(piece[pos - length : pos])
+            if v is None:
+                continue
+            cand = prev + v
+            if b is None or cand > b:
+                b = cand
+        best[pos] = b
+    return best[n]
+
+
+def _prune_pieces(
+    counts: dict, lp: dict, max_piece_len: int, target_total: int
+) -> dict:
+    """One pruning round (Kudo 2018 §3.2, hard-EM form): rank every
+    multi-char piece by likelihood LOSS if removed — loss(x) = c(x) ·
+    (log p(x) − alt(x)) with alt(x) the piece's own best
+    re-segmentation under the rest of the model — and keep the
+    top-(target_total − |alphabet|) by (loss desc, piece asc). Single
+    chars NEVER prune (the required-chars rule). Pure driver work
+    over the model-sized table. Returns the kept counts (caller
+    renormalizes)."""
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = [p for p in counts if len(p) > 1]
+    k_keep = max(0, target_total - len(chars))
+    if len(multi) <= k_keep:
+        return counts
+    losses = []
+    for p in multi:
+        alt = _alt_logprob(p, lp, max_piece_len)
+        loss = (
+            float("inf")
+            if alt is None
+            else counts[p] * (lp[p] - alt)
+        )
+        losses.append((p, loss))
+    losses.sort(key=lambda t: (-t[1], t[0]))
+    kept = dict(chars)
+    for p, _ in losses[:k_keep]:
+        kept[p] = counts[p]
+    return kept
+
+
 def _seed_piece_counts(wc: DataFrame, max_piece_len: int) -> DataFrame:
     """(piece, c): every substring occurrence of every word TYPE up to
     ``max_piece_len`` chars, weighted by the word's corpus count — the
@@ -395,6 +455,9 @@ def unigram_learn_pieces(
     iters: int = 2,
     text_col: str = "text",
     round_to: int = 9,
+    seed_size: int | None = None,
+    prune_frac: float = 0.2,
+    trace: list | None = None,
 ) -> DataFrame:
     """Learn a unigram-LM piece table: seed = all single chars plus
     the top multi-char substrings by weighted count (ties → piece
@@ -403,10 +466,27 @@ def unigram_learn_pieces(
     (Arrow-batched kernel over the TYPE table, counts weighted by
     word frequency); M: logprob = round(ln(count/total), round_to).
     Multi-char pieces that win zero segmentations self-prune out of
-    the model (the EM analog of SentencePiece's pruning schedule);
-    single chars carry a count floor of 1 so every word stays
-    segmentable (the alphabet never prunes — SentencePiece's
-    required-chars rule). Returns (piece, logprob) sorted by piece."""
+    the model; single chars carry a count floor of 1 so every word
+    stays segmentable (the alphabet never prunes — SentencePiece's
+    required-chars rule).
+
+    Pruning schedule (round 10 — Kudo 2018 §3.2, the paper's own
+    loop): seed with ``seed_size`` pieces (> vocab_size; None = seed
+    straight at vocab_size, the round-9 behavior), and after each EM
+    round prune to max(vocab_size, ceil(current·(1−prune_frac)))
+    pieces — the final round lands exactly on ``vocab_size`` — by
+    likelihood LOSS: loss(x) = c(x)·(log p(x) − alt(x)), alt(x) the
+    piece's best re-segmentation under the rest of the model (what
+    its occurrences pay if it is dropped). Keep top-loss, ties by
+    piece string; renormalize the survivors. ``trace`` (optional
+    list) records the model size after each round — the monotone-
+    shrink law the tests pin.
+
+    Scale shape unchanged: the E-step is the Arrow kernel over word
+    TYPES; seeding, loss ranking and pruning are pure driver work
+    over the seed_size-bounded model table (Viterbi on ≤max_piece_len
+    strings), never a corpus pass. Returns (piece, logprob) sorted by
+    piece."""
     import math
 
     from collections import Counter
@@ -414,10 +494,14 @@ def unigram_learn_pieces(
     import pandas as pd
 
     spark = docs.sparkSession
+    if seed_size is not None and seed_size < vocab_size:
+        raise ValueError(
+            f"seed_size {seed_size} must be >= vocab_size {vocab_size}"
+        )
     wc = word_counts(docs, text_col).persist()
     pc = _seed_piece_counts(wc, max_piece_len)
     chars_rows = pc.filter(F.length("piece") == 1).collect()  # alphabet-sized
-    k_multi = max(0, vocab_size - len(chars_rows))
+    k_multi = max(0, (seed_size or vocab_size) - len(chars_rows))
     multi_rows = (
         pc.filter(F.length("piece") > 1)
         .orderBy(F.desc("c"), F.asc("piece"))
@@ -427,7 +511,7 @@ def unigram_learn_pieces(
     counts = {r["piece"]: int(r["c"]) for r in list(chars_rows) + list(multi_rows)}
     tot = sum(counts.values())
     lp = {p: round(math.log(c / tot), round_to) for p, c in counts.items()}
-    for _ in range(iters):
+    for it in range(iters):
         blp = spark.sparkContext.broadcast(lp)
         mpl = max_piece_len
 
@@ -465,6 +549,25 @@ def unigram_learn_pieces(
             p: round(math.log(c / tot), round_to)
             for p, c in new_counts.items()
         }
+        # Kudo §3.2 prune: schedule toward vocab_size, exact on the
+        # last round; a no-op whenever already at/below target (the
+        # seed_size=None legacy path)
+        target = (
+            vocab_size
+            if it == iters - 1
+            else max(
+                vocab_size, math.ceil(len(new_counts) * (1.0 - prune_frac))
+            )
+        )
+        if len(new_counts) > target:
+            new_counts = _prune_pieces(new_counts, lp, max_piece_len, target)
+            tot = sum(new_counts.values())
+            lp = {
+                p: round(math.log(c / tot), round_to)
+                for p, c in new_counts.items()
+            }
+        if trace is not None:
+            trace.append(len(lp))
     wc.unpersist()
     return spark.createDataFrame(sorted(lp.items()), UNIGRAM_SCHEMA)
 

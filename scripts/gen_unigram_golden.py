@@ -23,6 +23,10 @@ import pyarrow.parquet as pq
 SF_DIR = "/root/testdata/sf0.01"
 FIXDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
 VOCAB_SIZE, MAX_PIECE_LEN, ITERS, ROUND_TO = 60, 4, 2, 9
+# round 10 — Kudo 2018 §3.2 pruning schedule: seed LARGER than the
+# target, shrink by likelihood loss each round (exact vocab on the
+# last); None = seed straight at VOCAB_SIZE (round-9 behavior)
+SEED_SIZE, PRUNE_FRAC = 150, 0.2
 
 
 def tokenize(t: str) -> list[str]:
@@ -59,14 +63,58 @@ def viterbi(word: str, lp: dict, max_len: int):
     return out
 
 
-def train(word_cnt: dict[str, int]):
+def alt_logprob(piece: str, lp: dict, max_len: int):
+    """Best segmentation of ``piece`` WITHOUT the full-span piece —
+    the Kudo §3.2 loss denominator (mirrors tokenizer._alt_logprob)."""
+    n = len(piece)
+    best = [None] * (n + 1)
+    best[0] = 0.0
+    for pos in range(1, n + 1):
+        b = None
+        for length in range(1, min(max_len, pos) + 1):
+            if length == n:
+                continue
+            prev = best[pos - length]
+            if prev is None:
+                continue
+            v = lp.get(piece[pos - length : pos])
+            if v is None:
+                continue
+            cand = prev + v
+            if b is None or cand > b:
+                b = cand
+        best[pos] = b
+    return best[n]
+
+
+def prune(counts: dict, lp: dict, max_len: int, target_total: int) -> dict:
+    """Keep top-loss multi pieces to target_total; alphabet never
+    prunes (mirrors tokenizer._prune_pieces)."""
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = [p for p in counts if len(p) > 1]
+    k_keep = max(0, target_total - len(chars))
+    if len(multi) <= k_keep:
+        return counts
+    losses = []
+    for p in multi:
+        alt = alt_logprob(p, lp, max_len)
+        loss = float("inf") if alt is None else counts[p] * (lp[p] - alt)
+        losses.append((p, loss))
+    losses.sort(key=lambda t: (-t[1], t[0]))
+    kept = dict(chars)
+    for p, _ in losses[:k_keep]:
+        kept[p] = counts[p]
+    return kept
+
+
+def train(word_cnt: dict[str, int], trace: list | None = None):
     seed: Counter = Counter()
     for w, c in word_cnt.items():
         for i in range(len(w)):
             for L in range(1, min(MAX_PIECE_LEN, len(w) - i) + 1):
                 seed[w[i : i + L]] += c
     chars = {p: c for p, c in seed.items() if len(p) == 1}
-    k_multi = max(0, VOCAB_SIZE - len(chars))
+    k_multi = max(0, (SEED_SIZE or VOCAB_SIZE) - len(chars))
     multi = sorted(
         ((p, c) for p, c in seed.items() if len(p) > 1),
         key=lambda t: (-t[1], t[0]),
@@ -75,7 +123,7 @@ def train(word_cnt: dict[str, int]):
     counts.update(dict(multi))
     tot = sum(counts.values())
     lp = {p: round(math.log(c / tot), ROUND_TO) for p, c in counts.items()}
-    for _ in range(ITERS):
+    for it in range(ITERS):
         agg: Counter = Counter()
         for w, c in word_cnt.items():
             seg = viterbi(w, lp, MAX_PIECE_LEN)
@@ -92,6 +140,23 @@ def train(word_cnt: dict[str, int]):
             p: round(math.log(c / tot), ROUND_TO)
             for p, c in new_counts.items()
         }
+        target = (
+            VOCAB_SIZE
+            if it == ITERS - 1
+            else max(
+                VOCAB_SIZE,
+                math.ceil(len(new_counts) * (1.0 - PRUNE_FRAC)),
+            )
+        )
+        if len(new_counts) > target:
+            new_counts = prune(new_counts, lp, MAX_PIECE_LEN, target)
+            tot = sum(new_counts.values())
+            lp = {
+                p: round(math.log(c / tot), ROUND_TO)
+                for p, c in new_counts.items()
+            }
+        if trace is not None:
+            trace.append(len(lp))
     return lp
 
 

@@ -240,6 +240,7 @@ def test_unigram_trainer_matches_pure_python_reference(spark):
         for t in texts:
             wc.update(G.tokenize(t))
         G.VOCAB_SIZE, G.MAX_PIECE_LEN, G.ITERS = 20, 3, 2
+        G.SEED_SIZE, G.PRUNE_FRAC = None, 0.2  # legacy path, no schedule
         want = G.train(dict(wc))
         assert got == want, (texts[0][:30], got, want)
         # laws: alphabet floor, pruning, reconstruction
@@ -248,6 +249,55 @@ def test_unigram_trainer_matches_pure_python_reference(spark):
         for w in wc:
             seg = G.viterbi(w, want, 3)
             assert seg is not None and "".join(seg) == w
+
+
+def test_unigram_pruning_schedule_laws(spark):
+    """Round 10 — Kudo 2018 §3.2: seed LARGER than the target, prune
+    by likelihood loss per round. Laws: (a) the per-round model size
+    is monotone non-increasing and lands <= vocab_size on the last
+    round, (b) the alphabet never prunes, (c) the distributed trainer
+    equals the pure-python reference under the schedule, (d) seeding
+    below vocab_size raises."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from play_with_pulsar_spark.operators import tokenizer
+
+    G = _unigram_ref()
+    texts = [
+        "banana bandana ana nab " * 3,
+        "banana anab nana cabana",
+        "dana ban ana banana band",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    trace: list = []
+    got = {
+        r.piece: r.logprob
+        for r in tokenizer.unigram_learn_pieces(
+            docs, vocab_size=12, max_piece_len=3, iters=3,
+            seed_size=40, prune_frac=0.3, trace=trace,
+        ).collect()
+    }
+    assert len(trace) == 3
+    assert all(a >= b for a, b in zip(trace, trace[1:])), trace  # monotone
+    assert trace[0] < 40  # pruning actually fired on round 1
+    assert trace[-1] <= 12 and len(got) == trace[-1]
+    wc = Counter()
+    for t in texts:
+        wc.update(G.tokenize(t))
+    chars = {c for w in wc for c in w}
+    assert chars <= set(got)  # alphabet never prunes
+    G.VOCAB_SIZE, G.MAX_PIECE_LEN, G.ITERS = 12, 3, 3
+    G.SEED_SIZE, G.PRUNE_FRAC = 40, 0.3
+    ref_trace: list = []
+    want = G.train(dict(wc), trace=ref_trace)
+    assert got == want
+    assert trace == ref_trace
+    with _pytest.raises(ValueError):
+        tokenizer.unigram_learn_pieces(docs, vocab_size=12, seed_size=5)
 
 
 def test_unigram_goldens_in_sync_with_generator():
@@ -259,6 +309,7 @@ def test_unigram_goldens_in_sync_with_generator():
 
     G = _unigram_ref()
     G.VOCAB_SIZE, G.MAX_PIECE_LEN, G.ITERS = 60, 4, 2
+    G.SEED_SIZE, G.PRUNE_FRAC = 150, 0.2  # the committed query params
     from collections import Counter
 
     docs = pq.read_table(
