@@ -131,3 +131,48 @@ def test_full_stack_screens_nonvacuous(spark, sf_dir):
         for r in REGISTRY["pipeline_streaming_curation"].fn(spark, sf_dir).collect()
     }
     assert full != plain and len(plain - full) > 0
+
+
+def test_full_stack_url_ordering_nonvacuous(spark, sf_dir):
+    """Round 10 (r9 verdict #3): the URL pre-screen's ordering
+    interactions must actually bite — pipeline_full_stack_url's
+    accepted set has to diverge from pipeline_streaming_full_stack's
+    BEYOND the URL-rejected docs themselves: a URL-rejected doc never
+    seeds the HDR length band or the gram index, so some URL-CLEAN
+    doc's stage decision flips (band cutoff or dedup candidacy moved
+    by the missing seeds). Also pins the never-indexed contract at
+    the composed level: no URL-rejected doc is ever accepted."""
+    from pyspark.sql import functions as F
+
+    from play_with_pulsar_spark.operators import urlops
+    from play_with_pulsar_spark.queries import (
+        _URL_BLOCKED_DOMAINS,
+        _url_plant_col,
+    )
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    full = {
+        r.doc_id
+        for r in REGISTRY["pipeline_streaming_full_stack"].fn(spark, sf_dir).collect()
+    }
+    furl = {
+        r.doc_id
+        for r in REGISTRY["pipeline_full_stack_url"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _url_plant_col().alias("url")
+    )
+    url_rej = {
+        r.doc_id
+        for r in urlops.url_screen(
+            docs, blocked_domains=_URL_BLOCKED_DOMAINS
+        ).filter(~F.col("keep")).collect()
+    }
+    assert furl.isdisjoint(url_rej)  # never-indexed, composed
+    assert full & url_rej  # the screen actually removed accepted docs
+    # ordering interaction: at least one URL-CLEAN doc flips
+    flipped_clean = (full ^ furl) - url_rej
+    assert flipped_clean, (
+        "URL screen only subtracted its own rejects — no downstream "
+        "cutoff moved; the ordering composition is vacuous"
+    )

@@ -2028,6 +2028,12 @@ def test_url_screen_rejects_and_never_indexes(spark, tmp_path):
     # and kept docs still dedup: a near-dup of 10 with clean URL rejected
     cur.process_batch(d([(11, t, "https://ok2.example.com/z")]), 2)
     assert {r.doc_id for r in cur.accepted().collect()} == {2, 10}
+    # replay idempotence through the URL stage: re-processing a
+    # committed batch id (crash-retry) is a no-op — no re-screen, no
+    # duplicate state (round 10, the full-stack-url composition gate)
+    cur.process_batch(d([(11, t, "https://ok2.example.com/z")]), 2)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2, 10}
+    assert {r.doc_id for r in cur._index().collect()} == {2, 10}
 
 
 def test_pq_retention_best_evicts_and_unindexes(spark, tmp_path):
