@@ -1161,6 +1161,32 @@ def doremi_domain_weights(
     # conversion a checkpoint needs executes query stages AT BUILD
     # TIME, which would break the registry's zero-job build contract.
     lam = lam.persist()
+    out = doremi_mw_fold(
+        lam, iters=iters, eta=eta, smoothing=smoothing
+    ).select(
+        F.col("_dom").alias(domain_col), F.col("excess"), F.col("weight")
+    )
+    out._engine_caches = [lam]
+    return out
+
+
+def doremi_mw_fold(
+    lam: DataFrame,
+    iters: int = 3,
+    eta: float = 1.0,
+    smoothing: float = 0.2,
+) -> DataFrame:
+    """The DoReMi multiplicative-weights fold over a (``_dom``,
+    ``excess``) table (Xie 2023 Algorithm 1, the engine's rounding
+    protocol — round 10 factored out of :func:`doremi_domain_weights`
+    so the curator's maintained excess tier derives weights through
+    the IDENTICAL plan): from uniform, ``iters`` rounds of
+    g = round(w·exp(η·excess), 6), w' = round((1−c)·g/Σg + c/L, 9),
+    every normalizer a 1-row broadcast. Input is domain-sized; the
+    fold costs nothing at any corpus size. Returns (_dom, excess,
+    weight)."""
+    from ..oracle import dsum
+
     nl = lam.agg(F.count(F.lit(1)).alias("_l"))
     cur = lam.crossJoin(F.broadcast(nl)).withColumn(
         "weight", F.round(F.lit(1.0) / F.col("_l"), 9)
@@ -1187,11 +1213,7 @@ def doremi_domain_weights(
             )
             .drop("_g", "_tg")
         )
-    out = cur.select(
-        F.col("_dom").alias(domain_col), F.col("excess"), F.col("weight")
-    )
-    out._engine_caches = [lam]
-    return out
+    return cur.select("_dom", "excess", "weight")
 
 
 def release_caches(df: DataFrame) -> None:

@@ -148,6 +148,8 @@ class StreamingCorpusCurator:
         length_band_min_docs: int = 50,
         retention: str | None = None,
         score_col: str | None = None,
+        doremi_lm_path: str | None = None,
+        doremi_domain_col: str | None = None,
         vec_format: str | None = None,
         pq_m: int | None = None,
         pq_ksub: int | None = None,
@@ -365,6 +367,7 @@ class StreamingCorpusCurator:
         self.df_dir = os.path.join(base_dir, "df")
         self.hll_dir = os.path.join(base_dir, "hll")
         self.hdr_dir = os.path.join(base_dir, "hdr")
+        self.doremi_dir = os.path.join(base_dir, "doremi")
         self.tomb_dir = os.path.join(base_dir, "tombstones")
         self.shsig_dir = os.path.join(base_dir, "shsig")
         self.compacted_dir = os.path.join(base_dir, "compacted")
@@ -405,6 +408,19 @@ class StreamingCorpusCurator:
         self.score_col: str | None = _resolve("score_col", score_col, None)
         if self.retention == "best" and self.score_col is None:
             raise ValueError("retention='best' requires score_col")
+        # DoReMi tier (round 10): the domain keying is state-shaping —
+        # a re-attach under a different domain column would fold
+        # incompatible rows into the same additive tier — so it
+        # freezes like score_col; the LM path is an attach-time
+        # sidecar arg like perplexity_lm_path (the artifact itself is
+        # immutable by the write_bigram_lm commit protocol)
+        self.doremi_domain_col: str | None = _resolve(
+            "doremi_domain_col",
+            doremi_domain_col,
+            "source" if doremi_lm_path else None,
+        )
+        if doremi_lm_path is not None and screen == "embedding":
+            raise ValueError("the DoReMi tier applies to the text screens")
         # legacy guard: a pre-round-9 dir carries no retention record,
         # but committed tombstone batches are themselves proof of
         # retention='best' history — attaching it as 'first' would
@@ -555,6 +571,11 @@ class StreamingCorpusCurator:
         self.df_schema = "g long, df long"
         self.hll_schema = "bucket long, mreg int"
         self.hdr_schema = "idx long, cnt long"
+        # exact-decimal excess sums: batch partials fold additively
+        # across batches (and subtract exactly on eviction) into the
+        # SAME decimal total one global dsum would produce — the
+        # derived lam is bit-equal to a from-scratch refit
+        self.doremi_schema = "dom string, ex decimal(28,6), n long"
         self.tomb_schema = f"doc_id {id_type}"
         self.shsig_schema = f"doc_id {id_type}, simhash long"
         # sh_hash_fn / max_hamming / sh_blocks resolved (and, for the
@@ -572,6 +593,8 @@ class StreamingCorpusCurator:
         self.url_max_path_depth = url_max_path_depth
         self.perplexity_lm_path = perplexity_lm_path
         self.perplexity_max_xent = perplexity_max_xent
+        self.doremi_lm_path = doremi_lm_path
+        self._doremi_lm: tuple | None = None  # ((mtime, size), uc, ..., meta)
         self._perplexity_lm: tuple | None = None
         self._quality_model: tuple | None = None  # ((mtime, size), w, stats)
         self.contamination_bloom_path = contamination_bloom_path
@@ -710,6 +733,8 @@ class StreamingCorpusCurator:
         rec: dict = {"retention": self.retention}
         if self.score_col is not None:
             rec["score_col"] = self.score_col
+        if self.doremi_domain_col is not None:
+            rec["doremi_domain_col"] = self.doremi_domain_col
         if self.screen == "simhash":
             rec["sh_hash_fn"] = self.sh_hash_fn
             rec["max_hamming"] = self.max_hamming
@@ -765,7 +790,11 @@ class StreamingCorpusCurator:
         from pyspark.errors import AnalysisException
 
         full_schema = schema + ", ingest_batch int"
-        cols = [c.split()[0] for c in schema.split(",")]
+        # DDL-parse for the names — a naive comma split breaks on
+        # parameterized types like decimal(28,6) (the doremi tier)
+        from pyspark.sql.types import StructType
+
+        cols = StructType.fromDDL(schema).fieldNames()
         try:
             df = self.spark.read.schema(full_schema).parquet(path)
         except AnalysisException:  # PATH_NOT_FOUND: first batch yet
@@ -800,7 +829,9 @@ class StreamingCorpusCurator:
             return None
         ent = man[kind]
         schema = self._state_schema(kind)
-        cols = [c.split()[0] for c in schema.split(",")]
+        from pyspark.sql.types import StructType
+
+        cols = StructType.fromDDL(schema).fieldNames()  # decimal(p,s)-safe
         try:
             return self.spark.table(ent["table"]).select(*cols)
         except Exception:
@@ -1241,22 +1272,217 @@ class StreamingCorpusCurator:
             return docs
         from ..operators import textops
 
-        sidecar = os.path.join(self.perplexity_lm_path, "lm.json")
-        st = os.stat(sidecar)
-        key = (st.st_mtime_ns, st.st_size)
-        if self._perplexity_lm is None or self._perplexity_lm[0] != key:
-            uc, ctx, bc, meta = textops.read_bigram_lm(
-                self.spark, self.perplexity_lm_path
+        # the artifact's sidecar name tags its ORDER (round 10):
+        # lm3.json = a write_trigram_lm KN3 model (full KenLM
+        # recursion with coalesce-to-zero backoff), lm.json = the
+        # round-7 bigram model — same screen, higher-fidelity scorer
+        kn3_sidecar = os.path.join(self.perplexity_lm_path, "lm3.json")
+        if os.path.exists(kn3_sidecar):
+            st = os.stat(kn3_sidecar)
+            key = ("kn3", st.st_mtime_ns, st.st_size)
+            if self._perplexity_lm is None or self._perplexity_lm[0] != key:
+                tc, meta = textops.read_trigram_lm(
+                    self.spark, self.perplexity_lm_path
+                )
+                self._perplexity_lm = (key, tc, meta)
+            _, tc, meta = self._perplexity_lm
+            scored = textops.score_with_trigram_lm(
+                docs, tc, meta, text_col=self.text_col, id_col=self.id_col
             )
-            self._perplexity_lm = (key, uc, ctx, bc, meta)
-        _, uc, ctx, bc, meta = self._perplexity_lm
-        scored = textops.score_with_bigram_lm(
-            docs, uc, ctx, bc, meta, text_col=self.text_col, id_col=self.id_col
-        )
+        else:
+            sidecar = os.path.join(self.perplexity_lm_path, "lm.json")
+            st = os.stat(sidecar)
+            key = (st.st_mtime_ns, st.st_size)
+            if self._perplexity_lm is None or self._perplexity_lm[0] != key:
+                uc, ctx, bc, meta = textops.read_bigram_lm(
+                    self.spark, self.perplexity_lm_path
+                )
+                self._perplexity_lm = (key, uc, ctx, bc, meta)
+            _, uc, ctx, bc, meta = self._perplexity_lm
+            scored = textops.score_with_bigram_lm(
+                docs, uc, ctx, bc, meta,
+                text_col=self.text_col, id_col=self.id_col,
+            )
         bad = scored.filter(
             F.col("xent") > F.lit(float(self.perplexity_max_xent))
         ).select(F.col("doc_id").alias(self.id_col))
         return docs.join(bad, self.id_col, "anti")
+
+    def _doremi_excess(self, docs: DataFrame) -> DataFrame:
+        """(``_dom``, ``_ex``) per scoreable doc against the PERSISTED
+        LM artifact (``doremi_lm_path`` — one ``write_bigram_lm``
+        artifact powers both scorers: its ``uc`` table is the unigram
+        proxy, the full backoff tables the bigram reference). Excess =
+        round(max(−mean_logprob − xent, 0), 6), the exact per-doc
+        expression of ``curation.doremi_domain_weights``; <2-token
+        docs (NULL xent) are excluded from the fold, mirroring the
+        static pass's inner join. LM tables cached on the sidecar's
+        (mtime, size), the screen convention."""
+        from ..operators import textops
+
+        sidecar = os.path.join(self.doremi_lm_path, "lm.json")
+        st = os.stat(sidecar)
+        key = (st.st_mtime_ns, st.st_size)
+        if self._doremi_lm is None or self._doremi_lm[0] != key:
+            uc, ctx, bc, meta = textops.read_bigram_lm(
+                self.spark, self.doremi_lm_path
+            )
+            self._doremi_lm = (key, uc, ctx, bc, meta)
+        _, uc, ctx, bc, meta = self._doremi_lm
+        uni = textops.score_with_unigram_lm(
+            docs, uc, meta, text_col=self.text_col, id_col=self.id_col
+        ).select("doc_id", "mean_logprob")
+        bi = (
+            textops.score_with_bigram_lm(
+                docs, uc, ctx, bc, meta,
+                text_col=self.text_col, id_col=self.id_col,
+            )
+            .select("doc_id", "xent")
+            .filter(F.col("xent").isNotNull())
+        )
+        return (
+            docs.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.col(self.doremi_domain_col).alias("_dom"),
+            )
+            .join(uni, "doc_id")
+            .join(bi, "doc_id")
+            .select(
+                "_dom",
+                F.round(
+                    F.greatest(
+                        (-F.col("mean_logprob")) - F.col("xent"), F.lit(0.0)
+                    ),
+                    6,
+                ).alias("_ex"),
+            )
+        )
+
+    def _doremi_batch_rows(self, ex: DataFrame, negate: bool = False) -> DataFrame:
+        """Domain-sized (dom, ex, n) partial for one batch — the
+        exact-decimal sum of per-doc excess plus the doc count;
+        ``negate`` produces the eviction delta rows."""
+        s = F.sum(F.col("_ex").cast("decimal(28,6)"))
+        n = F.count(F.lit(1))
+        if negate:
+            s, n = -s, -n
+        return ex.groupBy("_dom").agg(
+            s.cast("decimal(28,6)").alias("ex"), n.cast("long").alias("n")
+        ).select(F.col("_dom").alias("dom"), "ex", "n")
+
+    def _write_doremi_tier(
+        self, keep: DataFrame, evicted: DataFrame | None, batch_id: int
+    ) -> None:
+        """Per-batch DoReMi excess partial (round 10 — r9 verdict #4):
+        fold the batch's ACCEPTED docs' per-domain excess sums into
+        the additive tier; retention='best' adds NEGATIVE deltas for
+        evicted incumbents (rescored from the accepted state — the
+        df/hdr convention), so the tier tracks the surviving corpus
+        exactly. Replay-safe by the overwrite-into-batch-dir
+        discipline; compaction folds the committed prefix."""
+        rows = self._doremi_batch_rows(self._doremi_excess(keep))
+        if evicted is not None:
+            acc_prev = self._accepted_excluding(batch_id)
+            if acc_prev is not None:
+                ev_docs = acc_prev.join(
+                    evicted.withColumnRenamed("doc_id", self.id_col),
+                    self.id_col,
+                    "semi",
+                )
+                rows = rows.unionByName(
+                    self._doremi_batch_rows(
+                        self._doremi_excess(ev_docs), negate=True
+                    )
+                )
+        rows.write.mode("overwrite").parquet(
+            self._batch_dir(self.doremi_dir, batch_id)
+        )
+
+    def _compacted_doremi(self) -> DataFrame | None:
+        man = self._manifest()
+        if man is None or man.get("doremi") is None:
+            return None
+        return self.spark.read.schema(self.doremi_schema).parquet(
+            man["doremi"]["path"]
+        )
+
+    def _doremi_tier(self, exclude_batch: int | None = None) -> DataFrame:
+        """Folded (dom, ex, n) excess tier of the accepted corpus: the
+        maintained tier when it provably covers exactly the accepted
+        tier, else ONE derive from the accepted corpus against the
+        stored LM (healing — the ``_length_sketch`` convention)."""
+        if self.doremi_lm_path is None:
+            raise ValueError("doremi_lm_path is not configured")
+        man = self._manifest()
+        tier_ok = (man is None or man.get("doremi") is not None) and (
+            self._committed_ids_above(self.doremi_dir, exclude_batch)
+            == self._committed_ids_above(self.accepted_dir, exclude_batch)
+        )
+        if tier_ok:
+            t = self._read_state(
+                self.doremi_dir, self.doremi_schema, exclude_batch
+            )
+            comp = self._compacted_doremi()
+            if comp is not None:
+                t = comp.unionByName(t)
+            return t.groupBy("dom").agg(
+                F.sum("ex").cast("decimal(28,6)").alias("ex"),
+                F.sum("n").cast("long").alias("n"),
+            )
+        src = (
+            self.accepted()
+            if exclude_batch is None
+            else self._accepted_excluding(exclude_batch)
+        )
+        if src is None:
+            return self.spark.createDataFrame([], self.doremi_schema)
+        return self._doremi_batch_rows(self._doremi_excess(src))
+
+    def doremi_lam(self) -> DataFrame:
+        """(dom, excess) per-domain mean excess of the ACCEPTED corpus
+        from the maintained tier — round(Σex / n, 6), bit-equal to a
+        from-scratch refit over the same corpus against the same
+        stored LM (decimal partials fold exactly; eviction deltas
+        cancel exactly). Domains whose docs all evicted (n = 0) drop
+        out, as a refit would drop them."""
+        return (
+            self._doremi_tier()
+            .filter(F.col("n") > 0)
+            .select(
+                F.col("dom").alias("_dom"),
+                F.round(
+                    F.col("ex").cast("double") / F.col("n"), 6
+                ).alias("excess"),
+            )
+        )
+
+    def doremi_weights(
+        self, iters: int = 3, eta: float = 1.0, smoothing: float = 0.2
+    ) -> DataFrame:
+        """DoReMi mixture weights of the accepted corpus, refreshed
+        from the maintained excess tier (round 10 — r9 verdict #4):
+        the domain-sized tier fold + ``curation.doremi_mw_fold`` (the
+        IDENTICAL MW plan as the static pass), so per-batch weight
+        refreshes cost one domain-sized read — never the two corpus
+        LM re-scans ``doremi_domain_weights`` pays. Returns
+        (``doremi_domain_col``, excess, weight).
+
+        Deliberately NOT persist()ed: Spark's cache manager matches by
+        analyzed-plan equality, and the tier scan's plan (root dir +
+        watermark filter) is identical across batches — a persisted
+        lam from batch k would silently serve batch k's PARTITION
+        LISTING to every later call (measured: stale weights until
+        release). The tier is domain-sized; re-scanning it per
+        normalizer branch costs nothing."""
+        from ..operators.curation import doremi_mw_fold
+
+        return doremi_mw_fold(
+            self.doremi_lam(), iters=iters, eta=eta, smoothing=smoothing
+        ).select(
+            F.col("_dom").alias(self.doremi_domain_col),
+            F.col("excess"),
+            F.col("weight"),
+        )
 
     def _apply_contamination_screen(self, docs: DataFrame) -> DataFrame:
         """Bloom decontamination pre-screen
@@ -1428,6 +1654,12 @@ class StreamingCorpusCurator:
         # deriving from the accepted corpus when a partition is
         # missing, and compaction heals pre-feature state
         hdr_done = self._committed(self.hdr_dir, batch_id)
+        # doremi is the (best-effort) per-domain excess tier (round
+        # 10): doremi_lam falls back to deriving from the accepted
+        # corpus when a partition is missing; compaction heals
+        doremi_done = self.doremi_lm_path is None or self._committed(
+            self.doremi_dir, batch_id
+        )
         # tombstones are DECISION state (retention='best'): an
         # eviction that never commits would leave the replaced doc
         # visible forever, so the tier is part of the commit contract
@@ -1436,7 +1668,7 @@ class StreamingCorpusCurator:
         )
         if (
             acc_done and grams_done and banded_done and df_done and hll_done
-            and hdr_done and tomb_done
+            and hdr_done and doremi_done and tomb_done
         ):  # committed replay
             return
         # pre-screens BEFORE the persist (quality first — a cheap
@@ -1622,6 +1854,8 @@ class StreamingCorpusCurator:
             hdr_rows.write.mode("overwrite").parquet(
                 self._batch_dir(self.hdr_dir, batch_id)
             )
+        if self.doremi_lm_path is not None and not doremi_done:
+            self._write_doremi_tier(keep, evicted, batch_id)
         keep.unpersist()
         if evicted is not None:
             evicted.unpersist()
@@ -1661,10 +1895,13 @@ class StreamingCorpusCurator:
         acc_done = self._committed(self.accepted_dir, batch_id)
         sig_done = self._committed(self.shsig_dir, batch_id)
         hdr_done = self._committed(self.hdr_dir, batch_id)
+        doremi_done = self.doremi_lm_path is None or self._committed(
+            self.doremi_dir, batch_id
+        )
         tomb_done = self.retention != "best" or self._committed(
             self.tomb_dir, batch_id
         )
-        if acc_done and sig_done and hdr_done and tomb_done:
+        if acc_done and sig_done and hdr_done and doremi_done and tomb_done:
             return
         screened = self._apply_contamination_screen(
             self._apply_perplexity_screen(
@@ -1753,6 +1990,8 @@ class StreamingCorpusCurator:
             hdr_rows.write.mode("overwrite").parquet(
                 self._batch_dir(self.hdr_dir, batch_id)
             )
+        if self.doremi_lm_path is not None and not doremi_done:
+            self._write_doremi_tier(keep, evicted, batch_id)
         keep.unpersist()
         if evicted is not None:
             evicted.unpersist()
@@ -1950,7 +2189,9 @@ class StreamingCorpusCurator:
             if self._batch_id_of(d) > lo
             and (hi is None or self._batch_id_of(d) <= hi)
         ]
-        cols = [c.split()[0] for c in schema.split(",")]
+        from pyspark.sql.types import StructType
+
+        cols = StructType.fromDDL(schema).fieldNames()  # decimal(p,s)-safe
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return (
@@ -2034,6 +2275,42 @@ class StreamingCorpusCurator:
             ),
             "v",
             sub_bits=LEN_HDR_SUB_BITS,
+        )
+
+    def _doremi_fold_for_compact(
+        self, man, old_upto: int, new_upto: int, fully: set, acc_path: str
+    ):
+        """Folded (dom, ex, n) DoReMi excess rows for a compaction —
+        the additive fast fold over previous compacted rows + covered
+        per-batch partials (negative eviction deltas cancel exactly),
+        or ONE healing derive from the just-written accepted corpus
+        against the stored LM when any covered batch lacks its
+        partition (the hdr convention). None when the tier is not
+        configured."""
+        if self.doremi_lm_path is None:
+            return None
+        covered = {
+            self._batch_id_of(d)
+            for d in self._committed_batch_dirs(self.doremi_dir)
+            if old_upto < self._batch_id_of(d) <= new_upto
+        }
+        if fully <= covered and (man is None or man.get("doremi") is not None):
+            full = self._read_committed(
+                self.doremi_dir, self.doremi_schema, old_upto, new_upto
+            )
+            comp = self._compacted_doremi()
+            if comp is not None:
+                full = comp.unionByName(full)
+            return (
+                full.groupBy("dom")
+                .agg(
+                    F.sum("ex").cast("decimal(28,6)").alias("ex"),
+                    F.sum("n").cast("long").alias("n"),
+                )
+                .filter(F.col("n") != 0)  # fully-evicted domains drop
+            )
+        return self._doremi_batch_rows(
+            self._doremi_excess(self.spark.read.parquet(acc_path))
         )
 
     def compact(self) -> bool:
@@ -2204,6 +2481,13 @@ class StreamingCorpusCurator:
             hdr_path = os.path.join(vdir, "hdr")
             hdr_full.write.mode("overwrite").parquet(hdr_path)
             manifest["hdr"] = {"path": hdr_path}
+            dr_full = self._doremi_fold_for_compact(
+                man, old_upto, new_upto, fully, acc_path
+            )
+            if dr_full is not None:
+                dr_path = os.path.join(vdir, "doremi")
+                dr_full.write.mode("overwrite").parquet(dr_path)
+                manifest["doremi"] = {"path": dr_path}
             tmp = self._manifest_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
@@ -2340,6 +2624,16 @@ class StreamingCorpusCurator:
         hdr_path = os.path.join(vdir, "hdr")
         hdr_full.write.mode("overwrite").parquet(hdr_path)
         manifest["hdr"] = {"path": hdr_path}
+
+        # DoReMi per-domain excess tier (round 10): additive fast fold
+        # or healing derive — shared with the simhash branch
+        dr_full = self._doremi_fold_for_compact(
+            man, old_upto, new_upto, fully, acc_path
+        )
+        if dr_full is not None:
+            dr_path = os.path.join(vdir, "doremi")
+            dr_full.write.mode("overwrite").parquet(dr_path)
+            manifest["doremi"] = {"path": dr_path}
 
         # commit: write-temp + fsync + os.replace = atomic AND durable
         # pointer flip (without the fsync, a power loss after the
@@ -2701,6 +2995,7 @@ class StreamingCorpusCurator:
         if self.screen != "embedding":
             tables.append(self.hll_dir)  # best-effort monitor tier
             tables.append(self.hdr_dir)  # best-effort monitor tier
+            tables.append(self.doremi_dir)  # best-effort excess tier
         for base in tables:
             for d in self._batch_dirs(base):
                 if self._batch_id_of(d) <= upto:

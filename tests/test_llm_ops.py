@@ -970,6 +970,119 @@ def test_url_screen_case_and_userinfo_bypass(spark):
         )
 
 
+def test_stored_kn3_backoff_branches(spark, tmp_path):
+    """The stored KN3 scorer (round 10): (a) scoring the training
+    corpus reproduces trigram_logprob row for row; (b) each OOV
+    backoff branch — unseen trigram in a seen context, unseen
+    context, unseen word — matches a pure-python reimplementation of
+    the coalesce-to-zero recursion; (c) unseen-word docs score at the
+    continuation floor, far below in-model docs (the screen's
+    signal)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from play_with_pulsar_spark.operators import textops
+
+    rows = [
+        (1, "the cat sat on the mat and the cat ran"),
+        (2, "the dog sat on the rug and the dog ran"),
+        (3, "a cat and a dog sat on the mat today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tc, meta = textops.fit_trigram_lm(docs)
+    lmdir = str(tmp_path / "kn3")
+    textops.write_trigram_lm(lmdir, tc, meta)
+    tc2, meta2 = textops.read_trigram_lm(spark, lmdir)
+    a = {r.doc_id: tuple(r) for r in textops.trigram_logprob(docs).collect()}
+    b = {r.doc_id: tuple(r)
+         for r in textops.score_with_trigram_lm(docs, tc2, meta2).collect()}
+    assert a == b  # stored == in-corpus on the training corpus
+    # pure-python model of the stored recursion
+    toks = [t.split() for _, t in rows]
+    c3 = Counter((w[i], w[i+1], w[i+2]) for w in toks for i in range(len(w)-2))
+    cuv, n1uv, cont2 = Counter(), Counter(), Counter()
+    for (u, v, w), c in c3.items():
+        cuv[(u, v)] += c
+        n1uv[(u, v)] += 1
+        cont2[(v, w)] += 1
+    n1v_, nv_, n1w = Counter(), Counter(), Counter()
+    for (v, w), c in cont2.items():
+        n1v_[v] += c
+        nv_[v] += 1
+        n1w[w] += 1
+    ntc, vw = len(cont2), len({w for _, w in cont2})
+    assert (meta["ntc"], meta["vw"]) == (ntc, vw)
+    D = 0.75
+
+    def p(u, v, w):
+        pc = n1w[w] / ntc if w in n1w else 1.0 / (ntc + vw)
+        if v in n1v_:
+            pm = (max(cont2[(v, w)] - D, 0.0) / n1v_[v]
+                  + (D * nv_[v] / n1v_[v]) * pc)
+        else:
+            pm = pc
+        if (u, v) in cuv:
+            return (max(c3[(u, v, w)] - D, 0.0) / cuv[(u, v)]
+                    + (D * n1uv[(u, v)] / cuv[(u, v)]) * pm)
+        return pm
+
+    probes = [
+        (10, "the cat sat"),      # fully seen
+        (11, "cat the dog"),      # unseen trigram+context, seen words
+        (12, "the cat today"),    # seen context (the,cat), unseen w
+        (13, "zz qq ww"),         # unseen everything (word floor)
+        (14, "on the zz"),        # seen context, OOV word
+    ]
+    got = {r.doc_id: r for r in textops.score_with_trigram_lm(
+        spark.createDataFrame(probes, "doc_id long, text string"), tc2, meta2
+    ).collect()}
+    for did, text in probes:
+        u, v, w = text.split()
+        lp = Decimal(repr(round(math.log(p(u, v, w)), 8))).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+        want_x = float((-lp).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        assert got[did].n_trigrams == 1
+        assert got[did].xent == want_x, (did, got[did].xent, want_x)
+    # the screen's separation: an all-OOV doc lands at the floor,
+    # well above in-model docs (margin scales with ln(ntc+vw) — mild
+    # on this 23-type toy corpus, ~7 nats at sf0.01)
+    assert got[13].xent > got[10].xent + 1.5
+
+
+def test_score_with_unigram_lm_stored_vs_in_corpus(spark):
+    """Stored-vs-in-corpus law (round 10): scoring the LM's own
+    training corpus with score_with_unigram_lm reproduces
+    unigram_logprob row for row (seen tokens score log(c/N) under the
+    identical rounding protocol); unseen tokens in NEW docs take the
+    add-one floor log(1/(N+V))."""
+    import math
+
+    from play_with_pulsar_spark.operators import textops
+
+    rows = [(1, "the cat sat on the mat"), (2, "a dog and a cat"),
+            (3, "the dog ran far away today")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uc, ctx, bc, meta = textops.fit_bigram_lm(docs)
+    a = {r.doc_id: (r.n_tokens, r.logprob, r.mean_logprob)
+         for r in textops.unigram_logprob(docs).collect()}
+    b = {r.doc_id: (r.n_tokens, r.logprob, r.mean_logprob)
+         for r in textops.score_with_unigram_lm(docs, uc, meta).collect()}
+    assert a == b
+    new = spark.createDataFrame(
+        [(9, "zz qq ww")], "doc_id long, text string")
+    got = textops.score_with_unigram_lm(new, uc, meta).collect()[0]
+    floor = round(math.log(1.0 / (meta["n"] + meta["v"])), 8)
+    # dsum quantizes each addend to 6dp (decimal(18,6)) before the
+    # exact sum — mirror that, HALF_UP like Spark's cast
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(repr(floor)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    assert got.n_tokens == 3
+    assert got.logprob == float(3 * q)
+
+
 def test_unigram_vocab_floor_oov_bucket(spark):
     """Round 10 (r9 verdict): vocab_floor pools sub-floor types into
     one <oov> class. Laws: floor=1 is row-identical to the unbounded

@@ -383,6 +383,7 @@ EAGER_BUILD_ALLOWLIST = {
     "sim_pq_rerank_topk": "codebook fit",
     "sim_pq_adc_topk": "codebook fit + LUT broadcast",
     "sim_ivf_pq_stored": "index build/probe lifecycle (writes + fits)",
+    "text_kn3_stored": "fit+persist+read lifecycle (the stored-LM law)",
     "quality_outlier_mad_continuous": "in-query approx-vs-exact band assert",
     "approx_stats_bounded": "in-query error-bound asserts",
     "text_tfidf_top_terms": "vocab/n_docs collect (D+1 doubles)",

@@ -2072,3 +2072,168 @@ def test_pq_retention_best_evicts_and_unindexes(spark, tmp_path):
     assert cur.compact()
     assert {r.vec_id for r in cur.accepted().collect()} == {10, 3, 5, 7}
     assert {r.vec_id for r in cur._index_vec().collect()} == {10, 3, 5, 7}
+
+
+# --- DoReMi maintained excess tier (round 10 — r9 verdict #4) ---
+
+
+def _doremi_lm(spark, docs, tmp_path, name="dlm"):
+    from play_with_pulsar_spark.operators import textops
+
+    lmdir = str(tmp_path / name)
+    uc, ctx, bc, meta = textops.fit_bigram_lm(docs)
+    textops.write_bigram_lm(lmdir, uc, ctx, bc, meta)
+    return lmdir, (uc, ctx, bc, meta)
+
+
+def _doremi_refit(cur, lm):
+    """The from-scratch weights over the curator's CURRENT accepted
+    corpus against the same stored LM — what the maintained tier must
+    reproduce bit for bit on every prefix."""
+    from play_with_pulsar_spark.operators import curation, textops
+    from play_with_pulsar_spark.oracle import dsum
+
+    uc, ctx, bc, meta = lm
+    acc = cur.accepted()
+    uni = textops.score_with_unigram_lm(acc, uc, meta).select(
+        "doc_id", "mean_logprob"
+    )
+    bi = (
+        textops.score_with_bigram_lm(acc, uc, ctx, bc, meta)
+        .select("doc_id", "xent")
+        .filter(F.col("xent").isNotNull())
+    )
+    ex = (
+        acc.select("doc_id", F.col("source").alias("_dom"))
+        .join(uni, "doc_id")
+        .join(bi, "doc_id")
+        .select(
+            "_dom",
+            F.round(
+                F.greatest(
+                    (-F.col("mean_logprob")) - F.col("xent"), F.lit(0.0)
+                ),
+                6,
+            ).alias("_ex"),
+        )
+    )
+    lam = ex.groupBy("_dom").agg(
+        F.round(dsum("_ex") / F.count(F.lit(1)), 6).alias("excess")
+    )
+    return sorted(map(tuple, curation.doremi_mw_fold(lam).collect()))
+
+
+def test_doremi_tier_prefix_refit_replay_compaction(spark, tmp_path):
+    """The maintained per-domain excess tier: after EVERY batch the
+    derived weights equal a from-scratch refit over the accepted
+    prefix against the same stored LM (exact-decimal partials fold to
+    the same total a global dsum produces); a committed-batch replay
+    is a no-op; compaction folds the tier without moving a digit."""
+    rows = [
+        (i, _w(i), f"src{i % 4}") for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    lmdir, lm = _doremi_lm(spark, docs, tmp_path)
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "d"), threshold=0.8, max_shingle_freq=50,
+        doremi_lm_path=lmdir, compact_after=1,
+    )
+    for k in range(3):
+        cur.process_batch(docs.filter(F.col("doc_id") % 3 == k), k)
+        got = sorted(map(tuple, cur.doremi_weights().collect()))
+        assert got == _doremi_refit(cur, lm), f"prefix {k}"
+    tier0 = sorted(map(tuple, cur._doremi_tier().collect()))
+    cur.process_batch(docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay
+    assert sorted(map(tuple, cur._doremi_tier().collect())) == tier0
+    assert cur.compact() or True  # fold whatever remains
+    assert sorted(map(tuple, cur.doremi_weights().collect())) == \
+        _doremi_refit(cur, lm)
+    # weights sum to ~1 (MW + smoothing law)
+    s = sum(w for _, _, w in sorted(map(tuple, cur.doremi_weights().collect())))
+    assert abs(s - 1.0) < 1e-6
+
+
+def test_doremi_tier_eviction_deltas(spark, tmp_path):
+    """retention='best' composes with the tier: an evicted incumbent's
+    excess/count SUBTRACT exactly (rescored from the accepted state —
+    the df/hdr negative-delta convention), so the tier tracks the
+    surviving corpus and the refit equality holds through evictions."""
+    t = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, t, "a", 1.0), (2, _w(2), "a", 5.0), (3, _w(3), "b", 2.0),
+        # batch 1: 10 is a higher-scoring near-dup of 1 -> evicts it
+        (10, t, "b", 9.0), (11, _w(11), "b", 1.0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, score double"
+    )
+    lmdir, lm = _doremi_lm(spark, docs, tmp_path)
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "e"), threshold=0.8, max_shingle_freq=50,
+        retention="best", score_col="score", doremi_lm_path=lmdir,
+    )
+    cur.process_batch(docs.filter(F.col("doc_id") < 10).drop("score")
+                      .join(docs.select("doc_id", "score"), "doc_id"), 0)
+    assert {r.doc_id for r in cur.accepted().collect()} == {1, 2, 3}
+    w0 = sorted(map(tuple, cur.doremi_weights().collect()))
+    assert w0 == _doremi_refit(cur, lm)
+    cur.process_batch(docs.filter(F.col("doc_id") >= 10), 1)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2, 3, 10, 11}
+    w1 = sorted(map(tuple, cur.doremi_weights().collect()))
+    assert w1 == _doremi_refit(cur, lm)  # deltas cancelled exactly
+    assert w1 != w0  # the eviction actually moved the mixture
+
+
+def test_doremi_domain_col_freezes(spark, tmp_path):
+    """The tier's domain keying freezes like score_col: re-attaching
+    with a conflicting doremi_domain_col raises; attaching with the
+    frozen value (or None) succeeds."""
+    import pytest
+
+    rows = [(i, _w(i), f"s{i % 2}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    lmdir, _ = _doremi_lm(spark, docs, tmp_path)
+    base = str(tmp_path / "f")
+    cur = StreamingCorpusCurator(
+        spark, base, threshold=0.8, max_shingle_freq=50, doremi_lm_path=lmdir
+    )
+    cur.process_batch(docs, 0)
+    with pytest.raises(ValueError, match="doremi_domain_col"):
+        StreamingCorpusCurator(
+            spark, base, threshold=0.8, max_shingle_freq=50,
+            doremi_lm_path=lmdir, doremi_domain_col="other",
+        )
+    again = StreamingCorpusCurator(
+        spark, base, threshold=0.8, max_shingle_freq=50, doremi_lm_path=lmdir
+    )
+    assert again.doremi_domain_col == "source"
+
+
+def test_kn3_perplexity_screen_autodetect(spark, tmp_path):
+    """The perplexity screen auto-detects a write_trigram_lm artifact
+    (lm3.json) and scores with the stored KN3 scorer: planted
+    gibberish (unseen words -> the continuation floor) is rejected,
+    in-model docs pass, and a rejected doc is never indexed (its
+    clean twin is accepted later)."""
+    from play_with_pulsar_spark.operators import textops
+
+    clean = [
+        (i, "the cat sat on the mat and the dog ran far away " + _w(i, 6))
+        for i in range(1, 7)
+    ]
+    docs = _docs(spark, clean)
+    lmdir = str(tmp_path / "lm3")
+    tc, meta = textops.fit_trigram_lm(docs)
+    textops.write_trigram_lm(lmdir, tc, meta)
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "k"), threshold=0.8, max_shingle_freq=50,
+        perplexity_lm_path=lmdir, perplexity_max_xent=2.5,
+    )  # clean ~0.47, gibberish ~4.5 on this toy corpus
+    gib = " ".join(f"zz{i}qq" for i in range(12))
+    cur.process_batch(_docs(spark, clean[:3] + [(100, gib)]), 0)
+    acc = {r.doc_id for r in cur.accepted().collect()}
+    assert acc == {1, 2, 3}  # gibberish rejected, in-model docs pass
+    assert {r.doc_id for r in cur._index().collect()} == {1, 2, 3}
+    # later in-model batches are unaffected by the rejected doc
+    cur.process_batch(_docs(spark, clean[3:]), 1)
+    assert {r.doc_id for r in cur.accepted().collect()} == {1, 2, 3, 4, 5, 6}
