@@ -1962,3 +1962,229 @@ def trigram_logprob(
             F.round(F.exp("xent"), 6).alias("ppl"),
         )
     )
+
+
+# --- Gopher repetition suite (the full Table-A1 §A1.1 signal set) ---
+
+# Packing base for the (count, length) argmax encoding used by the
+# run-stats fold: pack = count * _PACK + len(gram). Gram/line strings
+# are bounded far below 100k chars (grams are <= 10 tokens), and a
+# count can reach the doc's token count, so the packed value stays
+# comfortably inside int64 for any realistic document.
+_PACK = 100_000
+
+
+def _sorted_run_stats(sorted_arr: Column) -> Column:
+    """Run-length statistics of a SORTED string array as ONE Catalyst
+    ``aggregate`` fold — the per-document counting kernel behind
+    :func:`gopher_repetition`. Equal elements are adjacent after the
+    sort, so a single O(len) pass with a (prev, run) accumulator
+    recovers every per-value frequency without a hash map — and
+    therefore without the (doc, gram) exchange the grouped form of
+    the same statistic needs (`repetition_signals` pays that shuffle
+    for ONE signal; this kernel prices nine signals at zero).
+
+    Returns struct:
+      - ``dup_occ``       = Σ over values with count ≥ 2 of (count-1)
+        — occurrences beyond the first ("duplicate" occurrences),
+      - ``dup_occ_chars`` = Σ (count-1) * len(value),
+      - ``dup_all_chars`` = Σ over values with count ≥ 2 of
+        count * len(value) — chars in ALL occurrences of any
+        duplicated value (the Gopher dup-n-gram numerator),
+      - ``toppack``       = max over values of count * _PACK +
+        len(value) — the most frequent value's (count, len), ties by
+        longer value (deterministic, and identical to the oracle's
+        relational ``max(c*_PACK+l)``).
+
+    Empty arrays fold to all-zero stats (the init state finalizes a
+    zero-length run, which every guard skips)."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("dup_occ"),
+        zero.alias("dup_occ_chars"),
+        zero.alias("dup_all_chars"),
+        zero.alias("toppack"),
+    )
+
+    def _fin_occ(acc):
+        return F.when(acc["run"] >= 2, acc["run"] - 1).otherwise(F.lit(0).cast("long"))
+
+    def _fin_occ_chars(acc):
+        return F.when(
+            acc["run"] >= 2, (acc["run"] - 1) * F.length(acc["prev"])
+        ).otherwise(F.lit(0).cast("long"))
+
+    def _fin_all_chars(acc):
+        return F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0).cast("long"))
+
+    def _fin_top(acc):
+        return F.greatest(
+            acc["toppack"], acc["run"] * F.lit(_PACK) + F.length(acc["prev"])
+        )
+
+    def step(acc, x):
+        same = acc["prev"] == x
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["dup_occ"])
+            .otherwise(acc["dup_occ"] + _fin_occ(acc))
+            .alias("dup_occ"),
+            F.when(same, acc["dup_occ_chars"])
+            .otherwise(acc["dup_occ_chars"] + _fin_occ_chars(acc))
+            .alias("dup_occ_chars"),
+            F.when(same, acc["dup_all_chars"])
+            .otherwise(acc["dup_all_chars"] + _fin_all_chars(acc))
+            .alias("dup_all_chars"),
+            F.when(same, acc["toppack"]).otherwise(_fin_top(acc)).alias("toppack"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            (acc["dup_occ"] + _fin_occ(acc)).alias("dup_occ"),
+            (acc["dup_occ_chars"] + _fin_occ_chars(acc)).alias("dup_occ_chars"),
+            (acc["dup_all_chars"] + _fin_all_chars(acc)).alias("dup_all_chars"),
+            _fin_top(acc).alias("toppack"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def _grams_multiset(t: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (no array_distinct — frequency
+    is the payload), empty for docs shorter than n. ``t`` must be a
+    materialized column reference (the lambda-reevaluation trap,
+    see :func:`ngrams_from_tokens`)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+# (rule name, threshold) in Gopher Table-A1 order; first failing rule
+# wins the reject_reason. Fractions are "of duplicates" — above the
+# threshold means too repetitive.
+GOPHER_REP_RULES = (
+    ("dup_line_frac", 0.30),
+    ("dup_line_char_frac", 0.20),
+    ("top_2gram_frac", 0.20),
+    ("top_3gram_frac", 0.18),
+    ("top_4gram_frac", 0.16),
+    ("dup_5gram_frac", 0.15),
+    ("dup_6gram_frac", 0.14),
+    ("dup_7gram_frac", 0.13),
+    ("dup_8gram_frac", 0.12),
+    ("dup_9gram_frac", 0.11),
+    ("dup_10gram_frac", 0.10),
+)
+
+
+def gopher_repetition(
+    pages: DataFrame, page_col: str = "page", id_col: str = "doc_id"
+) -> DataFrame:
+    """The FULL Gopher repetition-removal signal set (Rae et al. 2021
+    "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", Table A1 §A1.1 — public), eleven signals per
+    document:
+
+    - ``dup_line_frac``: duplicate line occurrences (beyond each
+      line's first) / total lines,
+    - ``dup_line_char_frac``: characters in those duplicate line
+      occurrences / characters in all lines,
+    - ``top_{2,3,4}gram_frac``: characters covered by the most
+      frequent word n-gram (count × gram length) / characters of the
+      whitespace-joined token stream,
+    - ``dup_{5..10}gram_frac``: characters in ALL occurrences of
+      duplicated word n-grams / the same denominator.
+
+    Simplification vs DeepMind's internal implementation (which is
+    not public): occurrence-character products are used rather than
+    de-overlapped character coverage; the contract is fully defined
+    by this function + its oracle twin. Thresholds are the paper's
+    (``GOPHER_REP_RULES``); ``reject_reason`` is the first failing
+    rule, ``keep`` is the conjunction.
+
+    Lines are the ``\\n``-split, whitespace-trimmed, non-empty lines
+    of the page (the C4/line_dedup convention); grams come from the
+    whitespace token stream (newlines are token separators).
+
+    Scale shape: ZERO shuffles — every signal is a per-row
+    ``array_sort`` + :func:`_sorted_run_stats` fold (O(L log L) per
+    doc, JVM-side), so the whole eleven-signal suite rides the page
+    scan at any corpus size. Contrast :func:`repetition_signals`,
+    which pays a (doc, gram) exchange for its single top-bigram
+    signal — the fold kernel is what makes the full suite affordable.
+    All numerators/denominators are exact int64; each fraction is ONE
+    int/int double division, bitwise identical in both engines."""
+    page = F.col(page_col)
+    lines_raw = F.transform(
+        F.split(page, "\n"), lambda ln: F.regexp_replace(ln, r"^\s+|\s+$", "")
+    )
+    base = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(lines_raw, lambda ln: ln != "").alias("_lines"),
+        tokens(page).alias("_t"),
+    )
+    ls = F.col("_lines")
+    t = F.col("_t")
+    stats = base.select(
+        "doc_id",
+        F.size(ls).cast("long").alias("n_lines"),
+        F.size(t).cast("long").alias("n_words"),
+        F.greatest(
+            F.aggregate(
+                ls, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ),
+            F.lit(1).cast("long"),
+        ).alias("_line_chars"),
+        F.greatest(
+            F.length(F.array_join(t, " ")).cast("long"), F.lit(1).cast("long")
+        ).alias("_chars"),
+        _sorted_run_stats(F.array_sort(ls)).alias("_l"),
+        *[
+            _sorted_run_stats(F.array_sort(_grams_multiset(t, n))).alias(f"_g{n}")
+            for n in range(2, 11)
+        ],
+    )
+
+    def top_frac(n):
+        pk = F.col(f"_g{n}")["toppack"]
+        covered = (pk.cast("long") / F.lit(_PACK)).cast("long") * (pk % F.lit(_PACK))
+        return (covered.cast("double") / F.col("_chars")).alias(f"top_{n}gram_frac")
+
+    def dup_frac(n):
+        return (
+            F.col(f"_g{n}")["dup_all_chars"].cast("double") / F.col("_chars")
+        ).alias(f"dup_{n}gram_frac")
+
+    sig = stats.select(
+        "doc_id",
+        "n_lines",
+        "n_words",
+        (F.col("_l")["dup_occ"].cast("double") / F.greatest(F.col("n_lines"), F.lit(1).cast("long")))
+        .alias("dup_line_frac"),
+        (F.col("_l")["dup_occ_chars"].cast("double") / F.col("_line_chars"))
+        .alias("dup_line_char_frac"),
+        *[top_frac(n) for n in (2, 3, 4)],
+        *[dup_frac(n) for n in range(5, 11)],
+    )
+    reason = F.lit(None).cast("string")
+    chain = None
+    for name, thr in GOPHER_REP_RULES:
+        cond = F.col(name) > F.lit(thr)
+        chain = (
+            F.when(cond, F.lit(name))
+            if chain is None
+            else chain.when(cond, F.lit(name))
+        )
+    reason = chain.otherwise(F.lit(None).cast("string"))
+    return sig.select(
+        "*",
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )

@@ -468,6 +468,38 @@ def test_repetition_signals_golden(spark):
     assert got[3] == (3, 0.0, pytest.approx(round(1 / 2, 6)))
 
 
+def test_gopher_repetition_golden(spark):
+    """Hand-computed Table-A1 signals over three tiny pages,
+    including the empty-gram edge (single-token page)."""
+    pages = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d e"),
+            (2, "x y z w\nq r s t"),
+            (3, "x"),
+        ],
+        "doc_id long, page string",
+    )
+    rows = {r.doc_id: r for r in textops.gopher_repetition(pages).collect()}
+    r1 = rows[1]
+    # lines ['a b','a b','c d e']: one dup occurrence of 'a b' (3 ch)
+    assert (r1.n_lines, r1.n_words) == (3, 7)
+    assert r1.dup_line_frac == pytest.approx(1 / 3)
+    assert r1.dup_line_char_frac == pytest.approx(3 / 11)
+    # joined tokens 'a b a b c d e' (13 ch); top 2-gram 'a b' x2
+    assert r1.top_2gram_frac == pytest.approx(6 / 13)
+    assert r1.dup_5gram_frac == 0.0
+    assert (r1.keep, r1.reject_reason) == (False, "dup_line_frac")
+    r2 = rows[2]
+    # all-distinct grams: top_3gram covers 5/15 > 0.18 (small-doc
+    # effect — a single occurrence is a large fraction of 8 tokens)
+    assert r2.dup_line_frac == 0.0
+    assert r2.top_2gram_frac == pytest.approx(3 / 15)
+    assert (r2.keep, r2.reject_reason) == (False, "top_3gram_frac")
+    r3 = rows[3]
+    assert (r3.n_lines, r3.n_words, r3.keep) == (1, 1, True)
+    assert r3.top_2gram_frac == 0.0 and r3.dup_10gram_frac == 0.0
+
+
 def test_pack_sequences_zero_token_then_oversized(spark):
     """A zero-token doc followed by an oversized doc: the oversized
     doc opens a NEW sequence (recursive-CTE semantics; the old
