@@ -2188,3 +2188,83 @@ def gopher_repetition(
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
     )
+
+
+def excise_keepfirst_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Exact-substring deduplication with Lee et al. 2021's ACTUAL
+    policy ("Deduplicating Training Data Makes Language Models
+    Better" §4.1 ExactSubstr, public): of all occurrences of a
+    duplicated word n-gram across the corpus — including repeats
+    WITHIN one document — the globally FIRST occurrence (ordered by
+    (doc_id, token position)) stays in the training text, and every
+    later occurrence's n-token span is excised. One copy of every
+    substring survives; :func:`excise_duplicate_spans` is the
+    stricter drop-ALL-copies memorization guard, this is the
+    corpus-mass-preserving dedup the paper trains on. The paper's
+    operative unit is ~50-token spans; ``n`` parameterizes that (the
+    fixture queries use a small n so the policy fires on short docs).
+
+    Output: (doc_id, n_tokens, clean_text, n_tokens_kept,
+    n_tokens_dropped) — same contract as the sibling excisions.
+
+    Plan: positional gram explode; the first-occurrence table is a
+    map-side-combinable ``min`` of the packed (doc_id << 20 | pos)
+    key per gram (an aggregate, NOT a window — a hot gram's
+    occurrences combine in the map stage instead of converging on
+    one window partition); one equi-join back on the xxhash64 gram
+    key marks later occurrences; covered positions distinct + one
+    doc-keyed group-by; the rewrite is the positional array filter
+    in codegen. Corpus-scale exchanges: the gram aggregate and the
+    gram join (AQE skew-split handles power-law grams), both keyed
+    on the 8-byte hash, never the string."""
+    pos_lim = _LINE_POS_LIM  # 1 << 20 tokens per doc, the line_dedup bound
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(n)]
+        ),
+    )
+    occ = (
+        toks.filter(F.size("_t") >= n)
+        .select("doc_id", F.posexplode(grams).alias("pos", "g"))
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64("g").alias("g"),
+            (F.col("doc_id") * pos_lim + F.col("pos")).alias("k"),
+        )
+    )
+    firsts = occ.groupBy("g").agg(F.min("k").alias("fk"))
+    covered = (
+        occ.join(firsts, "g")
+        .filter(F.col("k") != F.col("fk"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+    kept = F.filter(
+        "_t",
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("_cov"), F.array().cast("array<int>")), i
+        ),
+    )
+    return (
+        toks.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_t").cast("bigint").alias("n_tokens"),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size(kept).cast("bigint").alias("n_tokens_kept"),
+            (F.size("_t") - F.size(kept)).cast("bigint").alias("n_tokens_dropped"),
+        )
+    )

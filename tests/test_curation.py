@@ -500,6 +500,29 @@ def test_gopher_repetition_golden(spark):
     assert r3.top_2gram_frac == 0.0 and r3.dup_10gram_frac == 0.0
 
 
+def test_excise_keepfirst_golden(spark):
+    """Keep-first ExactSubstr policy: the globally first occurrence
+    (by doc_id, pos) survives; later copies — within-doc repeats and
+    whole-doc duplicates included — are excised."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),  # within-doc 5-gram repeat
+            (2, "a b c d e x y z w v"),  # cross-doc repeat of doc 1's first gram
+            (3, "p q r s t"),            # unique
+            (4, "p q r s t"),            # exact duplicate of doc 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_dropped)
+        for r in textops.excise_keepfirst_spans(docs, n=5).collect()
+    }
+    assert got[1] == ("a b c d e", 5, 5)
+    assert got[2] == ("x y z w v", 5, 5)
+    assert got[3] == ("p q r s t", 5, 0)
+    assert got[4] == ("", 0, 5)
+
+
 def test_pack_sequences_zero_token_then_oversized(spark):
     """A zero-token doc followed by an oversized doc: the oversized
     doc opens a NEW sequence (recursive-CTE semantics; the old
