@@ -720,3 +720,98 @@ def hdr_distance(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
     return j.groupBy("n_a", "n_b").agg(
         F.round(F.lit(0.5) * dsum(F.round(F.col("ad"), 9)), 6).alias("tv")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact top-k via bounded candidate generation + recount
+# ---------------------------------------------------------------------------
+
+
+def topk_exact_candidates(
+    items: DataFrame,
+    key: str = "g",
+    k: int = 20,
+    capacity: int = 512,
+) -> DataFrame:
+    """EXACT top-``k`` keys by frequency WITHOUT shuffling the key
+    TYPE table — the SpaceSaving pattern (Metwally et al. 2005,
+    "Efficient computation of frequent and top-k elements in data
+    streams", public) adapted to Spark's execution model:
+
+    1. **Candidates** (one scan, no shuffle): an Arrow kernel per
+       partition builds exact per-partition counts — the SAME hash
+       map Spark's own partial aggregate would build, so no new
+       memory class — and emits only its top-``capacity`` keys plus
+       a miss bound: any key absent from partition p's candidates
+       has count ≤ the capacity-th largest count in p (0 when the
+       partition had ≤ capacity distinct keys). Per-row work stays
+       in C (pandas ``value_counts`` per Arrow batch; Python touches
+       only batch-DISTINCT keys).
+    2. **Recount** (one scan + a bounded shuffle): exact global
+       counts for the ≤ P×capacity candidate keys via a broadcast
+       semi-join — the shuffle moves at most P×candidates partial
+       rows, never the full TYPE table.
+    3. **Proof**: a key missing from ALL candidate sets has true
+       count ≤ B = Σ_p bound_p; the result is provably the exact
+       top-k iff the k-th exact count > B. The operator RAISES when
+       the inequality fails (remedy: raise ``capacity``) — it never
+       returns a silently-approximate answer.
+
+    Driver-side state is bounded by construction: ONE scalar (B) and
+    the k result rows; candidates stay distributed. Contrast
+    ``cms_heavy_hitters`` (fixed-width but approximate and must still
+    aggregate every distinct key) — this operator is exact, and its
+    data cost is two scans + a candidate-sized exchange. At 100 TB
+    with a power-law key distribution the capacity-th per-partition
+    count is deep in the tail, so B stays far below any real heavy
+    hitter.
+
+    Output: ``(key, cnt, rn)``, rn 1..k by (cnt desc, key asc)."""
+    import pandas as pd
+
+    out_schema = f"{key} string, pcnt long, pid int, pbound long"
+
+    def kern(it):
+        from collections import Counter
+
+        from pyspark import TaskContext
+
+        c: Counter = Counter()
+        for pdf in it:
+            c.update(pdf[key].value_counts().to_dict())
+        pid = TaskContext.get().partitionId()
+        ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        bound = ordered[capacity][1] if len(ordered) > capacity else 0
+        top = ordered[:capacity]
+        yield pd.DataFrame(
+            {
+                key: [t[0] for t in top],
+                "pcnt": [t[1] for t in top],
+                "pid": pid,
+                "pbound": bound,
+            }
+        )
+
+    cands = items.select(key).mapInPandas(kern, out_schema)
+    cand_keys = cands.select(key).distinct()
+    exact = (
+        items.join(F.broadcast(cand_keys), key)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_rows = exact.orderBy(F.desc("cnt"), F.asc(key)).limit(k).collect()
+    miss_bound = (
+        cands.select("pid", "pbound").distinct().agg(F.sum("pbound")).collect()[0][0]
+        or 0
+    )
+    if len(top_rows) < k or top_rows[-1]["cnt"] <= miss_bound:
+        raise ValueError(
+            f"top-{k} not provable: k-th count "
+            f"{top_rows[-1]['cnt'] if top_rows else None} <= miss bound "
+            f"{miss_bound}; raise capacity (= {capacity})"
+        )
+    spark = items.sparkSession
+    return spark.createDataFrame(
+        [(r[key], r["cnt"], i + 1) for i, r in enumerate(top_rows)],
+        f"{key} string, cnt long, rn int",
+    )

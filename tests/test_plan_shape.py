@@ -403,6 +403,10 @@ EAGER_BUILD_ALLOWLIST = {
     # counts collect (bounded by vocab_size by construction)
     "text_unigram_pieces": "EM iterations over word types (vocab-bounded collects)",
     "text_unigram_encode": "EM iterations over word types (vocab-bounded collects)",
+    # round 10: exact top-k via bounded candidates — the miss-bound
+    # proof and the k result rows are the only driver state (1 scalar
+    # + k rows + a P*capacity candidate exchange, all by construction)
+    "sketch_topk_ngrams": "candidate/bound/k-row collects (P*capacity-bounded)",
 }
 
 

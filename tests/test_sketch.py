@@ -491,3 +491,33 @@ def test_hdr_distance_lower_bounds_exact_tv(spark):
         tv_sk = sketch.hdr_distance(sa, sb).collect()[0].tv
         tv_ex = exact_tv(av, bv)
         assert tv_sk <= tv_ex + 1e-6, (tv_sk, tv_ex)
+
+
+# ------------------------------------------------ exact top-k candidates
+def test_topk_exact_candidates_planted_heavy_hitters(spark):
+    rows = (
+        [("hot1",)] * 100 + [("hot2",)] * 50 + [(f"tail{i}",) for i in range(300)]
+    )
+    items = spark.createDataFrame(rows, "g string")
+    got = sketch.topk_exact_candidates(items, key="g", k=2, capacity=512).collect()
+    assert [(r.g, r.cnt, r.rn) for r in got] == [("hot1", 100, 1), ("hot2", 50, 2)]
+
+
+def test_topk_exact_candidates_tie_break_and_exactness(spark):
+    # 50 keys x10 each: all tied — rn is deterministic (key asc)
+    items = spark.createDataFrame(
+        [(f"k{i % 50:02d}",) for i in range(500)], "g string"
+    )
+    got = sketch.topk_exact_candidates(items, key="g", k=5, capacity=64).collect()
+    assert [(r.g, r.cnt) for r in got] == [(f"k{i:02d}", 10) for i in range(5)]
+
+
+def test_topk_exact_candidates_raises_when_unprovable(spark):
+    import pytest as _pt
+
+    # all-distinct keys with capacity 1: every partition evicts, the
+    # summed miss bound >= the k-th count (1) — must refuse, never
+    # return a silent approximation
+    items = spark.createDataFrame([(f"u{i}",) for i in range(500)], "g string")
+    with _pt.raises(ValueError, match="miss bound"):
+        sketch.topk_exact_candidates(items, key="g", k=5, capacity=1)
