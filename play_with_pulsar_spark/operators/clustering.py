@@ -422,3 +422,64 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def kcenter_seeds(
+    df: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+) -> DataFrame:
+    """Greedy k-center seed selection (Gonzalez 1985, "Clustering to
+    minimize the maximum intercluster distance" — the classic
+    2-approximation, public): start from the minimum-id vector, then
+    repeatedly pick the point FARTHEST from the chosen set. The
+    selected seeds maximize coverage diversity — the curation use is
+    diverse exemplar/probe selection (seed documents for active
+    labeling, coverage probes for an embedding space) where k-means
+    centroids would collapse onto dense regions and miss outlying
+    modes.
+
+    Output: ``(seed_rank 1..k, vec_id, dist)`` where ``dist`` is the
+    seed's distance to the previously-chosen set at selection time
+    (the coverage radius ladder; 0.0 for the first seed) — rounded by
+    the family float protocol (``round(dist, 6)``, ties by id), so
+    the unrolled DuckDB oracle reproduces every pick exactly.
+
+    Scale shape: K-1 jobs, each a ZERO-shuffle literal-centroid
+    argmin projection (the :func:`nearest_centroid` kernel k-means
+    assignment uses) feeding ONE all-reduce ``min(struct)`` — no
+    exchange wider than a single row ever forms, and the driver holds
+    only the growing K×D seed matrix. Gonzalez at 100 TB is exactly
+    K linear scans."""
+    emb = df.select(
+        F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("em")
+    )
+    first = emb.orderBy("i").limit(1).collect()[0]
+    seeds: list[tuple[int, float, list[float]]] = [
+        (int(first.i), 0.0, [float(x) for x in first.em])
+    ]
+    for _ in range(1, k):
+        cents: Centroids = [(j, s[2]) for j, s in enumerate(seeds)]
+        nc = nearest_centroid(F.col("em"), cents, dist_round)
+        # min(struct(-dist, id, em)) = (max dist, ties by smaller id);
+        # em rides along only to avoid a second lookup job — (dist, id)
+        # is already unique, so the array field is never compared.
+        pick = (
+            emb.select(
+                F.struct(
+                    (-nc["dist"]).alias("nd"),
+                    F.col("i").alias("i"),
+                    F.col("em").alias("em"),
+                ).alias("s")
+            )
+            .agg(F.min("s").alias("m"))
+            .collect()[0]["m"]
+        )
+        seeds.append((int(pick.i), float(-pick.nd), [float(x) for x in pick.em]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r + 1, s[0], s[1]) for r, s in enumerate(seeds)],
+        "seed_rank int, vec_id long, dist double",
+    )

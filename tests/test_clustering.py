@@ -448,3 +448,14 @@ def test_ivf_anon_append_reencoded_batch_raises(spark, sf_dir, tmp_path):
         vdir, [legacy if b == full else b for b in _ivf_manifest(vdir)]
     )
     assert not similarity.ivf_append_index(spark, p, batch)
+
+
+def test_kcenter_seeds_golden(spark):
+    """Gonzalez greedy on a line: 0, 1, 2, 10, 20 — picks the two
+    extremes then the midpoint outlier, with exact radii."""
+    pts = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [2.0, 0.0]),
+           (3, [10.0, 0.0]), (4, [20.0, 0.0])]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [(r.seed_rank, r.vec_id, r.dist)
+           for r in clustering.kcenter_seeds(emb, k=3).collect()]
+    assert got == [(1, 0, 0.0), (2, 4, 20.0), (3, 3, 10.0)]

@@ -407,6 +407,7 @@ EAGER_BUILD_ALLOWLIST = {
     # proof and the k result rows are the only driver state (1 scalar
     # + k rows + a P*capacity candidate exchange, all by construction)
     "sketch_topk_ngrams": "candidate/bound/k-row collects (P*capacity-bounded)",
+    "cluster_kcenter_seeds": "K greedy argmax rounds (K*D driver state)",
 }
 
 
