@@ -1221,3 +1221,89 @@ def pq_rebalance_index(
         if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < old_v:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return new_v
+
+
+# ---------------------------------------------------------------------------
+# OPQ rung: orthonormal pre-rotation (signed Walsh-Hadamard)
+# ---------------------------------------------------------------------------
+
+
+def opq_signs(dim: int = 64, salt: str = "opq-sign") -> list[int]:
+    """Deterministic ±1 sign-flip diagonal for the OPQ pre-rotation,
+    derived per index from md5 (engine-neutral: both the Spark plan
+    and the SQL oracle receive the same literals)."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{salt}:{j}".encode()).hexdigest(), 16) % 2 == 0 else -1
+        for j in range(dim)
+    ]
+
+
+def hadamard_weights(dim: int, signs: list[int]) -> list[list[int]]:
+    """W[i][j] = signs[j] * (-1)^popcount(i & j) — the signed
+    Walsh-Hadamard matrix (unnormalized; rows orthogonal, W·Wᵀ =
+    dim·I)."""
+    return [
+        [signs[j] * (1 if bin(i & j).count("1") % 2 == 0 else -1) for j in range(dim)]
+        for i in range(dim)
+    ]
+
+
+def fwht_rotate(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    salt: str = "opq-sign",
+) -> DataFrame:
+    """The OPQ pre-rotation (Ge et al. 2013, "Optimized Product
+    Quantization" — public — motivates rotating vectors before PQ so
+    variance spreads across subspaces instead of concentrating in a
+    few): here the STRUCTURED variant — a deterministic ±1 sign flip
+    followed by the Walsh-Hadamard transform, scaled by 1/√dim. This
+    is FAISS's "PQ with random rotation" alternative to learned OPQ
+    (also the structured-spinner construction of Andoni et al. 2015);
+    the learned parametric OPQ needs an eigendecomposition no SQL
+    engine reproduces, while this rotation is EXACTLY orthonormal
+    (H·Hᵀ = dim·I; 1/√64 = 0.125 is a power of two, so the scaling is
+    bit-exact), isometric (ADC distances in rotated space equal
+    original distances), and fully expressible in both engines.
+
+    Implementation: ONE projection over a literal weight matrix,
+    each output coordinate a higher-order ``aggregate`` fold of
+    zip_with(v, row, *) in ascending-index order — the same
+    left-associative sum the oracle writes out, and ±1.0 multiplies
+    are bitwise-exact, so both engines produce IDENTICAL doubles with
+    NO rounding step. Two rejected forms, for the record: the
+    O(D log D) butterfly needs chained projections whose collapse
+    re-evaluates nested element_at combinatorially (Catalyst
+    ProjectCollapse inlines sub-expressions), and a flat codegen
+    matmul of D² add nodes blows the Janino 64 KB method limit (the
+    compile ATTEMPT alone cost ~90 s/job before the interpreted
+    fallback). HOF lambdas are interpreted by design — the ~10× sql-
+    strategy constant the PQ family documents — and the whole
+    rotation still rides the scan with zero shuffle/Python.
+
+    Output: (id_col, vec_col array<double>), composable with
+    pq_fit/pq_encode/pq_adc_topk unchanged."""
+    if dim & (dim - 1):
+        raise ValueError("fwht_rotate: dim must be a power of two")
+    import math
+
+    scale = 1.0 / math.sqrt(dim)
+    w = hadamard_weights(dim, opq_signs(dim, salt))
+    w_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in w]
+    )
+    em = F.col(vec_col).cast("array<double>")
+    rot = F.transform(
+        w_lit,
+        lambda row: F.aggregate(
+            F.zip_with(em, row, lambda x, wj: x * wj),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * F.lit(scale),
+    )
+    return df.select(F.col(id_col), rot.alias(vec_col))

@@ -382,6 +382,7 @@ EAGER_BUILD_ALLOWLIST = {
     "sim_ivf_pq_topk": "codebook fit (m*k*d_sub literals)",
     "sim_pq_rerank_topk": "codebook fit",
     "sim_pq_adc_topk": "codebook fit + LUT broadcast",
+    "sim_opq_adc_topk": "codebook fit on the rotated corpus + LUT broadcast",
     "sim_ivf_pq_stored": "index build/probe lifecycle (writes + fits)",
     "text_kn3_stored": "fit+persist+read lifecycle (the stored-LM law)",
     "quality_outlier_mad_continuous": "in-query approx-vs-exact band assert",

@@ -275,3 +275,52 @@ def test_pq_append_without_batch_id_is_idempotent(spark, emb, tmp_path):
 
     codes = _pq_codes(spark, _ivf_resolve(root))
     assert codes.count() == codes.select("vec_id").distinct().count()
+
+
+# ------------------------------------------------------- OPQ rotation
+def test_fwht_rotation_is_orthonormal_and_isometric(spark):
+    """W/√d must be exactly orthonormal (H·Hᵀ = d·I with the sign
+    diagonal folded in), and the Spark rotation must preserve
+    pairwise distances — ADC in rotated space keeps its meaning."""
+    d = 64
+    w = np.array(pq.hadamard_weights(d, pq.opq_signs(d)), dtype=np.float64)
+    assert np.array_equal(w @ w.T, d * np.eye(d))
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(6, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rot = {
+        r.vec_id: np.array(r.embedding)
+        for r in pq.fwht_rotate(df, dim=d).collect()
+    }
+    for i in range(6):
+        for j in range(i + 1, 6):
+            a = np.linalg.norm(vecs[i].astype(np.float64) - vecs[j].astype(np.float64))
+            b = np.linalg.norm(rot[i] - rot[j])
+            assert abs(a - b) < 1e-9, (i, j, a, b)
+
+
+def test_fwht_rotation_spreads_subspace_variance(spark):
+    """The OPQ motivation, measured: on axis-concentrated data (all
+    variance in the first subspace) the rotation balances per-subspace
+    variance, so no PQ subspace is left quantizing near-constants."""
+    d, m = 64, 8
+    rng = np.random.default_rng(11)
+    vecs = np.zeros((200, d), dtype=np.float32)
+    vecs[:, : d // m] = rng.normal(size=(200, d // m)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rot = np.stack(
+        [r.embedding for r in pq.fwht_rotate(df, dim=d).orderBy("vec_id").collect()]
+    )
+
+    def sub_var(mat):
+        return [mat[:, j * 8 : (j + 1) * 8].var() for j in range(m)]
+
+    raw_v, rot_v = sub_var(vecs.astype(np.float64)), sub_var(rot)
+    assert min(raw_v) < 1e-12  # seven subspaces are constant pre-rotation
+    assert min(rot_v) > 0.01 * max(rot_v)  # post-rotation: all subspaces live
