@@ -2121,59 +2121,17 @@ def gopher_repetition(
     signal — the fold kernel is what makes the full suite affordable.
     All numerators/denominators are exact int64; each fraction is ONE
     int/int double division, bitwise identical in both engines."""
-    page = F.col(page_col)
-    lines_raw = F.transform(
-        F.split(page, "\n"), lambda ln: F.regexp_replace(ln, r"^\s+|\s+$", "")
-    )
     base = pages.select(
-        F.col(id_col).alias("doc_id"),
-        F.filter(lines_raw, lambda ln: ln != "").alias("_lines"),
-        tokens(page).alias("_t"),
+        F.col(id_col).alias("doc_id"), *_gopher_stage1(F.col(page_col))
     )
-    ls = F.col("_lines")
-    t = F.col("_t")
-    stats = base.select(
-        "doc_id",
-        F.size(ls).cast("long").alias("n_lines"),
-        F.size(t).cast("long").alias("n_words"),
-        F.greatest(
-            F.aggregate(
-                ls, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-            ),
-            F.lit(1).cast("long"),
-        ).alias("_line_chars"),
-        F.greatest(
-            F.length(F.array_join(t, " ")).cast("long"), F.lit(1).cast("long")
-        ).alias("_chars"),
-        _sorted_run_stats(F.array_sort(ls)).alias("_l"),
-        *[
-            _sorted_run_stats(F.array_sort(_grams_multiset(t, n))).alias(f"_g{n}")
-            for n in range(2, 11)
-        ],
-    )
-
-    def top_frac(n):
-        pk = F.col(f"_g{n}")["toppack"]
-        covered = (pk.cast("long") / F.lit(_PACK)).cast("long") * (pk % F.lit(_PACK))
-        return (covered.cast("double") / F.col("_chars")).alias(f"top_{n}gram_frac")
-
-    def dup_frac(n):
-        return (
-            F.col(f"_g{n}")["dup_all_chars"].cast("double") / F.col("_chars")
-        ).alias(f"dup_{n}gram_frac")
-
+    stats = base.select("doc_id", *_gopher_stage2())
+    fr = _gopher_fracs()
     sig = stats.select(
         "doc_id",
-        "n_lines",
-        "n_words",
-        (F.col("_l")["dup_occ"].cast("double") / F.greatest(F.col("n_lines"), F.lit(1).cast("long")))
-        .alias("dup_line_frac"),
-        (F.col("_l")["dup_occ_chars"].cast("double") / F.col("_line_chars"))
-        .alias("dup_line_char_frac"),
-        *[top_frac(n) for n in (2, 3, 4)],
-        *[dup_frac(n) for n in range(5, 11)],
+        F.col("_gr_nl").alias("n_lines"),
+        F.col("_gr_nw").alias("n_words"),
+        *[fr[name].alias(name) for name, _ in GOPHER_REP_RULES],
     )
-    reason = F.lit(None).cast("string")
     chain = None
     for name, thr in GOPHER_REP_RULES:
         cond = F.col(name) > F.lit(thr)
@@ -2188,6 +2146,105 @@ def gopher_repetition(
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
     )
+
+
+def _gopher_stage1(page: Column) -> list[Column]:
+    """First projection of the repetition suite: the trimmed
+    non-empty line array and the token array, materialized behind
+    aliases so stage-2 lambdas reference plain columns (the
+    lambda-reevaluation trap). Hidden names are ``_gr_``-prefixed so
+    the screen form can ride along arbitrary batch columns."""
+    lines_raw = F.transform(
+        F.split(page, "\n"), lambda ln: F.regexp_replace(ln, r"^\s+|\s+$", "")
+    )
+    return [
+        F.filter(lines_raw, lambda ln: ln != "").alias("_gr_lines"),
+        tokens(page).alias("_gr_t"),
+    ]
+
+
+def _gopher_stage2() -> list[Column]:
+    """Second projection: totals + the eleven run-stats folds over
+    ``_gr_lines`` / ``_gr_t``."""
+    ls = F.col("_gr_lines")
+    t = F.col("_gr_t")
+    one = F.lit(1).cast("long")
+    return [
+        F.size(ls).cast("long").alias("_gr_nl"),
+        F.size(t).cast("long").alias("_gr_nw"),
+        F.greatest(
+            F.aggregate(ls, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+            one,
+        ).alias("_gr_lc"),
+        F.greatest(F.length(F.array_join(t, " ")).cast("long"), one).alias("_gr_ch"),
+        _sorted_run_stats(F.array_sort(ls)).alias("_gr_l"),
+        *[
+            _sorted_run_stats(F.array_sort(_grams_multiset(t, n))).alias(f"_gr_g{n}")
+            for n in range(2, 11)
+        ],
+    ]
+
+
+def _gopher_fracs() -> dict[str, Column]:
+    """Rule-name → fraction Column over the stage-2 stat columns."""
+
+    def top_frac(n):
+        pk = F.col(f"_gr_g{n}")["toppack"]
+        covered = (pk.cast("long") / F.lit(_PACK)).cast("long") * (pk % F.lit(_PACK))
+        return covered.cast("double") / F.col("_gr_ch")
+
+    def dup_frac(n):
+        return F.col(f"_gr_g{n}")["dup_all_chars"].cast("double") / F.col("_gr_ch")
+
+    out = {
+        "dup_line_frac": F.col("_gr_l")["dup_occ"].cast("double")
+        / F.greatest(F.col("_gr_nl"), F.lit(1).cast("long")),
+        "dup_line_char_frac": F.col("_gr_l")["dup_occ_chars"].cast("double")
+        / F.col("_gr_lc"),
+    }
+    for n in (2, 3, 4):
+        out[f"top_{n}gram_frac"] = top_frac(n)
+    for n in range(5, 11):
+        out[f"dup_{n}gram_frac"] = dup_frac(n)
+    return out
+
+
+def gopher_repetition_screen(
+    docs: DataFrame, page_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """FILTER form of :func:`gopher_repetition` for pipeline use
+    (the curator's pre-screen tier): returns ``docs`` minus the
+    Table-A1 repetition rejects, preserving every input column.
+
+    Shape note — why this is a keyed aggregate + semi-join and NOT an
+    inline ``filter(conjunction)``: a filter above the two signal
+    projections gets pushed down by Catalyst (PushDownPredicate
+    substitutes aliases level by level with no cost guard) until the
+    tokenizer expression lands INSIDE the gram-transform lambdas,
+    where higher-order functions re-evaluate it per element —
+    measured 157 s for a 500-doc batch vs ~2 s for the reporting
+    form. The (id, keep) aggregate is a pushdown BARRIER (predicates
+    on aggregate outputs stay above the Aggregate), so the signal
+    chain evaluates exactly once; what it costs is one batch-keyed
+    (id, bool) exchange + a semi-join AQE broadcasts — the same shape
+    as the classifier screen's anti-join."""
+    fr = _gopher_fracs()
+    cond = None
+    for name, thr in GOPHER_REP_RULES:
+        c = fr[name] <= F.lit(thr)
+        cond = c if cond is None else cond & c
+    staged = (
+        docs.select(F.col(id_col), *_gopher_stage1(F.col(page_col)))
+        .select(id_col, *_gopher_stage2())
+        .select(id_col, cond.alias("_gr_keep"))
+    )
+    kept = (
+        staged.groupBy(id_col)
+        .agg(F.max("_gr_keep").alias("_gr_k"))
+        .filter(F.col("_gr_k"))
+        .select(id_col)
+    )
+    return docs.join(kept, id_col, "semi")
 
 
 def excise_keepfirst_spans(

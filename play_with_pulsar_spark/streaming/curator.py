@@ -140,6 +140,7 @@ class StreamingCorpusCurator:
         url_blocked_domains: tuple[str, ...] = (),
         url_blocked_tlds: tuple[str, ...] = ("xyz", "click", "top"),
         url_max_path_depth: int = 8,
+        repetition_rules: bool = False,
         contamination_bloom_path: str | None = None,
         contamination_max_fraction: float = 0.1,
         perplexity_lm_path: str | None = None,
@@ -591,6 +592,7 @@ class StreamingCorpusCurator:
         self.url_blocked_domains = tuple(url_blocked_domains)
         self.url_blocked_tlds = tuple(url_blocked_tlds)
         self.url_max_path_depth = url_max_path_depth
+        self.repetition_rules = repetition_rules
         self.perplexity_lm_path = perplexity_lm_path
         self.perplexity_max_xent = perplexity_max_xent
         self.doremi_lm_path = doremi_lm_path
@@ -1229,6 +1231,26 @@ class StreamingCorpusCurator:
         )
         return scr.filter(F.col("keep")).select(*docs.columns)
 
+    def _apply_repetition_screen(self, docs: DataFrame) -> DataFrame:
+        """Gopher Table-A1 repetition pre-screen (``repetition_rules``,
+        round 10): drop heavily self-repeating docs (duplicate lines,
+        dominant n-grams, duplicated 5..10-grams — the §A1.1 rule set
+        at the paper's thresholds) BEFORE any stateful screen sees
+        them. Per-row sort+fold signals, zero shuffle, no join — the
+        second-cheapest screen after the URL projection, so it runs
+        right behind it. Same replay caveat as the other content
+        screens (a batch replayed after toggling the flag screens
+        under the current config; the per-batch ``_committed`` gate
+        makes that unreachable in normal operation). Text screens
+        only."""
+        if not self.repetition_rules:
+            return docs
+        from ..operators.textops import gopher_repetition_screen
+
+        return gopher_repetition_screen(
+            docs, page_col=self.text_col, id_col=self.id_col
+        )
+
     def _apply_quality_screen(self, docs: DataFrame) -> DataFrame:
         """Learned-quality pre-screen (``quality_model_path``): keep
         only docs the classifier scores ≥ ``quality_threshold``. The
@@ -1680,7 +1702,10 @@ class StreamingCorpusCurator:
             self._apply_perplexity_screen(
                 self._apply_quality_screen(
                     self._apply_length_screen(
-                        self._apply_url_screen(batch), batch_id
+                        self._apply_repetition_screen(
+                            self._apply_url_screen(batch)
+                        ),
+                        batch_id,
                     )
                 )
             )
@@ -1689,6 +1714,7 @@ class StreamingCorpusCurator:
             self.contamination_bloom_path is not None
             or self.perplexity_lm_path is not None
             or self.quality_model_path is not None
+            or self.repetition_rules
         )
         if screen_checkpointed:
             # truncate the screen's lineage: every later reference to
@@ -1907,7 +1933,10 @@ class StreamingCorpusCurator:
             self._apply_perplexity_screen(
                 self._apply_quality_screen(
                     self._apply_length_screen(
-                        self._apply_url_screen(batch), batch_id
+                        self._apply_repetition_screen(
+                            self._apply_url_screen(batch)
+                        ),
+                        batch_id,
                     )
                 )
             )
@@ -1916,6 +1945,7 @@ class StreamingCorpusCurator:
             self.contamination_bloom_path is not None
             or self.perplexity_lm_path is not None
             or self.quality_model_path is not None
+            or self.repetition_rules
         )
         if screen_checkpointed:
             docs = screened.localCheckpoint(eager=True)

@@ -2237,3 +2237,31 @@ def test_kn3_perplexity_screen_autodetect(spark, tmp_path):
     # later in-model batches are unaffected by the rejected doc
     cur.process_batch(_docs(spark, clean[3:]), 1)
     assert {r.doc_id for r in cur.accepted().collect()} == {1, 2, 3, 4, 5, 6}
+
+
+def test_repetition_screen_rejects_and_never_indexes(spark, tmp_path):
+    """Gopher repetition pre-screen (round 10): a self-repeating doc
+    is rejected before the dedup screen, never indexed — so it cannot
+    block a later clean near-twin — and kept docs still dedup."""
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "rep"),
+        threshold=0.8, max_shingle_freq=50,
+        repetition_rules=True,
+    )
+
+    def d(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = " ".join(f"w{i}" for i in range(30))
+    # doc 1 = t twice: every interior n-gram duplicated -> rejected
+    cur.process_batch(d([(1, t + " " + t)]), 0)
+    assert cur.accepted().count() == 0
+    assert cur._index().count() == 0
+    # clean twin of the rejected doc's content is accepted (J(t, t+t)
+    # on distinct 3-gram shingles = 28/30 >= 0.8 — it WOULD have been
+    # blocked had doc 1 been indexed)
+    cur.process_batch(d([(2, t)]), 1)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2}
+    # kept docs still dedup: a clean near-dup of doc 2 is rejected
+    cur.process_batch(d([(3, t + " w99")]), 2)
+    assert {r.doc_id for r in cur.accepted().collect()} == {2}
