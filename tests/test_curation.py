@@ -1015,3 +1015,27 @@ def test_doremi_cache_lifecycle(spark):
     curation.release_caches(s)
     assert not sh[0].is_cached
     curation.release_caches(docs)  # no handle -> clean no-op
+
+
+def test_fineweb_recipe_funnel_nonvacuous(spark):
+    """Every stage of the FineWeb composition must bite on the
+    fixture: each filter rejects someone, and the exact-dedup stage
+    drops at least one PASSING duplicate (plants key on length(text),
+    so duplicate docs build identical pages)."""
+    from play_with_pulsar_spark.queries import REGISTRY
+
+    df = REGISTRY["pipeline_fineweb_recipe"].fn(spark, "/root/testdata/sf0.01")
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c4_kept").cast("int")).alias("c4"),
+        F.sum(F.col("quality_kept").cast("int")).alias("q"),
+        F.sum(F.col("rep_kept").cast("int")).alias("rep"),
+        F.sum(
+            (F.col("c4_kept") & F.col("quality_kept") & F.col("rep_kept")).cast(
+                "int"
+            )
+        ).alias("pass_"),
+        F.sum(F.col("final_keep").cast("int")).alias("final"),
+    ).collect()[0]
+    assert r.c4 < r.n and r.q < r.n and r.rep < r.n
+    assert 0 < r.final < r.pass_  # dedup removed a passing duplicate
