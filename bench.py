@@ -215,7 +215,16 @@ def main() -> None:
     # scaling sweep: a fast 3-query subset at the smaller SFs
     sweep: dict[str, dict[str, float]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0":
-        subset = ["q1_pricing_summary", "a1_scoreboard_kills", "dedup_minhash_lsh"]
+        subset = [
+            "q1_pricing_summary",
+            "a1_scoreboard_kills",
+            "dedup_minhash_lsh",
+            # round 10: the two heaviest new entries — both zero-
+            # shuffle scan-bound plans whose linearity the sweep
+            # should make visible in one file
+            "text_gopher_repetition",
+            "pipeline_fineweb_recipe",
+        ]
         base = os.path.dirname(sf_dir.rstrip("/"))
         for small_sf in ("0.001", "0.01"):
             d = os.path.join(base, f"sf{small_sf}")

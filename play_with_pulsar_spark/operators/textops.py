@@ -2085,7 +2085,10 @@ GOPHER_REP_RULES = (
 
 
 def gopher_repetition(
-    pages: DataFrame, page_col: str = "page", id_col: str = "doc_id"
+    pages: DataFrame,
+    page_col: str = "page",
+    id_col: str = "doc_id",
+    strategy: str = "arrow",
 ) -> DataFrame:
     """The FULL Gopher repetition-removal signal set (Rae et al. 2021
     "Scaling Language Models: Methods, Analysis & Insights from
@@ -2113,19 +2116,34 @@ def gopher_repetition(
     of the page (the C4/line_dedup convention); grams come from the
     whitespace token stream (newlines are token separators).
 
-    Scale shape: ZERO shuffles — every signal is a per-row
-    ``array_sort`` + :func:`_sorted_run_stats` fold (O(L log L) per
-    doc, JVM-side), so the whole eleven-signal suite rides the page
-    scan at any corpus size. Contrast :func:`repetition_signals`,
-    which pays a (doc, gram) exchange for its single top-bigram
-    signal — the fold kernel is what makes the full suite affordable.
-    Measured at sf0.1 (5000 docs, warm, local[32]): the nine gram
-    folds cost 6.9 s where the exploded (doc, n, gram) groupBy form
-    of the same nine signals costs 41.4 s (struct-stream explode +
-    two exchanges) — the per-row fold wins 6× BEFORE counting the
-    shuffle it also avoids at corpus scale.
-    All numerators/denominators are exact int64; each fraction is ONE
-    int/int double division, bitwise identical in both engines."""
+    Scale shape: ZERO shuffles under EITHER kernel — the signals are
+    per-document, so the suite rides the page scan at any corpus
+    size. Two kernels, hash-identical because every statistic is
+    exact int64 until one final int/int double division:
+
+    - ``strategy="arrow"`` (default, the throughput path): one
+      Arrow-batched kernel — Java-\\s-exact tokenization, a hash
+      Counter per (doc, n), the same packed (count, len) argmax —
+      ~25 µs/doc vs the sql kernel's ~2 ms/doc (both measured at
+      sf0.1; hash maps beat comparison folds at counting).
+    - ``strategy="sql"``: per-row ``array_sort`` +
+      :func:`_sorted_run_stats` Catalyst folds — zero Python
+      workers, the form the DuckDB oracle mirrors structurally.
+      Contrast :func:`repetition_signals`, which pays a (doc, gram)
+      exchange for its single top-bigram signal; and the exploded
+      (doc, n, gram) groupBy form of these nine signals measured 6×
+      worse than even the sql folds at sf0.1 (41.4 s vs 6.9 s,
+      struct-stream explode + two exchanges) before counting the
+      shuffle it adds at corpus scale.
+
+    Cross-kernel equality is pinned by
+    ``test_curation.test_gopher_repetition_kernels_agree`` including
+    the tokenizer edge cases (CRLF, tabs, runs of spaces, empty
+    cleaned text)."""
+    if strategy == "arrow":
+        return _gopher_repetition_arrow(pages, page_col, id_col)
+    if strategy != "sql":
+        raise ValueError(f"unknown strategy {strategy!r}")
     base = pages.select(
         F.col(id_col).alias("doc_id"), *_gopher_stage1(F.col(page_col))
     )
@@ -2150,6 +2168,98 @@ def gopher_repetition(
         "*",
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
+    )
+
+
+def _gopher_repetition_arrow(
+    pages: DataFrame, page_col: str, id_col: str
+) -> DataFrame:
+    """Arrow kernel of :func:`gopher_repetition` — identical values
+    (every statistic is an exact integer until one final int/int
+    division, and Python's ``/`` is the same IEEE divide), built with
+    hash Counters instead of sort+fold comparisons. Tokenizer parity
+    is replicated EXACTLY: lower → strip(' ') (Spark ``trim`` removes
+    U+0020 only) → split on the Java ``\\s`` class
+    ``[ \\t\\n\\x0b\\f\\r]+`` keeping leading/trailing empties
+    (Spark's split limit=-1); lines are '\\n'-split then
+    edge-trimmed with the same class and dropped when empty."""
+    import re as _re
+
+    id_type = dict(pages.dtypes)[id_col]
+    ws_re = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    edge_re = _re.compile("^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$")
+    rules = GOPHER_REP_RULES
+    pack = _PACK
+    cols = (
+        ["doc_id", "n_lines", "n_words"]
+        + [name for name, _ in rules]
+        + ["keep", "reject_reason"]
+    )
+    schema = (
+        f"doc_id {id_type}, n_lines long, n_words long, "
+        + ", ".join(f"{name} double" for name, _ in rules)
+        + ", keep boolean, reject_reason string"
+    )
+
+    def kern(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, page in zip(pdf[id_col], pdf[page_col]):
+                page = page or ""
+                lines = [
+                    ln
+                    for ln in (edge_re.sub("", x) for x in page.split("\n"))
+                    if ln
+                ]
+                toks = ws_re.split(page.lower().strip(" "))
+                n_lines, n_words = len(lines), len(toks)
+                line_chars = max(sum(map(len, lines)), 1)
+                n_chars = max(len(" ".join(toks)), 1)
+                lc = Counter(lines)
+                d_occ = d_chars = 0
+                for k, v in lc.items():
+                    if v >= 2:
+                        d_occ += v - 1
+                        d_chars += (v - 1) * len(k)
+                sig = {
+                    "dup_line_frac": d_occ / max(n_lines, 1),
+                    "dup_line_char_frac": d_chars / line_chars,
+                }
+                for n in range(2, 11):
+                    dup_all = 0
+                    top = 0
+                    if n_words >= n:
+                        c = Counter(zip(*[toks[i:] for i in range(n)]))
+                        for g, v in c.items():
+                            ln_g = sum(map(len, g)) + n - 1
+                            if v >= 2:
+                                dup_all += v * ln_g
+                            pk = v * pack + ln_g
+                            if pk > top:
+                                top = pk
+                    if n <= 4:
+                        cov = (top // pack) * (top % pack)
+                        sig[f"top_{n}gram_frac"] = cov / n_chars
+                    else:
+                        sig[f"dup_{n}gram_frac"] = dup_all / n_chars
+                reason = None
+                for name, thr in rules:
+                    if sig[name] > thr:
+                        reason = name
+                        break
+                rows.append(
+                    (did, n_lines, n_words)
+                    + tuple(sig[name] for name, _ in rules)
+                    + (reason is None, reason)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select(F.col(id_col), F.col(page_col)).mapInPandas(
+        kern, schema=schema
     )
 
 
@@ -2221,34 +2331,23 @@ def gopher_repetition_screen(
     (the curator's pre-screen tier): returns ``docs`` minus the
     Table-A1 repetition rejects, preserving every input column.
 
-    Shape note — why this is a keyed aggregate + semi-join and NOT an
-    inline ``filter(conjunction)``: a filter above the two signal
-    projections gets pushed down by Catalyst (PushDownPredicate
-    substitutes aliases level by level with no cost guard) until the
-    tokenizer expression lands INSIDE the gram-transform lambdas,
-    where higher-order functions re-evaluate it per element —
-    measured 157 s for a 500-doc batch vs ~2 s for the reporting
-    form. The (id, keep) aggregate is a pushdown BARRIER (predicates
-    on aggregate outputs stay above the Aggregate), so the signal
-    chain evaluates exactly once; what it costs is one batch-keyed
-    (id, bool) exchange + a semi-join AQE broadcasts — the same shape
-    as the classifier screen's anti-join."""
-    fr = _gopher_fracs()
-    cond = None
-    for name, thr in GOPHER_REP_RULES:
-        c = fr[name] <= F.lit(thr)
-        cond = c if cond is None else cond & c
-    staged = (
-        docs.select(F.col(id_col), *_gopher_stage1(F.col(page_col)))
-        .select(id_col, *_gopher_stage2())
-        .select(id_col, cond.alias("_gr_keep"))
+    Shape note — why this is a kept-id semi-join and NOT an inline
+    ``filter(conjunction)`` over the sql signal projections: a filter
+    above those projections gets pushed down by Catalyst
+    (PushDownPredicate substitutes aliases level by level with no
+    cost guard) until the tokenizer expression lands INSIDE the
+    gram-transform lambdas, where higher-order functions re-evaluate
+    it per element — measured 157 s for a 500-doc batch vs ~2 s for
+    the reporting form. The Arrow kernel's Python eval node is a
+    natural pushdown barrier (and the throughput path), so the keep
+    filter sits safely on its output; the semi-join back is
+    batch-keyed and AQE-broadcast — the classifier screen's shape."""
+    sig = gopher_repetition(
+        docs.select(F.col(id_col), F.col(page_col)),
+        page_col=page_col,
+        id_col=id_col,
     )
-    kept = (
-        staged.groupBy(id_col)
-        .agg(F.max("_gr_keep").alias("_gr_k"))
-        .filter(F.col("_gr_k"))
-        .select(id_col)
-    )
+    kept = sig.filter(F.col("keep")).select(F.col("doc_id").alias(id_col))
     return docs.join(kept, id_col, "semi")
 
 

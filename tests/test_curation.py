@@ -1039,3 +1039,39 @@ def test_fineweb_recipe_funnel_nonvacuous(spark):
     ).collect()[0]
     assert r.c4 < r.n and r.q < r.n and r.rep < r.n
     assert 0 < r.final < r.pass_  # dedup removed a passing duplicate
+
+
+def test_gopher_repetition_kernels_agree(spark):
+    """Arrow kernel == sql fold kernel, row for row — including the
+    tokenizer edge cases where Java/Python semantics could drift
+    (CRLF line ends, tabs, runs of spaces, leading whitespace after
+    the space-only trim, empty text, single token)."""
+    from play_with_pulsar_spark.queries import _gopher_rep_pages
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    edge = spark.createDataFrame(
+        [
+            (9001, "a b\r\na b\r\nc d e"),          # CRLF lines
+            (9002, "x\ty z\t\tw  q  r"),            # tabs + space runs
+            (9003, "  leading and trailing  "),     # space trim only
+            (9004, "\tstarts with tab a b c d"),    # leading empty token
+            (9005, ""),                              # empty page
+            (9006, "solo"),                          # single token
+            (9007, "p q " * 30),                     # pathological repeat
+        ],
+        "doc_id long, page string",
+    )
+    pages = _gopher_rep_pages(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    ).unionByName(edge)
+    a = {
+        r.doc_id: tuple(r)
+        for r in textops.gopher_repetition(pages, strategy="arrow").collect()
+    }
+    b = {
+        r.doc_id: tuple(r)
+        for r in textops.gopher_repetition(pages, strategy="sql").collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
