@@ -828,6 +828,24 @@ def _pq_write_version(
         json.dump(meta, f)
 
 
+def _maybe_rotate(df: DataFrame, meta: dict, id_col: str, vec_col: str) -> DataFrame:
+    """Apply the index's FROZEN pre-rotation (meta.json is the
+    contract, like the quantizers): every vector entering the index —
+    writes, appends, rebalance refits, and queries — passes through
+    the same rotation, so the stored artifact lives entirely in
+    rotated space and rotated-ADC distances equal raw distances
+    (isometry)."""
+    rot = meta.get("rotation")
+    if not rot:
+        return df
+    if rot != "fwht":
+        raise ValueError(f"unknown index rotation {rot!r}")
+    return fwht_rotate(
+        df, id_col=id_col, vec_col=vec_col,
+        dim=int(meta["dim"]), salt=str(meta["rot_salt"]),
+    )
+
+
 def pq_write_index(
     spark,
     path: str,
@@ -840,6 +858,8 @@ def pq_write_index(
     vec_col: str = "embedding",
     dist_round: int = 6,
     fit_on: DataFrame | None = None,
+    rotation: str | None = None,
+    rot_salt: str = "opq-sign",
 ) -> int:
     """Build and commit version 0 of a materialized IVF-PQ index:
     deterministic coarse k-means + PQ codebooks fit on ``fit_on``
@@ -853,12 +873,27 @@ def pq_write_index(
     ``fit_on`` also states the append law precisely:
     ``pq_write_index(data=A∪B, fit_on=A)`` equals
     ``pq_write_index(A)`` then ``pq_append_index(B)`` — appends are
-    FAISS ``add`` semantics under frozen quantizers (tested)."""
+    FAISS ``add`` semantics under frozen quantizers (tested).
+
+    ``rotation="fwht"`` (round 10, the stored OPQ rung): the signed
+    Walsh-Hadamard pre-rotation (:func:`fwht_rotate`) FREEZES into
+    meta.json alongside the quantizers — the whole index (centroids,
+    codebooks, codes, batch vectors) lives in rotated space, and
+    appends / queries / rebalance refits rotate at the boundary via
+    the meta contract, so a reader can never mix spaces. Isometry
+    makes the probe distances directly comparable to raw-space ones.
+    """
+    if rotation not in (None, "fwht"):
+        raise ValueError(f"unknown rotation {rotation!r}")
     src = corpus if fit_on is None else fit_on
     first = src.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         raise ValueError("pq_write_index: empty fit corpus")
     dim = int(first["d"])
+    if rotation:
+        rmeta = {"rotation": rotation, "rot_salt": rot_salt, "dim": dim}
+        src = _maybe_rotate(src, rmeta, id_col, vec_col)
+        corpus = _maybe_rotate(corpus, rmeta, id_col, vec_col)
     cents = kmeans_fit(
         src, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
         dist_round=dist_round,
@@ -871,6 +906,9 @@ def pq_write_index(
         "version": 0, "m": m, "k_sub": k_sub, "n_cells": n_cells,
         "dim": dim, "dist_round": dist_round,
     }
+    if rotation:
+        meta["rotation"] = rotation
+        meta["rot_salt"] = rot_salt
     import os
 
     from .similarity import _ivf_flip_pointer
@@ -924,6 +962,7 @@ def pq_append_index(
     if batch_id in _ivf_manifest(vdir):
         return False
     cents, books, meta = _pq_load(spark, vdir)
+    batch = _maybe_rotate(batch, meta, id_col, vec_col)
     codes = pq_encode(
         batch, books, id_col=id_col, vec_col=vec_col,
         dist_round=int(meta["dist_round"]),
@@ -986,6 +1025,7 @@ def pq_query_index(
     vdir = _pq_resolve(path)
     cents, books, meta = _pq_load(spark, vdir)
     dist_round = int(meta["dist_round"])
+    queries = _maybe_rotate(queries, meta, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -1172,6 +1212,10 @@ def pq_rebalance_index(
 
     vdir = _pq_resolve(path)
     old_meta = _pq_meta(vdir)
+    # the rotation is part of the index contract: the refit corpus
+    # enters rotated space exactly like every other vector, and the
+    # new meta (dict(old_meta, ...)) carries the rotation forward
+    corpus = _maybe_rotate(corpus, old_meta, id_col, vec_col)
     pre_set = set(_ivf_manifest(vdir))
     n_cells = int(old_meta["n_cells"]) if n_cells is None else n_cells
     m = int(old_meta["m"]) if m is None else m

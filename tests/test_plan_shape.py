@@ -384,6 +384,7 @@ EAGER_BUILD_ALLOWLIST = {
     "sim_pq_adc_topk": "codebook fit + LUT broadcast",
     "sim_opq_adc_topk": "codebook fit on the rotated corpus + LUT broadcast",
     "sim_ivf_pq_stored": "index build/probe lifecycle (writes + fits)",
+    "sim_opq_stored": "rotated index build/probe lifecycle (writes + fits)",
     "text_kn3_stored": "fit+persist+read lifecycle (the stored-LM law)",
     "quality_outlier_mad_continuous": "in-query approx-vs-exact band assert",
     "approx_stats_bounded": "in-query error-bound asserts",

@@ -324,3 +324,62 @@ def test_fwht_rotation_spreads_subspace_variance(spark):
     raw_v, rot_v = sub_var(vecs.astype(np.float64)), sub_var(rot)
     assert min(raw_v) < 1e-12  # seven subspaces are constant pre-rotation
     assert min(rot_v) > 0.01 * max(rot_v)  # post-rotation: all subspaces live
+
+
+def test_opq_stored_rotation_frozen_through_lifecycle(spark, emb, tmp_path):
+    """rotation='fwht' freezes into meta.json like the quantizers:
+    (a) the stored probe equals the in-memory ivf_pq_topk over the
+    pre-rotated corpus (same fits, same ADC arithmetic); (b) appends
+    rotate at the boundary — appending RAW vectors reproduces the
+    index built from the rotated union; (c) rebalance carries the
+    rotation into the new version."""
+    base = emb.filter(F.col("vec_id") < 180)
+    extra = emb.filter((F.col("vec_id") >= 180) & (F.col("vec_id") < 220))
+    queries = emb.filter(F.col("vec_id") < 3)
+    root = str(tmp_path / "opq")
+    pq.pq_write_index(
+        spark, root, base, n_cells=4, m=8, k_sub=8, rotation="fwht"
+    )
+    import json, os
+
+    meta = json.load(open(os.path.join(pq._pq_resolve(root), "meta.json")))
+    assert meta["rotation"] == "fwht" and meta["rot_salt"] == "opq-sign"
+
+    rot = pq.fwht_rotate(emb, dim=64).localCheckpoint()
+    rbase = rot.filter(F.col("vec_id") < 180)
+    rq = rot.filter(F.col("vec_id") < 3)
+    want = sorted(
+        tuple(r)
+        for r in pq.ivf_pq_topk(
+            rbase, rq, n_cells=4, nprobe=2, m=8, k_sub=8, k=5
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in pq.pq_query_index(spark, root, queries, k=5, nprobe=2).collect()
+    )
+    assert got == want
+    # (b) raw-vector append lands in rotated space: probing the
+    # appended index equals probing a PRE-ROTATED-union index built
+    # with the same frozen fit (fit_on=rbase), i.e. the append law
+    # holds across the rotation boundary
+    assert pq.pq_append_index(spark, root, extra, batch_id="b1")
+    root2 = str(tmp_path / "opq_union")
+    pq.pq_write_index(
+        spark, root2, rot.filter(F.col("vec_id") < 220),
+        n_cells=4, m=8, k_sub=8, fit_on=rbase,
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in pq.pq_query_index(spark, root, queries, k=5, nprobe=2).collect()
+    )
+    want2 = sorted(
+        tuple(r)
+        for r in pq.pq_query_index(spark, root2, rq, k=5, nprobe=2).collect()
+    )
+    assert got2 == want2
+    # (c) rebalance keeps the rotation contract in the new version
+    pq.pq_rebalance_index(spark, root, emb.filter(F.col("vec_id") < 220))
+    meta2 = json.load(open(os.path.join(pq._pq_resolve(root), "meta.json")))
+    assert meta2["rotation"] == "fwht" and meta2["version"] == 1
+    assert pq.pq_query_index(spark, root, queries, k=5, nprobe=2).count() == 15
