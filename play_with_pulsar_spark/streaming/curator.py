@@ -141,6 +141,7 @@ class StreamingCorpusCurator:
         url_blocked_tlds: tuple[str, ...] = ("xyz", "click", "top"),
         url_max_path_depth: int = 8,
         repetition_rules: bool = False,
+        track_funnel: bool = False,
         contamination_bloom_path: str | None = None,
         contamination_max_fraction: float = 0.1,
         perplexity_lm_path: str | None = None,
@@ -369,6 +370,7 @@ class StreamingCorpusCurator:
         self.hll_dir = os.path.join(base_dir, "hll")
         self.hdr_dir = os.path.join(base_dir, "hdr")
         self.doremi_dir = os.path.join(base_dir, "doremi")
+        self.funnel_dir = os.path.join(base_dir, "funnel")
         self.tomb_dir = os.path.join(base_dir, "tombstones")
         self.shsig_dir = os.path.join(base_dir, "shsig")
         self.compacted_dir = os.path.join(base_dir, "compacted")
@@ -577,6 +579,7 @@ class StreamingCorpusCurator:
         # SAME decimal total one global dsum would produce — the
         # derived lam is bit-equal to a from-scratch refit
         self.doremi_schema = "dom string, ex decimal(28,6), n long"
+        self.funnel_schema = "batch_id int, stage string, n long"
         self.tomb_schema = f"doc_id {id_type}"
         self.shsig_schema = f"doc_id {id_type}, simhash long"
         # sh_hash_fn / max_hamming / sh_blocks resolved (and, for the
@@ -593,6 +596,7 @@ class StreamingCorpusCurator:
         self.url_blocked_tlds = tuple(url_blocked_tlds)
         self.url_max_path_depth = url_max_path_depth
         self.repetition_rules = repetition_rules
+        self.track_funnel = track_funnel
         self.perplexity_lm_path = perplexity_lm_path
         self.perplexity_max_xent = perplexity_max_xent
         self.doremi_lm_path = doremi_lm_path
@@ -1231,6 +1235,62 @@ class StreamingCorpusCurator:
         )
         return scr.filter(F.col("keep")).select(*docs.columns)
 
+    def _apply_pre_screens(
+        self, batch: DataFrame, batch_id: int
+    ) -> tuple[DataFrame, list[tuple[str, int]]]:
+        """The text pre-screen chain in the production order (URL →
+        repetition → length → quality → perplexity → Bloom
+        decontamination), with optional per-stage funnel accounting
+        (``track_funnel``): the ingress size and each ACTIVE stage's
+        survivor count are recorded — an inactive screen returns its
+        input unchanged (identity-checked), so disabled screens cost
+        nothing. Counting is opt-in observability: each count is one
+        action over the lazy chain prefix, so a funnel-tracking batch
+        pays roughly one extra chain evaluation per active screen —
+        the 'where did my corpus go' ledger every curation run wants,
+        priced only when asked for."""
+        stages = [
+            ("url", self._apply_url_screen),
+            ("repetition", self._apply_repetition_screen),
+            ("length", lambda d: self._apply_length_screen(d, batch_id)),
+            ("quality", self._apply_quality_screen),
+            ("perplexity", self._apply_perplexity_screen),
+            ("contamination", self._apply_contamination_screen),
+        ]
+        counts: list[tuple[str, int]] = []
+        cur = batch
+        if self.track_funnel:
+            counts.append(("ingress", batch.count()))
+        for name, fn in stages:
+            nxt = fn(cur)
+            if self.track_funnel and nxt is not cur:
+                counts.append((name, nxt.count()))
+            cur = nxt
+        return cur, counts
+
+    def _write_funnel_tier(
+        self, counts: list[tuple[str, int]], keep: DataFrame, batch_id: int
+    ) -> None:
+        """Per-batch screen-funnel partition: the pre-screen ledger
+        plus the batch's final accepted count (post-dedup). Same
+        overwrite-into-batch-dir replay discipline as every tier."""
+        rows = counts + [("accepted", keep.count())]
+        self.spark.createDataFrame(
+            [(batch_id, s, int(n)) for s, n in rows], self.funnel_schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            self._batch_dir(self.funnel_dir, batch_id)
+        )
+
+    def funnel(self) -> DataFrame:
+        """The accumulated per-batch screen funnel
+        (batch_id, stage, n) — read from committed partitions
+        directly (this tier is an audit LEDGER, deliberately outside
+        the compaction fold: history is its value)."""
+        dirs = self._committed_batch_dirs(self.funnel_dir)
+        if not dirs:
+            return self.spark.createDataFrame([], self.funnel_schema)
+        return self.spark.read.schema(self.funnel_schema).parquet(*dirs)
+
     def _apply_repetition_screen(self, docs: DataFrame) -> DataFrame:
         """Gopher Table-A1 repetition pre-screen (``repetition_rules``,
         round 10): drop heavily self-repeating docs (duplicate lines,
@@ -1688,9 +1748,12 @@ class StreamingCorpusCurator:
         tomb_done = self.retention != "best" or self._committed(
             self.tomb_dir, batch_id
         )
+        funnel_done = not self.track_funnel or self._committed(
+            self.funnel_dir, batch_id
+        )
         if (
             acc_done and grams_done and banded_done and df_done and hll_done
-            and hdr_done and doremi_done and tomb_done
+            and hdr_done and doremi_done and tomb_done and funnel_done
         ):  # committed replay
             return
         # pre-screens BEFORE the persist (quality first — a cheap
@@ -1698,18 +1761,7 @@ class StreamingCorpusCurator:
         # decontamination): the dedup screen, the survivor write, and
         # the index appends all see only the docs that cleared every
         # filter
-        screened = self._apply_contamination_screen(
-            self._apply_perplexity_screen(
-                self._apply_quality_screen(
-                    self._apply_length_screen(
-                        self._apply_repetition_screen(
-                            self._apply_url_screen(batch)
-                        ),
-                        batch_id,
-                    )
-                )
-            )
-        )
+        screened, funnel_counts = self._apply_pre_screens(batch, batch_id)
         screen_checkpointed = (
             self.contamination_bloom_path is not None
             or self.perplexity_lm_path is not None
@@ -1775,6 +1827,8 @@ class StreamingCorpusCurator:
             keep.write.mode("overwrite").parquet(
                 self._batch_dir(self.accepted_dir, batch_id)
             )
+        if self.track_funnel and not funnel_done:
+            self._write_funnel_tier(funnel_counts, keep, batch_id)
         if evicted is not None and not tomb_done:
             # accepted first, tombstones second: the crash window
             # between the two shows a reader a transient DUPLICATE
@@ -1927,20 +1981,13 @@ class StreamingCorpusCurator:
         tomb_done = self.retention != "best" or self._committed(
             self.tomb_dir, batch_id
         )
-        if acc_done and sig_done and hdr_done and doremi_done and tomb_done:
-            return
-        screened = self._apply_contamination_screen(
-            self._apply_perplexity_screen(
-                self._apply_quality_screen(
-                    self._apply_length_screen(
-                        self._apply_repetition_screen(
-                            self._apply_url_screen(batch)
-                        ),
-                        batch_id,
-                    )
-                )
-            )
+        funnel_done = not self.track_funnel or self._committed(
+            self.funnel_dir, batch_id
         )
+        if (acc_done and sig_done and hdr_done and doremi_done and tomb_done
+                and funnel_done):
+            return
+        screened, funnel_counts = self._apply_pre_screens(batch, batch_id)
         screen_checkpointed = (
             self.contamination_bloom_path is not None
             or self.perplexity_lm_path is not None
@@ -1979,6 +2026,8 @@ class StreamingCorpusCurator:
             keep.write.mode("overwrite").parquet(
                 self._batch_dir(self.accepted_dir, batch_id)
             )
+        if self.track_funnel and not funnel_done:
+            self._write_funnel_tier(funnel_counts, keep, batch_id)
         if evicted is not None and not tomb_done:
             evicted.write.mode("overwrite").parquet(
                 self._batch_dir(self.tomb_dir, batch_id)

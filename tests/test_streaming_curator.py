@@ -2265,3 +2265,32 @@ def test_repetition_screen_rejects_and_never_indexes(spark, tmp_path):
     # kept docs still dedup: a clean near-dup of doc 2 is rejected
     cur.process_batch(d([(3, t + " w99")]), 2)
     assert {r.doc_id for r in cur.accepted().collect()} == {2}
+
+
+def test_funnel_ledger_counts_and_replay(spark, tmp_path):
+    """track_funnel commits a per-batch (batch_id, stage, n) ledger:
+    ingress, each ACTIVE screen's survivor count (inactive screens
+    never appear), and the post-dedup accepted count; a replayed
+    committed batch is a no-op for the ledger too."""
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "fn"),
+        threshold=0.8, max_shingle_freq=50,
+        repetition_rules=True, track_funnel=True,
+    )
+    t = " ".join(f"w{i}" for i in range(30))
+
+    def d(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    cur.process_batch(d([(1, t + " " + t), (2, t)]), 0)   # 1 repetitive
+    cur.process_batch(d([(3, t + " w99")]), 1)            # near-dup of 2
+    got = {(r.batch_id, r.stage): r.n for r in cur.funnel().collect()}
+    assert got == {
+        (0, "ingress"): 2, (0, "repetition"): 1, (0, "accepted"): 1,
+        (1, "ingress"): 1, (1, "repetition"): 1, (1, "accepted"): 0,
+    }
+    # no inactive screens in the ledger
+    assert {s for _, s in got} == {"ingress", "repetition", "accepted"}
+    # replay of a committed batch id changes nothing
+    cur.process_batch(d([(3, t + " w99")]), 1)
+    assert {(r.batch_id, r.stage): r.n for r in cur.funnel().collect()} == got
