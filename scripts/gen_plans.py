@@ -47,6 +47,10 @@ TARGETS = [
     ("text_pmi_collocations", "PMI collocations (round 7 final): unigram + bigram aggregates off one doc_id exchange; PMI is a projection over the bigram-type table joined to the two vocab-sized unigram sides; TakeOrdered cut. Watch: the bigram table is never broadcast; no global sort."),
     ("sim_hard_negatives", "ANCE hard-negative mining (round 7 final): per-side norms precomputed, query side broadcast (BroadcastNestedLoopJoin), label inequality rides the join predicate, rank per query. Watch: the corpus side scans once; the whole scoring expression is codegen."),
     ("sim_jl_projection", "JL compression (round 7 final): 16 literal-matrix fold expressions + one explode — pure codegen over the scan. Watch: ZERO exchanges, zero Python anywhere."),
+    ("text_gopher_repetition", "Gopher repetition suite (round 10): plant projection -> ONE Arrow kernel (MapInPandas) computing all eleven signals — the per-doc Counter path. Watch: ZERO exchanges; the sql fold twin exists for the oracle, this is the throughput plan."),
+    ("dedup_exact_substring", "Keep-first ExactSubstr (round 10): positional gram explode -> min(packed key) AGGREGATE per xxhash64(gram) (never a window) -> join back -> covered-position set -> codegen array-filter rewrite. Watch: the two corpus-scale exchanges key on the 8-byte hash; no window over grams anywhere."),
+    ("sim_opq_adc_topk", "OPQ rung (round 10): the signed Walsh-Hadamard rotation is one HOF literal-matmul projection feeding the unchanged PQ ADC plan. Watch: rotation adds ZERO exchanges; the codes scan and broadcast-LUT shape are identical to sim_pq_adc_topk."),
+    ("pipeline_fineweb_recipe", "FineWeb funnel (round 10): three per-row signal branches (C4 codegen, quality codegen, repetition Arrow kernel) joined on doc_id, ONE md5-keyed aggregate for canonical selection. Watch: NO Filter above any signal branch (the pushdown re-evaluation hazard) — the pass bit folds into the aggregate."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries
