@@ -445,7 +445,13 @@ def kcenter_seeds(
     seed's distance to the previously-chosen set at selection time
     (the coverage radius ladder; 0.0 for the first seed) — rounded by
     the family float protocol (``round(dist, 6)``, ties by id), so
-    the unrolled DuckDB oracle reproduces every pick exactly.
+    the unrolled DuckDB oracle reproduces every pick exactly. The
+    ``vec_id`` column keeps the INPUT id column's type. Degenerate
+    inputs: an empty frame raises ``ValueError``; when the distinct
+    vectors are exhausted before ``k`` seeds (the farthest remaining
+    point sits at rounded distance 0 from the chosen set) selection
+    STOPS EARLY and returns the seeds found — duplicate vec_ids are
+    never emitted.
 
     Scale shape: K-1 jobs, each a ZERO-shuffle literal-centroid
     argmin projection (the :func:`nearest_centroid` kernel k-means
@@ -453,12 +459,16 @@ def kcenter_seeds(
     exchange wider than a single row ever forms, and the driver holds
     only the growing K×D seed matrix. Gonzalez at 100 TB is exactly
     K linear scans."""
+    id_type = dict(df.dtypes)[id_col]
     emb = df.select(
         F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("em")
     )
-    first = emb.orderBy("i").limit(1).collect()[0]
-    seeds: list[tuple[int, float, list[float]]] = [
-        (int(first.i), 0.0, [float(x) for x in first.em])
+    head = emb.orderBy("i").limit(1).collect()
+    if not head:
+        raise ValueError("kcenter_seeds: empty input")
+    first = head[0]
+    seeds: list[tuple[object, float, list[float]]] = [
+        (first.i, 0.0, [float(x) for x in first.em])
     ]
     for _ in range(1, k):
         cents: Centroids = [(j, s[2]) for j, s in enumerate(seeds)]
@@ -477,9 +487,11 @@ def kcenter_seeds(
             .agg(F.min("s").alias("m"))
             .collect()[0]["m"]
         )
-        seeds.append((int(pick.i), float(-pick.nd), [float(x) for x in pick.em]))
+        if float(-pick.nd) == 0.0:
+            break  # distinct vectors exhausted — never re-pick a seed
+        seeds.append((pick.i, float(-pick.nd), [float(x) for x in pick.em]))
     spark = df.sparkSession
     return spark.createDataFrame(
         [(r + 1, s[0], s[1]) for r, s in enumerate(seeds)],
-        "seed_rank int, vec_id long, dist double",
+        f"seed_rank int, vec_id {id_type}, dist double",
     )

@@ -757,6 +757,13 @@ def topk_exact_candidates(
        the inequality fails (remedy: raise ``capacity``) — it never
        returns a silently-approximate answer.
 
+    Null keys are EXCLUDED by contract — filtered before the
+    candidate kernel, so they appear in neither the candidate sets
+    nor the per-partition miss bounds (pandas ``value_counts`` would
+    silently drop them from the counts but not the proof; the
+    explicit filter makes the exactness guarantee cover exactly the
+    non-null domain).
+
     Driver-side state is bounded by construction: ONE scalar (B) and
     the k result rows; candidates stay distributed. Contrast
     ``cms_heavy_hitters`` (fixed-width but approximate and must still
@@ -769,6 +776,7 @@ def topk_exact_candidates(
     Output: ``(key, cnt, rn)``, rn 1..k by (cnt desc, key asc)."""
     import pandas as pd
 
+    items = items.filter(F.col(key).isNotNull())
     out_schema = f"{key} string, pcnt long, pid int, pbound long"
 
     def kern(it):

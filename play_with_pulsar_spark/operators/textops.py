@@ -1967,10 +1967,19 @@ def trigram_logprob(
 # --- Gopher repetition suite (the full Table-A1 §A1.1 signal set) ---
 
 # Packing base for the (count, length) argmax encoding used by the
-# run-stats fold: pack = count * _PACK + len(gram). Gram/line strings
-# are bounded far below 100k chars (grams are <= 10 tokens), and a
-# count can reach the doc's token count, so the packed value stays
-# comfortably inside int64 for any realistic document.
+# run-stats fold: pack = count * _PACK + min(len(gram), _PACK - 1).
+# Token length is UNBOUNDED in raw web text (base64 blobs, minified
+# JS with no whitespace — and the curator's repetition pre-screen
+# runs before any cleaning), so the length is clamped into its pack
+# slot: without the clamp a single-occurrence 150k-char gram packs
+# above a genuine count-2 gram and corrupts the top_{2,3,4}gram
+# argmax (count=1, len=150k would read back as count≈2). The clamp
+# is applied identically in the Catalyst fold, the Arrow kernel, and
+# the DuckDB oracle fragment; for the pathological >=100k-char gram
+# the unpacked coverage uses the clamped length (a lower bound — the
+# true fraction is if anything higher, and such a doc fails other
+# screens long before this one matters). Counts can reach the doc's
+# token count; the packed value stays comfortably inside int64.
 _PACK = 100_000
 
 
@@ -1992,9 +2001,11 @@ def _sorted_run_stats(sorted_arr: Column) -> Column:
         count * len(value) — chars in ALL occurrences of any
         duplicated value (the Gopher dup-n-gram numerator),
       - ``toppack``       = max over values of count * _PACK +
-        len(value) — the most frequent value's (count, len), ties by
-        longer value (deterministic, and identical to the oracle's
-        relational ``max(c*_PACK+l)``).
+        min(len(value), _PACK - 1) — the most frequent value's
+        (count, clamped len), ties by longer value (deterministic,
+        and identical to the oracle's relational
+        ``max(c*_PACK+least(l,_PACK-1))``; see the ``_PACK`` note on
+        why the length clamps into its slot).
 
     Empty arrays fold to all-zero stats (the init state finalizes a
     zero-length run, which every guard skips)."""
@@ -2023,7 +2034,9 @@ def _sorted_run_stats(sorted_arr: Column) -> Column:
 
     def _fin_top(acc):
         return F.greatest(
-            acc["toppack"], acc["run"] * F.lit(_PACK) + F.length(acc["prev"])
+            acc["toppack"],
+            acc["run"] * F.lit(_PACK)
+            + F.least(F.length(acc["prev"]), F.lit(_PACK - 1)),
         )
 
     def step(acc, x):
@@ -2238,7 +2251,7 @@ def _gopher_repetition_arrow(
                             ln_g = sum(map(len, g)) + n - 1
                             if v >= 2:
                                 dup_all += v * ln_g
-                            pk = v * pack + ln_g
+                            pk = v * pack + min(ln_g, pack - 1)
                             if pk > top:
                                 top = pk
                     if n <= 4:
@@ -2382,7 +2395,19 @@ def excise_keepfirst_spans(
     doc-keyed group-by; the rewrite is the positional array filter
     in codegen. Corpus-scale exchanges: the gram aggregate and the
     gram join (AQE skew-split handles power-law grams), both keyed
-    on the 8-byte hash, never the string."""
+    on the 8-byte hash, never the string.
+
+    Hash-collision contract: aggregation and join KEY on the 8-byte
+    xxhash64 (shuffle width), but every marked occurrence is
+    VERIFIED against the first occurrence's gram string
+    (``min_by(g, k)`` rides the aggregate; the excise condition
+    requires string equality). A 2^-64-per-pair collision therefore
+    can only leave a colliding gram's later copies UN-excised (its
+    packed first key lost the min to the other gram) — it can never
+    excise non-duplicate text. At ~10^10+ distinct grams the
+    conservative miss is the right failure mode for training-data
+    dedup; exact-under-collision behavior would need string keys and
+    their shuffle width."""
     pos_lim = _LINE_POS_LIM  # 1 << 20 tokens per doc, the line_dedup bound
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
     grams = F.transform(
@@ -2397,14 +2422,17 @@ def excise_keepfirst_spans(
         .select(
             "doc_id",
             "pos",
-            F.xxhash64("g").alias("g"),
+            F.xxhash64("g").alias("gh"),
+            "g",
             (F.col("doc_id") * pos_lim + F.col("pos")).alias("k"),
         )
     )
-    firsts = occ.groupBy("g").agg(F.min("k").alias("fk"))
+    firsts = occ.groupBy("gh").agg(
+        F.min("k").alias("fk"), F.min_by("g", "k").alias("fg")
+    )
     covered = (
-        occ.join(firsts, "g")
-        .filter(F.col("k") != F.col("fk"))
+        occ.join(firsts, "gh")
+        .filter((F.col("k") != F.col("fk")) & (F.col("g") == F.col("fg")))
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p"),

@@ -459,3 +459,30 @@ def test_kcenter_seeds_golden(spark):
     got = [(r.seed_rank, r.vec_id, r.dist)
            for r in clustering.kcenter_seeds(emb, k=3).collect()]
     assert got == [(1, 0, 0.0), (2, 4, 20.0), (3, 3, 10.0)]
+
+
+def test_kcenter_seeds_degenerate_inputs(spark):
+    """ADVICE r10 (low): k beyond the distinct vectors stops early
+    (never re-picks a seed at distance 0); empty input raises; the
+    vec_id output type follows the input id column."""
+    import pytest as _pt
+
+    dup = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = [(r.seed_rank, r.vec_id, r.dist)
+           for r in clustering.kcenter_seeds(dup, k=5).collect()]
+    assert got == [(1, 0, 0.0), (2, 2, 5.0)]  # 2 distinct -> 2 seeds
+    assert len({v for _, v, _ in got}) == len(got)
+
+    empty = dup.limit(0)
+    with _pt.raises(ValueError, match="empty input"):
+        clustering.kcenter_seeds(empty, k=2)
+
+    sid = spark.createDataFrame(
+        [("a", [0.0]), ("b", [3.0])], "vec_id string, embedding array<float>"
+    )
+    out = clustering.kcenter_seeds(sid, k=2)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    assert [(r.vec_id, r.dist) for r in out.collect()] == [("a", 0.0), ("b", 3.0)]

@@ -1075,3 +1075,44 @@ def test_gopher_repetition_kernels_agree(spark):
     assert set(a) == set(b)
     for k in a:
         assert a[k] == b[k], (k, a[k], b[k])
+
+
+def test_gopher_repetition_giant_gram_pack_clamp(spark):
+    """ADVICE r10 (medium): a single-occurrence gram LONGER than the
+    pack base must not out-pack a genuine count-2 gram. The page is a
+    150k-char token followed by a doubled 4-gram phrase — with the
+    length clamp the count-2 grams win the top_{2,3,4} argmax and the
+    doc keeps; pre-clamp, the giant's count-1 pack read back as
+    count≈2 and coverage ≈ 2/3 → false reject on top_2gram_frac.
+    All three implementations (Arrow kernel, Catalyst fold, DuckDB
+    oracle fragment) must agree on the clamped values."""
+    import duckdb
+
+    giant = "z" * 150_000
+    pages = spark.createDataFrame(
+        [(1, giant + " a b c d a b c d")], "doc_id long, page string"
+    )
+    a = textops.gopher_repetition(pages, strategy="arrow").collect()[0]
+    s = textops.gopher_repetition(pages, strategy="sql").collect()[0]
+    assert tuple(a) == tuple(s)
+    assert a.keep and a.reject_reason is None
+    assert a.top_2gram_frac < 0.001  # 'a b' x2 (6 chars / ~150k)
+    assert a.top_3gram_frac < 0.001 and a.top_4gram_frac < 0.001
+
+    from play_with_pulsar_spark.queries import _gopher_rep_sig_blocks
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE pages AS SELECT 1::BIGINT AS doc_id, ? AS page",
+            [giant + " a b c d a b c d"],
+        )
+        row = con.execute(
+            "WITH " + _gopher_rep_sig_blocks("pages")
+            + " SELECT top_2gram_frac, top_3gram_frac, top_4gram_frac FROM sig"
+        ).fetchone()
+    finally:
+        con.close()
+    assert row[0] == a.top_2gram_frac
+    assert row[1] == a.top_3gram_frac
+    assert row[2] == a.top_4gram_frac

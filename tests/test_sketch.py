@@ -521,3 +521,15 @@ def test_topk_exact_candidates_raises_when_unprovable(spark):
     items = spark.createDataFrame([(f"u{i}",) for i in range(500)], "g string")
     with _pt.raises(ValueError, match="miss bound"):
         sketch.topk_exact_candidates(items, key="g", k=5, capacity=1)
+
+
+def test_topk_exact_candidates_null_keys_excluded(spark):
+    """ADVICE r10 (low): null keys are excluded BY CONTRACT — the
+    up-front filter keeps them out of the candidate sets AND the
+    per-partition miss bounds, so the exactness proof covers exactly
+    the non-null domain (pre-fix, value_counts dropped them from the
+    counts but the proof silently ignored them)."""
+    rows = [("hot",)] * 40 + [(None,)] * 500 + [(f"t{i}",) for i in range(20)]
+    items = spark.createDataFrame(rows, "g string")
+    got = sketch.topk_exact_candidates(items, key="g", k=1, capacity=64).collect()
+    assert [(r.g, r.cnt, r.rn) for r in got] == [("hot", 40, 1)]
