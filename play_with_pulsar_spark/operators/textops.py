@@ -113,38 +113,80 @@ def gopher_quality_filter(
     docs = docs.select(
         F.col(id_col), F.col(text_col), t.alias("_t")
     )
-    n = F.size("_t").cast("bigint")
-    mean_len = (
-        F.aggregate(F.transform(F.col("_t"), F.length), F.lit(0), lambda a, x: a + x)
-        .cast("double") / n
+    sig = _quality_signals(F.col("_t"))
+    failed = _quality_failed(
+        sig,
+        min_words,
+        max_words,
+        min_mean_len,
+        max_mean_len,
+        max_symbol_ratio,
+        min_alpha_ratio,
+        min_stopwords,
     )
-    symbol_ratio = (
-        F.size(F.filter(F.col("_t"), lambda x: x.contains("#") | x.contains("...")))
-        .cast("double") / n
-    )
-    alpha_ratio = (
-        F.size(F.filter(F.col("_t"), lambda x: x.rlike("[a-z]"))).cast("double") / n
-    )
-    n_stop = F.size(F.filter(F.col("_t"), lambda x: x.isin(*STOPWORDS))).cast("bigint")
-    rules = [
-        (n < min_words, "too_few_words"),
-        (n > max_words, "too_many_words"),
-        (~((F.lit(min_mean_len) <= mean_len) & (mean_len <= max_mean_len)), "mean_word_len"),
-        (symbol_ratio > max_symbol_ratio, "symbol_ratio"),
-        (alpha_ratio < min_alpha_ratio, "alpha_ratio"),
-        (n_stop < min_stopwords, "stopwords"),
-    ]
-    failed = F.concat_ws(",", *[F.when(cond, F.lit(name)) for cond, name in rules])
     return docs.select(
         id_col,
-        n.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        n_stop.alias("n_stopwords"),
+        sig["n"].alias("n_words"),
+        sig["mean_len"].alias("mean_word_len"),
+        sig["symbol_ratio"].alias("symbol_ratio"),
+        sig["alpha_ratio"].alias("alpha_ratio"),
+        sig["n_stop"].alias("n_stopwords"),
         (failed == "").alias("keep"),
         failed.alias("failed_rules"),
     )
+
+
+def _quality_signals(t: Column) -> dict[str, Column]:
+    """The five Gopher quality measurements over a MATERIALIZED token
+    array column — shared by :func:`gopher_quality_filter` and the
+    fused FineWeb-recipe plan so the two cannot drift. ``t`` must be
+    a plain column reference (non-cheap multi-referenced aliases are
+    what stops CollapseProject duplicating the tokenization)."""
+    n = F.size(t).cast("bigint")
+    return {
+        "n": n,
+        "mean_len": (
+            F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+            .cast("double") / n
+        ),
+        "symbol_ratio": (
+            F.size(F.filter(t, lambda x: x.contains("#") | x.contains("...")))
+            .cast("double") / n
+        ),
+        "alpha_ratio": F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double")
+        / n,
+        "n_stop": F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("bigint"),
+    }
+
+
+def _quality_failed(
+    sig: dict[str, Column],
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> Column:
+    """Comma-joined failed-rule names over :func:`_quality_signals`
+    output (empty string == keep) — the exact expression tree the
+    DuckDB oracle mirrors."""
+    rules = [
+        (sig["n"] < min_words, "too_few_words"),
+        (sig["n"] > max_words, "too_many_words"),
+        (
+            ~(
+                (F.lit(min_mean_len) <= sig["mean_len"])
+                & (sig["mean_len"] <= max_mean_len)
+            ),
+            "mean_word_len",
+        ),
+        (sig["symbol_ratio"] > max_symbol_ratio, "symbol_ratio"),
+        (sig["alpha_ratio"] < min_alpha_ratio, "alpha_ratio"),
+        (sig["n_stop"] < min_stopwords, "stopwords"),
+    ]
+    return F.concat_ws(",", *[F.when(cond, F.lit(name)) for cond, name in rules])
 
 
 def duplicate_spans(
@@ -2102,6 +2144,7 @@ def gopher_repetition(
     page_col: str = "page",
     id_col: str = "doc_id",
     strategy: str = "arrow",
+    ride: tuple[str, ...] = (),
 ) -> DataFrame:
     """The FULL Gopher repetition-removal signal set (Rae et al. 2021
     "Scaling Language Models: Methods, Analysis & Insights from
@@ -2149,24 +2192,34 @@ def gopher_repetition(
       struct-stream explode + two exchanges) before counting the
       shuffle it adds at corpus scale.
 
+    ``ride`` names input columns carried VERBATIM through to the
+    output (between the fraction columns and ``keep``, same order in
+    both kernels) — the zero-join composition hook: an upstream
+    stage's per-row verdicts ride the same scan instead of joining
+    back on doc_id afterwards (the fused FineWeb recipe is the
+    consumer).
+
     Cross-kernel equality is pinned by
     ``test_curation.test_gopher_repetition_kernels_agree`` including
     the tokenizer edge cases (CRLF, tabs, runs of spaces, empty
     cleaned text)."""
     if strategy == "arrow":
-        return _gopher_repetition_arrow(pages, page_col, id_col)
+        return _gopher_repetition_arrow(pages, page_col, id_col, ride)
     if strategy != "sql":
         raise ValueError(f"unknown strategy {strategy!r}")
     base = pages.select(
-        F.col(id_col).alias("doc_id"), *_gopher_stage1(F.col(page_col))
+        F.col(id_col).alias("doc_id"),
+        *_gopher_stage1(F.col(page_col)),
+        *[F.col(r) for r in ride],
     )
-    stats = base.select("doc_id", *_gopher_stage2())
+    stats = base.select("doc_id", *_gopher_stage2(), *[F.col(r) for r in ride])
     fr = _gopher_fracs()
     sig = stats.select(
         "doc_id",
         F.col("_gr_nl").alias("n_lines"),
         F.col("_gr_nw").alias("n_words"),
         *[fr[name].alias(name) for name, _ in GOPHER_REP_RULES],
+        *[F.col(r) for r in ride],
     )
     chain = None
     for name, thr in GOPHER_REP_RULES:
@@ -2185,7 +2238,7 @@ def gopher_repetition(
 
 
 def _gopher_repetition_arrow(
-    pages: DataFrame, page_col: str, id_col: str
+    pages: DataFrame, page_col: str, id_col: str, ride: tuple[str, ...] = ()
 ) -> DataFrame:
     """Arrow kernel of :func:`gopher_repetition` — identical values
     (every statistic is an exact integer until one final int/int
@@ -2198,7 +2251,8 @@ def _gopher_repetition_arrow(
     edge-trimmed with the same class and dropped when empty."""
     import re as _re
 
-    id_type = dict(pages.dtypes)[id_col]
+    dtypes = dict(pages.dtypes)
+    id_type = dtypes[id_col]
     ws_re = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
     edge_re = _re.compile("^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$")
     rules = GOPHER_REP_RULES
@@ -2206,11 +2260,13 @@ def _gopher_repetition_arrow(
     cols = (
         ["doc_id", "n_lines", "n_words"]
         + [name for name, _ in rules]
+        + list(ride)
         + ["keep", "reject_reason"]
     )
     schema = (
         f"doc_id {id_type}, n_lines long, n_words long, "
         + ", ".join(f"{name} double" for name, _ in rules)
+        + "".join(f", {r} {dtypes[r]}" for r in ride)
         + ", keep boolean, reject_reason string"
     )
 
@@ -2221,7 +2277,8 @@ def _gopher_repetition_arrow(
 
         for pdf in batches:
             rows = []
-            for did, page in zip(pdf[id_col], pdf[page_col]):
+            ride_vals = [pdf[r] for r in ride]
+            for did, page, *rv in zip(pdf[id_col], pdf[page_col], *ride_vals):
                 page = page or ""
                 lines = [
                     ln
@@ -2267,13 +2324,14 @@ def _gopher_repetition_arrow(
                 rows.append(
                     (did, n_lines, n_words)
                     + tuple(sig[name] for name, _ in rules)
+                    + tuple(rv)
                     + (reason is None, reason)
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return pages.select(F.col(id_col), F.col(page_col)).mapInPandas(
-        kern, schema=schema
-    )
+    return pages.select(
+        F.col(id_col), F.col(page_col), *[F.col(r) for r in ride]
+    ).mapInPandas(kern, schema=schema)
 
 
 def _gopher_stage1(page: Column) -> list[Column]:

