@@ -2422,6 +2422,56 @@ def gopher_repetition_screen(
     return docs.join(kept, id_col, "semi")
 
 
+def fineweb_signal_stack(
+    docs: DataFrame, page_col: str = "page", id_col: str = "doc_id"
+) -> DataFrame:
+    """The FineWeb/RefinedWeb per-document signal stack (Penedo et
+    al. 2024's pipeline order, public) over ONE scan: C4 line
+    cleaning (Raffel 2020 §2.2) → Gopher quality rules (Rae 2021) →
+    Gopher repetition rules (Rae 2021 §A1.1), each a per-row verdict,
+    plus the md5 of the C4-CLEANED text (the recipe's dedup key —
+    filter-then-dedup hashes what survives line cleaning, not the
+    raw page).
+
+    Output: (doc_id, c4_kept, quality_kept, rep_kept, h, pass) with
+    ``pass`` = the three-verdict conjunction. Canonical selection is
+    deliberately NOT here — it is the one cross-document step, and
+    its aggregation scope differs by caller: the batch recipe
+    (``pipeline_fineweb_recipe``) min-folds over the corpus, the
+    curator's maintained tier min-folds over everything ingested so
+    far. Sharing this stack is what makes the streamed funnel
+    hash-equal to the batch recipe on the same prefix.
+
+    Plan: C4 and quality are codegen projections; repetition rides
+    the Arrow kernel with (c4_kept, quality_kept, h) passed through
+    — one scan, one Python stage, ZERO joins or exchanges."""
+    c4 = c4_line_filters(docs, page_col=page_col, id_col=id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("page_kept").alias("c4_kept"),
+        "cleaned",
+        tokens("cleaned").alias("_qt"),
+    )
+    staged = c4.select(
+        "doc_id",
+        "c4_kept",
+        "cleaned",
+        (_quality_failed(_quality_signals(F.col("_qt"))) == "").alias(
+            "quality_kept"
+        ),
+        F.md5("cleaned").alias("h"),
+    )
+    return gopher_repetition(
+        staged, page_col="cleaned", ride=("c4_kept", "quality_kept", "h")
+    ).select(
+        "doc_id",
+        "c4_kept",
+        "quality_kept",
+        F.col("keep").alias("rep_kept"),
+        "h",
+        (F.col("c4_kept") & F.col("quality_kept") & F.col("keep")).alias("pass"),
+    )
+
+
 def excise_keepfirst_spans(
     docs: DataFrame,
     text_col: str = "text",

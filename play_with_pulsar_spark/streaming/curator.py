@@ -142,6 +142,7 @@ class StreamingCorpusCurator:
         url_max_path_depth: int = 8,
         repetition_rules: bool = False,
         track_funnel: bool = False,
+        fineweb_recipe: bool = False,
         contamination_bloom_path: str | None = None,
         contamination_max_fraction: float = 0.1,
         perplexity_lm_path: str | None = None,
@@ -371,6 +372,7 @@ class StreamingCorpusCurator:
         self.hdr_dir = os.path.join(base_dir, "hdr")
         self.doremi_dir = os.path.join(base_dir, "doremi")
         self.funnel_dir = os.path.join(base_dir, "funnel")
+        self.fineweb_dir = os.path.join(base_dir, "fineweb")
         self.tomb_dir = os.path.join(base_dir, "tombstones")
         self.shsig_dir = os.path.join(base_dir, "shsig")
         self.compacted_dir = os.path.join(base_dir, "compacted")
@@ -580,6 +582,14 @@ class StreamingCorpusCurator:
         # derived lam is bit-equal to a from-scratch refit
         self.doremi_schema = "dom string, ex decimal(28,6), n long"
         self.funnel_schema = "batch_id int, stage string, n long"
+        # per-doc FineWeb-recipe verdicts: immutable facts about each
+        # ingress doc — rows fold by CONCATENATION (no aggregation),
+        # canonical selection derives at read time from the
+        # order-independent per-hash min
+        self.fineweb_schema = (
+            f"doc_id {id_type}, c4_kept boolean, quality_kept boolean,"
+            " rep_kept boolean, h string, pass boolean"
+        )
         self.tomb_schema = f"doc_id {id_type}"
         self.shsig_schema = f"doc_id {id_type}, simhash long"
         # sh_hash_fn / max_hamming / sh_blocks resolved (and, for the
@@ -597,6 +607,44 @@ class StreamingCorpusCurator:
         self.url_max_path_depth = url_max_path_depth
         self.repetition_rules = repetition_rules
         self.track_funnel = track_funnel
+        self.fineweb_recipe = fineweb_recipe
+        if fineweb_recipe:
+            if screen == "embedding":
+                raise ValueError(
+                    "fineweb_recipe is a text tier (jaccard/minhash/"
+                    "simhash screens) — the recipe verdicts need text_col"
+                )
+            # the tier must cover the ingress from the FIRST batch: a
+            # batch processed (or compacted) before the flag was on has
+            # no verdict rows and its ingress docs are gone — the
+            # maintained funnel could never equal the batch recipe on
+            # that prefix again. Fail loudly instead of silently
+            # serving a partial funnel.
+            if _man is not None and _man.get("fineweb") is None and (
+                _man.get("covered_upto", -1) >= 0
+            ):
+                raise ValueError(
+                    "fineweb_recipe enabled on a state dir whose "
+                    "compacted corpus predates the tier; start a fresh "
+                    "state dir (the covered batches' verdict rows are "
+                    "underivable)"
+                )
+            have = {
+                self._batch_id_of(d)
+                for d in self._committed_batch_dirs(self.fineweb_dir)
+            }
+            missing = sorted(
+                self._batch_id_of(d)
+                for d in self._committed_batch_dirs(self.accepted_dir)
+                if self._batch_id_of(d) not in have
+            )
+            if missing:
+                raise ValueError(
+                    f"fineweb_recipe enabled mid-stream: committed "
+                    f"batches {missing} lack verdict partitions and "
+                    "their ingress docs are gone; start a fresh state "
+                    "dir"
+                )
         self.perplexity_lm_path = perplexity_lm_path
         self.perplexity_max_xent = perplexity_max_xent
         self.doremi_lm_path = doremi_lm_path
@@ -1291,6 +1339,90 @@ class StreamingCorpusCurator:
             return self.spark.createDataFrame([], self.funnel_schema)
         return self.spark.read.schema(self.funnel_schema).parquet(*dirs)
 
+    def _write_fineweb_tier(self, batch: DataFrame, batch_id: int) -> None:
+        """Per-batch FineWeb-recipe verdict partition (round 11 — the
+        r10 verdict's maintained-funnel ask): the per-doc signal
+        stack (C4 / Gopher quality / Gopher repetition + the cleaned-
+        text md5) of every INGRESS doc, computed by the SAME
+        ``fineweb_signal_stack`` the batch recipe uses so the two
+        cannot drift. Computed on the batch as delivered — before any
+        pre-screen — because the recipe is a parallel maintained
+        funnel over the ingress, not a stage of the accept path.
+        Same overwrite-into-batch-dir replay discipline as every
+        tier; rows are immutable per-doc facts, so the tier folds by
+        concatenation at compaction."""
+        from ..operators.textops import fineweb_signal_stack
+
+        fineweb_signal_stack(
+            batch, page_col=self.text_col, id_col=self.id_col
+        ).write.mode("overwrite").parquet(
+            self._batch_dir(self.fineweb_dir, batch_id)
+        )
+
+    def _compacted_fineweb(self) -> DataFrame | None:
+        man = self._manifest()
+        if man is None or man.get("fineweb") is None:
+            return None
+        return self.spark.read.schema(self.fineweb_schema).parquet(
+            man["fineweb"]["path"]
+        )
+
+    def _fineweb_fold_for_compact(
+        self, man, old_upto: int, new_upto: int
+    ) -> DataFrame | None:
+        """Folded verdict rows for a compaction: previous compacted
+        rows + covered per-batch partitions, by CONCATENATION (the
+        rows are immutable per-doc facts — no aggregation; canonical
+        selection derives at read). Coverage is guaranteed by the
+        commit gate (the tier is in ``_state_tables`` when enabled,
+        so a batch only counts as fully committed WITH its verdict
+        partition); there is no healing derive — the ingress docs a
+        missing partition would need are gone, which is why the
+        constructor refuses mid-stream enablement."""
+        if not self.fineweb_recipe:
+            return None
+        full = self._read_committed(
+            self.fineweb_dir, self.fineweb_schema, old_upto, new_upto
+        )
+        comp = self._compacted_fineweb()
+        if comp is not None:
+            full = comp.unionByName(full)
+        return full
+
+    def fineweb_funnel(self) -> DataFrame:
+        """The maintained FineWeb funnel over every ingress doc
+        processed so far: (doc_id, c4_kept, quality_kept, rep_kept,
+        is_canonical, final_keep) — HASH-EQUAL to running the batch
+        recipe (``pipeline_fineweb_recipe``'s shape) over the same
+        ingress prefix, in ANY arrival order and through any number
+        of compactions: the three verdicts are per-row facts written
+        at ingest, and canonical selection is a per-hash ``min`` over
+        passing doc_ids — associative, commutative, and
+        order-independent, so deriving it at read time from the
+        accumulated verdict rows gives exactly the batch answer (the
+        DoReMi tier's additive-fold argument, with min instead of
+        sum). Replay-idempotent by the overwrite-into-batch-dir
+        discipline; the one cross-document step costs one md5-keyed
+        aggregate + join at read, never at ingest."""
+        if not self.fineweb_recipe:
+            raise ValueError("fineweb_recipe is not enabled")
+        rows = self._read_state(self.fineweb_dir, self.fineweb_schema)
+        comp = self._compacted_fineweb()
+        if comp is not None:
+            rows = comp.unionByName(rows)
+        cm = rows.groupBy("h").agg(
+            F.min(F.when(F.col("pass"), F.col("doc_id"))).alias("cmin")
+        )
+        is_canon = F.col("pass") & (F.col("doc_id") == F.col("cmin"))
+        return rows.join(cm, "h").select(
+            "doc_id",
+            "c4_kept",
+            "quality_kept",
+            "rep_kept",
+            is_canon.alias("is_canonical"),
+            is_canon.alias("final_keep"),
+        )
+
     def _apply_repetition_screen(self, docs: DataFrame) -> DataFrame:
         """Gopher Table-A1 repetition pre-screen (``repetition_rules``,
         round 10): drop heavily self-repeating docs (duplicate lines,
@@ -1751,9 +1883,16 @@ class StreamingCorpusCurator:
         funnel_done = not self.track_funnel or self._committed(
             self.funnel_dir, batch_id
         )
+        # fineweb verdicts are COMMIT-GATED like tombstones: the rows
+        # are underivable after the batch (ingress docs aren't stored),
+        # so a missing partition must force a replay, never a heal
+        fineweb_done = not self.fineweb_recipe or self._committed(
+            self.fineweb_dir, batch_id
+        )
         if (
             acc_done and grams_done and banded_done and df_done and hll_done
             and hdr_done and doremi_done and tomb_done and funnel_done
+            and fineweb_done
         ):  # committed replay
             return
         # pre-screens BEFORE the persist (quality first — a cheap
@@ -1829,6 +1968,8 @@ class StreamingCorpusCurator:
             )
         if self.track_funnel and not funnel_done:
             self._write_funnel_tier(funnel_counts, keep, batch_id)
+        if self.fineweb_recipe and not fineweb_done:
+            self._write_fineweb_tier(batch, batch_id)
         if evicted is not None and not tomb_done:
             # accepted first, tombstones second: the crash window
             # between the two shows a reader a transient DUPLICATE
@@ -1984,8 +2125,11 @@ class StreamingCorpusCurator:
         funnel_done = not self.track_funnel or self._committed(
             self.funnel_dir, batch_id
         )
+        fineweb_done = not self.fineweb_recipe or self._committed(
+            self.fineweb_dir, batch_id
+        )
         if (acc_done and sig_done and hdr_done and doremi_done and tomb_done
-                and funnel_done):
+                and funnel_done and fineweb_done):
             return
         screened, funnel_counts = self._apply_pre_screens(batch, batch_id)
         screen_checkpointed = (
@@ -2028,6 +2172,8 @@ class StreamingCorpusCurator:
             )
         if self.track_funnel and not funnel_done:
             self._write_funnel_tier(funnel_counts, keep, batch_id)
+        if self.fineweb_recipe and not fineweb_done:
+            self._write_fineweb_tier(batch, batch_id)
         if evicted is not None and not tomb_done:
             evicted.write.mode("overwrite").parquet(
                 self._batch_dir(self.tomb_dir, batch_id)
@@ -2294,6 +2440,8 @@ class StreamingCorpusCurator:
                 tables.append(self.banded_dir)
         if self.retention == "best":
             tables.append(self.tomb_dir)  # decision state, commit-gated
+        if self.fineweb_recipe:
+            tables.append(self.fineweb_dir)  # underivable, commit-gated
         return tables
 
     @property
@@ -2567,6 +2715,11 @@ class StreamingCorpusCurator:
                 dr_path = os.path.join(vdir, "doremi")
                 dr_full.write.mode("overwrite").parquet(dr_path)
                 manifest["doremi"] = {"path": dr_path}
+            fw_full = self._fineweb_fold_for_compact(man, old_upto, new_upto)
+            if fw_full is not None:
+                fw_path = os.path.join(vdir, "fineweb")
+                fw_full.write.mode("overwrite").parquet(fw_path)
+                manifest["fineweb"] = {"path": fw_path}
             tmp = self._manifest_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
@@ -2713,6 +2866,14 @@ class StreamingCorpusCurator:
             dr_path = os.path.join(vdir, "doremi")
             dr_full.write.mode("overwrite").parquet(dr_path)
             manifest["doremi"] = {"path": dr_path}
+
+        # FineWeb verdict tier (round 11): concatenation fold —
+        # shared with the simhash branch
+        fw_full = self._fineweb_fold_for_compact(man, old_upto, new_upto)
+        if fw_full is not None:
+            fw_path = os.path.join(vdir, "fineweb")
+            fw_full.write.mode("overwrite").parquet(fw_path)
+            manifest["fineweb"] = {"path": fw_path}
 
         # commit: write-temp + fsync + os.replace = atomic AND durable
         # pointer flip (without the fsync, a power loss after the

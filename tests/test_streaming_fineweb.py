@@ -1,0 +1,165 @@
+"""The maintained FineWeb funnel tier (round 11 — the r10 verdict's
+sequel to the screen-funnel ledger): per-batch verdict partitions +
+read-time canonical min must equal the batch recipe on the same
+ingress prefix, in any arrival order, through replays and
+compactions."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from play_with_pulsar_spark.operators.textops import fineweb_signal_stack
+from play_with_pulsar_spark.queries import _fineweb_pages, _t
+from play_with_pulsar_spark.streaming.curator import StreamingCorpusCurator
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return (
+        _fineweb_pages(_t(spark, SF, "documents"))
+        .select("doc_id", F.col("page").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _batch_answer(pages):
+    """The batch recipe's funnel computed directly from the shared
+    signal stack — the reference every streamed variant must equal."""
+    full = fineweb_signal_stack(pages, page_col="text")
+    cm = full.groupBy("h").agg(
+        F.min(F.when(F.col("pass"), F.col("doc_id"))).alias("cmin")
+    )
+    is_canon = F.col("pass") & (F.col("doc_id") == F.col("cmin"))
+    return {
+        r.doc_id: (r.c4_kept, r.quality_kept, r.rep_kept, bool(r.ic))
+        for r in full.join(cm, "h")
+        .select("doc_id", "c4_kept", "quality_kept", "rep_kept",
+                is_canon.alias("ic"))
+        .collect()
+    }
+
+
+def _funnel_rows(cur):
+    return {
+        r.doc_id: (r.c4_kept, r.quality_kept, r.rep_kept, r.is_canonical)
+        for r in cur.fineweb_funnel().collect()
+    }
+
+
+def test_fineweb_tier_equals_batch_recipe_any_order(spark, pages):
+    """Streamed == batch on the same prefix, for two DIFFERENT
+    arrival orders (the canonical min is order-independent), with
+    every stage non-vacuous."""
+    want = _batch_answer(pages)
+    # id-interleaved and reversed-batch arrivals
+    for order in ([0, 1, 2], [2, 0, 1]):
+        base = tempfile.mkdtemp(prefix="pwp_fwtier_")
+        try:
+            cur = StreamingCorpusCurator(
+                spark, base, screen="simhash", fineweb_recipe=True
+            )
+            for i, k in enumerate(order):
+                cur.process_batch(
+                    pages.filter(F.col("doc_id") % 3 == k), i
+                )
+            got = _funnel_rows(cur)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+        assert got == want
+    # non-vacuous per stage on this fixture
+    vals = list(want.values())
+    assert any(not v[0] for v in vals)          # c4 rejects
+    assert any(v[0] and not v[1] for v in vals)  # quality rejects a c4-pass
+    assert any(v[0] and v[1] and not v[2] for v in vals)  # repetition
+    passing = [
+        (d, v) for d, v in want.items() if v[0] and v[1] and v[2]
+    ]
+    assert any(not v[3] for _, v in passing)     # a passing dup lost canonical
+
+
+def test_fineweb_tier_replay_idempotent_and_crash_window(spark, pages):
+    """A replayed batch rewrites its partition to the same verdicts;
+    a crash that lost ONLY the fineweb partition (every other tier
+    committed) must force a rewrite on replay, not a skip."""
+    base = tempfile.mkdtemp(prefix="pwp_fwreplay_")
+    try:
+        cur = StreamingCorpusCurator(
+            spark, base, screen="simhash", fineweb_recipe=True
+        )
+        b0 = pages.filter(F.col("doc_id") % 3 == 0)
+        b1 = pages.filter(F.col("doc_id") % 3 == 1)
+        cur.process_batch(b0, 0)
+        cur.process_batch(b1, 1)
+        before = _funnel_rows(cur)
+        cur.process_batch(b1, 1)  # full replay: committed skip
+        assert _funnel_rows(cur) == before
+        # crash window: fineweb partition lost, everything else intact
+        os.remove(
+            os.path.join(cur._batch_dir(cur.fineweb_dir, 1), "_SUCCESS")
+        )
+        cur.process_batch(b1, 1)  # must rewrite, not skip
+        assert _funnel_rows(cur) == before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_fineweb_tier_survives_compaction(spark, pages):
+    """The concatenation fold + manifest flip preserves the funnel
+    exactly (compact mid-stream, then read across compacted + live)."""
+    base = tempfile.mkdtemp(prefix="pwp_fwcompact_")
+    try:
+        cur = StreamingCorpusCurator(
+            spark, base, screen="simhash", fineweb_recipe=True
+        )
+        for k in range(2):
+            cur.process_batch(pages.filter(F.col("doc_id") % 3 == k), k)
+        pre = _funnel_rows(cur)
+        assert cur.compact()
+        assert _funnel_rows(cur) == pre
+        cur.process_batch(pages.filter(F.col("doc_id") % 3 == 2), 2)
+        assert _funnel_rows(cur) == _batch_answer(pages)
+        # second compaction folds compacted + live
+        assert cur.compact()
+        assert _funnel_rows(cur) == _batch_answer(pages)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_fineweb_tier_refuses_midstream_enable(spark, pages):
+    """Verdict rows for already-committed batches are underivable —
+    enabling the flag on existing state must raise, both pre- and
+    post-compaction."""
+    base = tempfile.mkdtemp(prefix="pwp_fwmid_")
+    try:
+        plain = StreamingCorpusCurator(spark, base, screen="simhash")
+        plain.process_batch(pages.filter(F.col("doc_id") % 3 == 0), 0)
+        with pytest.raises(ValueError, match="mid-stream"):
+            StreamingCorpusCurator(
+                spark, base, screen="simhash", fineweb_recipe=True
+            )
+        assert plain.compact()
+        with pytest.raises(ValueError, match="predates the tier"):
+            StreamingCorpusCurator(
+                spark, base, screen="simhash", fineweb_recipe=True
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_fineweb_tier_rejects_embedding_screen(spark):
+    base = tempfile.mkdtemp(prefix="pwp_fwemb_")
+    try:
+        with pytest.raises(ValueError, match="text tier"):
+            StreamingCorpusCurator(
+                spark, base, screen="embedding", emb_dim=4,
+                fineweb_recipe=True,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
