@@ -2422,6 +2422,162 @@ def gopher_repetition_screen(
     return docs.join(kept, id_col, "semi")
 
 
+def _winnowed_anchor_occurrences(
+    docs: DataFrame, text_col: str, id_col: str, n: int, w: int
+) -> DataFrame:
+    """(doc_id, pos, gh, g, k) — the WINNOWING-SELECTED word n-gram
+    occurrences of each document (Schleimer et al. 2003 applied at
+    token granularity): hash every n-gram string with the portable
+    Horner fold (``_FP_BASE``/``_FP_MOD`` — the
+    :func:`rolling_fingerprints` hash, DuckDB-reproducible), select a
+    position when its hash is ≤ every hash in the trailing window of
+    ``w`` grams (the same pure per-row trailing-minima deviation as
+    :func:`rolling_fingerprints` — no tie-break ambiguity). Expected
+    density 1/w; duplicated token runs of ≥ n+w-1 tokens are
+    guaranteed to share a selected anchor.
+
+    Scale shape: ZERO shuffles — selection is a per-row Catalyst
+    fold over the materialized hash ARRAY (no window function —
+    contrast the char-level ``rolling_fingerprints``), anchors pack
+    into (pos, gh, g) structs per row, and only the ~len/w selected
+    structs explode.
+
+    Catalyst hazard recorded (round 11): the explode MUST be
+    ``explode_outer`` + an ``isNotNull`` filter on the GENERATED
+    column. A plain ``explode`` lets ``InferFiltersFromGenerate``
+    derive ``size(_sel) > 0`` and push it to the scan, substituting
+    the whole tokenize → gram → Horner → select chain into one
+    monolithic Filter expression whose per-element lambda references
+    re-evaluate the upstream array builds PER ELEMENT — measured
+    220 s vs 4.5 s at sf0.01 (the predicate-pushdown flavor of the
+    lambda-reevaluation trap, same class as the
+    ``gopher_repetition_screen`` hazard; the struct pack guards the
+    sibling trap of post-explode ``element_at(_g, pos)``).
+    ``k`` is the packed (doc_id << 20 | pos) first-occurrence key."""
+    pos_lim = _LINE_POS_LIM
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t")
+    ).filter(F.size("_t") >= n)
+    gr = base.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(n)]
+            ),
+        ).alias("_g"),
+    )
+    hs = gr.select(
+        "doc_id",
+        "_g",
+        F.transform(
+            F.col("_g"),
+            lambda g: F.aggregate(
+                F.sequence(F.lit(1), F.length(g)),
+                F.lit(0).cast("long"),
+                lambda acc, j: (acc * _FP_BASE + F.ascii(g.substr(j, F.lit(1))))
+                % _FP_MOD,
+            ),
+        ).alias("_h"),
+    )
+    # anchors packed into structs BEFORE the explode (a post-explode
+    # element_at(_g, pos) would re-evaluate the array builds PER
+    # ANCHOR); the explode itself must be the outer form — see the
+    # InferFiltersFromGenerate hazard in the docstring
+    sel = hs.select(
+        "doc_id",
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.size("_h") - 1),
+                lambda i: F.element_at(F.col("_h"), i + 1)
+                <= F.array_min(
+                    F.slice(
+                        F.col("_h"),
+                        F.greatest(i - w + 2, F.lit(1)),
+                        F.least(i + 1, F.lit(w)),
+                    )
+                ),
+            ),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.element_at(F.col("_h"), i + 1).alias("gh"),
+                F.element_at(F.col("_g"), i + 1).alias("g"),
+            ),
+        ).alias("_sel"),
+    )
+    return (
+        sel.select("doc_id", F.explode_outer("_sel").alias("a"))
+        .filter(F.col("a").isNotNull())
+        .select(
+            "doc_id",
+            F.col("a.pos").alias("pos"),
+            F.col("a.gh").alias("gh"),
+            F.col("a.g").alias("g"),
+            (F.col("doc_id") * pos_lim + F.col("a.pos")).alias("k"),
+        )
+    )
+
+
+def excise_winnowed_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    w: int = 8,
+) -> DataFrame:
+    """Keep-first substring dedup at WINNOWED-ANCHOR grain (round 11
+    — the index-friendly rung of the excision family): the dedup
+    unit is the winnowing-selected n-gram occurrence
+    (:func:`_winnowed_anchor_occurrences`), and of all selected
+    occurrences of a gram STRING across the corpus the globally
+    first (by (doc_id, pos)) keeps its span while every later one's
+    n-token span is excised — Lee et al. 2021 §4.1's keep-first
+    policy applied to the 1/w winnowing sample instead of every
+    gram. What the sample buys: the claimed-anchor INDEX a crawl-
+    cadence deployment must store is ~len/w rows per doc instead of
+    one per token (`streaming/substr_dedup.py` maintains exactly
+    that), at the documented winnowing guarantee — a duplicated run
+    of ≥ n+w-1 tokens always contains a selected anchor, so long
+    duplications are always caught; runs shorter than that may slip
+    through (``excise_keepfirst_spans`` is the every-gram exact
+    form). Anchors are claimed by STRING (the 31-bit portable hash
+    only drives selection and join keying — a collision can never
+    excise a non-duplicate span).
+
+    Output: (doc_id, n_tokens, clean_text, n_tokens_kept,
+    n_tokens_dropped) — the excision-family contract."""
+    occ = _winnowed_anchor_occurrences(docs, text_col, id_col, n, w)
+    firsts = occ.groupBy("gh", "g").agg(F.min("k").alias("fk"))
+    covered = (
+        occ.join(firsts, ["gh", "g"])
+        .filter(F.col("k") != F.col("fk"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    kept = F.filter(
+        "_t",
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("_cov"), F.array().cast("array<int>")), i
+        ),
+    )
+    return (
+        toks.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_t").cast("bigint").alias("n_tokens"),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size(kept).cast("bigint").alias("n_tokens_kept"),
+            (F.size("_t") - F.size(kept)).cast("bigint").alias("n_tokens_dropped"),
+        )
+    )
+
+
 def fineweb_signal_stack(
     docs: DataFrame, page_col: str = "page", id_col: str = "doc_id"
 ) -> DataFrame:

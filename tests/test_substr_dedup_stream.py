@@ -1,0 +1,131 @@
+"""Incremental winnowed substring dedup: equivalence law, retention
+order, replay, compaction, and the winnowing guarantee."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from play_with_pulsar_spark.operators.textops import excise_winnowed_spans
+from play_with_pulsar_spark.streaming.substr_dedup import IncrementalSubstrDeduper
+
+
+def _rows(df):
+    return {
+        r.doc_id: (r.n_tokens, r.clean_text, r.n_tokens_kept, r.n_tokens_dropped)
+        for r in df.collect()
+    }
+
+
+RUN = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"  # 12 toks
+
+
+def _corpus(spark):
+    """Docs with a shared 12-token run (>= n+w-1, guaranteed anchor),
+    a within-doc repeat, and unique fillers."""
+    return spark.createDataFrame(
+        [
+            (1, RUN + " one two three four five"),
+            (2, "x1 x2 x3 x4 x5 " + RUN),                  # cross-doc copy
+            (3, RUN + " tail1 tail2 " + RUN),              # within-doc repeat
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),  # unique
+            (5, "v1 v2 v3 v4 v5 " + RUN + " v6 v7"),       # another copy
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_incremental_equals_batch_on_union_monotone(spark):
+    """When batch order agrees with id order, the incremental fold
+    equals the batch operator over the union — token for token."""
+    docs = _corpus(spark)
+    want = _rows(excise_winnowed_spans(docs, n=5, w=8))
+    base = tempfile.mkdtemp(prefix="pwp_substr_eq_")
+    try:
+        d = IncrementalSubstrDeduper(spark, base, n=5, w=8)
+        d.process_batch(docs.filter(F.col("doc_id") <= 2), 0)
+        d.process_batch(docs.filter(F.col("doc_id").isin(3, 4)), 1)
+        d.process_batch(docs.filter(F.col("doc_id") == 5), 2)
+        got = _rows(d.deduped())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    assert got == want
+    # the guarantee fired: every later copy of the 12-token run lost
+    # at least one anchor span
+    assert all(got[i][3] > 0 for i in (2, 3, 5))
+    assert got[4][3] == 0  # unique doc untouched
+
+
+def test_first_writer_wins_across_batches(spark):
+    """Acceptance TIME beats id order: a batch-0 doc with a LARGER id
+    claims the anchors; the batch-1 doc with the smaller id is the
+    one excised (the line_dedup retention convention)."""
+    docs = spark.createDataFrame(
+        [(10, "pad1 pad2 " + RUN), (3, RUN + " pad3 pad4")],
+        "doc_id long, text string",
+    )
+    base = tempfile.mkdtemp(prefix="pwp_substr_fww_")
+    try:
+        d = IncrementalSubstrDeduper(spark, base, n=5, w=8)
+        d.process_batch(docs.filter(F.col("doc_id") == 10), 0)
+        d.process_batch(docs.filter(F.col("doc_id") == 3), 1)
+        got = _rows(d.deduped())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    assert got[10][3] == 0          # earlier batch keeps, despite id 10 > 3
+    assert got[3][3] > 0            # later batch's smaller id is excised
+
+
+def test_replay_idempotent_and_excludes_own_partition(spark):
+    """Reprocessing a committed batch is a no-op skip; a replay after
+    a lost _SUCCESS rewrites the same output (the index read excludes
+    the in-flight batch, so the doc never screens against itself)."""
+    docs = _corpus(spark)
+    base = tempfile.mkdtemp(prefix="pwp_substr_replay_")
+    try:
+        d = IncrementalSubstrDeduper(spark, base, n=5, w=8)
+        d.process_batch(docs.filter(F.col("doc_id") <= 3), 0)
+        before = _rows(d.deduped())
+        d.process_batch(docs.filter(F.col("doc_id") <= 3), 0)  # skip
+        assert _rows(d.deduped()) == before
+        os.remove(os.path.join(d._batch_dir(d.out_dir, 0), "_SUCCESS"))
+        d.process_batch(docs.filter(F.col("doc_id") <= 3), 0)  # rewrite
+        assert _rows(d.deduped()) == before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_preserves_screen_and_output(spark):
+    """Compaction folds the anchor index without changing either the
+    committed rewrites or the screening of later batches."""
+    docs = _corpus(spark)
+    want = _rows(excise_winnowed_spans(docs, n=5, w=8))
+    base = tempfile.mkdtemp(prefix="pwp_substr_compact_")
+    try:
+        d = IncrementalSubstrDeduper(spark, base, n=5, w=8)
+        d.process_batch(docs.filter(F.col("doc_id") <= 2), 0)
+        d.process_batch(docs.filter(F.col("doc_id").isin(3, 4)), 1)
+        assert d.compact()
+        man = d._compact_manifest()
+        assert man == {"covered_upto": 1, "version": 0}
+        assert not os.path.exists(d._batch_dir(d.anchors_dir, 0))
+        d.process_batch(docs.filter(F.col("doc_id") == 5), 2)
+        assert _rows(d.deduped()) == want
+        assert d.compact()  # folds compacted tier + batch 2
+        assert d._compact_manifest()["covered_upto"] == 2
+        assert _rows(d.deduped()) == want
+        assert not d.compact()  # nothing left to fold
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_short_run_may_slip_long_run_never(spark):
+    """The documented winnowing contract: a duplicated run of
+    >= n+w-1 tokens ALWAYS shares a selected anchor (excised), while
+    the every-gram exact form remains the stricter sibling."""
+    long_dup = _corpus(spark)
+    out = _rows(excise_winnowed_spans(long_dup, n=5, w=8))
+    assert out[2][3] > 0 and out[5][3] > 0
