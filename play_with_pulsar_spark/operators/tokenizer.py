@@ -324,39 +324,78 @@ def wordpiece_learn_merges(
 
 UNIGRAM_SCHEMA = "piece STRING, logprob DOUBLE"
 
+# Fixed score of each reserved <0xNN> byte piece (SentencePiece's
+# byte_fallback contract: byte tokens score far below any learned
+# piece, so byte decomposition is the segmentation of LAST resort —
+# chosen only where no learned piece exists). A table constant, not a
+# corpus estimate: deterministic across fits, and the stored piece
+# table is self-describing (encode detects the contract from the
+# <0x00> row).
+BYTE_PIECE_LP = -20.0
 
-def _viterbi_segment(word: str, lp: dict, max_len: int):
+
+def byte_pieces(ch: str) -> list[str]:
+    """The ``<0xNN>`` byte-piece decomposition of one character — its
+    UTF-8 bytes in order (the SentencePiece ``byte_fallback``
+    rendering)."""
+    return [f"<0x{b:02X}>" for b in ch.encode("utf-8")]
+
+
+def _viterbi_segment(
+    word: str, lp: dict, max_len: int, byte_lp: float | None = None
+):
     """Best segmentation of ``word`` under piece log-probs ``lp``:
     maximize the logprob sum; EXACT-TIE break prefers the longer last
     piece at each DP cell (deterministic, and identical in the
     pure-python golden generator). Returns None when unsegmentable
     (cannot happen while the alphabet floor keeps every single char
-    in the model)."""
+    in the model).
+
+    ``byte_lp`` (round 11 — the SentencePiece ``byte_fallback``
+    contract): when set, a single character ABSENT from ``lp`` gets a
+    fallback candidate worth ``byte_lp × n_utf8_bytes(char)`` whose
+    reconstruction emits the ``<0xNN>`` byte pieces — so every word
+    is segmentable with zero unknowns. The fallback exists only for
+    UNSEEN characters (a learned char always segments as itself, the
+    SentencePiece rule), competes in the same DP (a longer learned
+    piece spanning the position still wins where one exists), and is
+    deterministic: the byte score is a fixed table constant, not a
+    corpus estimate."""
     n = len(word)
     best = [None] * (n + 1)
     best[0] = 0.0
     back = [0] * (n + 1)
+    fb = [False] * (n + 1)
     for pos in range(1, n + 1):
         b = None
         bl = 0
+        bf = False
         for length in range(1, min(max_len, pos) + 1):
             prev = best[pos - length]
             if prev is None:
                 continue
-            v = lp.get(word[pos - length : pos])
+            span = word[pos - length : pos]
+            v = lp.get(span)
+            f = False
             if v is None:
-                continue
+                if byte_lp is None or length != 1:
+                    continue
+                v = byte_lp * len(span.encode("utf-8"))
+                f = True
             cand = prev + v
             if b is None or cand > b or (cand == b and length > bl):
-                b, bl = cand, length
-        best[pos], back[pos] = b, bl
+                b, bl, bf = cand, length, f
+        best[pos], back[pos], fb[pos] = b, bl, bf
     if best[n] is None:
         return None
     out = []
     pos = n
     while pos > 0:
         length = back[pos]
-        out.append(word[pos - length : pos])
+        if fb[pos]:
+            out.extend(reversed(byte_pieces(word[pos - 1])))
+        else:
+            out.append(word[pos - length : pos])
         pos -= length
     out.reverse()
     return out
@@ -458,6 +497,7 @@ def unigram_learn_pieces(
     seed_size: int | None = None,
     prune_frac: float = 0.2,
     trace: list | None = None,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Learn a unigram-LM piece table: seed = all single chars plus
     the top multi-char substrings by weighted count (ties → piece
@@ -481,6 +521,16 @@ def unigram_learn_pieces(
     piece string; renormalize the survivors. ``trace`` (optional
     list) records the model size after each round — the monotone-
     shrink law the tests pin.
+
+    ``byte_fallback`` (round 11 — the SentencePiece contract that
+    completes Kudo-fidelity): append the 256 reserved ``<0xNN>`` byte
+    pieces at the fixed ``BYTE_PIECE_LP`` score to the returned
+    table. The learned rows are bit-identical either way (training
+    never sees byte tokens); the stored table becomes
+    self-describing — :func:`unigram_encode` detects the ``<0x00>``
+    row and segments unseen characters into their UTF-8 byte pieces
+    instead of emitting an unsplit unknown, so EVERY input becomes
+    segmentable.
 
     Scale shape unchanged: the E-step is the Arrow kernel over word
     TYPES; seeding, loss ranking and pruning are pure driver work
@@ -569,6 +619,18 @@ def unigram_learn_pieces(
         if trace is not None:
             trace.append(len(lp))
     wc.unpersist()
+    if byte_fallback:
+        # the 256 reserved byte pieces ride the RETURNED table (the
+        # SentencePiece byte_fallback contract): fixed BYTE_PIECE_LP
+        # score, additional to vocab_size (documented deviation from
+        # SentencePiece, which spends vocab slots on them — the
+        # learned table stays bit-identical to byte_fallback=False).
+        # They can never collide with learned pieces ('<0xNN>' is 6
+        # chars > max_piece_len in every registered config, and the
+        # corpus alphabet never contains the literal token), and
+        # training above never sees them: DP spans are raw substrings.
+        for b in range(256):
+            lp[f"<0x{b:02X}>"] = BYTE_PIECE_LP
     return spark.createDataFrame(sorted(lp.items()), UNIGRAM_SCHEMA)
 
 
@@ -583,13 +645,22 @@ def unigram_encode(
     Viterbi segmentation runs ONCE PER WORD TYPE (Arrow kernel over
     the type table — the train/encode shape BPE's ``apply_bpe``
     documents), then a positional join rebuilds each document as its
-    space-joined piece stream. Returns (doc_id, n_pieces, encoded)."""
+    space-joined piece stream. Returns (doc_id, n_pieces, encoded).
+
+    The piece table is self-describing: when it carries the 256
+    reserved ``<0xNN>`` rows (a ``byte_fallback=True`` fit), unseen
+    characters segment into their UTF-8 byte pieces at the table's
+    byte score and NO word is ever emitted unsplit — zero unknowns by
+    construction. Without them, a word whose characters are outside
+    the model alphabet falls back to the unsplit word (the pre-r11
+    behavior, unchanged)."""
     import pandas as pd
 
     spark = docs.sparkSession
     lp = {
         r["piece"]: float(r["logprob"]) for r in pieces.collect()
     }  # model-sized by the vocab_size contract
+    byte_lp = lp.get("<0x00>")  # present iff the fit was byte_fallback
     blp = spark.sparkContext.broadcast(lp)
     mpl = max_piece_len
 
@@ -599,9 +670,9 @@ def unigram_encode(
                 continue
             segs, ns = [], []
             for word in pdf["word"]:
-                seg = _viterbi_segment(word, blp.value, mpl)
+                seg = _viterbi_segment(word, blp.value, mpl, byte_lp=byte_lp)
                 if seg is None:
-                    seg = [word]  # OOV chars: emit the word unsplit
+                    seg = [word]  # OOV chars, no byte table: unsplit
                 segs.append(" ".join(seg))
                 ns.append(len(seg))
             yield pd.DataFrame(

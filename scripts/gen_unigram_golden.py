@@ -34,30 +34,49 @@ def tokenize(t: str) -> list[str]:
     return re.split(r"\s+", (t or "").strip().lower())
 
 
-def viterbi(word: str, lp: dict, max_len: int):
+BYTE_PIECE_LP = -20.0  # mirrors tokenizer.BYTE_PIECE_LP
+# planted suffix with characters OUTSIDE the corpus alphabet (é/ß are
+# 2-byte UTF-8, € is 3-byte — the multi-byte decomposition must fire)
+BF_SUFFIX = " né€on ße"
+
+
+def byte_pieces(ch: str) -> list:
+    return [f"<0x{b:02X}>" for b in ch.encode("utf-8")]
+
+
+def viterbi(word: str, lp: dict, max_len: int, byte_lp=None):
     n = len(word)
     best = [None] * (n + 1)
     best[0] = 0.0
     back = [0] * (n + 1)
+    fb = [False] * (n + 1)
     for pos in range(1, n + 1):
-        b, bl = None, 0
+        b, bl, bf = None, 0, False
         for length in range(1, min(max_len, pos) + 1):
             prev = best[pos - length]
             if prev is None:
                 continue
-            v = lp.get(word[pos - length : pos])
+            span = word[pos - length : pos]
+            v = lp.get(span)
+            f = False
             if v is None:
-                continue
+                if byte_lp is None or length != 1:
+                    continue
+                v = byte_lp * len(span.encode("utf-8"))
+                f = True
             cand = prev + v
             if b is None or cand > b or (cand == b and length > bl):
-                b, bl = cand, length
-        best[pos], back[pos] = b, bl
+                b, bl, bf = cand, length, f
+        best[pos], back[pos], fb[pos] = b, bl, bf
     if best[n] is None:
         return None
     out, pos = [], n
     while pos > 0:
         length = back[pos]
-        out.append(word[pos - length : pos])
+        if fb[pos]:
+            out.extend(reversed(byte_pieces(word[pos - 1])))
+        else:
+            out.append(word[pos - length : pos])
         pos -= length
     out.reverse()
     return out
@@ -198,6 +217,35 @@ def main() -> None:
     pq.write_table(
         pa.table({"doc_id": ids, "n_pieces": nps, "encoded": encs}),
         os.path.join(FIXDIR, "unigram_encode_golden.parquet"),
+    )
+
+    # --- byte_fallback twin (round 11): the SAME learned table plus
+    # the 256 reserved <0xNN> rows, encoding docs planted with
+    # characters outside the corpus alphabet — every word must
+    # segment (zero unsplit unknowns), the unseen chars as their
+    # UTF-8 byte pieces
+    lp_bf = dict(lp)
+    for b in range(256):
+        lp_bf[f"<0x{b:02X}>"] = BYTE_PIECE_LP
+    seg_cache = {}
+    ids, nps, encs = [], [], []
+    for did, text in sorted(rows):
+        planted = text + BF_SUFFIX if did % 4 == 0 else text
+        parts, np_ = [], 0
+        for w in tokenize(planted):
+            if w not in seg_cache:
+                s = viterbi(w, lp_bf, MAX_PIECE_LEN, byte_lp=BYTE_PIECE_LP)
+                assert s is not None, w  # zero-unknown law
+                seg_cache[w] = s
+            s = seg_cache[w]
+            parts.append(" ".join(s))
+            np_ += len(s)
+        ids.append(did)
+        nps.append(np_)
+        encs.append(" ".join(parts))
+    pq.write_table(
+        pa.table({"doc_id": ids, "n_pieces": nps, "encoded": encs}),
+        os.path.join(FIXDIR, "unigram_encode_bytes_golden.parquet"),
     )
     print(f"pieces: {len(pieces)}; docs encoded: {len(ids)}")
 

@@ -358,3 +358,76 @@ def test_unigram_encode_consistency(spark):
         assert "".join(ps) == "".join(
             texts[r.doc_id].strip().lower().split()
         )
+
+
+def test_unigram_byte_fallback_laws(spark):
+    """The SentencePiece byte_fallback contract (round 11):
+
+    - learned rows are BIT-IDENTICAL to the plain fit (training never
+      sees byte tokens); the 256 <0xNN> rows ride at BYTE_PIECE_LP;
+    - every word segments — zero unsplit unknowns — with unseen
+      characters decomposed to their UTF-8 byte pieces (multi-byte
+      chars included), and the bytes decode back to the character;
+    - in-alphabet words segment EXACTLY as without the fallback (the
+      fallback exists only for unseen characters)."""
+    from play_with_pulsar_spark.operators import tokenizer
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plain = tokenizer.unigram_learn_pieces(d)
+    bf = tokenizer.unigram_learn_pieces(d, byte_fallback=True)
+    prows = {(r.piece, r.logprob) for r in plain.collect()}
+    brows = {(r.piece, r.logprob) for r in bf.collect()}
+    byte_rows = {p for p, _ in brows} - {p for p, _ in prows}
+    assert byte_rows == {f"<0x{b:02X}>" for b in range(256)}
+    assert prows == {
+        (p, v) for p, v in brows if not p.startswith("<0x")
+    }
+    assert all(
+        v == tokenizer.BYTE_PIECE_LP for p, v in brows if p.startswith("<0x")
+    )
+
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" né€on ße")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    rows = tokenizer.unigram_encode(planted, bf).collect()
+    texts = {
+        r.doc_id: r.text for r in planted.select("doc_id", "text").collect()
+    }
+    vocab = {p for p, _ in brows}
+    import re as _re
+
+    def _decode(ps):
+        out, buf = [], b""
+        for p in ps:
+            m = _re.fullmatch(r"<0x([0-9A-F]{2})>", p)
+            if m:
+                buf += bytes([int(m.group(1), 16)])
+            else:
+                out.append(buf.decode("utf-8")); buf = b""
+                out.append(p)
+        out.append(buf.decode("utf-8"))
+        return "".join(out)
+
+    hit = 0
+    for r in rows:
+        ps = r.encoded.split(" ")
+        assert r.n_pieces == len(ps)
+        assert set(ps) <= vocab  # ZERO unsplit unknowns
+        want = "".join(texts[r.doc_id].strip().lower().split())
+        assert _decode(ps) == want  # byte pieces decode back exactly
+        if r.doc_id % 4 == 0:
+            assert "<0xE2>" in ps and "<0x82>" in ps and "<0xAC>" in ps  # €
+            hit += 1
+    assert hit > 0
+
+    # in-alphabet segmentation identical with and without the table
+    clean = tokenizer.unigram_encode(d, bf).collect()
+    base = tokenizer.unigram_encode(d, plain).collect()
+    assert {(r.doc_id, r.encoded) for r in clean} == {
+        (r.doc_id, r.encoded) for r in base
+    }
