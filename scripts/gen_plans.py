@@ -27,7 +27,7 @@ TARGETS = [
     ("dedup_semantic", "SemDeDup: ONE exchange on the learned cluster id, then a per-cluster gram-matrix kernel (FlatMapGroupsInPandas). Watch: no pair blow-up in the plan — the quadratic work is inside the Arrow kernel, bounded per cluster."),
     ("text_bm25_topk", "Single-scan lazy BM25 (round 6): per-term tf via size(filter(tokens)) — no explode; corpus stats = 1-row agg REUSING the scoring branch's repartition(doc_id) exchange (ReusedExchange => one tokenization pass), broadcast back via crossJoin; TakeOrdered top-k."),
     ("quality_classifier_scores", "Learned quality filter (round 6): z-scored feature projection + literal-weight sigmoid — the SCORING plan is exchange-free; the fit's per-iteration D-wide aggregates and the stats pass run as separate tiny jobs before this plan is built."),
-    ("dsir_importance_topk", "DSIR selection (round 6): exploded tokens -> vocabulary-sized (tf, tf_target) partial agg -> broadcast log-weight join -> per-doc exact decimal sum -> seeded Gumbel keys -> TakeOrdered."),
+    ("dsir_importance_topk", "DSIR selection (round 6; r10 removed the vocabulary-table broadcast HINT per the r9 weak — a vocab side grows with the corpus, so AQE now picks the log-weight join strategy from measured sizes). EXPECTED PLAN: exploded tokens -> vocabulary-sized (tf, tf_target) partial agg -> log-weight join (AQE-chosen: BHJ at small SF where the vocab side measures tiny, SMJ with ONE extra vocab-keyed exchange at corpus scale — that exchange is the +0.24 s the r10 bench paid at sf0.1 and is the plan the 100 TB design point needs) -> per-doc exact decimal sum -> seeded Gumbel keys -> TakeOrdered."),
     ("audit_dataset_fingerprint", "Content fingerprint (round 6): ONE map-side-combined aggregate over the scan — commutative 60-bit-md5 decimal sum; the no-movement copy audit."),
     ("quality_outlier_mad", "Robust MAD screen (round 6): two 1-row percentile aggregates broadcast back lazily; the outlier flag is a scalar projection over the scan."),
     ("dsir_hashed_topk", "DSIR over hashed n-grams (round 7): tokenizer materialized at a projection boundary BEFORE the bigram lambda (inlining it re-ran the regex split per element — measured 4x); bucket side <= 10k rows broadcast. Watch: the Generate input references the _t attribute, never split()."),
@@ -50,7 +50,8 @@ TARGETS = [
     ("text_gopher_repetition", "Gopher repetition suite (round 10): plant projection -> ONE Arrow kernel (MapInPandas) computing all eleven signals — the per-doc Counter path. Watch: ZERO exchanges; the sql fold twin exists for the oracle, this is the throughput plan."),
     ("dedup_exact_substring", "Keep-first ExactSubstr (round 10): positional gram explode -> min(packed key) AGGREGATE per xxhash64(gram) (never a window) -> join back -> covered-position set -> codegen array-filter rewrite. Watch: the two corpus-scale exchanges key on the 8-byte hash; no window over grams anywhere."),
     ("sim_opq_adc_topk", "OPQ rung (round 10): the signed Walsh-Hadamard rotation is one HOF literal-matmul projection feeding the unchanged PQ ADC plan. Watch: rotation adds ZERO exchanges; the codes scan and broadcast-LUT shape are identical to sim_pq_adc_topk."),
-    ("pipeline_fineweb_recipe", "FineWeb funnel (re-planned round 11, the r10 verdict's weak mark): all three signal families STACK on one projection chain (C4 + quality codegen, repetition via the Arrow kernel's ride hook) — zero doc_id self-joins; canonical selection = ONE md5-keyed aggregate + the hash-group-min join back. Watch: exactly 2 documents scans (one per join side — plan-pinned), NO Filter above the signal projections (the pushdown re-evaluation hazard) — the pass bit folds into the aggregate."),
+    ("pipeline_fineweb_recipe", "FineWeb funnel (re-planned round 11, the r10 verdict's weak mark): all three signal families STACK on one projection chain (C4 + quality codegen, repetition via the Arrow kernel's ride hook) — zero doc_id self-joins; the narrow signal table persists LAZILY so both sides of the canonical-min hash join share ONE documents scan; canonical selection = ONE md5-keyed map-side-combinable aggregate + the hash-group-min join back. Watch: 1 Scan parquet / 1 Exchange / 1 MapInPandas in the static plan (pinned <=2/<=3/<=2 by test_fineweb_recipe_fused_plan), NO Filter above the signal projections (the pushdown re-evaluation hazard) — the pass bit folds into the aggregate."),
+    ("text_excise_winnowed", "Winnowed-anchor keep-first excision (round 11): token 5-gram Horner hashes + trailing-8-window minima selection as per-row Catalyst folds (zero shuffle — no window function), anchors packed to structs and explode_outer'd (the InferFiltersFromGenerate hazard: a plain explode pushes the whole selection chain into a per-row scan Filter, 220 s -> 4.5 s), then the (gh, g) first-occurrence aggregate + join back. Watch: no Filter below the Generate containing the gram chain; aggregates never windows."),
 ]
 
 HEADER = """# PLANS — physical operator trees of the headline queries
