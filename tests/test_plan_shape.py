@@ -507,3 +507,18 @@ def test_fineweb_recipe_fused_plan(q):
     for m in re.findall(r"Join.*\[codegen[^\n]*|\(\d+\) (?:SortMerge|BroadcastHash|ShuffledHash)Join[^\n]*\n(?:[^\n]*\n){0,3}", plan):
         assert "doc_id" not in m, m
     assert P.has_partial_aggregation(df), plan
+
+
+def test_winnowed_excision_plan_no_reevaluation(q):
+    # round-11 contract: the winnowing selection chain appears ONCE
+    # per node — no node (especially no Filter pushed below the
+    # Generate by InferFiltersFromGenerate) re-inlines the
+    # tokenize/gram/hash builds (the 220s-vs-4.5s hazard pinned in
+    # _winnowed_anchor_occurrences' docstring), and the
+    # first-occurrence selection is an aggregate, never a window
+    df = q("text_excise_winnowed")
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    for line in simple.split("\n"):
+        assert line.count("split(") <= 2, line[:200]   # one per union side
+        assert line.count("aggregate(") <= 2, line[:200]
+    assert "Window" not in simple
