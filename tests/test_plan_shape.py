@@ -405,6 +405,8 @@ EAGER_BUILD_ALLOWLIST = {
     # counts collect (bounded by vocab_size by construction)
     "text_unigram_pieces": "EM iterations over word types (vocab-bounded collects)",
     "text_unigram_encode": "EM iterations over word types (vocab-bounded collects)",
+    # round 11: same EM fit as its siblings + the 256 fixed byte rows
+    "text_unigram_encode_bytes": "EM iterations over word types (vocab-bounded collects)",
     # round 10: exact top-k via bounded candidates — the miss-bound
     # proof and the k result rows are the only driver state (1 scalar
     # + k rows + a P*capacity candidate exchange, all by construction)
