@@ -2545,8 +2545,14 @@ def excise_winnowed_spans(
     excise a non-duplicate span).
 
     Output: (doc_id, n_tokens, clean_text, n_tokens_kept,
-    n_tokens_dropped) — the excision-family contract."""
-    occ = _winnowed_anchor_occurrences(docs, text_col, id_col, n, w)
+    n_tokens_dropped) — the excision-family contract. The anchor
+    table feeds both the first-occurrence aggregate and the join
+    probe, so it persists LAZILY (~len/w narrow rows per doc; the
+    handle rides ``_pwp_cached``) — without it the whole
+    tokenize → gram → Horner → select chain executes once per
+    consumer (measured 5.7 → 3.1 s at sf0.1, and at corpus scale a
+    second full scan + hash pass)."""
+    occ = _winnowed_anchor_occurrences(docs, text_col, id_col, n, w).persist()
     firsts = occ.groupBy("gh", "g").agg(F.min("k").alias("fk"))
     covered = (
         occ.join(firsts, ["gh", "g"])
@@ -2566,16 +2572,15 @@ def excise_winnowed_spans(
             F.coalesce(F.col("_cov"), F.array().cast("array<int>")), i
         ),
     )
-    return (
-        toks.join(covered, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("_t").cast("bigint").alias("n_tokens"),
-            F.array_join(kept, " ").alias("clean_text"),
-            F.size(kept).cast("bigint").alias("n_tokens_kept"),
-            (F.size("_t") - F.size(kept)).cast("bigint").alias("n_tokens_dropped"),
-        )
+    out = toks.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_tokens_kept"),
+        (F.size("_t") - F.size(kept)).cast("bigint").alias("n_tokens_dropped"),
     )
+    out._pwp_cached = [occ]
+    return out
 
 
 def fineweb_signal_stack(
