@@ -673,16 +673,27 @@ _FP_BASE = 257
 _FP_MOD = (1 << 31) - 1
 
 
-def _char_kgram_hash(s: Column, pos: Column, k: int) -> Column:
-    """Portable rolling-window hash of the char k-gram at ``pos``
-    (1-based): Horner fold h = (h*B + codepoint) mod P — plain integer
-    arithmetic that DuckDB reproduces exactly (no engine-specific hash
-    function), which is what makes the fingerprints oracle-checkable."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: (acc * _FP_BASE + F.ascii(s.substr(pos + j, F.lit(1)))) % _FP_MOD,
-    )
+def _char_kgram_hash(c: Column, pos: Column, k: int) -> Column:
+    """Portable hash of the char k-gram starting at 1-based ``pos``
+    of codepoint ARRAY ``c``: Horner fold h = (h*B + codepoint) mod P
+    — plain integer arithmetic that DuckDB reproduces exactly (no
+    engine-specific hash function), which is what makes the
+    fingerprints oracle-checkable.
+
+    Takes the MATERIALIZED codepoint array, not the string, and is
+    UNROLLED — both on purpose (round 11 measurements at sf0.1):
+    ``substr`` on a string inside a per-position lambda costs a
+    UTF8String slice per char (n·k per row — 14.1 s for the hash
+    stage), where ``element_at`` on the int array is an O(1) read
+    (3.1 s); and the k explicit references to ``c`` keep
+    CollapseProject from inlining the array build into the lambda —
+    a single-reference alias gets substituted and re-materializes
+    PER POSITION (the O(n²) rebuild: 32 s for the whole operator
+    before both fixes, 5.3 s after)."""
+    h: Column = F.lit(0).cast("long")
+    for j in range(k):
+        h = (h * _FP_BASE + F.element_at(c, pos + j)) % _FP_MOD
+    return h
 
 
 def rolling_fingerprints(
@@ -702,30 +713,72 @@ def rolling_fingerprints(
     minima — a pure per-row predicate, so both engines select
     identical positions with no tie-break ambiguity.)
 
-    Scale shape: explode positions → window min per doc ordered by
-    pos → filter; one shuffle on doc_id, output ~len/w rows per doc.
-    """
+    Scale shape (re-planned round 11): ZERO shuffles — the selection
+    that used to be a doc_id window function (one corpus exchange +
+    a per-doc sort) is now a per-row Catalyst fold over the
+    materialized hash ARRAY, the token-level
+    ``_winnowed_anchor_occurrences`` plan brought back to the char
+    level; only the ~len/w selected (pos, h) structs explode. Same
+    two Catalyst hazards apply and the same cures are load-bearing:
+    ``explode_outer`` + ``isNotNull`` on the GENERATED column (a
+    plain explode lets InferFiltersFromGenerate push the whole
+    hash-and-select chain into a per-row scan Filter) and the struct
+    pack before the explode (a post-explode ``element_at`` would
+    re-evaluate the hash array per fingerprint). Output is
+    position-for-position identical to the window form — the DuckDB
+    oracle is unchanged."""
     s = F.trim(F.lower(F.col(text_col)))
     base = docs.select(
         F.col(id_col).alias("doc_id"), s.alias("_s"), F.length(s).alias("_n")
     ).filter(F.col("_n") >= k)
-    grams = base.select(
+    # the sequence bound reads length(_s) rather than _n ON PURPOSE:
+    # it is the second reference to _s in this projection, and the
+    # multi-reference guard is what stops CollapseProject inlining
+    # trim(lower(text)) into the per-element lambda (single-ref
+    # aliases get substituted — the O(n²) rebuild hazard
+    # _char_kgram_hash documents)
+    cp = base.select(
         "doc_id",
-        "_s",
-        F.explode(F.sequence(F.lit(1), F.col("_n") - k + 1)).alias("pos"),
+        "_n",
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.col("_s"))),
+            lambda i: F.ascii(F.col("_s").substr(i, F.lit(1))).cast("long"),
+        ).alias("_c"),
     )
-    hashed = grams.select(
-        "doc_id", "pos", _char_kgram_hash(F.col("_s"), F.col("pos"), k).alias("h")
+    hs = cp.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - k + 1),
+            lambda p: _char_kgram_hash(F.col("_c"), p, k),
+        ).alias("_h"),
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(w - 1), Window.currentRow)
+    sel = hs.select(
+        "doc_id",
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.size("_h") - 1),
+                lambda i: F.element_at(F.col("_h"), i + 1)
+                <= F.array_min(
+                    F.slice(
+                        F.col("_h"),
+                        F.greatest(i - w + 2, F.lit(1)),
+                        F.least(i + 1, F.lit(w)),
+                    )
+                ),
+            ),
+            lambda i: F.struct(
+                (i + 1).alias("pos"), F.element_at(F.col("_h"), i + 1).alias("h")
+            ),
+        ).alias("_sel"),
     )
     return (
-        hashed.withColumn("_wmin", F.min("h").over(win))
-        .filter(F.col("h") <= F.col("_wmin"))
-        .select("doc_id", "pos", F.col("h").alias("fingerprint"))
+        sel.select("doc_id", F.explode_outer("_sel").alias("a"))
+        .filter(F.col("a").isNotNull())
+        .select(
+            "doc_id",
+            F.col("a.pos").alias("pos"),
+            F.col("a.h").alias("fingerprint"),
+        )
     )
 
 

@@ -524,3 +524,17 @@ def test_winnowed_excision_plan_no_reevaluation(q):
         assert line.count("split(") <= 2, line[:200]   # one per union side
         assert line.count("aggregate(") <= 2, line[:200]
     assert "Window" not in simple
+
+
+def test_rolling_fingerprints_zero_shuffle(q):
+    # round-11 re-plan: winnowing selection as a per-row fold — no
+    # Window (the old plan paid a doc_id exchange + per-doc sort),
+    # zero Exchanges, and no node re-inlines the string build (the
+    # codepoint-array + multi-reference guards in _char_kgram_hash)
+    from play_with_pulsar_spark import plans as P
+
+    df = q("text_rolling_fingerprints")
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in simple
+    assert P.count_shuffles(df) == 0, simple
+    assert max(line.count("lower(") for line in simple.split("\n")) <= 2
