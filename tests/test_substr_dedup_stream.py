@@ -129,3 +129,82 @@ def test_short_run_may_slip_long_run_never(spark):
     long_dup = _corpus(spark)
     out = _rows(excise_winnowed_spans(long_dup, n=5, w=8))
     assert out[2][3] > 0 and out[5][3] > 0
+
+
+def _py_winnow_anchors(texts, n=5, w=8):
+    """Independent pure-python reference of the winnowed-anchor
+    selection (tokenize → gram strings → Horner base-257 mod 2^31-1 →
+    trailing-w-window minima)."""
+    import re
+
+    B, M = 257, (1 << 31) - 1
+    out = {}
+    for did, text in texts:
+        toks = re.split(r"\s+", (text or "").strip().lower())
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        hs = []
+        for g in grams:
+            h = 0
+            for ch in g:
+                h = (h * B + ord(ch)) % M
+            hs.append(h)
+        sel = [
+            (i, hs[i], grams[i])
+            for i in range(len(hs))
+            if hs[i] <= min(hs[max(0, i - w + 1) : i + 1])
+        ]
+        out[did] = sel
+    return out
+
+
+def test_winnowed_selection_matches_python_reference(spark):
+    """The Catalyst fold selection (hash values, positions, gram
+    strings) equals an independent python implementation on a corpus
+    with repeats, unicode, punctuation and whitespace runs."""
+    from play_with_pulsar_spark.operators.textops import (
+        _winnowed_anchor_occurrences,
+    )
+
+    texts = [
+        (1, "a quick brown fox jumps over the lazy dog again and again"),
+        (2, "x " * 40),                        # degenerate repeats
+        (3, "  padded   with   runs of spaces one two three four five "),
+        (4, "naïve café déjà vu été naïve café déjà vu été extra token"),
+        (5, "p1, p2; p3! p4? p5: p6 p7 (p8) [p9] {p10} p11 p12"),
+    ]
+    want = _py_winnow_anchors(texts)
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in _winnowed_anchor_occurrences(docs, "text", "doc_id", 5, 8).collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.gh, r.g))
+    for did in want:
+        assert sorted(got.get(did, [])) == sorted(want[did]), did
+
+
+def test_winnowed_excision_is_subset_of_exact_keepfirst(spark):
+    """Containment law: an occurrence winnowing excises is never the
+    gram's GLOBAL first occurrence (the selected first is >= the
+    global first), so the winnowed drop count per doc is bounded by
+    the every-gram exact form's at the same n."""
+    from play_with_pulsar_spark.operators.textops import (
+        excise_keepfirst_spans,
+        excise_winnowed_spans,
+    )
+    from play_with_pulsar_spark.queries import _substr_plant
+
+    plant = _substr_plant(spark, "/root/testdata/sf0.001")
+    wn = {
+        r.doc_id: r.n_tokens_dropped
+        for r in excise_winnowed_spans(plant, n=5, w=8).collect()
+    }
+    ex = {
+        r.doc_id: r.n_tokens_dropped
+        for r in excise_keepfirst_spans(plant, n=5).collect()
+    }
+    assert set(wn) == set(ex)
+    assert all(wn[d] <= ex[d] for d in wn)
+    # and the law is not vacuous: both sides drop something, and the
+    # exact form drops strictly more somewhere (short dups slip the
+    # 1/w sample)
+    assert sum(wn.values()) > 0
+    assert sum(ex.values()) > sum(wn.values())
