@@ -707,11 +707,21 @@ def rolling_fingerprints(
     Aiken 2003, MOSS): hash every char k-gram with a rolling
     polynomial hash, then keep the LOCAL MINIMA — a k-gram is selected
     when its hash is ≤ every hash in the trailing window of ``w``
-    k-grams. Expected density 1/w; matching substrings of length
-    ≥ k+w-1 are guaranteed to share a fingerprint. (Deviation from
-    the paper: trailing-window minima instead of per-window rightmost
-    minima — a pure per-row predicate, so both engines select
-    identical positions with no tie-break ambiguity.)
+    k-grams. Expected density ≈ 1/w. (Deviation from the paper:
+    trailing-window minima instead of per-window rightmost minima —
+    a pure per-row predicate, so both engines select identical
+    positions with no tie-break ambiguity. The deviation's PRICE,
+    quantified in round 11: the paper's per-window selection
+    guarantees a shared fingerprint in every matching substring of
+    ≥ k+w−1 chars BY CONSTRUCTION — each window selects its own min
+    — while trailing minima make that only probabilistic: positions
+    ≥ w−1 into a shared run select context-independently, but a run
+    whose hash sequence happens to be increasing selects nothing
+    interior, so the miss probability decays geometrically in run
+    length (measured ≈ 2% at 2w−1 positions, ≈ 0.05% at 4w) without
+    a hard cutoff. Per-window rightmost minima as a bounded
+    Lg+Rg ≥ w−1 neighbor predicate is the recorded candidate for
+    restoring the paper guarantee.)
 
     Scale shape (re-planned round 11): ZERO shuffles — the selection
     that used to be a doc_id window function (one corpus exchange +
@@ -2485,9 +2495,10 @@ def _winnowed_anchor_occurrences(
     :func:`rolling_fingerprints` hash, DuckDB-reproducible), select a
     position when its hash is ≤ every hash in the trailing window of
     ``w`` grams (the same pure per-row trailing-minima deviation as
-    :func:`rolling_fingerprints` — no tie-break ambiguity). Expected
-    density 1/w; duplicated token runs of ≥ n+w-1 tokens are
-    guaranteed to share a selected anchor.
+    :func:`rolling_fingerprints` — no tie-break ambiguity, and the
+    same quantified price: anchor sharing in duplicated runs is
+    PROBABILISTIC, not guaranteed — see that docstring). Expected
+    density ≈ 1/w.
 
     Scale shape: ZERO shuffles — selection is a per-row Catalyst
     fold over the materialized hash ARRAY (no window function —
@@ -2589,11 +2600,15 @@ def excise_winnowed_spans(
     gram. What the sample buys: the claimed-anchor INDEX a crawl-
     cadence deployment must store is ~len/w rows per doc instead of
     one per token (`streaming/substr_dedup.py` maintains exactly
-    that), at the documented winnowing guarantee — a duplicated run
-    of ≥ n+w-1 tokens always contains a selected anchor, so long
-    duplications are always caught; runs shorter than that may slip
-    through (``excise_keepfirst_spans`` is the every-gram exact
-    form). Anchors are claimed by STRING (the 31-bit portable hash
+    that), at a PROBABILISTIC recall contract (round 11, measured):
+    positions ≥ w−1 into a duplicated run select context-
+    independently, so both copies share an anchor unless the run's
+    interior hash sequence happens to select nothing (the
+    increasing-hashes case) — miss probability ≈ 2% at 2w−1 run
+    positions, ≈ 0.05% at 4w, decaying geometrically but with no
+    hard cutoff; short duplications below ~w grams routinely slip.
+    ``excise_keepfirst_spans`` is the deterministic every-gram
+    sibling when recall must be exact. Anchors are claimed by STRING (the 31-bit portable hash
     only drives selection and join keying — a collision can never
     excise a non-duplicate span).
 

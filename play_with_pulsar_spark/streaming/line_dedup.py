@@ -325,10 +325,13 @@ class IncrementalLineDeduper:
         return True
 
     def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger):
-        """Run the deduper as a Structured Streaming sink."""
+        """Run the deduper as a Structured Streaming sink (default
+        drain-and-stop ``availableNow`` — the curator convention; an
+        empty ``.trigger()`` call raises in pyspark, so a bare
+        ``attach(stream, ckpt)`` used to be unusable)."""
         return (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(**trigger)
+            .trigger(**(trigger or {"availableNow": True}))
             .start()
         )

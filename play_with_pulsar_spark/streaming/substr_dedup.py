@@ -270,10 +270,12 @@ class IncrementalSubstrDeduper:
         return True
 
     def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger):
-        """Run the deduper as a Structured Streaming sink."""
+        """Run the deduper as a Structured Streaming sink (default
+        drain-and-stop ``availableNow`` — the curator convention; an
+        empty ``.trigger()`` call raises in pyspark)."""
         return (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(**trigger)
+            .trigger(**(trigger or {"availableNow": True}))
             .start()
         )

@@ -206,3 +206,27 @@ def test_position_encoding_overflow_raises(spark, tmp_path):
             d.process_batch(batch, 0)
     finally:
         mod._LINE_POS_LIM = orig
+
+
+def test_line_deduper_via_real_stream(spark, tmp_path):
+    """attach() with no trigger kwargs must run (availableNow default
+    — a bare .trigger() raises in pyspark, so the old pass-through
+    made attach(stream, ckpt) unusable) and the streamed fold must
+    keep one copy of the shared line."""
+    from play_with_pulsar_spark.streaming.line_dedup import IncrementalLineDeduper
+
+    line = " ".join(f"w{i}" for i in range(10))
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, line)], "doc_id long, text string").write.parquet(src + "/f1")
+    spark.createDataFrame([(2, line)], "doc_id long, text string").write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    d = IncrementalLineDeduper(spark, str(tmp_path / "state"), segment_tokens=10)
+    q = d.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r.doc_id: r.n_removed for r in d.deduped().collect()}
+    assert set(got) == {1, 2}
+    assert sorted(got.values()) == [0, 1]  # one copy kept, one removed

@@ -163,3 +163,24 @@ def test_fineweb_tier_rejects_embedding_screen(spark):
             )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_fineweb_tier_via_real_stream(spark, tmp_path, pages):
+    """The tier through an actual Structured Streaming attach: one
+    micro-batch per file, and the maintained funnel equals the batch
+    recipe over the union WHATEVER order the files triggered in (the
+    canonical min is order-independent)."""
+    src = str(tmp_path / "src")
+    for k in range(3):
+        pages.filter(F.col("doc_id") % 3 == k).write.parquet(f"{src}/f{k}")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    cur = StreamingCorpusCurator(
+        spark, str(tmp_path / "c"), screen="simhash", fineweb_recipe=True
+    )
+    q = cur.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert _funnel_rows(cur) == _batch_answer(pages)

@@ -24,8 +24,9 @@ RUN = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"  # 12 to
 
 
 def _corpus(spark):
-    """Docs with a shared 12-token run (>= n+w-1, guaranteed anchor),
-    a within-doc repeat, and unique fillers."""
+    """Docs with a shared 12-token run (anchors under THIS hash
+    function — checked by the tests; the trailing-minima contract is
+    probabilistic), a within-doc repeat, and unique fillers."""
     return spark.createDataFrame(
         [
             (1, RUN + " one two three four five"),
@@ -53,8 +54,8 @@ def test_incremental_equals_batch_on_union_monotone(spark):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     assert got == want
-    # the guarantee fired: every later copy of the 12-token run lost
-    # at least one anchor span
+    # the shared run anchors under this hash function (deterministic
+    # given the Horner values): every later copy lost its span
     assert all(got[i][3] > 0 for i in (2, 3, 5))
     assert got[4][3] == 0  # unique doc untouched
 
@@ -122,10 +123,12 @@ def test_compact_preserves_screen_and_output(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
-def test_short_run_may_slip_long_run_never(spark):
-    """The documented winnowing contract: a duplicated run of
-    >= n+w-1 tokens ALWAYS shares a selected anchor (excised), while
-    the every-gram exact form remains the stricter sibling."""
+def test_shared_run_anchors_on_fixture(spark):
+    """The probabilistic trailing-minima contract on this fixture:
+    the shared 12-token run anchors in every copy (deterministic
+    given the Horner hash values; the operator docstring quantifies
+    the general miss probability), while the every-gram exact form
+    remains the stricter sibling."""
     long_dup = _corpus(spark)
     out = _rows(excise_winnowed_spans(long_dup, n=5, w=8))
     assert out[2][3] > 0 and out[5][3] > 0
@@ -208,3 +211,34 @@ def test_winnowed_excision_is_subset_of_exact_keepfirst(spark):
     # 1/w sample)
     assert sum(wn.values()) > 0
     assert sum(ex.values()) > sum(wn.values())
+
+
+def test_substr_deduper_via_real_stream(spark, tmp_path):
+    """The deduper as an actual Structured Streaming sink
+    (foreachBatch via attach): one micro-batch per file; whichever
+    copy of the duplicated run arrives first keeps it, the other is
+    excised — and the unique docs pass untouched."""
+    src = str(tmp_path / "src")
+    # doc texts from _corpus: their shared run provably anchors in
+    # both contexts under this hash function (the batch tests pin it)
+    spark.createDataFrame(
+        [(1, RUN + " one two three four five")], "doc_id long, text string"
+    ).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(2, "x1 x2 x3 x4 x5 " + RUN),
+         (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12")],
+        "doc_id long, text string",
+    ).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    d = IncrementalSubstrDeduper(spark, str(tmp_path / "state"), n=5, w=8)
+    q = d.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = _rows(d.deduped())
+    assert set(got) == {1, 2, 3}
+    dropped = {i for i in (1, 2) if got[i][3] > 0}
+    assert len(dropped) == 1          # exactly one copy lost the run
+    assert got[3][3] == 0             # unique doc untouched
