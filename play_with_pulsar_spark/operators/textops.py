@@ -703,32 +703,27 @@ def rolling_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Winnowing-style document fingerprints (Schleimer/Wilkerson/
-    Aiken 2003, MOSS): hash every char k-gram with a rolling
-    polynomial hash, then keep the LOCAL MINIMA — a k-gram is selected
-    when its hash is ≤ every hash in the trailing window of ``w``
-    k-grams. Expected density ≈ 1/w. (Deviation from the paper:
-    trailing-window minima instead of per-window rightmost minima —
-    a pure per-row predicate, so both engines select identical
-    positions with no tie-break ambiguity. The deviation's PRICE,
-    quantified in round 11: the paper's per-window selection
-    guarantees a shared fingerprint in every matching substring of
-    ≥ k+w−1 chars BY CONSTRUCTION — each window selects its own min
-    — while trailing minima make that only probabilistic: positions
-    ≥ w−1 into a shared run select context-independently, but a run
-    whose hash sequence happens to be increasing selects nothing
-    interior, so the miss probability decays geometrically in run
-    length (measured ≈ 2% at 2w−1 positions, ≈ 0.05% at 4w) without
-    a hard cutoff. Per-window rightmost minima as a bounded
-    Lg+Rg ≥ w−1 neighbor predicate is the recorded candidate for
-    restoring the paper guarantee.)
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, MOSS): hash every char k-gram with a rolling polynomial
+    hash, then select, in every window of ``w`` consecutive k-grams,
+    the RIGHTMOST minimal hash — the paper's actual rule (round 12;
+    the round-8 trailing-minima deviation, whose recall was
+    probabilistic against increasing-hash runs, is retired across
+    the winnowing family). Restores the paper's guarantee: every
+    matching substring of ≥ k+w−1 chars shares a fingerprint BY
+    CONSTRUCTION. Expected density ≈ 2/(w+1). Window starts are
+    s ∈ [0, max(G−w, 0)] over the G k-grams — a doc shorter than w
+    k-grams winnows its single truncated window (its rightmost
+    global min), so every doc of ≥ k chars keeps a fingerprint.
 
     Scale shape (re-planned round 11): ZERO shuffles — the selection
     that used to be a doc_id window function (one corpus exchange +
-    a per-doc sort) is now a per-row Catalyst fold over the
-    materialized hash ARRAY, the token-level
-    ``_winnowed_anchor_occurrences`` plan brought back to the char
-    level; only the ~len/w selected (pos, h) structs explode. Same
+    a per-doc sort) is a per-row Catalyst fold over the materialized
+    hash ARRAY, the token-level ``_winnowed_anchor_occurrences`` plan
+    at the char level: positions pack into ``h·2²⁰ + (2²⁰−1−i)`` so
+    ``array_min`` over a w-slice IS the rightmost minimal hash, one
+    slice per window start, ``array_distinct`` collapsing agreeing
+    windows; only the ~2·len/(w+1) selected (pos, h) structs explode. Same
     two Catalyst hazards apply and the same cures are load-bearing:
     ``explode_outer`` + ``isNotNull`` on the GENERATED column (a
     plain explode lets InferFiltersFromGenerate push the whole
@@ -762,22 +757,31 @@ def rolling_fingerprints(
             lambda p: _char_kgram_hash(F.col("_c"), p, k),
         ).alias("_h"),
     )
-    sel = hs.select(
+    pos_lim = _LINE_POS_LIM
+    keyed = hs.select(
+        "doc_id",
+        "_h",
+        F.transform(
+            F.sequence(F.lit(0), F.size("_h") - 1),
+            lambda i: F.element_at(F.col("_h"), i + 1) * pos_lim
+            + (F.lit(pos_lim - 1) - i),
+        ).alias("_kk"),
+    )
+    sel = keyed.select(
         "doc_id",
         F.transform(
-            F.filter(
-                F.sequence(F.lit(0), F.size("_h") - 1),
-                lambda i: F.element_at(F.col("_h"), i + 1)
-                <= F.array_min(
-                    F.slice(
-                        F.col("_h"),
-                        F.greatest(i - w + 2, F.lit(1)),
-                        F.least(i + 1, F.lit(w)),
-                    )
-                ),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("_kk") - w, F.lit(0))
+                    ),
+                    lambda s2: F.lit(pos_lim - 1)
+                    - F.array_min(F.slice(F.col("_kk"), s2 + 1, w)) % pos_lim,
+                )
             ),
-            lambda i: F.struct(
-                (i + 1).alias("pos"), F.element_at(F.col("_h"), i + 1).alias("h")
+            lambda p: F.struct(
+                (p + 1).cast("int").alias("pos"),
+                F.element_at(F.col("_h"), (p + 1).cast("int")).alias("h"),
             ),
         ).alias("_sel"),
     )
@@ -2492,19 +2496,33 @@ def _winnowed_anchor_occurrences(
     occurrences of each document (Schleimer et al. 2003 applied at
     token granularity): hash every n-gram string with the portable
     Horner fold (``_FP_BASE``/``_FP_MOD`` — the
-    :func:`rolling_fingerprints` hash, DuckDB-reproducible), select a
-    position when its hash is ≤ every hash in the trailing window of
-    ``w`` grams (the same pure per-row trailing-minima deviation as
-    :func:`rolling_fingerprints` — no tie-break ambiguity, and the
-    same quantified price: anchor sharing in duplicated runs is
-    PROBABILISTIC, not guaranteed — see that docstring). Expected
-    density ≈ 1/w.
+    :func:`rolling_fingerprints` hash, DuckDB-reproducible), then
+    select, in every window of ``w`` consecutive grams, the RIGHTMOST
+    minimal hash — the paper's actual rule (round 12, replacing the
+    round-8 trailing-minima deviation whose recall was probabilistic).
+    What the per-window rule restores is the paper's GUARANTEE: two
+    matching token runs of ≥ n+w−1 tokens contain a full window of w
+    identical gram hashes in both copies, that window's rightmost
+    minimum sits at the same relative position in each, so the copies
+    SHARE an anchor BY CONSTRUCTION — no increasing-hash adversarial
+    case (the sequence that defeated trailing minima, commit 797843d)
+    exists. Window starts are s ∈ [0, max(G−w, 0)] over the G grams;
+    a doc with fewer than w grams winnows its single truncated window
+    (= its rightmost global min — the documented short-doc extension
+    that keeps every doc with ≥ n tokens anchored; identical short
+    docs therefore still collide). Expected density ≈ 2/(w+1)
+    (Schleimer §3; the trailing rule's was ≈ 1/w — the guarantee
+    costs ~1.8× index rows at w=8).
 
     Scale shape: ZERO shuffles — selection is a per-row Catalyst
     fold over the materialized hash ARRAY (no window function —
-    contrast the char-level ``rolling_fingerprints``), anchors pack
-    into (pos, gh, g) structs per row, and only the ~len/w selected
-    structs explode.
+    contrast the char-level ``rolling_fingerprints``): each position
+    packs into ``h·2²⁰ + (2²⁰−1−pos)`` so ``array_min`` over a
+    w-slice IS the (min hash, rightmost position) lexicographic
+    argmin, one slice per window start, ``array_distinct`` collapses
+    the adjacent windows that agree; anchors pack into (pos, gh, g)
+    structs per row, and only the ~2·len/(w+1) selected structs
+    explode. O(G·w) per doc, same as the trailing fold it replaces.
 
     Catalyst hazard recorded (round 11): the explode MUST be
     ``explode_outer`` + an ``isNotNull`` filter on the GENERATED
@@ -2547,25 +2565,36 @@ def _winnowed_anchor_occurrences(
     # anchors packed into structs BEFORE the explode (a post-explode
     # element_at(_g, pos) would re-evaluate the array builds PER
     # ANCHOR); the explode itself must be the outer form — see the
-    # InferFiltersFromGenerate hazard in the docstring
-    sel = hs.select(
+    # InferFiltersFromGenerate hazard in the docstring. _kk is built
+    # in its OWN projection and referenced twice below, so
+    # CollapseProject leaves it materialized (the same
+    # multiple-reference guard that keeps _h/_g from inlining).
+    keyed = hs.select(
+        "doc_id",
+        "_g",
+        "_h",
+        F.transform(
+            F.sequence(F.lit(0), F.size("_h") - 1),
+            lambda i: F.element_at(F.col("_h"), i + 1) * pos_lim
+            + (F.lit(pos_lim - 1) - i),
+        ).alias("_kk"),
+    )
+    sel = keyed.select(
         "doc_id",
         F.transform(
-            F.filter(
-                F.sequence(F.lit(0), F.size("_h") - 1),
-                lambda i: F.element_at(F.col("_h"), i + 1)
-                <= F.array_min(
-                    F.slice(
-                        F.col("_h"),
-                        F.greatest(i - w + 2, F.lit(1)),
-                        F.least(i + 1, F.lit(w)),
-                    )
-                ),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("_kk") - w, F.lit(0))
+                    ),
+                    lambda s: F.lit(pos_lim - 1)
+                    - F.array_min(F.slice(F.col("_kk"), s + 1, w)) % pos_lim,
+                )
             ),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.element_at(F.col("_h"), i + 1).alias("gh"),
-                F.element_at(F.col("_g"), i + 1).alias("g"),
+            lambda p: F.struct(
+                p.cast("int").alias("pos"),
+                F.element_at(F.col("_h"), (p + 1).cast("int")).alias("gh"),
+                F.element_at(F.col("_g"), (p + 1).cast("int")).alias("g"),
             ),
         ).alias("_sel"),
     )
@@ -2598,19 +2627,19 @@ def excise_winnowed_spans(
     n-token span is excised — Lee et al. 2021 §4.1's keep-first
     policy applied to the 1/w winnowing sample instead of every
     gram. What the sample buys: the claimed-anchor INDEX a crawl-
-    cadence deployment must store is ~len/w rows per doc instead of
-    one per token (`streaming/substr_dedup.py` maintains exactly
-    that), at a PROBABILISTIC recall contract (round 11, measured):
-    positions ≥ w−1 into a duplicated run select context-
-    independently, so both copies share an anchor unless the run's
-    interior hash sequence happens to select nothing (the
-    increasing-hashes case) — miss probability ≈ 2% at 2w−1 run
-    positions, ≈ 0.05% at 4w, decaying geometrically but with no
-    hard cutoff; short duplications below ~w grams routinely slip.
-    ``excise_keepfirst_spans`` is the deterministic every-gram
-    sibling when recall must be exact. Anchors are claimed by STRING (the 31-bit portable hash
-    only drives selection and join keying — a collision can never
-    excise a non-duplicate span).
+    cadence deployment must store is ~2·len/(w+1) rows per doc
+    instead of one per token (`streaming/substr_dedup.py` maintains
+    exactly that), with the paper's GUARANTEED recall floor (round
+    12 — per-window rightmost minima replaced the round-8 trailing
+    rule whose recall was probabilistic): matching runs of ≥ n+w−1
+    tokens share an anchor BY CONSTRUCTION, so every duplication of
+    at least that length is caught; only duplications shorter than
+    n+w−1 tokens can slip the 1-in-~w/2 sample.
+    ``excise_keepfirst_spans`` is the every-gram sibling that also
+    catches those (exact recall down to n tokens, at one index row
+    per token). Anchors are claimed by STRING (the 31-bit portable
+    hash only drives selection and join keying — a collision can
+    never excise a non-duplicate span).
 
     Output: (doc_id, n_tokens, clean_text, n_tokens_kept,
     n_tokens_dropped) — the excision-family contract. The anchor
@@ -2674,11 +2703,16 @@ def fineweb_signal_stack(
     Plan: C4 and quality are codegen projections; repetition rides
     the Arrow kernel with (c4_kept, quality_kept, h) passed through
     — one scan, one Python stage, ZERO joins or exchanges."""
+    # cleaned coalesces to '' so h = md5('') for NULL-page ingress —
+    # md5(NULL) is NULL and the funnel's inner join on h would
+    # silently drop the doc, breaking the "every ingress doc" funnel
+    # contract (round-12 advice fix; the DuckDB oracle's c4v CTE has
+    # always coalesced, so this also aligns the NULL-page edge)
     c4 = c4_line_filters(docs, page_col=page_col, id_col=id_col).select(
         F.col(id_col).alias("doc_id"),
         F.col("page_kept").alias("c4_kept"),
-        "cleaned",
-        tokens("cleaned").alias("_qt"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        tokens(F.coalesce(F.col("cleaned"), F.lit(""))).alias("_qt"),
     )
     staged = c4.select(
         "doc_id",

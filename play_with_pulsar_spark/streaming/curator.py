@@ -159,6 +159,8 @@ class StreamingCorpusCurator:
         max_hamming: int | None = None,
         sh_blocks: int | None = None,
         sh_hash_fn: str | None = None,
+        substr_n: int | None = None,
+        winnow_w: int | None = None,
     ) -> None:
         """``screen``: ``"jaccard"`` (exact capped-Jaccard incremental
         screen — the default, exhaustive) or ``"minhash"`` (LSH-blocked
@@ -346,8 +348,31 @@ class StreamingCorpusCurator:
         on every read (evicted docs resurfaced) and the next
         ``compact()`` folded evicted rows back in PERMANENTLY; a
         ``sh_hash_fn`` change mid-state would stop stored simhash
-        signatures from colliding with new ones."""
-        if screen not in ("jaccard", "minhash", "embedding", "simhash"):
+        signatures from colliding with new ones.
+
+        ``screen="substr"`` (round 12 — the r11 verdict's composition
+        ask): winnowed-anchor EXCISION as a curator screen, so
+        substring dedup composes with the quality / perplexity /
+        Bloom / URL / repetition / length pre-screens and the funnel
+        and FineWeb tiers. Semantics differ from the doc-grain
+        screens in exactly one way: a duplicated doc is not REJECTED
+        — its duplicated SPANS are excised (Lee 2021 §4.1 keep-first
+        at winnowed-anchor grain, ``IncrementalSubstrDeduper``'s
+        fold) and the REWRITTEN doc is accepted, original text
+        preserved byte-exact when nothing was excised. State is the
+        claimed-anchor tier (``anchors/``, (gh, g) rows at ~2/(w+1)
+        per token of accepted text) under the house conventions:
+        idempotent ``ingest_batch=`` commits, compaction folds it
+        with a distinct-union into the versioned tier, and pre-screen
+        REJECTS are never indexed — a quality-rejected doc's anchors
+        cannot excise a later clean doc's text (the never-indexed
+        contract, tested). ``substr_n`` (gram tokens, default 5) and
+        ``winnow_w`` (window grams, default 8) are state-shaping and
+        FREEZE like the simhash params: stored anchors were selected
+        under them, so a re-attach with conflicting explicit values
+        raises. ``retention='best'`` is doc-grain (reject/evict) and
+        does not compose with span excision — refused."""
+        if screen not in ("jaccard", "minhash", "embedding", "simhash", "substr"):
             raise ValueError(f"unknown screen {screen!r}")
         if screen == "embedding" and emb_dim is None:
             raise ValueError("screen='embedding' requires emb_dim")
@@ -375,6 +400,7 @@ class StreamingCorpusCurator:
         self.fineweb_dir = os.path.join(base_dir, "fineweb")
         self.tomb_dir = os.path.join(base_dir, "tombstones")
         self.shsig_dir = os.path.join(base_dir, "shsig")
+        self.anchors_dir = os.path.join(base_dir, "anchors")
         self.compacted_dir = os.path.join(base_dir, "compacted")
         self.screen = screen
         # --- frozen policy record (round 9 — r8 advice): retention,
@@ -461,6 +487,27 @@ class StreamingCorpusCurator:
             self.sh_blocks = sh_blocks if sh_blocks is not None else (
                 4 if self.max_hamming <= 3 else 8
             )
+        if screen == "substr":
+            # state-shaping like the simhash params: stored anchors
+            # were winnowing-selected under (substr_n, winnow_w)
+            self.substr_n: int = int(_resolve("substr_n", substr_n, 5))
+            self.winnow_w: int = int(_resolve("winnow_w", winnow_w, 8))
+            if id_type not in ("long", "bigint", "int", "integer"):
+                raise ValueError(
+                    "screen='substr' requires a numeric id_type: the "
+                    "within-batch first-occurrence order is the packed "
+                    "(doc_id << 20 | pos) key"
+                )
+            if self.retention == "best":
+                raise ValueError(
+                    "retention='best' is a doc-grain reject/evict policy; "
+                    "the substr screen rewrites spans and accepts every "
+                    "pre-screen survivor — it has no doc-level retention "
+                    "decision to make"
+                )
+        else:
+            self.substr_n = 5 if substr_n is None else int(substr_n)
+            self.winnow_w = 8 if winnow_w is None else int(winnow_w)
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.threshold, self.max_shingle_freq = threshold, max_shingle_freq
         self.num_hashes, self.num_bands, self.seed = num_hashes, num_bands, seed
@@ -592,6 +639,10 @@ class StreamingCorpusCurator:
         )
         self.tomb_schema = f"doc_id {id_type}"
         self.shsig_schema = f"doc_id {id_type}, simhash long"
+        # claimed winnowed anchors (substr screen): grams claimed by
+        # STRING — the 31-bit portable hash only drives selection and
+        # join keying, a collision can never excise unique text
+        self.anchors_schema = "gh long, g string"
         # sh_hash_fn / max_hamming / sh_blocks resolved (and, for the
         # simhash screen, frozen) in the policy block above; 4 blocks
         # (the quarter scheme) carry radius <= 3, higher radii switch
@@ -793,6 +844,9 @@ class StreamingCorpusCurator:
             rec["sh_hash_fn"] = self.sh_hash_fn
             rec["max_hamming"] = self.max_hamming
             rec["sh_blocks"] = self.sh_blocks
+        if self.screen == "substr":
+            rec["substr_n"] = self.substr_n
+            rec["winnow_w"] = self.winnow_w
         return rec
 
     def _write_geometry_sidecar(self) -> None:
@@ -1078,7 +1132,6 @@ class StreamingCorpusCurator:
         the PRE-batch view — what a screen must consult so a partial-
         commit replay makes the identical decision."""
         from ..operators.sketch import hdr_build
-        from ..operators.textops import token_count
 
         man = self._manifest()
         tier_ok = (man is None or man.get("hdr") is not None) and (
@@ -1099,7 +1152,7 @@ class StreamingCorpusCurator:
         if src is None:
             return self.spark.createDataFrame([], self.hdr_schema)
         return hdr_build(
-            src.select(token_count(self.text_col).cast("long").alias("v")),
+            src.select(self._tc().alias("v")),
             "v",
             sub_bits=LEN_HDR_SUB_BITS,
         )
@@ -1164,6 +1217,23 @@ class StreamingCorpusCurator:
             live = comp.unionByName(live)
         return self._minus_tombstones(live, "doc_id", exclude_batch)
 
+    def _index_anchors(self, exclude_batch: int | None = None) -> DataFrame:
+        """(gh, g) claimed-anchor state of the substr screen —
+        compacted tier ∪ live committed batch dirs above the
+        watermark. No tombstone filter: the screen has no doc-grain
+        retention, and a claimed gram stays claimed (the keep-first
+        contract) for the stream's lifetime."""
+        live = self._read_state(
+            self.anchors_dir, self.anchors_schema, exclude_batch
+        )
+        man = self._manifest()
+        if man is not None and man.get("anchors") is not None:
+            comp = self.spark.read.schema(self.anchors_schema).parquet(
+                man["anchors"]["path"]
+            )
+            live = comp.unionByName(live)
+        return live
+
     def accepted(self) -> DataFrame:
         """Accepted corpus: compacted tier + COMMITTED live batch
         partitions only (``_SUCCESS`` present — a reader concurrent
@@ -1205,6 +1275,19 @@ class StreamingCorpusCurator:
     # ------------------------------------------------------------------
     # batch-commit bookkeeping
 
+    def _tc(self):
+        """Doc length in tokens with NULL text read as '' (round-12
+        edge fix): a crawl batch can carry NULL content, and both the
+        additive HDR length tier (whose domain guard raises on NULL)
+        and the length-band screen must see a countable length — the
+        empty-page length — not a NULL that crashes the batch or
+        silently drops the doc from the length stats."""
+        from ..operators.textops import token_count
+
+        return token_count(
+            F.coalesce(F.col(self.text_col), F.lit(""))
+        ).cast("long")
+
     def _batch_dir(self, base: str, batch_id: int) -> str:
         return os.path.join(base, f"ingest_batch={batch_id}")
 
@@ -1242,7 +1325,6 @@ class StreamingCorpusCurator:
         if self.length_band is None:
             return docs
         from ..operators.sketch import hdr_quantiles
-        from ..operators.textops import token_count
 
         sk = self._length_sketch(exclude_batch=batch_id).persist()
         try:
@@ -1255,7 +1337,7 @@ class StreamingCorpusCurator:
             sk.unpersist()
         est = {float(r.q): int(r.est) for r in rows}
         lo, hi = est[float(qlo)], est[float(qhi)]
-        tc = token_count(self.text_col).cast("long")
+        tc = self._tc()
         return docs.filter((tc >= F.lit(lo)) & (tc <= F.lit(hi)))
 
     def _apply_url_screen(self, docs: DataFrame) -> DataFrame:
@@ -1359,8 +1441,13 @@ class StreamingCorpusCurator:
             self._batch_dir(self.fineweb_dir, batch_id)
         )
 
-    def _compacted_fineweb(self) -> DataFrame | None:
-        man = self._manifest()
+    def _compacted_fineweb(self, man: dict | None = None) -> DataFrame | None:
+        """Compacted fineweb verdict rows under ``man`` (the caller's
+        already-read manifest — compaction passes its pre-flip
+        snapshot so the fold provably reads the tier it is folding;
+        read paths omit it and get the live manifest)."""
+        if man is None:
+            man = self._manifest()
         if man is None or man.get("fineweb") is None:
             return None
         return self.spark.read.schema(self.fineweb_schema).parquet(
@@ -1384,7 +1471,7 @@ class StreamingCorpusCurator:
         full = self._read_committed(
             self.fineweb_dir, self.fineweb_schema, old_upto, new_upto
         )
-        comp = self._compacted_fineweb()
+        comp = self._compacted_fineweb(man)
         if comp is not None:
             full = comp.unionByName(full)
         return full
@@ -1851,6 +1938,9 @@ class StreamingCorpusCurator:
         if self.screen == "simhash":
             self._process_batch_simhash(batch, batch_id)
             return
+        if self.screen == "substr":
+            self._process_batch_substr(batch, batch_id)
+            return
         acc_done = self._committed(self.accepted_dir, batch_id)
         grams_done = self._committed(self.grams_dir, batch_id)
         banded_done = not minhash or self._committed(self.banded_dir, batch_id)
@@ -2046,10 +2136,9 @@ class StreamingCorpusCurator:
             # lengths (round 8) so the length_band screen's quantiles
             # track the surviving corpus.
             from ..operators.sketch import hdr_build
-            from ..operators.textops import token_count
 
             hdr_rows = hdr_build(
-                keep.select(token_count(self.text_col).cast("long").alias("v")),
+                keep.select(self._tc().alias("v")),
                 "v",
                 sub_bits=LEN_HDR_SUB_BITS,
             )
@@ -2064,9 +2153,7 @@ class StreamingCorpusCurator:
                     hdr_rows = hdr_rows.unionByName(
                         hdr_build(
                             ev_docs.select(
-                                token_count(self.text_col)
-                                .cast("long")
-                                .alias("v")
+                                self._tc().alias("v")
                             ),
                             "v",
                             sub_bits=LEN_HDR_SUB_BITS,
@@ -2186,10 +2273,9 @@ class StreamingCorpusCurator:
             )
         if not hdr_done:
             from ..operators.sketch import hdr_build
-            from ..operators.textops import token_count
 
             hdr_rows = hdr_build(
-                keep.select(token_count(self.text_col).cast("long").alias("v")),
+                keep.select(self._tc().alias("v")),
                 "v",
                 sub_bits=LEN_HDR_SUB_BITS,
             )
@@ -2204,9 +2290,7 @@ class StreamingCorpusCurator:
                     hdr_rows = hdr_rows.unionByName(
                         hdr_build(
                             ev_docs.select(
-                                token_count(self.text_col)
-                                .cast("long")
-                                .alias("v")
+                                self._tc().alias("v")
                             ),
                             "v",
                             sub_bits=LEN_HDR_SUB_BITS,
@@ -2220,6 +2304,130 @@ class StreamingCorpusCurator:
         keep.unpersist()
         if evicted is not None:
             evicted.unpersist()
+        if screen_checkpointed:
+            from ..operators.dedup import _free_local_checkpoint
+
+            _free_local_checkpoint(docs)
+        else:
+            docs.unpersist()
+        self.maybe_compact()
+
+    def _process_batch_substr(self, batch: DataFrame, batch_id: int) -> None:
+        """The substr screen's half of ``process_batch`` (round 12):
+        same commit protocol and text pre-screens as the other text
+        screens, with the DEDUP DECISION at winnowed-anchor grain
+        instead of doc grain — pre-screen survivors screen against
+        the claimed-anchor index, spans of grams already claimed by
+        an earlier batch (or by this batch's own first occurrence)
+        are EXCISED, the rewritten doc is accepted (byte-exact when
+        nothing was excised), and the batch's fresh first occurrences
+        join the index so the next batch screens against them.
+        Pre-screen rejects are never anchored, so a rejected doc can
+        never excise a later clean doc (the never-indexed contract).
+
+        Per-batch data movement (the ``IncrementalSubstrDeduper``
+        fold under the curator's tiers): the batch's ~2·len/(w+1)
+        selected anchors through one (gh, g) anti-join against the
+        index (index-side work is a two-column scan), one batch-local
+        min-aggregate for within-batch firsts, one doc-keyed
+        reassembly join — O(batch) everywhere, never O(corpus)."""
+        from ..operators.textops import _winnowed_anchor_occurrences, tokens
+
+        acc_done = self._committed(self.accepted_dir, batch_id)
+        anch_done = self._committed(self.anchors_dir, batch_id)
+        hdr_done = self._committed(self.hdr_dir, batch_id)
+        doremi_done = self.doremi_lm_path is None or self._committed(
+            self.doremi_dir, batch_id
+        )
+        funnel_done = not self.track_funnel or self._committed(
+            self.funnel_dir, batch_id
+        )
+        fineweb_done = not self.fineweb_recipe or self._committed(
+            self.fineweb_dir, batch_id
+        )
+        if (acc_done and anch_done and hdr_done and doremi_done
+                and funnel_done and fineweb_done):
+            return
+        screened, funnel_counts = self._apply_pre_screens(batch, batch_id)
+        screen_checkpointed = (
+            self.contamination_bloom_path is not None
+            or self.perplexity_lm_path is not None
+            or self.quality_model_path is not None
+            or self.repetition_rules
+        )
+        if screen_checkpointed:
+            docs = screened.localCheckpoint(eager=True)
+        else:
+            docs = screened.persist()
+        n, w = self.substr_n, self.winnow_w
+        occ = _winnowed_anchor_occurrences(
+            docs, self.text_col, self.id_col, n, w
+        ).persist()  # feeds the hit probe, the fresh split, and firsts
+        index = self._index_anchors(exclude_batch=batch_id)
+        hit = occ.join(index, ["gh", "g"], "semi").select("doc_id", "pos")
+        fresh = occ.join(index, ["gh", "g"], "anti")
+        firsts = fresh.groupBy("gh", "g").agg(F.min("k").alias("fk"))
+        dup_fresh = (
+            fresh.join(firsts, ["gh", "g"])
+            .filter(F.col("k") != F.col("fk"))
+            .select("doc_id", "pos")
+        )
+        covered = (
+            hit.unionByName(dup_fresh)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + n - 1)
+                ).alias("p"),
+            )
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.collect_set("p").alias("_cov"))
+            .withColumnRenamed("doc_id", "_cov_id")
+        )
+        kept_toks = F.filter(
+            tokens(self.text_col),
+            lambda x, i: ~F.array_contains(F.col("_cov"), i),
+        )
+        keep = (
+            docs.join(covered, docs[self.id_col] == covered["_cov_id"], "left")
+            .withColumn(
+                self.text_col,
+                F.when(
+                    F.col("_cov").isNull(), F.col(self.text_col)
+                ).otherwise(F.array_join(kept_toks, " ")),
+            )
+            .drop("_cov", "_cov_id")
+            .persist()
+        )
+        if not acc_done:
+            keep.write.mode("overwrite").parquet(
+                self._batch_dir(self.accepted_dir, batch_id)
+            )
+        if self.track_funnel and not funnel_done:
+            self._write_funnel_tier(funnel_counts, keep, batch_id)
+        if self.fineweb_recipe and not fineweb_done:
+            self._write_fineweb_tier(batch, batch_id)
+        if not anch_done:
+            firsts.select("gh", "g").write.mode("overwrite").parquet(
+                self._batch_dir(self.anchors_dir, batch_id)
+            )
+        if not hdr_done:
+            # lengths of the REWRITTEN docs — the hdr tier tracks what
+            # the accepted corpus actually stores
+            from ..operators.sketch import hdr_build
+
+            hdr_build(
+                keep.select(self._tc().alias("v")),
+                "v",
+                sub_bits=LEN_HDR_SUB_BITS,
+            ).write.mode("overwrite").parquet(
+                self._batch_dir(self.hdr_dir, batch_id)
+            )
+        if self.doremi_lm_path is not None and not doremi_done:
+            self._write_doremi_tier(keep, None, batch_id)
+        keep.unpersist()
+        occ.unpersist()
         if screen_checkpointed:
             from ..operators.dedup import _free_local_checkpoint
 
@@ -2434,6 +2642,8 @@ class StreamingCorpusCurator:
             tables = [self.accepted_dir, self.vec_dir, self.sig_dir]
         elif self.screen == "simhash":
             tables = [self.accepted_dir, self.shsig_dir]
+        elif self.screen == "substr":
+            tables = [self.accepted_dir, self.anchors_dir]
         else:
             tables = [self.accepted_dir, self.grams_dir]
             if self.screen == "minhash":
@@ -2452,6 +2662,8 @@ class StreamingCorpusCurator:
             return self.vec_dir
         if self.screen == "simhash":
             return self.shsig_dir
+        if self.screen == "substr":
+            return self.anchors_dir
         return self.grams_dir
 
     def maybe_compact(self) -> bool:
@@ -2494,11 +2706,10 @@ class StreamingCorpusCurator:
                 F.sum("cnt").cast("long").alias("cnt")
             ).filter(F.col("cnt") != 0)  # fully-evicted length buckets
         from ..operators.sketch import hdr_build
-        from ..operators.textops import token_count
 
         return hdr_build(
             self.spark.read.parquet(acc_path).select(
-                token_count(self.text_col).cast("long").alias("v")
+                self._tc().alias("v")
             ),
             "v",
             sub_bits=LEN_HDR_SUB_BITS,
@@ -2702,6 +2913,51 @@ class StreamingCorpusCurator:
             sh_path = os.path.join(vdir, "shsig")
             sh_full.write.mode("overwrite").parquet(sh_path)
             manifest["shsig"] = {"path": sh_path}
+            hdr_full = self._hdr_fold_for_compact(
+                man, old_upto, new_upto, fully, acc_path
+            )
+            hdr_path = os.path.join(vdir, "hdr")
+            hdr_full.write.mode("overwrite").parquet(hdr_path)
+            manifest["hdr"] = {"path": hdr_path}
+            dr_full = self._doremi_fold_for_compact(
+                man, old_upto, new_upto, fully, acc_path
+            )
+            if dr_full is not None:
+                dr_path = os.path.join(vdir, "doremi")
+                dr_full.write.mode("overwrite").parquet(dr_path)
+                manifest["doremi"] = {"path": dr_path}
+            fw_full = self._fineweb_fold_for_compact(man, old_upto, new_upto)
+            if fw_full is not None:
+                fw_path = os.path.join(vdir, "fineweb")
+                fw_full.write.mode("overwrite").parquet(fw_path)
+                manifest["fineweb"] = {"path": fw_path}
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._manifest_path)
+            self._cleanup_covered(old_upto)
+            self._drop_old_versions(version)
+            return True
+
+        if self.screen == "substr":
+            # the dedup state is one (gh, g) claimed-anchor table —
+            # fold live committed rows onto the compacted tier with a
+            # DISTINCT union (batches claim disjoint fresh anchors by
+            # construction; distinct makes a crash-window double-fold
+            # harmless), flip, clean up. No tombstones: the screen
+            # has no doc-grain retention.
+            an_full = self._read_committed(
+                self.anchors_dir, self.anchors_schema, old_upto, new_upto
+            )
+            if man is not None and man.get("anchors") is not None:
+                an_full = self.spark.read.schema(self.anchors_schema).parquet(
+                    man["anchors"]["path"]
+                ).unionByName(an_full)
+            an_path = os.path.join(vdir, "anchors")
+            an_full.distinct().write.mode("overwrite").parquet(an_path)
+            manifest["anchors"] = {"path": an_path}
             hdr_full = self._hdr_fold_for_compact(
                 man, old_upto, new_upto, fully, acc_path
             )

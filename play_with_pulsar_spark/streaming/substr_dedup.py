@@ -10,9 +10,10 @@ keep-first policy incremental the way ``line_dedup`` keeps line dedup
 incremental: the state is the set of CLAIMED ANCHORS — the winnowing-
 selected n-gram occurrences that survived earlier batches — and each
 new batch's selected anchors screen against it with one (gh, g)-keyed
-anti-join. Index size is ~len/w rows per accepted document (the
-winnowing sample, the whole point of composing with
-``rolling_fingerprints``' selection rule), not one row per token.
+anti-join. Index size is ~2·len/(w+1) rows per accepted document (the
+winnowing sample — per-window rightmost minima since round 12, so
+duplicated runs of ≥ n+w−1 tokens are caught BY CONSTRUCTION), not
+one row per token.
 
 Semantics (greedy, first-writer-wins — acceptance TIME beats id
 order, the ``line_dedup`` convention):
@@ -30,7 +31,9 @@ Equivalence law (pinned in ``tests/test_substr_dedup_stream.py`` and
 hash-checked by ``pipeline_incremental_substr_dedup``): the
 batch-at-a-time fold equals the GLOBAL first-occurrence rule over
 selected anchors under the lexicographic order (batch, doc_id, pos) —
-one BIGINT key ``batch·2⁴³ + doc_id·2²⁰ + pos``, the
+one BIGINT key ``batch·2⁵⁰ + doc_id·2²⁰ + pos`` (2⁵⁰, not the line
+oracle's 2⁴³: the plant's copied doc ids reach 10⁷ + 10⁴, and
+``10⁷·2²⁰`` would collide with a 2⁴³ batch term), the
 ``pipeline_incremental_line_dedup`` construction.
 
 Anchors are claimed by STRING: the portable 31-bit Horner hash only
@@ -209,9 +212,34 @@ class IncrementalSubstrDeduper:
     # reads + maintenance
 
     def deduped(self) -> DataFrame:
-        """All committed rewritten documents — one row per input doc
-        across the stream."""
-        return self._read_partitioned(self.out_dir, self.out_schema, None)
+        """All COMMITTED rewritten documents — one row per input doc
+        across the stream. Partitions are filtered through the
+        ``_SUCCESS`` marker (the curator's ``_read_committed``
+        convention), so a crash window that left a partial
+        ``ingest_batch=`` dir never leaks uncommitted rows to
+        readers; the replay of that batch overwrites it."""
+        from pyspark.errors import AnalysisException
+
+        cols = [c.split()[0] for c in self.out_schema.split(",")]
+        committed = []
+        try:
+            for name in os.listdir(self.out_dir):
+                if not name.startswith("ingest_batch="):
+                    continue
+                bid = int(name.split("=", 1)[1])
+                if self._committed(self.out_dir, bid):
+                    committed.append(bid)
+        except FileNotFoundError:
+            pass
+        if not committed:
+            return self.spark.createDataFrame([], self.out_schema)
+        try:
+            df = self.spark.read.schema(
+                self.out_schema + ", ingest_batch int"
+            ).parquet(self.out_dir)
+        except AnalysisException:
+            return self.spark.createDataFrame([], self.out_schema)
+        return df.filter(F.col("ingest_batch").isin(committed)).select(*cols)
 
     def compact(self) -> bool:
         """Fold the CONTIGUOUS prefix of ``_SUCCESS``-committed anchor

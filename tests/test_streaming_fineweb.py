@@ -132,6 +132,36 @@ def test_fineweb_tier_survives_compaction(spark, pages):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_fineweb_funnel_keeps_null_page_ingress(spark):
+    """The 'every ingress doc' funnel contract covers NULL pages
+    (round-12 advice fix): md5(NULL) is NULL and would vanish at the
+    funnel's inner hash join; the signal stack coalesces cleaned to
+    '' so the doc stays in the funnel as an ordinary reject — and two
+    NULL-page docs share the md5('') group like any other identical
+    pair."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "short."), (3, None)], "doc_id long, text string"
+    )
+    base = tempfile.mkdtemp(prefix="pwp_fwnull_")
+    try:
+        cur = StreamingCorpusCurator(
+            spark, base, screen="simhash", fineweb_recipe=True
+        )
+        cur.process_batch(docs, 0)
+        got = _funnel_rows(cur)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    assert set(got) == {1, 2, 3}
+    # the NULL pages share one verdict row shape and are rejected by
+    # the quality stage (0 tokens), never silently dropped
+    assert got[1] == got[3]
+    assert not got[1][1] and not got[1][3]      # quality_kept, is_canonical
+    # and the batch operator groups both under the same non-NULL md5
+    sig = {r.doc_id: r.h for r in fineweb_signal_stack(
+        docs, page_col="text").collect()}
+    assert sig[1] == sig[3] and sig[1] is not None
+
+
 def test_fineweb_tier_refuses_midstream_enable(spark, pages):
     """Verdict rows for already-committed batches are underivable —
     enabling the flag on existing state must raise, both pre- and

@@ -24,9 +24,9 @@ RUN = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"  # 12 to
 
 
 def _corpus(spark):
-    """Docs with a shared 12-token run (anchors under THIS hash
-    function — checked by the tests; the trailing-minima contract is
-    probabilistic), a within-doc repeat, and unique fillers."""
+    """Docs with a shared 12-token run (= n+w−1 at n=5, w=8 — the
+    exact threshold at which the per-window winnowing rule GUARANTEES
+    a shared anchor), a within-doc repeat, and unique fillers."""
     return spark.createDataFrame(
         [
             (1, RUN + " one two three four five"),
@@ -54,8 +54,8 @@ def test_incremental_equals_batch_on_union_monotone(spark):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     assert got == want
-    # the shared run anchors under this hash function (deterministic
-    # given the Horner values): every later copy lost its span
+    # the shared 12-token run anchors BY CONSTRUCTION (≥ n+w−1
+    # tokens): every later copy lost its span
     assert all(got[i][3] > 0 for i in (2, 3, 5))
     assert got[4][3] == 0  # unique doc untouched
 
@@ -124,11 +124,10 @@ def test_compact_preserves_screen_and_output(spark):
 
 
 def test_shared_run_anchors_on_fixture(spark):
-    """The probabilistic trailing-minima contract on this fixture:
-    the shared 12-token run anchors in every copy (deterministic
-    given the Horner hash values; the operator docstring quantifies
-    the general miss probability), while the every-gram exact form
-    remains the stricter sibling."""
+    """The restored winnowing guarantee on this fixture: the shared
+    12-token run is exactly n+w−1 tokens, the threshold at which the
+    per-window rule shares an anchor BY CONSTRUCTION, so every copy
+    is excised — no hash-value luck involved."""
     long_dup = _corpus(spark)
     out = _rows(excise_winnowed_spans(long_dup, n=5, w=8))
     assert out[2][3] > 0 and out[5][3] > 0
@@ -137,27 +136,34 @@ def test_shared_run_anchors_on_fixture(spark):
 def _py_winnow_anchors(texts, n=5, w=8):
     """Independent pure-python reference of the winnowed-anchor
     selection (tokenize → gram strings → Horner base-257 mod 2^31-1 →
-    trailing-w-window minima)."""
+    per-window RIGHTMOST minima, Schleimer 2003; window starts
+    s ∈ [0, max(G−w, 0)], so a doc with fewer than w grams winnows
+    its single truncated window)."""
+    out = {}
+    for did, text in texts:
+        grams, hs = _py_grams_hashes(text, n)
+        sel = set()
+        for s in range(0, max(len(hs) - w, 0) + 1):
+            win = hs[s : s + w]
+            m = min(win)
+            sel.add(s + max(i for i, hv in enumerate(win) if hv == m))
+        out[did] = sorted((p, hs[p], grams[p]) for p in sel)
+    return out
+
+
+def _py_grams_hashes(text, n=5):
     import re
 
     B, M = 257, (1 << 31) - 1
-    out = {}
-    for did, text in texts:
-        toks = re.split(r"\s+", (text or "").strip().lower())
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-        hs = []
-        for g in grams:
-            h = 0
-            for ch in g:
-                h = (h * B + ord(ch)) % M
-            hs.append(h)
-        sel = [
-            (i, hs[i], grams[i])
-            for i in range(len(hs))
-            if hs[i] <= min(hs[max(0, i - w + 1) : i + 1])
-        ]
-        out[did] = sel
-    return out
+    toks = re.split(r"\s+", (text or "").strip().lower())
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    hs = []
+    for g in grams:
+        h = 0
+        for ch in g:
+            h = (h * B + ord(ch)) % M
+        hs.append(h)
+    return grams, hs
 
 
 def test_winnowed_selection_matches_python_reference(spark):
@@ -182,6 +188,77 @@ def test_winnowed_selection_matches_python_reference(spark):
         got.setdefault(r.doc_id, []).append((r.pos, r.gh, r.g))
     for did in want:
         assert sorted(got.get(did, [])) == sorted(want[did]), did
+
+
+# A 12-token run whose 8 gram hashes are STRICTLY INCREASING under
+# the portable Horner hash — the adversarial shape that defeated the
+# retired round-8 trailing-minima rule (commit 797843d: its
+# context-independent positions select nothing in such a run, so the
+# two copies shared no anchor). Found by search over the real hash;
+# the values are pinned by the assertion below.
+ADV_RUN = "r553 r52 r241 r681 r287 r900 r635 r171 r751 r380 r820 r850"
+ADV_A = "a540 a580 a570 a905 a156 a479 " + ADV_RUN
+ADV_B = "b951 b246 b155 b117 b601 " + ADV_RUN + " c1 c2"
+
+
+def test_increasing_hash_adversarial_run_anchors(spark):
+    """The case that broke trailing minima now anchors BY
+    CONSTRUCTION: a shared 12-token run with strictly increasing
+    interior gram hashes (verified here against the pure-python
+    hash) shares an anchor between both contexts under the
+    per-window rule — trailing minima provably shared none — and the
+    excision drops the later copy's span."""
+    from play_with_pulsar_spark.operators.textops import (
+        _winnowed_anchor_occurrences,
+    )
+
+    _, rh = _py_grams_hashes(ADV_RUN)
+    assert all(rh[i] < rh[i + 1] for i in range(len(rh) - 1))
+    # trailing-w-window minima (the retired rule) shared NO run gram
+    # between the two contexts on this fixture
+    def trail_run_grams(text):
+        grams, hs = _py_grams_hashes(text)
+        sel = {
+            grams[i]
+            for i in range(len(hs))
+            if hs[i] <= min(hs[max(0, i - 8 + 1) : i + 1])
+        }
+        return sel & set(_py_grams_hashes(ADV_RUN)[0])
+
+    assert not (trail_run_grams(ADV_A) & trail_run_grams(ADV_B))
+    docs = spark.createDataFrame(
+        [(1, ADV_A), (2, ADV_B)], "doc_id long, text string"
+    )
+    got = {}
+    for r in _winnowed_anchor_occurrences(docs, "text", "doc_id", 5, 8).collect():
+        got.setdefault(r.doc_id, set()).add(r.g)
+    run_grams = set(_py_grams_hashes(ADV_RUN)[0])
+    assert got[1] & got[2] & run_grams          # shared run anchor
+    out = _rows(excise_winnowed_spans(docs, n=5, w=8))
+    assert out[2][3] >= 5                        # later copy excised
+
+
+def test_window_guarantee_property():
+    """Pure-python property pin of the restored guarantee: for random
+    runs of exactly n+w−1 tokens planted into two random contexts,
+    the per-window selections of both documents always share a
+    run-gram anchor — including runs with monotone hash sequences,
+    which trailing minima missed."""
+    import random
+
+    rng = random.Random(1202)
+    n, w = 5, 8
+    for _ in range(150):
+        run = " ".join(f"r{rng.randrange(1000)}" for _ in range(n + w - 1))
+        a = " ".join(f"a{rng.randrange(1000)}" for _ in range(rng.randrange(0, 9)))
+        b = " ".join(f"b{rng.randrange(1000)}" for _ in range(rng.randrange(0, 9)))
+        da = (a + " " + run).strip()
+        db = (b + " " + run + " c1").strip()
+        sel = _py_winnow_anchors([(1, da), (2, db)], n=n, w=w)
+        run_grams = set(_py_grams_hashes(run, n)[0])
+        ga = {g for _, _, g in sel[1]} & run_grams
+        gb = {g for _, _, g in sel[2]} & run_grams
+        assert ga & gb, (da, db)
 
 
 def test_winnowed_excision_is_subset_of_exact_keepfirst(spark):
@@ -213,14 +290,43 @@ def test_winnowed_excision_is_subset_of_exact_keepfirst(spark):
     assert sum(ex.values()) > sum(wn.values())
 
 
+def test_deduped_excludes_uncommitted_partitions(spark):
+    """Crash-window read contract (round-12 advice fix): an
+    ``ingest_batch=`` output dir without its ``_SUCCESS`` marker —
+    the state a mid-write crash leaves — is invisible to
+    ``deduped()`` until the batch replays."""
+    docs = _corpus(spark)
+    base = tempfile.mkdtemp(prefix="pwp_substr_crash_")
+    try:
+        d = IncrementalSubstrDeduper(spark, base, n=5, w=8)
+        d.process_batch(docs.filter(F.col("doc_id") <= 2), 0)
+        before = _rows(d.deduped())
+        assert set(before) == {1, 2}
+        # simulate a crashed batch-1 write: rows on disk, no marker
+        docs.filter(F.col("doc_id") == 4).select(
+            "doc_id",
+            F.lit(12).cast("bigint").alias("n_tokens"),
+            F.col("text").alias("clean_text"),
+            F.lit(12).cast("bigint").alias("n_tokens_kept"),
+            F.lit(0).cast("bigint").alias("n_tokens_dropped"),
+        ).write.mode("overwrite").parquet(d._batch_dir(d.out_dir, 1))
+        os.remove(os.path.join(d._batch_dir(d.out_dir, 1), "_SUCCESS"))
+        assert _rows(d.deduped()) == before
+        # the replay commits it and the rows appear
+        d.process_batch(docs.filter(F.col("doc_id") == 4), 1)
+        assert set(_rows(d.deduped())) == {1, 2, 4}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_substr_deduper_via_real_stream(spark, tmp_path):
     """The deduper as an actual Structured Streaming sink
     (foreachBatch via attach): one micro-batch per file; whichever
     copy of the duplicated run arrives first keeps it, the other is
     excised — and the unique docs pass untouched."""
     src = str(tmp_path / "src")
-    # doc texts from _corpus: their shared run provably anchors in
-    # both contexts under this hash function (the batch tests pin it)
+    # doc texts from _corpus: the shared 12-token run (= n+w−1)
+    # anchors in both contexts by construction
     spark.createDataFrame(
         [(1, RUN + " one two three four five")], "doc_id long, text string"
     ).write.parquet(src + "/f1")
