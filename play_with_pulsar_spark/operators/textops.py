@@ -1714,6 +1714,7 @@ def c4_line_filters(
     id_col: str = "doc_id",
     min_words_per_line: int = 3,
     min_sentences: int = 5,
+    ride: tuple[str, ...] = (),
 ) -> DataFrame:
     """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2 —
     the most-cited web-corpus recipe), applied per page:
@@ -1740,7 +1741,12 @@ def c4_line_filters(
     Scale shape: ONE per-row codegen projection — split, filter,
     rejoin; no shuffle, no Python, rides inside the page scan at any
     corpus size. Every expression has a DuckDB twin generated from
-    the same constants (``queries._c4_oracle``)."""
+    the same constants (``queries._c4_oracle``). ``ride`` names
+    input columns carried verbatim to the output (after ``cleaned``)
+    — the ``gopher_repetition`` composition hook, so an upstream
+    stage's verdicts (URL, language) cross this stage without a
+    doc_id join-back (the round-12 full-FineWeb plan is the
+    consumer)."""
     lines = F.split(F.col(page_col), "\n")
     low = F.lower(F.col(page_col))
     # F.trim strips only ASCII spaces — a CRLF page needs the \r
@@ -1772,6 +1778,7 @@ def c4_line_filters(
         reason.isNull().alias("page_kept"),
         reason.alias("reject_reason"),
         F.array_join(kept, "\n").alias("cleaned"),
+        *[F.col(r) for r in ride],
     )
 
 
@@ -2732,6 +2739,111 @@ def fineweb_signal_stack(
         F.col("keep").alias("rep_kept"),
         "h",
         (F.col("c4_kept") & F.col("quality_kept") & F.col("keep")).alias("pass"),
+    )
+
+
+def fineweb_full_stack(
+    docs: DataFrame,
+    page_col: str = "page",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_domains: tuple[str, ...] = (),
+    target_lang: str = "en",
+) -> DataFrame:
+    """The FULL published FineWeb pipeline per document (round 12 —
+    Penedo et al. 2024 runs URL filtering and fastText language ID
+    around the C4/Gopher core, then anonymizes PII on the output;
+    the engine had every stage, this composes them) over ONE scan:
+
+    URL blocklist verdict (``urlops.url_screen`` — pure codegen over
+    the url column) → trigram language ID on the raw page
+    (``lang_id``, Arrow-batched; ``lang_kept`` = predicted ==
+    ``target_lang``, the recipe's keep-English rule) → C4 line
+    cleaning → Gopher quality → PII count + sequential redaction of
+    the CLEANED text (codegen regexes — FineWeb anonymizes email/IP
+    on what ships, so redaction runs on the post-C4 text) → Gopher
+    repetition via the Arrow kernel.
+
+    Output: (doc_id, url_kept, lang_pred, lang_kept, c4_kept,
+    quality_kept, rep_kept, h, n_pii, redacted, pass) with ``h`` =
+    md5 of the CLEANED text (the dedup key — filter-then-dedup) and
+    ``pass`` the five-verdict conjunction. Canonical selection stays
+    with the caller (the ``fineweb_signal_stack`` contract: batch
+    min-folds the corpus, a maintained tier min-folds history).
+
+    Plan: every rung is per-row, so the whole pipeline STACKS on one
+    linear projection chain over the page scan — URL/C4/quality/PII
+    as codegen projections, language ID and repetition as the two
+    Arrow stages, verdicts riding ``c4_line_filters``' and
+    ``gopher_repetition``'s ``ride`` hooks — ZERO joins, ZERO
+    shuffles, no doc_id join-back. The deliberate cost: ``redacted``
+    (text-sized) rides through the repetition kernel's Arrow
+    transfer, ~2× text bytes through one Python stage — cheaper than
+    either a second corpus scan or a corpus-wide doc_id shuffle to
+    re-attach it. Filter-free like the recipe (the
+    PushDownPredicate lambda-reevaluation hazard)."""
+    from .pii import PII_PATTERNS, pii_count, redact_pii
+    from .urlops import url_screen
+
+    scr = url_screen(docs, url_col=url_col, blocked_domains=blocked_domains)
+    base = scr.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(page_col),
+        F.col("keep").alias("url_kept"),
+        lang_id(F.col(page_col)).alias("lang_pred"),
+    )
+    c4 = c4_line_filters(
+        base, page_col=page_col, id_col="doc_id",
+        ride=("url_kept", "lang_pred"),
+    ).select(
+        "doc_id",
+        "url_kept",
+        "lang_pred",
+        (F.col("lang_pred") == target_lang).alias("lang_kept"),
+        F.col("page_kept").alias("c4_kept"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        tokens(F.coalesce(F.col("cleaned"), F.lit(""))).alias("_qt"),
+    )
+    n_pii = None
+    for pat in PII_PATTERNS.values():
+        c = pii_count(F.col("cleaned"), pat)
+        n_pii = c if n_pii is None else n_pii + c
+    staged = c4.select(
+        "doc_id",
+        "url_kept",
+        "lang_pred",
+        "lang_kept",
+        "c4_kept",
+        "cleaned",
+        (_quality_failed(_quality_signals(F.col("_qt"))) == "").alias(
+            "quality_kept"
+        ),
+        F.md5("cleaned").alias("h"),
+        n_pii.cast("bigint").alias("n_pii"),
+        redact_pii(F.col("cleaned")).alias("redacted"),
+    )
+    rid = (
+        "url_kept", "lang_pred", "lang_kept", "c4_kept", "quality_kept",
+        "h", "n_pii", "redacted",
+    )
+    return gopher_repetition(staged, page_col="cleaned", ride=rid).select(
+        "doc_id",
+        "url_kept",
+        "lang_pred",
+        "lang_kept",
+        "c4_kept",
+        "quality_kept",
+        F.col("keep").alias("rep_kept"),
+        "h",
+        "n_pii",
+        "redacted",
+        (
+            F.col("url_kept")
+            & F.col("lang_kept")
+            & F.col("c4_kept")
+            & F.col("quality_kept")
+            & F.col("keep")
+        ).alias("pass"),
     )
 
 

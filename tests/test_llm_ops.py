@@ -1267,3 +1267,53 @@ def test_kn3_perplexity_law_and_recursion(spark):
     short = spark.createDataFrame([(9, "two words")], "doc_id long, text string")
     r9 = textops.trigram_logprob(short).collect()[0]
     assert r9["n_trigrams"] == 0 and r9["xent"] is None
+
+
+def test_fineweb_full_funnel_nonvacuous(spark, sf_dir):
+    """Every rung of the FULL FineWeb pipeline fires on the planted
+    fixture (round 12): URL, language, C4, quality and repetition
+    each reject at least one doc that survived the rungs before it;
+    the dedup rung demotes at least one passing mirror copy; at
+    least one FINAL keeper carries redacted PII (the <EMAIL> token
+    replacing the planted contact line); and the mirror pair shares
+    every verdict (the inherited-URL plant contract)."""
+    from play_with_pulsar_spark.queries import REGISTRY
+
+    df = REGISTRY["pipeline_fineweb_full"].fn(spark, sf_dir).cache()
+    try:
+        rows = {r.doc_id: r for r in df.collect()}
+        vals = list(rows.values())
+        assert any(not r.url_kept for r in vals)
+        assert any(r.url_kept and not r.lang_kept for r in vals)
+        assert any(r.url_kept and r.lang_kept and not r.c4_kept for r in vals)
+        assert any(
+            r.url_kept and r.lang_kept and r.c4_kept and not r.quality_kept
+            for r in vals
+        )
+        assert any(
+            r.url_kept and r.lang_kept and r.c4_kept and r.quality_kept
+            and not r.rep_kept
+            for r in vals
+        )
+        passers = [
+            r for r in vals
+            if r.url_kept and r.lang_kept and r.c4_kept and r.quality_kept
+            and r.rep_kept
+        ]
+        assert any(not r.is_canonical for r in passers)   # dedup fires
+        kept_pii = [r for r in vals if r.final_keep and r.n_pii > 0]
+        assert kept_pii and all(
+            "<EMAIL>" in r.final_text and "@mail.example.com" not in r.final_text
+            for r in kept_pii
+        )
+        # mirror pairs (doc_id vs doc_id+10^7) share every verdict
+        verd = lambda r: (r.url_kept, r.lang_pred, r.c4_kept,
+                          r.quality_kept, r.rep_kept, r.n_pii)
+        mirrored = [i for i in rows if i >= 10_000_000]
+        assert mirrored
+        assert all(verd(rows[i]) == verd(rows[i - 10_000_000]) for i in mirrored)
+        # final_keep == is_canonical == pass & canonical-min by construction
+        assert all(r.final_keep == r.is_canonical for r in vals)
+        assert all((r.final_text is not None) == r.final_keep for r in vals)
+    finally:
+        df.unpersist()

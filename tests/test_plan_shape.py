@@ -511,6 +511,29 @@ def test_fineweb_recipe_fused_plan(q):
     assert P.has_partial_aggregation(df), plan
 
 
+def test_fineweb_full_fused_plan(q):
+    # round-12 contract: the FULL pipeline (URL + language + C4 +
+    # quality + repetition + PII) STILL stacks on one projection
+    # chain per mirror-union side — measured static plan: 2 scans
+    # (one per union side of the cached signal table), 1 exchange
+    # (the md5 canonical aggregate; the join-back broadcasts), 1
+    # MapInPandas (repetition) + 2 ArrowEvalPython (language ID, one
+    # per union side), and no join keyed on doc_id anywhere
+    import re
+
+    from play_with_pulsar_spark import plans as P
+
+    df = q("pipeline_fineweb_full")
+    plan = P.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+    assert P.count_shuffles(df) <= 3, plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) <= 4, plan
+    for m in re.findall(r"\(\d+\) (?:SortMerge|BroadcastHash|ShuffledHash)Join[^\n]*\n(?:[^\n]*\n){0,3}", plan):
+        assert "doc_id" not in m, m
+    assert P.has_partial_aggregation(df), plan
+
+
 def test_winnowed_excision_plan_no_reevaluation(q):
     # round-11 contract: the winnowing selection chain appears ONCE
     # per node — no node (especially no Filter pushed below the
