@@ -2748,6 +2748,8 @@ def fineweb_full_stack(
     url_col: str = "url",
     id_col: str = "doc_id",
     blocked_domains: tuple[str, ...] = (),
+    blocked_tlds: tuple[str, ...] = ("xyz", "click", "top"),
+    max_path_depth: int = 8,
     target_lang: str = "en",
 ) -> DataFrame:
     """The FULL published FineWeb pipeline per document (round 12 —
@@ -2785,7 +2787,13 @@ def fineweb_full_stack(
     from .pii import PII_PATTERNS, pii_count, redact_pii
     from .urlops import url_screen
 
-    scr = url_screen(docs, url_col=url_col, blocked_domains=blocked_domains)
+    scr = url_screen(
+        docs,
+        url_col=url_col,
+        blocked_domains=blocked_domains,
+        blocked_tlds=blocked_tlds,
+        max_path_depth=max_path_depth,
+    )
     base = scr.select(
         F.col(id_col).alias("doc_id"),
         F.col(page_col),

@@ -403,6 +403,10 @@ class StreamingCorpusCurator:
         self.anchors_dir = os.path.join(base_dir, "anchors")
         self.compacted_dir = os.path.join(base_dir, "compacted")
         self.screen = screen
+        # resolved (and possibly frozen) in the fineweb_recipe block
+        # below; initialized here because _policy_record runs from the
+        # embedding-geometry freeze before that block
+        self.fineweb_mode: str | None = None
         # --- frozen policy record (round 9 — r8 advice): retention,
         # score_col and the simhash signature params resolve
         # manifest-first, then sidecar, then the constructor args
@@ -632,7 +636,9 @@ class StreamingCorpusCurator:
         # per-doc FineWeb-recipe verdicts: immutable facts about each
         # ingress doc — rows fold by CONCATENATION (no aggregation),
         # canonical selection derives at read time from the
-        # order-independent per-hash min
+        # order-independent per-hash min. The fineweb_recipe block
+        # below (which resolves the frozen mode) overrides this with
+        # the mode='full' schema when the round-12 full tier is on.
         self.fineweb_schema = (
             f"doc_id {id_type}, c4_kept boolean, quality_kept boolean,"
             " rep_kept boolean, h string, pass boolean"
@@ -658,12 +664,42 @@ class StreamingCorpusCurator:
         self.url_max_path_depth = url_max_path_depth
         self.repetition_rules = repetition_rules
         self.track_funnel = track_funnel
-        self.fineweb_recipe = fineweb_recipe
+        if fineweb_recipe not in (False, True, "core", "full"):
+            raise ValueError(
+                f"unknown fineweb_recipe {fineweb_recipe!r} "
+                "(False | True | 'core' | 'full')"
+            )
+        self.fineweb_recipe = bool(fineweb_recipe)
         if fineweb_recipe:
             if screen == "embedding":
                 raise ValueError(
                     "fineweb_recipe is a text tier (jaccard/minhash/"
                     "simhash screens) — the recipe verdicts need text_col"
+                )
+            # the MODE is state-shaping (the two modes store different
+            # verdict schemas), so it freezes like the simhash params:
+            # stored rows were computed under it, a re-attach with the
+            # other mode would mix schemas in one tier
+            mode = "full" if fineweb_recipe == "full" else "core"
+            froz_mode = _frozen("fineweb_mode")
+            if froz_mode is not None and froz_mode != mode:
+                raise ValueError(
+                    f"curator at {base_dir} has frozen fineweb_mode="
+                    f"{froz_mode!r} but was re-attached with "
+                    f"fineweb_recipe={fineweb_recipe!r}; the stored "
+                    "verdict rows carry the frozen mode's schema — "
+                    "start a fresh state dir to change it"
+                )
+            self.fineweb_mode = froz_mode or mode
+            if self.fineweb_mode == "full":
+                # the published pipeline's complete rung set (URL,
+                # language, PII count riding the same verdict rows)
+                self.fineweb_schema = (
+                    f"doc_id {id_type}, url_kept boolean,"
+                    " lang_pred string, lang_kept boolean,"
+                    " c4_kept boolean, quality_kept boolean,"
+                    " rep_kept boolean, h string, n_pii bigint,"
+                    " pass boolean"
                 )
             # the tier must cover the ingress from the FIRST batch: a
             # batch processed (or compacted) before the flag was on has
@@ -847,6 +883,8 @@ class StreamingCorpusCurator:
         if self.screen == "substr":
             rec["substr_n"] = self.substr_n
             rec["winnow_w"] = self.winnow_w
+        if self.fineweb_mode is not None:
+            rec["fineweb_mode"] = self.fineweb_mode
         return rec
 
     def _write_geometry_sidecar(self) -> None:
@@ -1432,7 +1470,33 @@ class StreamingCorpusCurator:
         funnel over the ingress, not a stage of the accept path.
         Same overwrite-into-batch-dir replay discipline as every
         tier; rows are immutable per-doc facts, so the tier folds by
-        concatenation at compaction."""
+        concatenation at compaction.
+
+        mode='full' (round 12) writes the published pipeline's
+        complete rung set via ``fineweb_full_stack`` — URL verdict
+        (the batch must carry ``url_col or 'url'``; the URL
+        pre-screen's blocklist args shape the verdict, with the
+        model-refresh replay caveat), language ID, PII count — same
+        shared-operator discipline, so the streamed funnel cannot
+        drift from ``pipeline_fineweb_full``. ``redacted`` is
+        deliberately NOT stored: the tier is a verdict ledger, not a
+        second copy of the corpus (redaction is a stateless codegen
+        projection a reader applies to the accepted text)."""
+        if self.fineweb_mode == "full":
+            from ..operators.textops import fineweb_full_stack
+
+            fineweb_full_stack(
+                batch,
+                page_col=self.text_col,
+                url_col=self.url_col or "url",
+                id_col=self.id_col,
+                blocked_domains=self.url_blocked_domains,
+                blocked_tlds=self.url_blocked_tlds,
+                max_path_depth=self.url_max_path_depth,
+            ).drop("redacted").write.mode("overwrite").parquet(
+                self._batch_dir(self.fineweb_dir, batch_id)
+            )
+            return
         from ..operators.textops import fineweb_signal_stack
 
         fineweb_signal_stack(
@@ -1501,6 +1565,19 @@ class StreamingCorpusCurator:
             F.min(F.when(F.col("pass"), F.col("doc_id"))).alias("cmin")
         )
         is_canon = F.col("pass") & (F.col("doc_id") == F.col("cmin"))
+        if self.fineweb_mode == "full":
+            return rows.join(cm, "h").select(
+                "doc_id",
+                "url_kept",
+                "lang_pred",
+                "lang_kept",
+                "c4_kept",
+                "quality_kept",
+                "rep_kept",
+                "n_pii",
+                is_canon.alias("is_canonical"),
+                is_canon.alias("final_keep"),
+            )
         return rows.join(cm, "h").select(
             "doc_id",
             "c4_kept",

@@ -162,6 +162,74 @@ def test_fineweb_funnel_keeps_null_page_ingress(spark):
     assert sig[1] == sig[3] and sig[1] is not None
 
 
+def test_fineweb_full_tier_equals_batch_and_freezes_mode(spark):
+    """mode='full' (round 12): the streamed complete-rung funnel
+    equals the batch full stack on the same ingress for two arrival
+    orders, across compaction; the mode freezes into the policy
+    record (re-attach with the core mode raises); and the stored
+    tier carries no text column."""
+    from play_with_pulsar_spark.operators.textops import fineweb_full_stack
+    from play_with_pulsar_spark.queries import (
+        _URL_BLOCKED_DOMAINS,
+        _fineweb_full_plant,
+    )
+
+    planted = (
+        _fineweb_full_plant(spark, SF)
+        .withColumnRenamed("page", "text")
+        .localCheckpoint(eager=True)
+    )
+    full = fineweb_full_stack(
+        planted, page_col="text", blocked_domains=_URL_BLOCKED_DOMAINS
+    )
+    cm = full.groupBy("h").agg(
+        F.min(F.when(F.col("pass"), F.col("doc_id"))).alias("cmin")
+    )
+    is_canon = F.col("pass") & (F.col("doc_id") == F.col("cmin"))
+    want = {
+        r.doc_id: (r.url_kept, r.lang_pred, r.lang_kept, r.c4_kept,
+                   r.quality_kept, r.rep_kept, r.n_pii, bool(r.ic))
+        for r in full.join(cm, "h")
+        .select("doc_id", "url_kept", "lang_pred", "lang_kept", "c4_kept",
+                "quality_kept", "rep_kept", "n_pii", is_canon.alias("ic"))
+        .collect()
+    }
+    for order in ([0, 1, 2], [2, 0, 1]):
+        base = tempfile.mkdtemp(prefix="pwp_fwfull_")
+        try:
+            cur = StreamingCorpusCurator(
+                spark, base, screen="simhash", fineweb_recipe="full",
+                url_blocked_domains=_URL_BLOCKED_DOMAINS, compact_after=1,
+            )
+            for i, k in enumerate(order):
+                cur.process_batch(
+                    planted.filter(F.col("doc_id") % 3 == k), i
+                )
+            got = {
+                r.doc_id: (r.url_kept, r.lang_pred, r.lang_kept, r.c4_kept,
+                           r.quality_kept, r.rep_kept, r.n_pii,
+                           r.is_canonical)
+                for r in cur.fineweb_funnel().collect()
+            }
+            assert got == want
+            # verdict ledger, not a corpus copy: no text columns stored
+            assert "redacted" not in cur.fineweb_funnel().columns
+            # mode freeze: core-mode re-attach on full-mode state fails
+            with pytest.raises(ValueError, match="fineweb_mode"):
+                StreamingCorpusCurator(
+                    spark, base, screen="simhash", fineweb_recipe=True,
+                    url_blocked_domains=_URL_BLOCKED_DOMAINS,
+                )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    # the full rung set is non-vacuous on this plant
+    vals = list(want.values())
+    assert any(not v[0] for v in vals)          # url rejects
+    assert any(v[0] and not v[2] for v in vals)  # lang rejects a url-pass
+    assert any(v[6] > 0 for v in vals)           # pii counted
+    assert any(v[7] for v in vals)               # canonicals exist
+
+
 def test_fineweb_tier_refuses_midstream_enable(spark, pages):
     """Verdict rows for already-committed batches are underivable —
     enabling the flag on existing state must raise, both pre- and
