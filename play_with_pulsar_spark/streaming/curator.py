@@ -919,6 +919,24 @@ class StreamingCorpusCurator:
     # ------------------------------------------------------------------
     # state reads
 
+    def _statically_empty(self, schema: str) -> DataFrame:
+        """An empty DataFrame the OPTIMIZER can see is empty (round
+        12): ``createDataFrame([], schema)`` builds a LogicalRDD,
+        which ``PropagateEmptyRelation`` cannot prune — so the
+        ``compacted ∪ live`` union survives with Unknown partitioning
+        and the probe join re-EXCHANGES the bucketed index side even
+        when the live tier has no directories. A constant-folded
+        ``WHERE 1=0`` over NULL casts collapses to an empty
+        LocalRelation, the union prunes to the bucketed scan alone,
+        and the scan's HashPartitioning reaches the join."""
+        from pyspark.sql.types import StructType
+
+        sel = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}"
+            for f in StructType.fromDDL(schema).fields
+        )
+        return self.spark.sql(f"SELECT {sel} WHERE 1=0")
+
     def _read_state(
         self, path: str, schema: str, exclude_batch: int | None = None
     ) -> DataFrame:
@@ -944,7 +962,7 @@ class StreamingCorpusCurator:
         try:
             df = self.spark.read.schema(full_schema).parquet(path)
         except AnalysisException:  # PATH_NOT_FOUND: first batch yet
-            return self.spark.createDataFrame([], schema)
+            return self._statically_empty(schema)
         upto = self._covered_upto()
         if upto >= 0:
             # partition column ⇒ covered dirs are PRUNED, not scanned
@@ -961,6 +979,7 @@ class StreamingCorpusCurator:
             "sig": self.sig_schema,
             "df": self.df_schema,
             "shsig": self.shsig_schema,
+            "anchors": self.anchors_schema,
         }[kind]
 
     def _compacted_state(self, kind: str) -> DataFrame | None:
@@ -1264,13 +1283,7 @@ class StreamingCorpusCurator:
         live = self._read_state(
             self.anchors_dir, self.anchors_schema, exclude_batch
         )
-        man = self._manifest()
-        if man is not None and man.get("anchors") is not None:
-            comp = self.spark.read.schema(self.anchors_schema).parquet(
-                man["anchors"]["path"]
-            )
-            live = comp.unionByName(live)
-        return live
+        return self._with_compacted(live, "anchors")
 
     def accepted(self) -> DataFrame:
         """Accepted corpus: compacted tier + COMMITTED live batch
@@ -3028,13 +3041,35 @@ class StreamingCorpusCurator:
             an_full = self._read_committed(
                 self.anchors_dir, self.anchors_schema, old_upto, new_upto
             )
-            if man is not None and man.get("anchors") is not None:
-                an_full = self.spark.read.schema(self.anchors_schema).parquet(
-                    man["anchors"]["path"]
-                ).unionByName(an_full)
+            comp_an = self._compacted_state("anchors")
+            if comp_an is not None:
+                an_full = comp_an.unionByName(an_full)
+            # bucketed+sorted by the EXACT probe-join key set (gh, g)
+            # — the write_ngram_index discipline: the index side of
+            # the per-batch anti-join then feeds the SMJ straight
+            # from the bucketed scan with no Exchange and no Sort
+            # (co-partitioning needs the exact key set — a gh-only
+            # bucket satisfies the join's ClusteredDistribution but
+            # is not compatible with the batch side's (gh, g)
+            # partitioning, so Spark would re-shuffle the index
+            # anyway; plan-asserted in test_curator_substr). At
+            # 100 TB this is the difference between shuffling the
+            # stored index every crawl batch and never moving it.
+            from ..operators.bucketing import write_bucketed
+
             an_path = os.path.join(vdir, "anchors")
-            an_full.distinct().write.mode("overwrite").parquet(an_path)
-            manifest["anchors"] = {"path": an_path}
+            write_bucketed(
+                an_full.distinct(),
+                f"{pfx}_anchors",
+                ["gh", "g"],
+                n_buckets=self.n_buckets,
+                path=an_path,
+            )
+            manifest["anchors"] = {
+                "table": f"{pfx}_anchors",
+                "path": an_path,
+                "keys": ["gh", "g"],
+            }
             hdr_full = self._hdr_fold_for_compact(
                 man, old_upto, new_upto, fully, acc_path
             )

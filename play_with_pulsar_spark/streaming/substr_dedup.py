@@ -56,6 +56,21 @@ from pyspark.sql import functions as F
 from ..operators.textops import _winnowed_anchor_occurrences, tokens
 
 
+def _statically_empty(spark: SparkSession, schema: str) -> DataFrame:
+    """Empty DataFrame as a constant-folded LocalRelation (the
+    curator's round-12 convention): ``createDataFrame([], schema)``
+    is a LogicalRDD the optimizer cannot prune, so a
+    ``compacted ∪ live`` union over it would hide the compacted
+    side's partitioning from the probe join."""
+    from pyspark.sql.types import StructType
+
+    sel = ", ".join(
+        f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}"
+        for f in StructType.fromDDL(schema).fields
+    )
+    return spark.sql(f"SELECT {sel} WHERE 1=0")
+
+
 class IncrementalSubstrDeduper:
     def __init__(
         self,
@@ -101,7 +116,7 @@ class IncrementalSubstrDeduper:
         try:
             df = self.spark.read.schema(schema + ", ingest_batch int").parquet(path)
         except AnalysisException:  # first batch: no directory yet
-            return self.spark.createDataFrame([], schema)
+            return _statically_empty(self.spark, schema)
         if exclude_batch is not None:
             df = df.filter(F.col("ingest_batch") != exclude_batch)
         return df.select(*cols)
@@ -123,7 +138,7 @@ class IncrementalSubstrDeduper:
                 df = df.filter(F.col("ingest_batch") != exclude_batch)
             live = df.select("gh", "g")
         except AnalysisException:
-            live = self.spark.createDataFrame([], self.anchors_schema)
+            live = _statically_empty(self.spark, self.anchors_schema)
         if man is None:
             return live
         comp = self.spark.read.schema(self.anchors_schema).parquet(

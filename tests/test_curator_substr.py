@@ -200,6 +200,70 @@ def test_substr_policy_freeze_and_guards(spark):
         )
 
 
+def test_substr_compacted_index_probe_is_exchange_free(spark):
+    """The compacted anchors tier is a gh-bucketed catalog table
+    (round 12): with broadcast disabled, the per-batch probe join's
+    INDEX side feeds the SortMergeJoin straight from the bucketed
+    scan — no Exchange between the scan and the join
+    (HashPartitioning(gh) satisfies the (gh, g) clustering; the
+    write_ngram_index discipline). Steady state is modeled by
+    clearing the folded live dirs the next compaction would sweep."""
+    from play_with_pulsar_spark.operators.textops import (
+        _winnowed_anchor_occurrences,
+    )
+
+    docs = _corpus(spark)
+    base = tempfile.mkdtemp(prefix="pwp_cur_substr_bkt_")
+    try:
+        cur = StreamingCorpusCurator(spark, base, screen="substr")
+        cur.process_batch(docs.filter(F.col("doc_id") <= 2), 0)
+        cur.process_batch(docs.filter(F.col("doc_id") > 2), 1)
+        assert cur.compact()
+        man = cur._manifest()
+        assert man["anchors"]["keys"] == ["gh", "g"]
+        # reader-grace leftovers: the NEXT compaction sweeps these;
+        # steady state has no live dirs below the watermark
+        shutil.rmtree(cur.anchors_dir, ignore_errors=True)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            occ = _winnowed_anchor_occurrences(
+                docs.filter(F.col("doc_id") == 5), "text", "doc_id", 5, 8
+            )
+            probe = occ.join(cur._index_anchors(), ["gh", "g"], "anti")
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            lines = plan.splitlines()
+            tbl = man["anchors"]["table"]
+            scan_idx = [
+                i for i, ln in enumerate(lines)
+                if tbl in ln and "Scan" in ln
+            ]
+            assert scan_idx, plan
+            assert "SortMergeJoin" in plan, plan
+            for i in scan_idx:
+                # walk UP the scan's OWN operator chain to the join:
+                # lines carrying a ':' continuation belong to the
+                # OTHER (batch) side's subtree, whose Exchange is the
+                # legitimate batch-side shuffle — skip those
+                j = i
+                while j > 0 and "Join" not in lines[j]:
+                    own_chain = ":" not in lines[j].split("+-")[0]
+                    assert not (own_chain and "Exchange" in lines[j]), (
+                        "\n".join(lines[max(0, j - 4): i + 1])
+                    )
+                    j -= 1
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold",
+                str(64 * 1024 * 1024),
+            )
+    finally:
+        spark.sql(
+            "DROP TABLE IF EXISTS "
+            + cur._manifest()["anchors"]["table"]
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_substr_funnel_ledger(spark):
     """track_funnel composes: the ingress and accepted stages record
     per batch (the substr screen never drops docs itself, so with no
