@@ -2651,7 +2651,7 @@ def excise_winnowed_spans(
     Output: (doc_id, n_tokens, clean_text, n_tokens_kept,
     n_tokens_dropped) — the excision-family contract. The anchor
     table feeds both the first-occurrence aggregate and the join
-    probe, so it persists LAZILY (~len/w narrow rows per doc; the
+    probe, so it persists LAZILY (~2·len/(w+1) narrow rows per doc; the
     handle rides ``_pwp_cached``) — without it the whole
     tokenize → gram → Horner → select chain executes once per
     consumer (measured 5.7 → 3.1 s at sf0.1, and at corpus scale a

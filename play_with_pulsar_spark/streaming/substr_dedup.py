@@ -168,7 +168,7 @@ class IncrementalSubstrDeduper:
         anchors into ``anchors/ingest_batch=<id>`` — both idempotent
         overwrites; a fully-committed batch is skipped outright.
 
-        Per-batch data movement: the batch's ~len/w selected anchors
+        Per-batch data movement: the batch's ~2·len/(w+1) selected anchors
         through one (gh, g) anti-join against the index (index-side
         work is a scan of two columns), one batch-local min-aggregate
         for within-batch firsts, and one doc-keyed reassembly —
