@@ -2855,6 +2855,62 @@ def fineweb_full_stack(
     )
 
 
+def fineweb_datacard_rollup(fun: DataFrame) -> DataFrame:
+    """(ord, stage, n_docs, rate) — the published-funnel data card
+    over a full-pipeline funnel table (columns url_kept / lang_kept /
+    c4_kept / quality_kept / rep_kept / n_pii / final_keep):
+    cumulative survivor counts through the pipeline order + the
+    PII-redacted keeper count, rates against ingress. Shared by the
+    batch ``audit_fineweb_full_datacard`` entry and the curator's
+    ``fineweb_datacard()`` so the two rollups cannot drift. ONE
+    map-side-combinable aggregate of eight conditional sums — no
+    per-stage rescans — unpivoted with ``stack``; the trailing
+    window runs over the 8-row result only."""
+    from pyspark.sql import Window
+
+    u, lg, c4, q, rp = (
+        F.col(n)
+        for n in ("url_kept", "lang_kept", "c4_kept", "quality_kept",
+                  "rep_kept")
+    )
+
+    def c(*conds) -> Column:
+        x = conds[0]
+        for cc in conds[1:]:
+            x = x & cc
+        return F.sum(x.cast("long"))
+
+    agg = fun.agg(
+        F.count(F.lit(1)).alias("n1"),
+        c(u).alias("n2"),
+        c(u, lg).alias("n3"),
+        c(u, lg, c4).alias("n4"),
+        c(u, lg, c4, q).alias("n5"),
+        c(u, lg, c4, q, rp).alias("n6"),
+        c(F.col("final_keep")).alias("n7"),
+        c(F.col("final_keep"), F.col("n_pii") > 0).alias("n8"),
+    )
+    stages = ["ingress", "url", "language", "c4", "quality",
+              "repetition", "dedup", "pii_redacted"]
+    stack_expr = "stack(8, " + ", ".join(
+        f"{i + 1}, '{s}', n{i + 1}" for i, s in enumerate(stages)
+    ) + ") as (ord, stage, n_docs)"
+    return agg.selectExpr(stack_expr).select(
+        F.col("ord").cast("int").alias("ord"),
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.col("n_docs")
+            / F.first("n_docs").over(
+                Window.orderBy("ord").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+            6,
+        ).alias("rate"),
+    )
+
+
 def excise_keepfirst_spans(
     docs: DataFrame,
     text_col: str = "text",

@@ -1600,6 +1600,27 @@ class StreamingCorpusCurator:
             is_canon.alias("final_keep"),
         )
 
+    def fineweb_datacard(self) -> DataFrame:
+        """The published-funnel DATA CARD over the maintained full
+        tier (round 12 — the streamed sibling of
+        ``audit_fineweb_full_datacard``, row-for-row equal to the
+        batch rollup on the same ingress prefix, any arrival order —
+        pinned in ``test_streaming_fineweb``): cumulative survivor
+        counts + ingress rates through ingress → URL → language →
+        C4 → quality → repetition → dedup, plus PII-redacted
+        keepers. One 8-conditional-sum aggregate over
+        ``fineweb_funnel()`` — ≤ 8 rows out whatever the corpus.
+        Requires ``fineweb_recipe="full"`` (the core tier lacks the
+        URL/language/PII rungs)."""
+        if self.fineweb_mode != "full":
+            raise ValueError(
+                "fineweb_datacard() needs fineweb_recipe='full' — the "
+                "core tier lacks the URL/language/PII rungs"
+            )
+        from ..operators.textops import fineweb_datacard_rollup
+
+        return fineweb_datacard_rollup(self.fineweb_funnel())
+
     def _apply_repetition_screen(self, docs: DataFrame) -> DataFrame:
         """Gopher Table-A1 repetition pre-screen (``repetition_rules``,
         round 10): drop heavily self-repeating docs (duplicate lines,

@@ -230,6 +230,61 @@ def test_fineweb_full_tier_equals_batch_and_freezes_mode(spark):
     assert any(v[7] for v in vals)               # canonicals exist
 
 
+def test_fineweb_datacard_streamed_equals_batch(spark):
+    """The curator's ``fineweb_datacard()`` (the streamed rollup over
+    the maintained full tier) equals the batch
+    ``audit_fineweb_full_datacard`` row-for-row on the same ingress —
+    and is refused on the core tier, whose rows lack the
+    URL/language/PII rungs."""
+    from play_with_pulsar_spark.queries import (
+        _URL_BLOCKED_DOMAINS,
+        REGISTRY,
+        _fineweb_full_plant,
+    )
+
+    want = [
+        (r.ord, r.stage, r.n_docs, r.rate)
+        for r in REGISTRY["audit_fineweb_full_datacard"]
+        .fn(spark, SF)
+        .orderBy("ord")
+        .collect()
+    ]
+    assert [w[1] for w in want] == [
+        "ingress", "url", "language", "c4", "quality", "repetition",
+        "dedup", "pii_redacted",
+    ]
+    # cumulative: counts never increase through the funnel prefix
+    assert all(want[i][2] >= want[i + 1][2] for i in range(5))
+    planted = (
+        _fineweb_full_plant(spark, SF)
+        .withColumnRenamed("page", "text")
+        .localCheckpoint(eager=True)
+    )
+    base = tempfile.mkdtemp(prefix="pwp_fwcard_")
+    try:
+        cur = StreamingCorpusCurator(
+            spark, base, screen="simhash", fineweb_recipe="full",
+            url_blocked_domains=_URL_BLOCKED_DOMAINS,
+        )
+        for k in range(3):
+            cur.process_batch(planted.filter(F.col("doc_id") % 3 == k), k)
+        got = [
+            (r.ord, r.stage, r.n_docs, r.rate)
+            for r in cur.fineweb_datacard().orderBy("ord").collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    assert got == want
+    core = tempfile.mkdtemp(prefix="pwp_fwcard_core_")
+    try:
+        with pytest.raises(ValueError, match="fineweb_recipe='full'"):
+            StreamingCorpusCurator(
+                spark, core, screen="simhash", fineweb_recipe=True
+            ).fineweb_datacard()
+    finally:
+        shutil.rmtree(core, ignore_errors=True)
+
+
 def test_fineweb_tier_refuses_midstream_enable(spark, pages):
     """Verdict rows for already-committed batches are underivable —
     enabling the flag on existing state must raise, both pre- and
