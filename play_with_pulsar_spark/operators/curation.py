@@ -1107,20 +1107,20 @@ def doremi_domain_weights(
     (``mix_doremi_weights``).
 
     Scale shape: two LM scoring passes over the corpus (each the
-    single-tokenization-scan plan of its scorer), ONE domain-sized
-    aggregate, then ``iters`` iterations over ≤L rows with 1-row
-    broadcast normalizers — the fold costs nothing at any corpus
-    size. Returns (``domain_col``, excess, weight); feed the weights
-    to ``weighted_domain_sample`` as rates ∝ weight/share to realize
+    single-tokenization-scan plan of its scorer — and since round 12
+    BOTH scorers hang off ONE shared tokenization exchange, see
+    ``unigram_logprob``), ONE domain-sized aggregate, then the packed
+    array fold of :func:`doremi_mw_fold` over ≤L rows on one row —
+    the fold costs nothing at any corpus size. Returns
+    (``domain_col``, excess, weight); feed the weights to
+    ``weighted_domain_sample`` as rates ∝ weight/share to realize
     the mixture.
 
-    Cache lifecycle: the domain-sized excess table is persist()ed so
-    the MW branches don't re-run the two corpus scans (measured
-    5.1 → 3.0 s). The returned plan is lazy, so the function cannot
-    unpersist it itself — the handle rides on the result as
-    ``_engine_caches``; call :func:`release_caches` after
-    materializing (long-lived sessions calling this repeatedly would
-    otherwise accumulate one ≤L-row cache per call — r9 ADVICE)."""
+    Cache lifecycle (round 12): NOTHING is persisted anymore — the
+    packed fold consumes the excess table exactly once, so the
+    r9-advice cache (and its 2^iters re-scan hazard) is gone.
+    ``_engine_caches`` stays on the result as an (empty) handle so
+    :func:`release_caches` remains a uniform no-op for callers."""
     from ..oracle import dsum
     from .textops import bigram_logprob, unigram_logprob
 
@@ -1151,22 +1151,16 @@ def doremi_domain_weights(
     lam = perdoc.groupBy("_dom").agg(
         F.round(dsum("_ex") / F.count(F.lit(1)), 6).alias("excess")
     )
-    # share the scoring across the MW branches: every iteration's
-    # normalizer references lam, and without a materialization each
-    # branch RE-EXECUTES the two corpus-scale LM scoring passes
-    # (measured: 5.1 s vs the ~2.6 s scoring floor at sf0.1).
-    # persist(), not localCheckpoint: the cache is domain-sized (≤L
-    # rows), three iterations cannot blow up plan depth (the hazard
-    # checkpoints exist for — see graph.py), and under AQE the .rdd
-    # conversion a checkpoint needs executes query stages AT BUILD
-    # TIME, which would break the registry's zero-job build contract.
-    lam = lam.persist()
+    # The MW fold (round 12) packs the domain table into ONE row and
+    # folds in array expressions, so lam has exactly ONE consumer —
+    # no persist needed (the r9-advice cache lifecycle existed only
+    # because the old row-wise fold referenced lam 2^iters times).
     out = doremi_mw_fold(
         lam, iters=iters, eta=eta, smoothing=smoothing
     ).select(
         F.col("_dom").alias(domain_col), F.col("excess"), F.col("weight")
     )
-    out._engine_caches = [lam]
+    out._engine_caches = []
     return out
 
 
@@ -1184,36 +1178,94 @@ def doremi_mw_fold(
     g = round(w·exp(η·excess), 6), w' = round((1−c)·g/Σg + c/L, 9),
     every normalizer a 1-row broadcast. Input is domain-sized; the
     fold costs nothing at any corpus size. Returns (_dom, excess,
-    weight)."""
-    from ..oracle import dsum
+    weight).
 
-    nl = lam.agg(F.count(F.lit(1)).alias("_l"))
-    cur = lam.crossJoin(F.broadcast(nl)).withColumn(
-        "weight", F.round(F.lit(1.0) / F.col("_l"), 9)
-    )
+    Round 12 (optimization): the fold runs as ARRAY expressions over
+    the domain table packed into one row (collect_list is in-bounds
+    by the same ≤L contract that let the old form broadcast every
+    normalizer — DoReMi domain counts are tens, not millions). The
+    previous row-wise form referenced each iteration's frame twice
+    (gain projection + normalizer crossJoin), so the LOGICAL plan
+    doubled per iteration — 2^iters copies of the corpus-scale lam
+    subtree, a 3,200-line physical plan Catalyst re-optimized on
+    every run (~170 scan nodes), and the reason lam had to be
+    persist()ed at all. The packed fold consumes lam ONCE; arithmetic
+    is expression-for-expression identical (same rounds, exact
+    DECIMAL(38,18) normalizer sums — order-independent, so the
+    array order cannot matter; sort_array keeps it deterministic
+    anyway), so the oracle hash is unchanged."""
     c = float(smoothing)
-    for _ in range(iters):
-        g = cur.withColumn(
-            "_g",
-            F.round(
-                F.col("weight") * F.exp(F.lit(float(eta)) * F.col("excess")),
-                6,
+    dec = "decimal(38,18)"
+    cur = lam.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_dom"), F.col("excess")))
+        ).alias("_a")
+    )
+    n_l = F.size(F.col("_a")).cast("bigint")  # the old count(1) _l
+    # one projection boundary per step: nesting the whole fold into a
+    # single expression re-embeds every prior iteration inside each
+    # lambda (4 references/iteration), and analyzer lambda-variable
+    # resolution over the 4^iters-duplicated tree takes MINUTES.
+    # Column-per-step keeps the tree linear in iters.
+    cur = cur.select(
+        "_a",
+        F.transform(
+            F.col("_a"),
+            lambda x: F.struct(
+                x["_dom"].alias("_dom"),
+                x["excess"].alias("excess"),
+                F.round(F.lit(1.0) / n_l, 9).alias("weight"),
             ),
-        )
-        tot = g.agg(dsum("_g").alias("_tg"))
-        cur = (
-            g.crossJoin(F.broadcast(tot))
-            .withColumn(
-                "weight",
-                F.round(
-                    F.lit(1.0 - c) * F.col("_g") / F.col("_tg")
-                    + F.lit(c) / F.col("_l"),
-                    9,
+        ).alias("_w"),
+    )
+    for _ in range(iters):
+        cur = cur.select(
+            "_a",
+            "_w",
+            F.transform(
+                F.col("_w"),
+                lambda x: F.round(
+                    x["weight"] * F.exp(F.lit(float(eta)) * x["excess"]), 6
                 ),
-            )
-            .drop("_g", "_tg")
+            ).alias("_g"),
         )
-    return cur.select("_dom", "excess", "weight")
+        # dsum twin with SQL SUM's null semantics (nulls skipped,
+        # all-null -> NULL), referenced exactly once: start from NULL,
+        # coalesce the accumulator on the first non-null element.
+        # Exact decimal adds are order-independent, so this equals the
+        # old row-wise sum(cast(g as decimal(38,18))) bit-for-bit.
+        cur = cur.select(
+            "_a",
+            "_w",
+            "_g",
+            F.aggregate(
+                F.col("_g"),
+                F.lit(None).cast(dec),
+                lambda acc, g: F.when(g.isNull(), acc).otherwise(
+                    (F.coalesce(acc, F.lit(0).cast(dec)) + g.cast(dec)).cast(dec)
+                ),
+            ).cast("double").alias("_tg"),
+        )
+        tg = F.col("_tg")
+        cur = cur.select(
+            "_a",
+            F.zip_with(
+                F.col("_w"),
+                F.col("_g"),
+                lambda x, g: F.struct(
+                    x["_dom"].alias("_dom"),
+                    x["excess"].alias("excess"),
+                    F.round(
+                        F.lit(1.0 - c) * g / tg + F.lit(c) / n_l, 9
+                    ).alias("weight"),
+                ),
+            ).alias("_w"),
+        )
+    return cur.select(F.explode(F.col("_w")).alias("_r")).select(
+        F.col("_r._dom").alias("_dom"),
+        F.col("_r.excess").alias("excess"),
+        F.col("_r.weight").alias("weight"),
+    )
 
 
 def release_caches(df: DataFrame) -> None:

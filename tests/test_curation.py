@@ -993,28 +993,47 @@ def test_doremi_sample_realizes_weights(spark):
 
 
 def test_doremi_cache_lifecycle(spark):
-    """r9 ADVICE: the domain-sized excess cache rides on the result as
-    _engine_caches and release_caches() unpersists it — repeated calls
-    in a long-lived session must not accumulate cached subtrees."""
+    """Round 12: the packed MW fold consumes the excess table exactly
+    ONCE, so doremi no longer persists anything — _engine_caches is
+    present (the release_caches contract) but EMPTY, and repeated
+    calls in a long-lived session leave no cached subtrees behind."""
     from play_with_pulsar_spark.operators import curation
 
     rows = [(i, f"src{i % 3}", "the quick brown fox jumps over the dog")
             for i in range(30)]
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     w = curation.doremi_domain_weights(docs, iters=2)
-    handles = getattr(w, "_engine_caches", None)
-    assert handles and len(handles) == 1
+    assert getattr(w, "_engine_caches", None) == []
     w.collect()
-    assert handles[0].is_cached
-    curation.release_caches(w)
-    assert not handles[0].is_cached
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    curation.release_caches(w)  # no-op, must not raise
     s = curation.doremi_domain_sample(docs, target_fraction=0.5, iters=2)
-    sh = getattr(s, "_engine_caches", None)
-    assert sh and len(sh) == 1  # handle propagates through the sampler
+    assert getattr(s, "_engine_caches", None) == []
     s.collect()
     curation.release_caches(s)
-    assert not sh[0].is_cached
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= before  # nothing accumulated across calls
     curation.release_caches(docs)  # no handle -> clean no-op
+
+
+def test_doremi_mw_fold_single_lam_consumer(spark):
+    """Round 12 plan pin: the packed fold's physical plan must contain
+    exactly ONE aggregate chain over lam — the old row-wise fold
+    embedded 2^iters copies of the upstream subtree (a ~3,200-line
+    plan at sf0.1). One Exchange pair (partial/final of the pack agg)
+    and one Generate (the explode back to rows) is the whole shape."""
+    from play_with_pulsar_spark.operators import curation
+
+    lam = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.25), ("c", 0.0)], "_dom string, excess double"
+    )
+    out = curation.doremi_mw_fold(lam, iters=3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # formatted output names each node twice (tree + detail section)
+    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 2, plan
 
 
 def test_fineweb_recipe_funnel_nonvacuous(spark):
