@@ -411,11 +411,15 @@ def _verify_jaccard(
     bucket cap (giant uncapped batches — the escape hatches the
     incremental paths document)."""
     bcast = F.broadcast if broadcast_candidates else (lambda df: df)
-    ids = (
-        cands.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
+    # candidates are consumed by ids (below) and the intersection join;
+    # without a persist each consumer RE-EXECUTES the whole candidate
+    # generation (banded self-join + distinct) — three executions per
+    # run before round 12 (ids was a two-branch union), at any scale.
+    # The table is bounded by the LSH premise, so the cache is tiny.
+    cands = cands.persist()
+    ids = cands.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
+    ).distinct()
     # ids ≤ 2·|candidates| — tiny by the LSH premise; broadcasting it
     # keeps the corpus-scale gram table un-shuffled in the semi-join
     grams = grams.join(bcast(ids), "doc_id", "semi").persist()
@@ -450,7 +454,7 @@ def _verify_jaccard(
     # propagate whatever the candidate generator persisted (banded
     # tables etc.) — double release is harmless, a dropped handle leaks
     return _register_cached(
-        result, restricted, *getattr(cands, "_pwp_cached", ())
+        result, restricted, cands, *getattr(cands, "_pwp_cached", ())
     )
 
 
