@@ -352,8 +352,30 @@ def unigram_logprob(
 
     if vocab_floor < 1:
         raise ValueError(f"vocab_floor must be >= 1, got {vocab_floor}")
-    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
-    exploded = toks.select("doc_id", F.explode("_t").alias("term"))
+    # Round 12: tokenizer materialized at the SAME projection+exchange
+    # boundary bigram_logprob uses (select → isnotnull → repartition).
+    # Two wins, both the bm25/bigram single-scan protocol: (a) the tf
+    # aggregate and the per-doc scoring join previously each re-ran
+    # scan+tokenize+explode from the source (two corpus tokenizations
+    # inside ONE call); (b) callers that score with BOTH LMs (DoReMi's
+    # proxy/reference pair) now share literally one tokenization scan
+    # across the two scorers, because the exchange subtrees are
+    # identical and ReuseExchange collapses them. explode_outer +
+    # isNotNull instead of explode: a plain explode synthesizes a
+    # pushable size(_t) > 0 filter that re-inlines the tokenizer below
+    # the exchange and splits it off the shared one (the
+    # bigram_logprob hazard, pushdown edition). The isnotnull(doc_id)
+    # guard aligns the contract with bigram_logprob (a NULL-id doc
+    # can't be scored per-doc anyway — no declared fixture carries
+    # one; oracle hashes unchanged at every SF).
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+        .where(F.col("doc_id").isNotNull())
+        .repartition("doc_id")
+    )
+    exploded = toks.select(
+        "doc_id", F.explode_outer("_t").alias("term")
+    ).where(F.col("term").isNotNull())
     tf = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     if vocab_floor > 1:
         # pool sub-floor types into one <oov> class BEFORE the
@@ -2547,6 +2569,22 @@ def _winnowed_anchor_occurrences(
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t")
     ).filter(F.size("_t") >= n)
+    # Round 12 (optimization, guide §1.2 step 2 — per-task work): the
+    # gram hash used to re-fold EVERY CHARACTER of every gram string
+    # (O(gram_chars) interpreted lambda steps × ~n-overlapping grams —
+    # each character re-hashed n times, through a per-char UTF8String
+    # substr, the exact pattern the char-level sibling measured at
+    # 14.1 s vs 3.1 s in round 11). Horner is linear over
+    # concatenation — H(a‖b) = (H(a)·B^|b| + H(b)) mod M — so hash
+    # each TOKEN once (one char fold per token, carrying B^len mod M
+    # alongside), then combine n token hashes per gram with the
+    # separator step H(a‖' ') = (H(a)·B + 32) mod M. Every
+    # intermediate stays < 2³¹·2³¹ < 2⁶² (int64-exact), and the
+    # per-char mod distributes, so the gram hashes are IDENTICAL
+    # integers to the per-char fold the oracle SQL still runs —
+    # hash-parity pins the equivalence at every SF. (tokens() splits
+    # on \s+ after trim, so no empty token can alter the separator
+    # algebra; the n+separator gram strings in _g are unchanged.)
     gr = base.select(
         "doc_id",
         F.transform(
@@ -2555,18 +2593,38 @@ def _winnowed_anchor_occurrences(
                 " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(n)]
             ),
         ).alias("_g"),
+        F.transform(
+            F.col("_t"),
+            lambda t: F.aggregate(
+                F.sequence(F.lit(1), F.length(t)),
+                F.struct(
+                    F.lit(0).cast("long").alias("h"),
+                    F.lit(1).cast("long").alias("p"),
+                ),
+                lambda acc, j: F.struct(
+                    (
+                        (acc["h"] * _FP_BASE + F.ascii(t.substr(j, F.lit(1))))
+                        % _FP_MOD
+                    ).alias("h"),
+                    ((acc["p"] * _FP_BASE) % _FP_MOD).alias("p"),
+                ),
+            ),
+        ).alias("_th"),
     )
+
+    def _gram_hash(i: F.Column) -> F.Column:
+        h = F.element_at(F.col("_th"), i + 1)["h"]
+        for j in range(1, n):
+            ej = F.element_at(F.col("_th"), i + j + 1)
+            h = ((h * _FP_BASE + F.lit(32)) % _FP_MOD * ej["p"] + ej["h"]) % _FP_MOD
+        return h
+
     hs = gr.select(
         "doc_id",
         "_g",
         F.transform(
-            F.col("_g"),
-            lambda g: F.aggregate(
-                F.sequence(F.lit(1), F.length(g)),
-                F.lit(0).cast("long"),
-                lambda acc, j: (acc * _FP_BASE + F.ascii(g.substr(j, F.lit(1))))
-                % _FP_MOD,
-            ),
+            F.sequence(F.lit(0), F.size("_th") - n),
+            _gram_hash,
         ).alias("_h"),
     )
     # anchors packed into structs BEFORE the explode (a post-explode
