@@ -49,7 +49,7 @@ TARGETS = [
     ("sim_jl_projection", "JL compression (round 7 final): 16 literal-matrix fold expressions + one explode — pure codegen over the scan. Watch: ZERO exchanges, zero Python anywhere."),
     ("text_gopher_repetition", "Gopher repetition suite (round 10): plant projection -> ONE Arrow kernel (MapInPandas) computing all eleven signals — the per-doc Counter path. Watch: ZERO exchanges; the sql fold twin exists for the oracle, this is the throughput plan. Bench attribution (r12, the r11 verdict ask): the r10->r11 +0.4 s (2.13 -> 2.587 committed-quiet, steal-qualified) is the REAL cost of the r10-advice _PACK length clamp — one extra min(len, _PACK-1) per gram occurrence in the kernel's argmax packing (and a least() in the sql twin), paid across the 2..10-gram ladder; accepted for correctness (unbounded raw-web token lengths would corrupt the (count,len) pack)."),
     ("dedup_exact_substring", "Keep-first ExactSubstr (round 10): positional gram explode -> min(packed key) AGGREGATE per xxhash64(gram) (never a window) -> join back -> covered-position set -> codegen array-filter rewrite. Watch: the two corpus-scale exchanges key on the 8-byte hash; no window over grams anywhere."),
-    ("sim_opq_adc_topk", "OPQ rung (round 10): the signed Walsh-Hadamard rotation is one HOF literal-matmul projection feeding the unchanged PQ ADC plan. Watch: rotation adds ZERO exchanges; the codes scan and broadcast-LUT shape are identical to sim_pq_adc_topk."),
+    ("sim_opq_adc_topk", "OPQ rung (round 10; round 12 materializes the rotation ONCE): the signed Walsh-Hadamard literal-matmul projection is evaluated a single time into a lazy localCheckpoint — fit, encode and the query side all read the checkpointed rotated corpus instead of re-planning+re-evaluating the 4096-add expression in three separate passes. Watch: the ADC plan now starts at a Scan ExistingRDD (the checkpoint), still zero exchanges; the codes scan and broadcast-LUT shape are otherwise identical to sim_pq_adc_topk."),
     ("pipeline_fineweb_recipe", "FineWeb funnel (re-planned round 11, the r10 verdict's weak mark): all three signal families STACK on one projection chain (C4 + quality codegen, repetition via the Arrow kernel's ride hook) — zero doc_id self-joins; the narrow signal table persists LAZILY so both sides of the canonical-min hash join share ONE documents scan; canonical selection = ONE md5-keyed map-side-combinable aggregate + the hash-group-min join back. Watch: 1 Scan parquet / 1 Exchange / 1 MapInPandas in the static plan (pinned <=2/<=3/<=2 by test_fineweb_recipe_fused_plan), NO Filter above the signal projections (the pushdown re-evaluation hazard) — the pass bit folds into the aggregate."),
     ("text_excise_winnowed", "Winnowed-anchor keep-first excision (round 11; selection paper-faithful round 12): token 5-gram Horner hashes + per-window RIGHTMOST minima as per-row Catalyst folds — packed key h*2^20+(2^20-1-pos), array_min per window slice, array_distinct (zero shuffle — no window function), anchors packed to structs and explode_outer'd (the InferFiltersFromGenerate hazard: a plain explode pushes the whole selection chain into a per-row scan Filter, 220 s -> 4.5 s), then the (gh, g) first-occurrence aggregate + join back. Watch: no Filter below the Generate containing the gram chain; aggregates never windows."),
     ("pipeline_fineweb_full", "FULL FineWeb pipeline (round 12): URL verdict + C4 + quality + PII count/redaction as codegen projections, language ID + repetition as the two Arrow stages, verdicts riding the c4_line_filters/gopher_repetition ride hooks — zero doc_id joins; mirror-union plant (2 scans, one per union side), ONE md5 canonical-min aggregate exchange, broadcast join back over the lazily persisted signal table. Watch: 2 Scan parquet / 1 Exchange / 1 MapInPandas / 2 ArrowEvalPython static (pinned <=2/<=3/<=2/<=4 by test_fineweb_full_fused_plan); no Filter above the signal projections."),
