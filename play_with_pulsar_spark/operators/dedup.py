@@ -1008,10 +1008,12 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        propagated = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
+        lab = labels.select("node", "label")
+        propagated = lab.join(
+            neighbor_min, lab.node == neighbor_min.src, "left"
         ).select(
             "node",
+            F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
         )
         # pointer jump: label ← label(label). Labels are node ids, so
@@ -1020,18 +1022,21 @@ def dedup_clusters(
         lookup = propagated.select(
             F.col("node").alias("label"), F.col("label").alias("jump")
         )
+        # the convergence flag RIDES the round's checkpoint (round 12
+        # optimization, guide §2.4): the probe below is then a scan of
+        # the already-materialized blocks — the old form re-joined the
+        # new and previous label tables, a second exchange-bearing job
+        # per round just to ask "did anything move?"
         new_labels = (
             propagated.join(lookup, "label", "left")
-            .select("node", F.coalesce(F.col("jump"), F.col("label")).alias("label"))
+            .select(
+                "node",
+                F.coalesce(F.col("jump"), F.col("label")).alias("label"),
+                (F.coalesce(F.col("jump"), F.col("label")) != F.col("_old")).alias("_chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
         # the superseded round's checkpoint blocks are no longer
         # referenced (new_labels is already materialized) — free them
         # now instead of waiting for JVM GC; otherwise up to max_iter

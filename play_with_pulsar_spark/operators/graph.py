@@ -86,19 +86,46 @@ def pagerank(
         # At node counts past broadcast range set broadcast_ranks=
         # False: both sides then hash-partition on the node key and
         # the co-partitioning is reused across iterations.
+        #
+        # Round 12 (optimization, guide §2.4): the carry-forward used
+        # to be a SECOND join per iteration (contribs aggregated, then
+        # p left-join contribs — one more broadcast build + join stage
+        # each step). Instead the per-edge contributions and one
+        # zero-mass carry row per node UNION into a SINGLE node-keyed
+        # aggregation: SUM(DECIMAL) ignores the carry's NULL c (an
+        # all-NULL group sums to NULL — the coalesce below is the old
+        # left-join miss), outd/nn ride on MAX (only the carry row is
+        # non-NULL there). Same exchange bytes (partial aggregation
+        # still map-side-combines the edge contributions; the carry
+        # adds one node-sized row per node), identical values (the
+        # DECIMAL(38,18) sum is exact and order-independent, so
+        # folding the carry into the same aggregate cannot change a
+        # bit) — one join, one broadcast build and one AQE stage job
+        # fewer per iteration.
         rank_side = F.broadcast(p) if broadcast_ranks else p
-        contribs = (
-            ed.join(rank_side, ed.src == p.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.round(F.col("pr") / F.col("outd"), contrib_round).alias("c"),
-            )
-            .groupBy("node")
-            .agg(_dsum18("c").alias("mass"))
+        contribs = ed.join(rank_side, ed.src == p.node).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("pr") / F.col("outd"), contrib_round).alias("c"),
+            F.lit(None).cast("long").alias("outd"),
+            F.lit(None).cast("long").alias("nn"),
+        )
+        carry = p.select(
+            "node",
+            F.lit(None).cast("double").alias("c"),
+            F.col("outd").cast("long").alias("outd"),
+            F.col("nn").cast("long").alias("nn"),
         )
         p = (
-            p.select("node", "outd", "nn")
-            .join(contribs, "node", "left")
+            contribs.unionByName(carry)
+            .groupBy("node")
+            .agg(
+                _dsum18("c").alias("mass"),
+                F.max("outd").alias("outd"),
+                F.max("nn").alias("nn"),
+            )
+            # a dst-only node (directed input, no carry row) was
+            # invisible to the old p-side left join — keep it out
+            .where(F.col("nn").isNotNull())
             .select(
                 "node",
                 F.round(

@@ -300,17 +300,36 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 @pandas_udf(StringType())
 def lang_id(texts: pd.Series) -> pd.Series:
     """Predict language by counting profile-trigram hits; ties break
-    by profile order (stable). Arrow-batched; no JVM round-trips."""
-    out = []
-    for t in texts:
-        s = (t or "").lower()
-        best_lang, best = "und", -1
-        for lang, grams in _LANG_PROFILES.items():
-            score = sum(s.count(g) for g in grams)
-            if score > best:
-                best_lang, best = lang, score
-        out.append(best_lang if best > 0 else "und")
-    return pd.Series(out)
+    by profile order (stable). Arrow-batched; no JVM round-trips.
+
+    Round 12 (optimization, guide §4.2): the per-row Python double
+    loop (50 ``str.count`` calls per document) became 50 vectorized
+    ``Series.str.count`` passes over the whole batch + one argmax.
+    Semantics identical: ``re.findall`` of an escaped literal counts
+    the same non-overlapping left-to-right occurrences as
+    ``str.count``, ``argmax`` takes the FIRST maximal profile (the
+    old strictly-greater update), and a 0 best score still maps to
+    ``und``."""
+    import re as _re
+
+    import numpy as np
+
+    s = texts.fillna("").str.lower()
+    langs = list(_LANG_PROFILES)
+    scores = np.zeros((len(s), len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        tot = None
+        for g in _LANG_PROFILES[lang]:
+            c = s.str.count(_re.escape(g)).to_numpy(dtype=np.int64)
+            tot = c if tot is None else tot + c
+        scores[:, j] = tot
+    if len(s) == 0:
+        return pd.Series([], dtype=object)
+    best = scores.argmax(axis=1)
+    vals = scores.max(axis=1)
+    arr = np.array(langs, dtype=object)[best]
+    arr[vals <= 0] = "und"
+    return pd.Series(arr, index=texts.index)
 
 
 def unigram_logprob(
@@ -2367,63 +2386,126 @@ def _gopher_repetition_arrow(
     )
 
     def kern(batches):
+        # Round 12 (optimization, guide §4.2 — vectorize inside the
+        # Arrow kernel): the per-doc Counter ladder built 9 zip-tuple
+        # hash Counters per document in interpreted Python (~2.2 s
+        # single-core over the sf0.1 planted pages). The n-gram
+        # grouping is now batch-global numpy: token→int ids (one dict
+        # pass), gram CONTENT ids grown by rank-doubling (the
+        # (n−1)-gram id and the next token id packed into one int64,
+        # np.unique(return_inverse) → n-gram ids), per-(doc, gram)
+        # counts via one sorted np.unique per n, gram char lengths
+        # from the token-length cumsum. Every statistic stays an
+        # exact int64 until the same final int/int float64 division
+        # (numpy true_divide of int64 is the identical IEEE result),
+        # so values are bit-for-bit the Counter path's — pinned by
+        # test_gopher_repetition_kernels_agree and every oracle in
+        # the family. Measured 2.2 s → 0.62 s single-core on the
+        # sf0.1 plant (prototype parity sweep: EQUAL on all 5,000
+        # docs). int64 bound: the rank-doubling key is
+        # gid·V + tid < ntok² — safe for any Arrow batch (2 GiB
+        # string-buffer cap → ≪ 2³¹ tokens). Lines stay a per-doc
+        # Counter (a handful of lines per doc; the ladder was the
+        # cost, not the lines).
         from collections import Counter
 
+        import numpy as np
         import pandas as pd
 
+        topn = [name for name, _ in rules if name.startswith("top_")]
+        dupn = [name for name, _ in rules if name.startswith("dup_") and "gram" in name]
         for pdf in batches:
-            rows = []
-            ride_vals = [pdf[r] for r in ride]
-            for did, page, *rv in zip(pdf[id_col], pdf[page_col], *ride_vals):
+            ndocs = len(pdf)
+            if ndocs == 0:
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype="object") for c in cols}, columns=cols
+                )
+                continue
+            n_lines_a = np.zeros(ndocs, np.int64)
+            d_occ_a = np.zeros(ndocs, np.int64)
+            d_chars_a = np.zeros(ndocs, np.int64)
+            line_chars_a = np.zeros(ndocs, np.int64)
+            tok_lists = []
+            for i, page in enumerate(pdf[page_col]):
                 page = page or ""
                 lines = [
                     ln
                     for ln in (edge_re.sub("", x) for x in page.split("\n"))
                     if ln
                 ]
-                toks = ws_re.split(page.lower().strip(" "))
-                n_lines, n_words = len(lines), len(toks)
-                line_chars = max(sum(map(len, lines)), 1)
-                n_chars = max(len(" ".join(toks)), 1)
-                lc = Counter(lines)
-                d_occ = d_chars = 0
-                for k, v in lc.items():
+                n_lines_a[i] = len(lines)
+                line_chars_a[i] = sum(map(len, lines))
+                do = dc = 0
+                for k, v in Counter(lines).items():
                     if v >= 2:
-                        d_occ += v - 1
-                        d_chars += (v - 1) * len(k)
-                sig = {
-                    "dup_line_frac": d_occ / max(n_lines, 1),
-                    "dup_line_char_frac": d_chars / line_chars,
-                }
-                for n in range(2, 11):
-                    dup_all = 0
-                    top = 0
-                    if n_words >= n:
-                        c = Counter(zip(*[toks[i:] for i in range(n)]))
-                        for g, v in c.items():
-                            ln_g = sum(map(len, g)) + n - 1
-                            if v >= 2:
-                                dup_all += v * ln_g
-                            pk = v * pack + min(ln_g, pack - 1)
-                            if pk > top:
-                                top = pk
-                    if n <= 4:
-                        cov = (top // pack) * (top % pack)
-                        sig[f"top_{n}gram_frac"] = cov / n_chars
-                    else:
-                        sig[f"dup_{n}gram_frac"] = dup_all / n_chars
-                reason = None
-                for name, thr in rules:
-                    if sig[name] > thr:
-                        reason = name
-                        break
-                rows.append(
-                    (did, n_lines, n_words)
-                    + tuple(sig[name] for name, _ in rules)
-                    + tuple(rv)
-                    + (reason is None, reason)
+                        do += v - 1
+                        dc += (v - 1) * len(k)
+                d_occ_a[i] = do
+                d_chars_a[i] = dc
+                tok_lists.append(ws_re.split(page.lower().strip(" ")))
+            nt = np.fromiter((len(t) for t in tok_lists), np.int64, ndocs)
+            ntok = int(nt.sum())
+            idmap: dict[str, int] = {}
+            flat_ids = np.fromiter(
+                (idmap.setdefault(tok, len(idmap)) for t in tok_lists for tok in t),
+                np.int64,
+                ntok,
+            )
+            lens = np.fromiter(
+                (len(tok) for t in tok_lists for tok in t), np.int64, ntok
+            )
+            V = np.int64(len(idmap))
+            starts = np.concatenate(([0], np.cumsum(nt)))
+            csum = np.concatenate(([0], np.cumsum(lens)))
+            doc_of = np.repeat(np.arange(ndocs), nt)
+            n_chars_a = np.maximum(csum[starts[1:]] - csum[starts[:-1]] + nt - 1, 1)
+            pos_in_doc = np.arange(ntok) - starts[doc_of]
+            sigs = {
+                "dup_line_frac": d_occ_a / np.maximum(n_lines_a, 1),
+                "dup_line_char_frac": d_chars_a / np.maximum(line_chars_a, 1),
+            }
+            gid = flat_ids
+            dockey = np.int64(ntok + 1)
+            for n in range(2, 11):
+                m = ntok - (n - 1)
+                if m <= 0:
+                    z = np.zeros(ndocs, np.float64)
+                    sigs[f"top_{n}gram_frac" if n <= 4 else f"dup_{n}gram_frac"] = z
+                    gid = np.empty(0, np.int64)
+                    continue
+                _, gid = np.unique(gid[:m] * V + flat_ids[n - 1 :], return_inverse=True)
+                vmask = pos_in_doc[:m] + n <= nt[doc_of[:m]]
+                vpos = np.flatnonzero(vmask)
+                vdoc = doc_of[vpos]
+                wlen = csum[vpos + n] - csum[vpos] + (n - 1)
+                uk, first, cnt = np.unique(
+                    vdoc * dockey + gid[vpos], return_index=True, return_counts=True
                 )
-            yield pd.DataFrame(rows, columns=cols)
+                gdoc = uk // dockey
+                glen = wlen[first]
+                if n <= 4:
+                    top = np.zeros(ndocs, np.int64)
+                    np.maximum.at(top, gdoc, cnt * pack + np.minimum(glen, pack - 1))
+                    sigs[f"top_{n}gram_frac"] = ((top // pack) * (top % pack)) / n_chars_a
+                else:
+                    dup = np.zeros(ndocs, np.int64)
+                    mk = cnt >= 2
+                    np.add.at(dup, gdoc[mk], cnt[mk] * glen[mk])
+                    sigs[f"dup_{n}gram_frac"] = dup / n_chars_a
+            reason = np.full(ndocs, None, dtype=object)
+            unset = np.ones(ndocs, bool)
+            for name, thr in rules:
+                fail = unset & (sigs[name] > thr)
+                reason[fail] = name
+                unset &= ~fail
+            out = {"doc_id": pdf[id_col].to_numpy(), "n_lines": n_lines_a, "n_words": nt}
+            for name, _ in rules:
+                out[name] = sigs[name]
+            for r in ride:
+                out[r] = pdf[r].to_numpy()
+            out["keep"] = unset
+            out["reject_reason"] = reason
+            yield pd.DataFrame(out, columns=cols)
 
     return pages.select(
         F.col(id_col), F.col(page_col), *[F.col(r) for r in ride]
@@ -2519,7 +2601,12 @@ def gopher_repetition_screen(
 
 
 def _winnowed_anchor_occurrences(
-    docs: DataFrame, text_col: str, id_col: str, n: int, w: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    w: int,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """(doc_id, pos, gh, g, k) — the WINNOWING-SELECTED word n-gram
     occurrences of each document (Schleimer et al. 2003 applied at
@@ -2564,7 +2651,29 @@ def _winnowed_anchor_occurrences(
     lambda-reevaluation trap, same class as the
     ``gopher_repetition_screen`` hazard; the struct pack guards the
     sibling trap of post-explode ``element_at(_g, pos)``).
-    ``k`` is the packed (doc_id << 20 | pos) first-occurrence key."""
+    ``k`` is the packed (doc_id << 20 | pos) first-occurrence key.
+
+    Two kernels, value-identical (every hash is exact int64 modular
+    arithmetic, so the selection is bit-for-bit the same set):
+
+    - ``strategy="arrow"`` (default, round 12 — guide §4.2): one
+      Arrow-batched numpy kernel — token Horner hashes computed once
+      per DISTINCT token (dict cache), gram hashes combined with the
+      same separator step, the per-window rightmost-argmin as w−1
+      vectorized shifted minima over the packed keys. Replaces
+      O(G·w) interpreted HOF steps per doc (slice + array_min per
+      window start, each a CodegenFallback lambda) with array ops —
+      measured 3.5 s → see OPTIMIZATION_r12.md on the sf0.1 plant.
+    - ``strategy="sql"``: the per-row Catalyst fold (zero Python
+      workers), the form the DuckDB oracle mirrors structurally and
+      the hazard notes below describe. Equality incl. the unicode /
+      whitespace-run / adversarial fixtures is pinned by
+      ``test_substr_dedup_stream.test_winnowed_selection_matches_python_reference``
+      (runs the default) and ``test_winnowed_kernels_agree``."""
+    if strategy == "arrow":
+        return _winnowed_anchor_occurrences_arrow(docs, text_col, id_col, n, w)
+    if strategy != "sql":
+        raise ValueError(f"unknown strategy {strategy!r}")
     pos_lim = _LINE_POS_LIM
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t")
@@ -2674,6 +2783,134 @@ def _winnowed_anchor_occurrences(
             (F.col("doc_id") * pos_lim + F.col("a.pos")).alias("k"),
         )
     )
+
+
+def _winnowed_anchor_occurrences_arrow(
+    docs: DataFrame, text_col: str, id_col: str, n: int, w: int
+) -> DataFrame:
+    """Arrow kernel of :func:`_winnowed_anchor_occurrences` —
+    identical (doc_id, pos, gh, g, k) rows (set-equal; row order is
+    partition order, irrelevant to every consumer: the keep-first
+    aggregate, the join probe, the density rollup and the stored
+    index are all order-free).
+
+    Tokenizer parity is replicated EXACTLY as in
+    :func:`_gopher_repetition_arrow`: ``tokens()`` is
+    split(trim(lower(c)), "\\s+") — Python ``lower()`` →
+    ``strip(' ')`` (Spark ``trim`` removes U+0020 only) → split on
+    the Java ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]+`` keeping
+    leading/trailing empties. Hash parity: token Horner hashes and
+    the B^len carries stay < 2³¹, every combine intermediate < 2⁶²
+    (int64-exact, same algebra as the sql kernel's per-token
+    factorization); ``ord`` == Spark ``ascii`` (first codepoint) and
+    Python slicing == UTF8String substr (both codepoint-indexed).
+    The per-window rightmost minimum is w−1 shifted ``minimum``
+    passes over the packed ``h·2²⁰ + (2²⁰−1−pos)`` keys, masked at
+    doc gram-range ends — which also yields the short-doc truncated
+    window (s = 0, min over all G < w grams) for free."""
+    import re as _re
+
+    dtypes = dict(docs.dtypes)
+    id_type = dtypes[id_col]
+    schema = f"doc_id {id_type}, pos int, gh long, g string, k long"
+    ws_re = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    B, M, pos_lim = _FP_BASE, _FP_MOD, _LINE_POS_LIM
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        i64max = np.iinfo(np.int64).max
+        cache: dict[str, tuple[int, int]] = {}
+
+        def tok_hp(s):
+            v = cache.get(s)
+            if v is None:
+                h = 0
+                p = 1
+                for ch in s:
+                    h = (h * B + ord(ch)) % M
+                    p = (p * B) % M
+                v = (h, p)
+                cache[s] = v
+            return v
+
+        cols = ["doc_id", "pos", "gh", "g", "k"]
+        for pdf in batches:
+            tok_lists = []
+            keep_idx = []
+            for i, tx in enumerate(pdf["_x"]):
+                t = ws_re.split((tx or "").lower().strip(" "))
+                if len(t) >= n:
+                    tok_lists.append(t)
+                    keep_idx.append(i)
+            if not tok_lists:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].iloc[:0],
+                        "pos": pd.Series(dtype="int32"),
+                        "gh": pd.Series(dtype="int64"),
+                        "g": pd.Series(dtype="object"),
+                        "k": pd.Series(dtype="int64"),
+                    },
+                    columns=cols,
+                )
+                continue
+            doc_id_vals = pdf["doc_id"].to_numpy()[keep_idx]
+            nt = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+            ndocs = len(tok_lists)
+            hp = np.array(
+                [tok_hp(tok) for t in tok_lists for tok in t], dtype=np.int64
+            )
+            h, p = hp[:, 0], hp[:, 1]
+            starts = np.concatenate(([0], np.cumsum(nt)))[:-1]
+            G = nt - n + 1  # >= 1 by the len >= n filter
+            gstarts = np.concatenate(([0], np.cumsum(G)))[:-1]
+            ngrams = int(G.sum())
+            gdoc = np.repeat(np.arange(ndocs), G)
+            gpos = np.arange(ngrams) - gstarts[gdoc]
+            gtok = starts[gdoc] + gpos
+            gh = h[gtok].copy()
+            for j in range(1, n):
+                tj = gtok + j
+                gh = ((gh * B + 32) % M * p[tj] + h[tj]) % M
+            kk = gh * pos_lim + (pos_lim - 1 - gpos)
+            mk = kk.copy()
+            Gg = G[gdoc]
+            for d in range(1, min(w, ngrams)):
+                shifted = np.empty_like(kk)
+                shifted[: ngrams - d] = kk[d:]
+                shifted[ngrams - d :] = i64max
+                np.minimum(
+                    mk, np.where(gpos + d < Gg, shifted, i64max), out=mk
+                )
+            is_start = gpos <= np.maximum(G - w, 0)[gdoc]
+            key = gdoc[is_start] * pos_lim + (
+                pos_lim - 1 - (mk[is_start] % pos_lim)
+            )
+            uk = np.unique(key)
+            udoc = uk // pos_lim
+            upos = uk % pos_lim
+            ghsel = gh[gstarts[udoc] + upos]
+            dids = doc_id_vals[udoc]
+            grams = [
+                " ".join(tok_lists[di][pp : pp + n])
+                for di, pp in zip(udoc.tolist(), upos.tolist())
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": dids,
+                    "pos": upos.astype(np.int32),
+                    "gh": ghsel,
+                    "g": grams,
+                    "k": dids.astype(np.int64) * pos_lim + upos,
+                },
+                columns=cols,
+            )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_x")
+    ).mapInPandas(kern, schema=schema)
 
 
 def excise_winnowed_spans(

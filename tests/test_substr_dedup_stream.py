@@ -190,6 +190,48 @@ def test_winnowed_selection_matches_python_reference(spark):
         assert sorted(got.get(did, [])) == sorted(want[did]), did
 
 
+def test_winnowed_kernels_agree(spark):
+    """Round 12 (optimization): the Arrow/numpy kernel (the default)
+    and the per-row Catalyst fold produce the SAME (doc_id, pos, gh,
+    g, k) row set — including the unicode, whitespace-run, degenerate
+    -repeat and short-doc (< w grams) fixtures, NULL/empty text, and
+    the increasing-hash adversarial run. Both also match the
+    independent python reference."""
+    from play_with_pulsar_spark.operators.textops import (
+        _winnowed_anchor_occurrences,
+    )
+
+    texts = [
+        (1, "a quick brown fox jumps over the lazy dog again and again"),
+        (2, "x " * 40),
+        (3, "  padded   with   runs of spaces one two three four five "),
+        (4, "naïve café déjà vu été naïve café déjà vu été extra token"),
+        (5, "p1, p2; p3! p4? p5: p6 p7 (p8) [p9] {p10} p11 p12"),
+        (6, "four tokens only here"),            # < n tokens: no rows
+        (7, "six tokens just over the line ok"), # n<=G<w: truncated window
+        (8, None),
+        (9, ""),
+        (10, ADV_A),
+        (11, ADV_B),
+        (12, "tab\tand\nnewline \t mixed   whitespace run one two"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = lambda df: sorted(
+        (r.doc_id, r.pos, r.gh, r.g, r.k) for r in df.collect()
+    )
+    arrow = rows(_winnowed_anchor_occurrences(docs, "text", "doc_id", 5, 8))
+    sql = rows(
+        _winnowed_anchor_occurrences(docs, "text", "doc_id", 5, 8, strategy="sql")
+    )
+    assert arrow == sql
+    want = _py_winnow_anchors([t for t in texts if t[1] and len(t[1].split()) >= 5])
+    got = {}
+    for did, pos, gh, g, _ in arrow:
+        got.setdefault(did, []).append((pos, gh, g))
+    for did, sel in want.items():
+        assert sorted(got.get(did, [])) == sorted(sel), did
+
+
 # A 12-token run whose 8 gram hashes are STRICTLY INCREASING under
 # the portable Horner hash — the adversarial shape that defeated the
 # retired round-8 trailing-minima rule (commit 797843d: its
