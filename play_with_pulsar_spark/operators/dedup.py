@@ -977,7 +977,10 @@ def dedup_clusters(
     max_iter: int = 15,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster)
-    where cluster = min doc_id reachable. Iterative label propagation
+    where cluster = min doc_id reachable. Precondition (every caller's
+    construction): pair endpoints are ``docs`` ids — pairs come from a
+    screen OVER docs, so a foreign id cannot occur. Iterative label
+    propagation
     with pointer jumping: each round does (a) label ← min(label,
     neighbors' labels), then (b) label ← label(label) — the classic
     Shiloach-Vishkin-style shortcut that makes label distance double
@@ -992,16 +995,32 @@ def dedup_clusters(
     round k never re-executes rounds 0..k-1 and the plan depth stays
     constant regardless of graph diameter. ``localCheckpoint`` is
     executor-local (re-run the job on executor loss, no reliable-store
-    round-trip) — the right tradeoff for a convergent iteration."""
+    round-trip) — the right tradeoff for a convergent iteration.
+
+    Round 12 (optimization, guide §2.3 shuffle fewer bytes): the
+    iteration runs over EDGE NODES only — docs that appear in no pair
+    keep label = own id by definition (no neighbor can lower it, and
+    no edge node can ever read it: neighbor minima join through
+    ``edges.dst`` and the jump lookup only resolves labels that are
+    reachable node ids, i.e. edge nodes), so carrying the whole
+    corpus through every round's two joins + checkpoint was pure
+    overhead. At 100 TB this is the difference between per-round
+    state sized by the near-dup population (pairs are a screened,
+    verified subset) and per-round state sized by the corpus. The
+    isolated docs rejoin once at the end (left join + coalesce to own
+    id — same output, law-tested in test_skew_and_clusters)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
-    labels = docs.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))  # both directions present
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -1046,7 +1065,20 @@ def dedup_clusters(
         if changed == 0:
             break
     _free_local_checkpoint(edges)
-    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+    # isolated docs (no pair) never entered the iteration — their
+    # cluster is their own id; edge nodes read the converged label
+    out = (
+        docs.select(F.col(id_col))
+        .join(
+            labels.select(F.col("node").alias(id_col), "label"),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster"),
+        )
+    )
     # the result rides (a) any persisted intermediates of the pairs
     # pipeline that produced our input, and (b) the final round's
     # localCheckpoint storage — so a long-lived session (the test

@@ -68,18 +68,21 @@ def pagerank(
     ).localCheckpoint(eager=False)
     deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
     n = deg.agg(F.count(F.lit(1)).alias("nn"))
-    p = (
-        deg.crossJoin(F.broadcast(n))
-        .select(
-            F.col("src").alias("node"),
-            F.round(F.lit(1.0) / F.col("nn"), rank_round).alias("pr"),
-            "outd",
-            "nn",
-        )
-        .localCheckpoint(eager=False)
+    p = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        F.round(F.lit(1.0) / F.col("nn"), rank_round).alias("pr"),
+        "outd",
+        "nn",
     )
+    # each rank vector is referenced TWICE by the NEXT iteration
+    # (contribution join + carry), so it must be a shared
+    # materialization point — EXCEPT the last one, which the caller
+    # consumes once: skipping its checkpoint drops one sequential
+    # stage-materialization round per run (round 12, guide §2.4)
+    if iters >= 1:
+        p = p.localCheckpoint(eager=False)
     handles = [ed, p]
-    for _ in range(iters):
+    for it in range(iters):
         # the rank vector is node-sized (≪ edges); broadcasting it
         # means the EDGE table is never shuffled — the only exchange
         # per iteration is the map-side-combined node-sized mass agg.
@@ -136,9 +139,10 @@ def pagerank(
                 "outd",
                 "nn",
             )
-            .localCheckpoint(eager=False)
         )
-        handles.append(p)
+        if it < iters - 1:
+            p = p.localCheckpoint(eager=False)
+            handles.append(p)
     out = p.select("node", F.col("pr").alias("pagerank"))
     # long-lived sessions release the checkpoint blocks through the
     # standard release_intermediates(result) contract

@@ -1300,6 +1300,7 @@ def fwht_rotate(
     vec_col: str = "embedding",
     dim: int = 64,
     salt: str = "opq-sign",
+    strategy: str = "arrow",
 ) -> DataFrame:
     """The OPQ pre-rotation (Ge et al. 2013, "Optimized Product
     Quantization" — public — motivates rotating vectors before PQ so
@@ -1314,20 +1315,38 @@ def fwht_rotate(
     bit-exact), isometric (ADC distances in rotated space equal
     original distances), and fully expressible in both engines.
 
-    Implementation: ONE projection over a literal weight matrix,
-    each output coordinate a higher-order ``aggregate`` fold of
-    zip_with(v, row, *) in ascending-index order — the same
-    left-associative sum the oracle writes out, and ±1.0 multiplies
-    are bitwise-exact, so both engines produce IDENTICAL doubles with
-    NO rounding step. Two rejected forms, for the record: the
-    O(D log D) butterfly needs chained projections whose collapse
-    re-evaluates nested element_at combinatorially (Catalyst
-    ProjectCollapse inlines sub-expressions), and a flat codegen
-    matmul of D² add nodes blows the Janino 64 KB method limit (the
-    compile ATTEMPT alone cost ~90 s/job before the interpreted
-    fallback). HOF lambdas are interpreted by design — the ~10× sql-
-    strategy constant the PQ family documents — and the whole
-    rotation still rides the scan with zero shuffle/Python.
+    Contract: output coordinate i is the LEFT-ASSOCIATIVE ascending-j
+    fold ((0.0 + v[0]·W[i][0]) + v[1]·W[i][1]) + …, multiplied by
+    1/√dim once at the end — the exact term order the oracle SQL
+    writes out. ±1.0 multiplies and the power-of-two scale are
+    bitwise-exact, so both engines produce IDENTICAL doubles with NO
+    rounding step. A malformed vector (NULL, wrong length, or a NULL
+    element) yields an array of ``dim`` NULLs — the zip_with/aggregate
+    null-poisoning semantics of the sql form, preserved by both
+    strategies (kernel-agreement pinned in
+    ``test_fwht_strategies_agree``).
+
+    strategy="arrow" (default, round 12 §4.2): one mapInArrow kernel
+    — the same fold as ``dim`` sequential vectorized adds in ascending
+    j (each ``out += V[:,j]·W[:,j]`` is one IEEE-754 add per element,
+    so every double is bit-identical to the interpreted fold), no
+    literal matrix in the plan. mapInArrow, not mapInPandas: the
+    pandas conversion turns a NULL list element into NaN, losing the
+    null-poisoning contract; Arrow keeps element validity explicit.
+    The sql form paid twice at ANY scale: ~dim² F.lit py4j round-trips
+    of plan-BUILD time per call, and O(rows·dim²) interpreted HOF
+    steps at execution (HOF lambdas are CodegenFallback; rows·dim² =
+    8.2M interpreted steps for 2 000×64² at sf0.1).
+
+    strategy="sql": ONE projection over a literal weight matrix, each
+    output coordinate a higher-order ``aggregate`` fold of
+    zip_with(v, row, *) — zero Python, the form the oracle mirrors.
+    Two rejected forms, for the record: the O(D log D) butterfly
+    needs chained projections whose collapse re-evaluates nested
+    element_at combinatorially (Catalyst ProjectCollapse inlines
+    sub-expressions), and a flat codegen matmul of D² add nodes blows
+    the Janino 64 KB method limit (the compile ATTEMPT alone cost
+    ~90 s/job before the interpreted fallback).
 
     Output: (id_col, vec_col array<double>), composable with
     pq_fit/pq_encode/pq_adc_topk unchanged."""
@@ -1337,17 +1356,78 @@ def fwht_rotate(
 
     scale = 1.0 / math.sqrt(dim)
     w = hadamard_weights(dim, opq_signs(dim, salt))
-    w_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in w]
-    )
-    em = F.col(vec_col).cast("array<double>")
-    rot = F.transform(
-        w_lit,
-        lambda row: F.aggregate(
-            F.zip_with(em, row, lambda x, wj: x * wj),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if strategy == "sql":
+        w_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in w]
         )
-        * F.lit(scale),
+        em = F.col(vec_col).cast("array<double>")
+        rot = F.transform(
+            w_lit,
+            lambda row: F.aggregate(
+                F.zip_with(em, row, lambda x, wj: x * wj),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale),
+        )
+        return df.select(F.col(id_col), rot.alias(vec_col))
+    if strategy != "arrow":
+        raise ValueError(f"unknown fwht strategy {strategy!r} (arrow|sql)")
+
+    wn = np.asarray(w, dtype=np.float64)  # wn[i, j] = signs[j]·(-1)^pc(i&j)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def rotate(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            ids, col = b.column(0), b.column(1)
+            n = len(col)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array([], type=pa.list_(pa.float64()))],
+                    names=[id_col, vec_col],
+                )
+                continue
+            flat = col.flatten().cast(pa.float64())  # float→double widen is exact
+            lens = pc.list_value_length(col)
+            clean = (
+                col.null_count == 0
+                and flat.null_count == 0
+                and pc.min(lens).as_py() == dim
+                and pc.max(lens).as_py() == dim
+            )
+            if clean:
+                V = flat.to_numpy(zero_copy_only=False).reshape(n, dim)
+                good = np.ones(n, dtype=bool)
+            else:
+                # edge rows present (NULL vector, wrong length, NULL
+                # element) — per-row python walk, contract-exact
+                good = np.ones(n, dtype=bool)
+                V = np.zeros((n, dim), dtype=np.float64)
+                for r, v in enumerate(col.to_pylist()):
+                    if v is None or len(v) != dim or any(x is None for x in v):
+                        good[r] = False
+                    else:
+                        V[r] = v
+            out = np.zeros((n, dim), dtype=np.float64)
+            # out[:, i] = fold over j of (acc + V[:, j]·wn[i, j]):
+            # each += is ONE IEEE add per element in ascending j —
+            # bit-identical to the sql strategy's aggregate fold
+            for j in range(dim):
+                out += V[:, j : j + 1] * wn[:, j][None, :]
+            out *= scale  # one multiply after the fold, as in sql
+            # a malformed row yields dim NULL ELEMENTS (not a NULL
+            # array) — zip_with/aggregate null poisoning, exactly
+            values = pa.array(
+                out.ravel(), type=pa.float64(), mask=~np.repeat(good, dim)
+            )
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * dim), values
+            )
+            yield pa.RecordBatch.from_arrays([ids, arr], names=[id_col, vec_col])
+
+    return df.select(id_col, vec_col).mapInArrow(
+        rotate, schema=f"{id_col} {id_type}, {vec_col} array<double>"
     )
-    return df.select(F.col(id_col), rot.alias(vec_col))

@@ -326,6 +326,65 @@ def test_fwht_rotation_spreads_subspace_variance(spark):
     assert min(rot_v) > 0.01 * max(rot_v)  # post-rotation: all subspaces live
 
 
+def test_fwht_strategies_agree(spark):
+    """arrow (default) == sql, BITWISE, including the edge contract:
+    a malformed vector (NULL, wrong length, NULL element) yields an
+    array of dim NULLs via zip_with/aggregate null poisoning; NaN and
+    ±inf are VALUES and propagate arithmetically in both engines.
+    Exactness matters — sim_opq_adc_topk's oracle replays the sql
+    fold in DuckDB, so the kernel must reproduce every double."""
+    import struct
+
+    d = 16
+    rng = np.random.default_rng(23)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=d)]) for i in range(8)
+    ]
+    rows += [
+        (100, None),  # NULL vector
+        (101, [1.0] * (d - 1)),  # short
+        (102, [1.0] * (d + 3)),  # long
+        (103, [1.0] * (d // 2) + [None] + [1.0] * (d - d // 2 - 1)),  # NULL elem
+        (104, [float("nan")] + [1.0] * (d - 1)),  # NaN value
+        (105, [float("inf"), float("-inf")] + [0.5] * (d - 2)),  # infs
+        (106, []),  # empty
+        (107, [-0.0] * d),  # signed zeros
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def bits(vec):
+        if vec is None:
+            return None
+        return tuple(
+            None if x is None else struct.pack("<d", x) for x in vec
+        )
+
+    got = {}
+    for strat in ("arrow", "sql"):
+        got[strat] = {
+            r.vec_id: bits(r.embedding)
+            for r in pq.fwht_rotate(df, dim=d, strategy=strat).collect()
+        }
+    assert got["arrow"] == got["sql"]
+    # the malformed rows each produced d NULL elements, not a NULL array
+    for bad in (100, 101, 102, 103, 106):
+        assert got["arrow"][bad] == tuple([None] * d)
+    # float input widens exactly in both strategies
+    df32 = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v]) for i, v in rows[:8]],
+        "vec_id long, embedding array<float>",
+    )
+    a32 = {
+        r.vec_id: bits(r.embedding)
+        for r in pq.fwht_rotate(df32, dim=d, strategy="arrow").collect()
+    }
+    s32 = {
+        r.vec_id: bits(r.embedding)
+        for r in pq.fwht_rotate(df32, dim=d, strategy="sql").collect()
+    }
+    assert a32 == s32
+
+
 def test_opq_stored_rotation_frozen_through_lifecycle(spark, emb, tmp_path):
     """rotation='fwht' freezes into meta.json like the quantizers:
     (a) the stored probe equals the in-memory ivf_pq_topk over the
