@@ -241,6 +241,13 @@ def main() -> None:
                     spark.catalog.clearCache()
                 sweep[small_sf][name] = round(best, 3)
 
+    # cores-contract evidence (round 13 — r12 verdict item 1): the
+    # effective master URL, the applied $SPARK_GRAFT_CPUS and the
+    # resulting defaultParallelism ride the JSON line so a reader can
+    # audit that the harness honored the driver's core count. Additive
+    # keys only — the headline metric/value/queries contract is
+    # unchanged.
+    sc = spark.sparkContext
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -248,6 +255,9 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+            "master": sc.master,
+            "default_parallelism": sc.defaultParallelism,
             "fold_events_per_sec": fold_events_per_sec,
             "fold_events_per_sec_xl": fold_events_per_sec_xl,
             "fold_pure_events_per_sec": fold_pure_events_per_sec,

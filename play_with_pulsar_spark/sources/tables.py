@@ -106,6 +106,69 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (path) -> schedulable scan units. Like _SCHEMA_CACHE this is footer
+# metadata read once per process on the driver — no Spark job.
+_SCAN_UNITS_CACHE: dict[str, int] = {}
+
+
+def scan_units(path: str) -> int:
+    """Independently schedulable scan units of a parquet file/dir:
+    row groups summed over files. A parquet row group is the atomic
+    unit a scan task can own — a table laid out as single-row-group
+    files runs its scan stage on ONE core per file no matter what
+    ``local[N]`` or ``maxPartitionBytes`` say, because splits that
+    contain no row-group midpoint produce empty tasks. Unreadable
+    footers report "plenty" (no spread) — the safe default, since the
+    spread below is an optimization, never a correctness need."""
+    if path in _SCAN_UNITS_CACHE:
+        return _SCAN_UNITS_CACHE[path]
+    units = 1 << 20  # assume splittable when we cannot prove otherwise
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            units = pq.ParquetFile(path).metadata.num_row_groups
+        elif os.path.isdir(path):
+            units = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ) or 1
+    except Exception:
+        pass
+    _SCAN_UNITS_CACHE[path] = units
+    return units
+
+
+def spread_scan(df: DataFrame, spark: SparkSession, path: str, key: str = "doc_id") -> DataFrame:
+    """Input-layout spread (guide §2.5 "input skew: one huge
+    unsplittable file ... otherwise repartition immediately after the
+    read"): when the input's parquet layout caps scan parallelism
+    below the session's core count, hash-repartition the rows across
+    ``defaultParallelism`` so the per-doc kernels downstream (token
+    hashing, Arrow batch kernels, gram builds) use every core instead
+    of riding a one-task scan stage.
+
+    Scale-adaptive by construction, NOT a local-mode constant: the
+    condition compares the input's actual row-group count against the
+    session's parallelism, so a 100 TB table (thousands of row groups
+    ≫ cores) passes through untouched — zero added exchange — while a
+    pathological single-row-group layout gets the one small shuffle
+    that unlocks the cluster. The spread key is the stable row id, so
+    the exchange is deterministic under task retries (§2.5's rand()
+    hazard does not apply) and downstream doc-keyed aggregations can
+    reuse the partitioning when counts line up. Results are unchanged
+    for every consumer in this engine: the kernels are per-doc maps or
+    exact (int/decimal) aggregations, both partition-order-independent
+    — float-order-sensitive consumers (EM fits, GD loops) deliberately
+    do NOT take the spread."""
+    if scan_units(path) >= spark.sparkContext.defaultParallelism:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in DRIVER_TABLES}
 
