@@ -1306,6 +1306,14 @@ def embedding_cosine_pairs_lsh(
         )
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
+        # round 13 (guide §2.2/§2.5): candidate rows are 16 bytes but
+        # each becomes ~16·dim bytes of attached vectors + a dim-length
+        # fold in the verify — AQE's byte-based coalescing (and a
+        # single-partition signature cache on unsplittable local input)
+        # would run the verify nearly serially. One cheap id-only
+        # exchange sizes the verify stage by the session's parallelism
+        # at ANY scale; values are unchanged (pure repartition).
+        .repartition(allsig.sparkSession.sparkContext.defaultParallelism)
     )
     # norms are per-VECTOR, not per-pair: compute each once in the
     # (broadcastable) vector table instead of re-folding two
@@ -1553,15 +1561,30 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, sig_partitions: int | None = None, **kw
+) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit quarters (a pair
     within hamming ≤ 3 of 64 bits must agree on ≥1 of 4 quarters —
-    pigeonhole), then verify hamming distance. Never all-pairs."""
+    pigeonhole), then verify hamming distance. Never all-pairs.
+
+    The signature table is persisted (round 13, guide §2.4/§5): both
+    sides of the quarter self-join consume it, and without the persist
+    the tokenize→hash→vote-kernel subtree executes once PER SIDE (the
+    static ReuseExchange only covers up to the range exchange — the
+    sort + Arrow kernel + quarter explode re-run). 16 bytes/doc of
+    state, released via release_intermediates. ``sig_partitions``
+    re-packs the cached table to size-based partitions (guide §2.2 —
+    callers with catalog row counts pass ceil(n·16B / 32MB); default
+    keeps the kernel's partitioning)."""
     sigs = simhash64(docs, **kw)
+    if sig_partitions is not None:
+        sigs = sigs.repartition(sig_partitions, "doc_id")
+    sigs = sigs.persist()
     quarters = _simhash_quarters(sigs)
     a = quarters.alias("a")
     b = quarters.alias("b")
-    return (
+    return _register_cached(
         a.join(
             b,
             (F.col("a.q") == F.col("b.q"))
@@ -1574,7 +1597,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming),
+        sigs,
     )
 
 
@@ -1601,11 +1625,12 @@ def _simhash_quarters(sigs: DataFrame) -> DataFrame:
 
 def incremental_simhash_pairs(
     index_sigs: DataFrame | None,
-    batch: DataFrame,
+    batch: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SimHash near-dup screen: pairs TOUCHING the new
     batch — (batch × stored index) ∪ (batch × batch) — against a
@@ -1626,8 +1651,20 @@ def incremental_simhash_pairs(
     to those touching the batch.
 
     With ``hash_fn="md5_60"`` the whole screen is engine-portable and
-    hash-checked end-to-end (``dedup_incremental_simhash``)."""
-    bsigs = simhash64(batch, text_col, id_col, hash_fn=hash_fn)
+    hash-checked end-to-end (``dedup_incremental_simhash``).
+
+    ``batch_sigs`` (round 13, guide §2.4) lets a caller that already
+    holds the batch's signatures pass them instead of ``batch``; the
+    batch signature subtree is otherwise referenced TWICE (probe side
+    + the union side), so the internally-computed form persists it —
+    one tokenize→vote-kernel pass, 16 bytes/doc, released via
+    release_intermediates."""
+    handles: list[DataFrame] = []
+    if batch_sigs is not None:
+        bsigs = batch_sigs.select("doc_id", "simhash")
+    else:
+        bsigs = simhash64(batch, text_col, id_col, hash_fn=hash_fn).persist()
+        handles.append(bsigs)
     all_sigs = (
         index_sigs.select("doc_id", "simhash").unionByName(bsigs)
         if index_sigs is not None
@@ -1635,7 +1672,7 @@ def incremental_simhash_pairs(
     )
     probe = _simhash_quarters(bsigs).alias("a")
     side = _simhash_quarters(all_sigs).alias("b")
-    return (
+    return _register_cached(
         probe.join(
             side,
             (F.col("a.q") == F.col("b.q"))
@@ -1648,7 +1685,8 @@ def incremental_simhash_pairs(
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming),
+        *handles,
     )
 
 
@@ -1774,30 +1812,37 @@ def simhash_rotation_keys(
     width = 64 // blocks
     mask = (1 << width) - 1
     combos = _simhash_combos(blocks, radius)
-    entries = []
-    for t, combo in enumerate(combos):
-        key = F.lit(0).cast("long")
+    # the whole 28-entry array is ONE parsed SQL string: building it
+    # as per-term Column objects costs ~10 py4j round-trips per combo
+    # per call site in plan-BUILD time (round 13; the r12 "wide
+    # literal expressions" lesson). Same expressions, same values:
+    # key = Σ_pos ((simhash >>> width·bi) & mask) << width·pos as
+    # BIGINT, tbl as INT.
+    def _key_sql(combo: tuple[int, ...]) -> str:
+        terms = []
         for pos, bi in enumerate(combo):
-            blk = F.shiftrightunsigned(F.col("simhash"), width * bi).bitwiseAND(
-                F.lit(mask)
-            )
-            key = key + F.shiftleft(blk, width * pos)
-        entries.append(
-            F.struct(F.lit(t).cast("int").alias("tbl"), key.alias("key"))
-        )
+            blk = f"(shiftrightunsigned(simhash, {width * bi}) & CAST({mask} AS BIGINT))"
+            terms.append(blk if pos == 0 else f"shiftleft({blk}, {width * pos})")
+        return "(CAST(0 AS BIGINT) + " + " + ".join(terms) + ")"
+
+    entries = ", ".join(
+        f"struct(CAST({t} AS INT) AS tbl, {_key_sql(combo)} AS key)"
+        for t, combo in enumerate(combos)
+    )
     return sigs.select(
-        "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")
+        "doc_id", "simhash", F.expr(f"explode(array({entries}))").alias("e")
     ).select("doc_id", "simhash", F.col("e.tbl").alias("tbl"), F.col("e.key").alias("key"))
 
 
 def incremental_simhash_pairs_rotated(
     index_keys: DataFrame | None,
-    batch: DataFrame,
+    batch: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     blocks: int = 8,
     radius: int = 6,
     hash_fn: str = "xxhash64",
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SimHash screen at radius > 3: batch rotation keys
     probe (stored ∪ batch) rotation keys on (tbl, key); the exact
@@ -1809,8 +1854,20 @@ def incremental_simhash_pairs_rotated(
     (28·8 bytes/doc at the defaults); pass None for a first batch.
     With ``hash_fn="md5_60"`` the whole screen is engine-portable —
     ``dedup_simhash_rotated`` rebuilds the rotations, neighborhoods
-    and verdicts in DuckDB."""
-    bsigs = simhash64(batch, text_col, id_col, hash_fn=hash_fn)
+    and verdicts in DuckDB.
+
+    ``batch_sigs`` (round 13, guide §2.4) lets a caller that already
+    materialized the batch's (doc_id, simhash) table skip the
+    signature kernel here; the internally-computed form persists its
+    own — the batch rotation keys are consumed by BOTH join sides
+    (probe + the union side), so without a materialization point the
+    tokenize→vote-kernel subtree executes twice per run."""
+    handles: list[DataFrame] = []
+    if batch_sigs is not None:
+        bsigs = batch_sigs.select("doc_id", "simhash")
+    else:
+        bsigs = simhash64(batch, text_col, id_col, hash_fn=hash_fn).persist()
+        handles.append(bsigs)
     bkeys = simhash_rotation_keys(bsigs, blocks=blocks, radius=radius)
     side = (
         index_keys.select("doc_id", "simhash", "tbl", "key").unionByName(bkeys)
@@ -1818,7 +1875,7 @@ def incremental_simhash_pairs_rotated(
         else bkeys
     )
     a, b = bkeys.alias("a"), side.alias("b")
-    return (
+    return _register_cached(
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -1831,5 +1888,6 @@ def incremental_simhash_pairs_rotated(
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= radius)
+        .filter(F.col("hamming") <= radius),
+        *handles,
     )

@@ -2345,14 +2345,23 @@ class StreamingCorpusCurator:
             blocks=self.sh_blocks,
             radius=self.max_hamming,
         )
+        # round 13 (guide §2.4): ONE signature kernel pass per batch,
+        # persisted — the probe references it twice (both join sides)
+        # and the signature tier below writes the keep-restricted
+        # subset of the same per-doc values (signatures are per-doc,
+        # so filter-after-kernel is value-identical)
+        bsigs = simhash64(
+            docs, self.text_col, self.id_col, hash_fn=self.sh_hash_fn
+        ).persist()
         pairs = incremental_simhash_pairs_rotated(
             index_keys,
-            docs,
+            None,
             text_col=self.text_col,
             id_col=self.id_col,
             blocks=self.sh_blocks,
             radius=self.max_hamming,
             hash_fn=self.sh_hash_fn,
+            batch_sigs=bsigs,
         ).select("id_a", "id_b")
         new_ids = docs.select(F.col(self.id_col).alias("nid"))
         evicted = None
@@ -2377,8 +2386,8 @@ class StreamingCorpusCurator:
                 self._batch_dir(self.tomb_dir, batch_id)
             )
         if not sig_done:
-            simhash64(
-                keep, self.text_col, self.id_col, hash_fn=self.sh_hash_fn
+            bsigs.join(
+                keep.select(F.col(self.id_col).alias("doc_id")), "doc_id", "semi"
             ).write.mode("overwrite").parquet(
                 self._batch_dir(self.shsig_dir, batch_id)
             )
@@ -2413,6 +2422,7 @@ class StreamingCorpusCurator:
         if self.doremi_lm_path is not None and not doremi_done:
             self._write_doremi_tier(keep, evicted, batch_id)
         keep.unpersist()
+        bsigs.unpersist()
         if evicted is not None:
             evicted.unpersist()
         if screen_checkpointed:
