@@ -146,20 +146,29 @@ def ngram_jaccard_pairs(
             .select("g")
         )
         grams = grams.join(F.broadcast(common), "g", "anti")
+    # round 13 (guide §2.4): per-doc sizes ride the GRAM table through
+    # the self-join instead of joining the (pair-count-sized) inter
+    # table twice afterwards. sizes hangs off the same doc_id exchange
+    # as grams (partial agg reuses the partitioning), the grams⋈sizes
+    # attach is co-partitioned (no exchange), and the two post-agg
+    # joins of inter — each an exchange over the BIGGEST table in the
+    # plan — disappear for +8 bytes/gram-row in the self-join shuffle.
+    # Jaccard arithmetic is unchanged (same ints, same division).
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    sized = grams.join(sizes, "doc_id")
+    a = sized.alias("a")
+    b = sized.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.n_grams")).alias("na"),
+            F.first(F.col("b.n_grams")).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter")),
@@ -1725,17 +1734,22 @@ def ngram_containment_pairs(
             .select("g")
         )
         grams = grams.join(F.broadcast(common), "g", "anti")
+    # sizes ride the gram table through the self-join — same §2.4
+    # restructure as ngram_jaccard_pairs (see there); the containment
+    # divisions are unchanged (same ints)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    inter = (
+    sized = grams.join(sizes, "doc_id")
+    a = sized.alias("a")
+    b = sized.alias("b")
+    both = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.n_grams")).alias("na"),
+            F.first(F.col("b.n_grams")).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
-    both = inter.join(sa, "id_a").join(sb, "id_b")
     # both directions from ONE pass over the pair rows — a self-union
     # would reference (and re-execute) the whole inverted-index
     # subtree twice (measured 14 shuffles vs the Jaccard screen's 7)

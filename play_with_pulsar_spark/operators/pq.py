@@ -649,16 +649,29 @@ def ivf_pq_topk(
     arithmetic, so the whole composition carries a value hash.
 
     Returns (query_id, neighbor_id, adc_dist, rn ≤ k)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .clustering import kmeans_assign, kmeans_fit, nearest_centroid
 
-    cents = kmeans_fit(
-        corpus, k=n_cells, iters=1, id_col=id_col, vec_col=vec_col,
-        dist_round=dist_round,
-    )
+    # round 13 (guide §2.6 "overlap independent jobs"): the coarse
+    # quantizer fit and the PQ codebook fit are independent bounded
+    # collect-driven loops over the same corpus — run them from two
+    # driver threads so one fit's collect latency back-fills the
+    # other's idle executors. Results are unchanged (each fit is a
+    # pure function of the corpus).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cents_f = pool.submit(
+            kmeans_fit, corpus, k=n_cells, iters=1, id_col=id_col,
+            vec_col=vec_col, dist_round=dist_round,
+        )
+        books_f = pool.submit(
+            pq_fit, corpus, m=m, k_sub=k_sub, iters=1, id_col=id_col,
+            vec_col=vec_col,
+        )
+        cents, books = cents_f.result(), books_f.result()
     cells = kmeans_assign(corpus, cents, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("cluster").alias("cell")
     )
-    books = pq_fit(corpus, m=m, k_sub=k_sub, iters=1, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )

@@ -89,6 +89,35 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _sql_str_lit(s: str) -> str:
+    """A string literal safe to inject into SQL text for ANY token
+    (quotes, backslashes, non-ASCII): hex-encode through decode(unhex)
+    — constant-folded by Catalyst, so it costs nothing at runtime."""
+    if s == "":
+        return "''"
+    return f"decode(unhex('{s.encode('utf-8').hex()}'), 'UTF-8')"
+
+
+def _merge_fold_sql(operand: str, x: str, y: str) -> str:
+    """:func:`_merge_fold` as ONE parsed SQL string (round 13): the
+    merge-learning loops build a fresh fold expression per round, and
+    the Column form costs ~40 py4j round-trips each time (~70 ms/round
+    of driver latency at 10 rounds). Same expression semantics —
+    if() instead of CASE WHEN evaluates identically — so the rewritten
+    symbol arrays are byte-equal (pinned by test_tokenizer's
+    reference-equality suites)."""
+    X, Y, M = _sql_str_lit(x), _sql_str_lit(y), _sql_str_lit(x + y)
+    flush = "if(acc.prev is not null, concat(acc.out, array(acc.prev)), acc.out)"
+    return (
+        f"aggregate({operand}, "
+        "named_struct('out', cast(array() as array<string>), 'prev', cast(null as string)), "
+        f"(acc, s) -> if(coalesce(acc.prev = {X}, false) and s = {Y}, "
+        f"named_struct('out', concat(acc.out, array({M})), 'prev', cast(null as string)), "
+        f"named_struct('out', {flush}, 'prev', s)), "
+        f"acc -> {flush})"
+    )
+
+
 def _merge_fold(syms: F.Column, x: str, y: str) -> F.Column:
     """Greedy leftmost non-overlapping merge of the pair (x, y) inside
     one symbol array, as a Catalyst aggregate fold. State is
@@ -182,7 +211,7 @@ def bpe_learn_merges(
             # iteration's pair-count job instead of a job of its own —
             # one Spark job per merge instead of two
             new_vocab = vocab.select(
-                "word", "cnt", _merge_fold(F.col("syms"), x, y).alias("syms")
+                "word", "cnt", F.expr(_merge_fold_sql("syms", x, y)).alias("syms")
             ).localCheckpoint(eager=False)
             pending = vocab
             vocab = new_vocab
@@ -288,7 +317,7 @@ def wordpiece_learn_merges(
                 (k, x, y, x + y, int(top[0]["c"]), float(top[0]["score"]))
             )
             new_vocab = vocab.select(
-                "word", "cnt", _merge_fold(F.col("syms"), x, y).alias("syms")
+                "word", "cnt", F.expr(_merge_fold_sql("syms", x, y)).alias("syms")
             ).localCheckpoint(eager=False)
             pending = vocab
             vocab = new_vocab
