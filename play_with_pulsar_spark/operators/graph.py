@@ -63,25 +63,44 @@ def pagerank(
     # 1.5 s at sf0.1). LAZY localCheckpoints keep the operator
     # non-eager — the first job materializes each checkpoint once and
     # every other reference reads its blocks.
-    ed = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
-    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    # round 13 (guide §2.3/§2.4): out-degree rides the EDGE checkpoint
+    # (one +8-byte column) instead of the rank vector — the rank table
+    # narrows to (node, pr, nn), every per-iteration broadcast ships
+    # less, and the per-iteration aggregate drops its max(outd) leg.
+    # The initial rank vector is NOT checkpointed anymore: its two
+    # iteration-0 references re-derive it from ed's materialized
+    # blocks (one node-sized agg each) — cheaper than a dedicated
+    # sequential stage-materialization round. The contribution
+    # arithmetic (pr/outd at contrib_round, the DECIMAL(38,18) sum)
+    # is unchanged, so ranks are bit-identical.
+    from pyspark.sql import Window
+
+    # out-degree attaches as ONE window pass over the edge rows (a
+    # groupBy+join would reference — and re-execute — the upstream
+    # edge-build subtree twice inside the checkpoint job)
+    ed = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .withColumn("outd", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=False)
+    )
+    deg = ed.select("src").distinct()
     n = deg.agg(F.count(F.lit(1)).alias("nn"))
     p = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node"),
         F.round(F.lit(1.0) / F.col("nn"), rank_round).alias("pr"),
-        "outd",
         "nn",
     )
     # each rank vector is referenced TWICE by the NEXT iteration
     # (contribution join + carry), so it must be a shared
     # materialization point — EXCEPT the last one, which the caller
     # consumes once: skipping its checkpoint drops one sequential
-    # stage-materialization round per run (round 12, guide §2.4)
+    # stage-materialization round per run (round 12, guide §2.4).
+    # handles hold only ACTUAL checkpoints (r12 advice): with iters=0
+    # p is never checkpointed.
+    handles = [ed]
     if iters >= 1:
         p = p.localCheckpoint(eager=False)
-    handles = [ed, p]
+        handles.append(p)
     for it in range(iters):
         # the rank vector is node-sized (≪ edges); broadcasting it
         # means the EDGE table is never shuffled — the only exchange
@@ -109,13 +128,11 @@ def pagerank(
         contribs = ed.join(rank_side, ed.src == p.node).select(
             F.col("dst").alias("node"),
             F.round(F.col("pr") / F.col("outd"), contrib_round).alias("c"),
-            F.lit(None).cast("long").alias("outd"),
             F.lit(None).cast("long").alias("nn"),
         )
         carry = p.select(
             "node",
             F.lit(None).cast("double").alias("c"),
-            F.col("outd").cast("long").alias("outd"),
             F.col("nn").cast("long").alias("nn"),
         )
         p = (
@@ -123,7 +140,6 @@ def pagerank(
             .groupBy("node")
             .agg(
                 _dsum18("c").alias("mass"),
-                F.max("outd").alias("outd"),
                 F.max("nn").alias("nn"),
             )
             # a dst-only node (directed input, no carry row) was
@@ -136,7 +152,6 @@ def pagerank(
                     + damping * F.coalesce(F.col("mass"), F.lit(0.0)),
                     rank_round,
                 ).alias("pr"),
-                "outd",
                 "nn",
             )
         )

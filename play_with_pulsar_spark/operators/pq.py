@@ -1416,14 +1416,30 @@ def fwht_rotate(
                 good = np.ones(n, dtype=bool)
             else:
                 # edge rows present (NULL vector, wrong length, NULL
-                # element) — per-row python walk, contract-exact
-                good = np.ones(n, dtype=bool)
+                # element) — mask them VECTORIZED (r12 advice: one bad
+                # row among ~10k must not drop the batch into an
+                # O(batch·dim) python walk). Raw values+offsets align
+                # by construction; good rows gather straight from the
+                # flattened buffer, bad rows stay zero and are masked
+                # to NULL elements below — contract-exact.
+                vals = col.values.cast(pa.float64())
+                offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                if vals.null_count:
+                    elem_bad = vals.is_null().to_numpy(zero_copy_only=False)
+                else:
+                    elem_bad = np.zeros(len(vals), dtype=bool)
+                bad_cum = np.zeros(len(vals) + 1, dtype=np.int64)
+                np.cumsum(elem_bad, out=bad_cum[1:])
+                good = (offs[1:] - offs[:-1] == dim) & (
+                    bad_cum[offs[1:]] - bad_cum[offs[:-1]] == 0
+                )
+                if col.null_count:
+                    good &= ~col.is_null().to_numpy(zero_copy_only=False)
                 V = np.zeros((n, dim), dtype=np.float64)
-                for r, v in enumerate(col.to_pylist()):
-                    if v is None or len(v) != dim or any(x is None for x in v):
-                        good[r] = False
-                    else:
-                        V[r] = v
+                if good.any():
+                    v_np = vals.to_numpy(zero_copy_only=False)
+                    idx = offs[:-1][good][:, None] + np.arange(dim, dtype=np.int64)[None, :]
+                    V[good] = v_np[idx]
             out = np.zeros((n, dim), dtype=np.float64)
             # out[:, i] = fold over j of (acc + V[:, j]·wn[i, j]):
             # each += is ONE IEEE add per element in ascending j —

@@ -3258,6 +3258,11 @@ def excise_keepfirst_spans(
             " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(n)]
         ),
     )
+    # positional gram table materialized at ONE gh exchange (round 13,
+    # guide §2.4 — the duplicate_spans/line_dedup pattern): the
+    # first-occurrence aggregate reuses the partitioning outright and
+    # the join probe reuses the exchange at runtime; without it BOTH
+    # consumers re-run tokenize + n-wide gram concat from the scan.
     occ = (
         toks.filter(F.size("_t") >= n)
         .select("doc_id", F.posexplode(grams).alias("pos", "g"))
@@ -3268,6 +3273,7 @@ def excise_keepfirst_spans(
             "g",
             (F.col("doc_id") * pos_lim + F.col("pos")).alias("k"),
         )
+        .repartition("gh")
     )
     firsts = occ.groupBy("gh").agg(
         F.min("k").alias("fk"), F.min_by("g", "k").alias("fg")

@@ -90,3 +90,50 @@ def test_analyzed_plan_rdd_chain_exists(spark):
             "operators/dedup.py is now a silent no-op; find the new "
             "route to a LogicalRDD's backing RDD"
         ) from None
+
+
+def test_fixture_contracts_null_ids_and_pair_endpoints(spark):
+    """Round 13 (r12 verdict #4): two operator/oracle contracts are
+    narrower than the fixture schema allows, pinned here so a fixture
+    change cannot expose the divergence silently.
+
+    (a) NULL doc_id: unigram_logprob (and bigram's original form)
+    score per-doc behind an isnotnull(doc_id) boundary; since round 13
+    the oracle SQL carries the same guard. Identical TODAY because no
+    fixture doc has a NULL id — this asserts that premise at every SF.
+
+    (b) pairs ⊆ docs: dedup_clusters iterates over edge endpoints only
+    and documents the precondition that pair ids are docs ids (a
+    foreign endpoint would participate in propagation). All callers
+    construct pairs FROM docs; assert it end-to-end for the cheapest
+    screen at the smallest SF."""
+    import os
+
+    from play_with_pulsar_spark.operators import dedup
+    from play_with_pulsar_spark.sources.tables import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        docs = load_table(spark, d, "documents")
+        assert docs.filter(F.col("doc_id").isNull()).limit(1).count() == 0, (
+            f"{sf}: documents carries a NULL doc_id — the "
+            "unigram/bigram scorers and their oracles now DIVERGE on "
+            "this fixture (both exclude NULL-id docs; re-check every "
+            "per-doc scorer before accepting the fixture)"
+        )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    ids = docs.select(F.col("doc_id").alias("e"))
+    foreign = (
+        pairs.select(F.col("id_a").alias("e"))
+        .unionByName(pairs.select(F.col("id_b").alias("e")))
+        .join(ids, "e", "anti")
+    )
+    assert foreign.limit(1).count() == 0, (
+        "near-dup pairs carry an endpoint outside docs — "
+        "dedup_clusters' edge-nodes-only iteration would let it "
+        "become a cluster label (see dedup.py dedup_clusters docstring)"
+    )
