@@ -247,10 +247,18 @@ def quality_classifier_scores(
     same corpus so the oracle can replay it. Corpus passes: 1 (stats)
     + ``iters`` (one aggregate each) + 1 (scoring) — every pass is a
     projection + narrow agg, nothing corpus-sized shuffles."""
-    feats = standardize(quality_features(docs, text_col, id_col, label=label))
-    # cheap to recompute; persist so the stats pass, the iteration
-    # aggregates, and the final scoring don't re-tokenize per pass
-    feats = feats.persist()
+    # persist the RAW feature frame BEFORE the stats collect (round
+    # 13, guide §2.4/§5): feature_stats is the first action and its
+    # aggregate materializes the cache, so the corpus is scanned and
+    # tokenized exactly ONCE per call — the round-12 form persisted
+    # the z-scored frame instead, which put the stats pass on the
+    # unpersisted tree and re-tokenized the corpus a second time when
+    # the first GD aggregate filled the cache. The z-scores stay a
+    # literal projection over the cached raw columns (identical
+    # values; D+1 rounded arithmetic ops per row per pass, nothing
+    # corpus-scale recomputes).
+    raw = quality_features(docs, text_col, id_col, label=label).persist()
+    feats = standardize(raw)
     w = logreg_fit(feats, iters=iters, lr=lr)
     scored = logreg_score(feats, w)
     from .dedup import _register_cached
@@ -262,5 +270,5 @@ def quality_classifier_scores(
             "score",
             (F.col("score") >= F.lit(keep_threshold)).alias("keep"),
         ),
-        feats,
+        raw,
     )

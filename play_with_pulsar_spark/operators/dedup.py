@@ -1017,12 +1017,24 @@ def dedup_clusters(
     state sized by the near-dup population (pairs are a screened,
     verified subset) and per-round state sized by the corpus. The
     isolated docs rejoin once at the end (left join + coalesce to own
-    id — same output, law-tested in test_skew_and_clusters)."""
+    id — same output, law-tested in test_skew_and_clusters).
+
+    Round 13 (optimization, guide §2.4/§5 — fewer driver-sequential
+    jobs): the edge checkpoint is LAZY (the labels job computes every
+    edge partition through its distinct, materializing the blocks as
+    it goes), and each round's checkpoint is lazy too with the
+    convergence probe riding the SAME job — the probe aggregates
+    ``max(_chg)`` over the new label table, which computes (and
+    thereby checkpoints) every partition in one job instead of the
+    eager-checkpoint-then-probe two. Per call that is 1 + rounds jobs
+    where the round-12 form ran 2 + 2·rounds. Values are untouched:
+    the fixpoint iteration, join keys and label arithmetic are
+    identical — only job boundaries moved."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))  # both directions present
@@ -1051,10 +1063,14 @@ def dedup_clusters(
             F.col("node").alias("label"), F.col("label").alias("jump")
         )
         # the convergence flag RIDES the round's checkpoint (round 12
-        # optimization, guide §2.4): the probe below is then a scan of
-        # the already-materialized blocks — the old form re-joined the
-        # new and previous label tables, a second exchange-bearing job
-        # per round just to ask "did anything move?"
+        # optimization, guide §2.4): _chg is computed inline so no
+        # second label join is needed to ask "did anything move?".
+        # Round 13: the checkpoint is LAZY and the probe is the
+        # aggregate that materializes it — max(_chg) computes every
+        # partition (checkpointing them as a side effect of the scan)
+        # and answers convergence in the SAME job, where the eager
+        # checkpoint + filter/limit/count probe was two sequential
+        # jobs per round.
         new_labels = (
             propagated.join(lookup, "label", "left")
             .select(
@@ -1062,16 +1078,18 @@ def dedup_clusters(
                 F.coalesce(F.col("jump"), F.col("label")).alias("label"),
                 (F.coalesce(F.col("jump"), F.col("label")) != F.col("_old")).alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        changed = new_labels.agg(F.max("_chg")).collect()[0][0]
         # the superseded round's checkpoint blocks are no longer
         # referenced (new_labels is already materialized) — free them
         # now instead of waiting for JVM GC; otherwise up to max_iter
         # full label-table copies coexist in executor storage
         _free_local_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        # max over booleans: True iff any label moved; None on an
+        # empty label table (no pairs) — both falsy forms stop
+        if not changed:
             break
     _free_local_checkpoint(edges)
     # isolated docs (no pair) never entered the iteration — their

@@ -181,10 +181,14 @@ def bpe_learn_merges(
     from .dedup import _free_local_checkpoint
 
     spark = docs.sparkSession
+    # lazy initial checkpoint (round 13, guide §2.4): the first
+    # iteration's pair-count job is a TakeOrdered over an aggregate —
+    # it computes every vocab partition, materializing the blocks as
+    # part of that job instead of a dedicated upfront one
     vocab = (
         word_counts(docs, text_col)
         .select("word", "cnt", _chars("word").alias("syms"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, str, int]] = []
     pending: DataFrame | None = None  # superseded checkpoint, freed late
@@ -278,10 +282,12 @@ def wordpiece_learn_merges(
     from .dedup import _free_local_checkpoint
 
     spark = docs.sparkSession
+    # lazy initial checkpoint — see bpe_learn_merges (the first
+    # score job computes every vocab partition)
     vocab = (
         word_counts(docs, text_col)
         .select("word", "cnt", _chars("word").alias("syms"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, str, int, float]] = []
     pending: DataFrame | None = None
@@ -578,7 +584,13 @@ def unigram_learn_pieces(
             f"seed_size {seed_size} must be >= vocab_size {vocab_size}"
         )
     wc = word_counts(docs, text_col).persist()
-    pc = _seed_piece_counts(wc, max_piece_len)
+    # persist the seed-count aggregate too (round 13, guide §2.4):
+    # its TWO consumers below (alphabet collect + top-k multi-char
+    # collect) each re-ran the double-explode + aggregate over the
+    # cached type table; the table is substring-type-sized (bounded
+    # by vocab·max_piece_len, never the corpus), so the cache is tiny
+    # and the seed statistics compute once
+    pc = _seed_piece_counts(wc, max_piece_len).persist()
     chars_rows = pc.filter(F.length("piece") == 1).collect()  # alphabet-sized
     k_multi = max(0, (seed_size or vocab_size) - len(chars_rows))
     multi_rows = (
@@ -587,6 +599,7 @@ def unigram_learn_pieces(
         .limit(k_multi)
         .collect()
     )
+    pc.unpersist()
     counts = {r["piece"]: int(r["c"]) for r in list(chars_rows) + list(multi_rows)}
     tot = sum(counts.values())
     lp = {p: round(math.log(c / tot), round_to) for p, c in counts.items()}
