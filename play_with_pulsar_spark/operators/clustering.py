@@ -60,7 +60,32 @@ def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
 
 def _centroid_literal(cents: Centroids) -> Column:
     """The centroid table as a literal array<struct<cl, cv>> column —
-    K·D literals folded straight into codegen."""
+    K·D literals folded straight into codegen.
+
+    Round 13 (guide §4 plan-build latency — the F.expr lesson): the
+    Column form paid K·D ``F.lit`` py4j round-trips PER CALL SITE
+    (~1 ms each of driver latency before Spark ever saw the plan;
+    kcenter's growing seed set built ~1k of them per query). The
+    literal tree is built as ONE parsed SQL string instead —
+    ``CAST('<repr>' AS DOUBLE)`` constant-folds to the identical
+    Literal double (Java's Double.parseDouble exactly round-trips
+    Python's repr), so the optimized plan and every downstream value
+    are unchanged. Non-finite values (never produced by the fitters,
+    but cheap to guard) fall back to the Column form, whose
+    ``F.lit(float('nan'))`` handling is known-good."""
+    import math
+
+    if all(
+        isinstance(x, float) and math.isfinite(x) for _, cv in cents for x in cv
+    ):
+        structs = ", ".join(
+            "named_struct('cl', CAST({} AS BIGINT), 'cv', array({}))".format(
+                int(cl),
+                ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv),
+            )
+            for cl, cv in cents
+        )
+        return F.expr(f"array({structs})")
     return F.array(
         *[
             F.struct(

@@ -800,7 +800,13 @@ def topk_exact_candidates(
             }
         )
 
-    cands = items.select(key).mapInPandas(kern, out_schema)
+    # persist the candidate table (round 13, guide §2.4): it has TWO
+    # consumers — the recount's broadcast key set and the miss-bound
+    # aggregate — and without the cache the second one re-ran the
+    # whole candidate kernel (a full pass over the key table), making
+    # the operator 3 scans where the SpaceSaving design needs 2. The
+    # cache is bounded at partitions×capacity rows by construction.
+    cands = items.select(key).mapInPandas(kern, out_schema).persist()
     cand_keys = cands.select(key).distinct()
     exact = (
         items.join(F.broadcast(cand_keys), key)
@@ -812,6 +818,7 @@ def topk_exact_candidates(
         cands.select("pid", "pbound").distinct().agg(F.sum("pbound")).collect()[0][0]
         or 0
     )
+    cands.unpersist()
     if len(top_rows) < k or top_rows[-1]["cnt"] <= miss_bound:
         raise ValueError(
             f"top-{k} not provable: k-th count "
