@@ -1557,17 +1557,31 @@ def line_dedup(
     # line-splitting materialized at ONE _id exchange: the occurrence
     # explode (consumed twice — winner agg + join probe) and the
     # n_lines base branch otherwise each re-run split_lines from the
-    # scan. Static ReuseExchange does NOT unify these consumers (their
-    # pruned column sets differ), but AQE's runtime stage reuse does —
-    # measured 3.2 s -> 1.8 s at sf0.1 under the engine session.
-    d = docs.select(
-        F.col(id_col).alias("_id"),
-        split_lines(text_col, delimiter=delimiter, segment_tokens=segment_tokens).alias(
-            "_lines"
-        ),
-    ).repartition("_id")
+    # scan. Round 13 (guide §2.4, the unigram_logprob pattern): for
+    # ReuseExchange to unify the three consumers their subtrees must
+    # be IDENTICAL, and two inferred pushdowns were splitting them —
+    # the inner posexplode synthesized a pushable `size(_lines) > 0`
+    # (absent from the base branch), and the final left join pushed
+    # `isnotnull(_id)` into the probe branch only. Observed: the
+    # scan+split+exchange map stage executed THREE times per run,
+    # byte-identical output each time. posexplode_outer + post-filter
+    # removes the size inference (the NULL/empty rows it adds are
+    # dropped by the existing `_line != ''` filter — NULL <> ''
+    # is NULL), and the isnotnull guard is applied uniformly HERE so
+    # every branch carries it (the oracle text carries the same
+    # guard; no declared fixture has NULL doc ids — canary-pinned).
+    d = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            split_lines(
+                text_col, delimiter=delimiter, segment_tokens=segment_tokens
+            ).alias("_lines"),
+        )
+        .where(F.col("_id").isNotNull())
+        .repartition("_id")
+    )
     occ = (
-        d.select("_id", F.posexplode("_lines").alias("_idx", "_line"))
+        d.select("_id", F.posexplode_outer("_lines").alias("_idx", "_line"))
         .filter(F.col("_line") != "")
         .withColumn("_gpos", F.col("_id") * _LINE_POS_LIM + F.col("_idx"))
     )
