@@ -544,11 +544,35 @@ def dsir_importance_scores(
         # expressions referenced inside array lambdas re-evaluate per
         # element (the ngrams_from_tokens rule; violating it here made
         # the regex split run O(tokens) times per row: measured 6 s/
-        # scan at sf0.1 vs 0.4 s with the boundary)
-        base = docs.select(
-            F.col(id_col).alias("doc_id"),
-            target.cast("long").alias("_is_t"),
-            tokens(text_col).alias("_t"),
+        # scan at sf0.1 vs 0.4 s with the boundary).
+        # Round 13: the shared exchange moves to THIS boundary (the
+        # unigram_logprob/bigram_logprob protocol) — the old
+        # post-md5 repartition never actually unified its consumers
+        # (the tf branch pruned to {term, _is_t}, the scoring branch
+        # to {doc_id, term}, and the scoring join pushed an inferred
+        # isnotnull(term) below the exchange — stage traces showed
+        # the scan+tokenize+md5 map stage executing TWICE per run,
+        # byte-identical). Both branches consume the identical
+        # (doc_id, _is_t, _t) subtree below the exchange; the
+        # explode+md5 recompute per branch above it is the documented
+        # cheap half. explode_outer + post-filter avoids the pushable
+        # size() filter and isnotnull(doc_id) is applied uniformly
+        # (the oracle carries the same guard; no declared fixture has
+        # NULL ids — canary-pinned).
+        # explicit width: the consumers of this exchange are COMPUTE-
+        # heavy per row (bigram build + md5 bucketing per gram), so
+        # byte-based AQE coalescing under-parallelizes them (observed:
+        # the 2 MB token exchange coalesced to 2 tasks, putting the
+        # whole md5 ladder on 2 cores of 32) — size the stage by the
+        # session's parallelism, the embedding-LSH verify-stage rule
+        base = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                target.cast("long").alias("_is_t"),
+                tokens(text_col).alias("_t"),
+            )
+            .where(F.col("doc_id").isNotNull())
+            .repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
         )
         t = F.col("_t")
         bigrams = F.when(
@@ -560,17 +584,21 @@ def dsir_importance_scores(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        toks = base.select(
-            "doc_id",
-            "_is_t",
-            F.explode(F.concat(t, bigrams)).alias("_g"),
-        ).select(
-            "doc_id",
-            "_is_t",
-            F.pmod(
-                F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long"),
-                F.lit(n_buckets),
-            ).alias("term"),
+        toks = (
+            base.select(
+                "doc_id",
+                "_is_t",
+                F.explode_outer(F.concat(t, bigrams)).alias("_g"),
+            )
+            .where(F.col("_g").isNotNull())
+            .select(
+                "doc_id",
+                "_is_t",
+                F.pmod(
+                    F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long"),
+                    F.lit(n_buckets),
+                ).alias("term"),
+            )
         )
     else:
         toks = docs.select(
@@ -578,37 +606,76 @@ def dsir_importance_scores(
             target.cast("long").alias("_is_t"),
             F.explode(tokens(text_col)).alias("term"),
         )
-    if features == "hashed_ngrams":
-        # materialize the hashed-token table at ONE doc_id exchange so
-        # the per-term aggregate and the per-doc scoring join are both
-        # ReusedExchange consumers — without the boundary each branch
-        # re-runs tokenize + bigram-build + md5-bucket from the scan
-        # (the bm25/bigram single-scan protocol; measured 3.3 s →
-        # 1.9 s at sf0.1). The scoring groupBy(doc_id) also rides the
-        # same partitioning, saving its own shuffle. The unigram form
-        # deliberately SKIPS the boundary: its recompute is one cheap
-        # regex split, cheaper than exchanging the full token table.
-        toks = toks.repartition("doc_id")
     tf = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"), F.sum("_is_t").alias("tf_t")
     )
-    tot = tf.agg(
-        F.sum("tf").alias("_n_all"),
-        F.sum("tf_t").alias("_n_t"),
-        F.count(F.lit(1)).alias("_v"),
-    )
-    logw = tf.crossJoin(F.broadcast(tot)).select(
-        "term",
-        F.round(
-            F.log((F.col("tf_t") + 1).cast("double") / (F.col("_n_t") + F.col("_v")))
-            - F.log(
-                (F.col("tf") - F.col("tf_t") + 1).cast("double")
-                / (F.col("_n_all") - F.col("_n_t") + F.col("_v"))
-            ),
-            logw_round,
-        ).alias("lw"),
-    )
+    if features == "hashed_ngrams":
+        # totals ride ONE bounded global window over the tf table
+        # (round 13, guide §2.4): tf is ≤ n_buckets rows BY
+        # CONSTRUCTION (10k default at any corpus size), so a single-
+        # partition window is safe at any scale here — where the old
+        # tot-aggregate + crossJoin(broadcast) consumed tf TWICE and
+        # AQE re-executed the whole term-aggregate map stage for the
+        # broadcast subquery (stage-trace verified: two byte-identical
+        # partial-agg stages per run). Same long sums, same doubles,
+        # identical lw values. The unigram form keeps the broadcast
+        # crossJoin: its vocabulary is unbounded, so a one-partition
+        # window would be a corpus-vocabulary sort on one core.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy()
+        n_all = F.sum("tf").over(w)
+        n_t = F.sum("tf_t").over(w)
+        v = F.count(F.lit(1)).over(w)
+        logw = tf.select(
+            "term",
+            F.round(
+                F.log((F.col("tf_t") + 1).cast("double") / (n_t + v))
+                - F.log(
+                    (F.col("tf") - F.col("tf_t") + 1).cast("double")
+                    / (n_all - n_t + v)
+                ),
+                logw_round,
+            ).alias("lw"),
+        )
+    else:
+        tot = tf.agg(
+            F.sum("tf").alias("_n_all"),
+            F.sum("tf_t").alias("_n_t"),
+            F.count(F.lit(1)).alias("_v"),
+        )
+        logw = tf.crossJoin(F.broadcast(tot)).select(
+            "term",
+            F.round(
+                F.log((F.col("tf_t") + 1).cast("double") / (F.col("_n_t") + F.col("_v")))
+                - F.log(
+                    (F.col("tf") - F.col("tf_t") + 1).cast("double")
+                    / (F.col("_n_all") - F.col("_n_t") + F.col("_v"))
+                ),
+                logw_round,
+            ).alias("lw"),
+        )
     lw_side = F.broadcast(logw) if features == "hashed_ngrams" else logw
+    if features == "hashed_ngrams":
+        # the scoring branch GROUPS BY (doc_id, _is_t) — _is_t is
+        # per-doc constant (the target predicate row-wise), so the
+        # groups, counts and sums are identical to groupBy(doc_id),
+        # and HashPartitioning(doc_id) still satisfies the clustered
+        # distribution (no extra exchange). The point: a grouping key
+        # cannot be column-pruned, so this branch's column set below
+        # the shared exchange stays {doc_id, _is_t, _t} — equal to
+        # the tf branch's — and ReuseExchange keeps the scans unified
+        # (the bigram_logprob keep-all-branch rule; an unused agg
+        # expression would be pruned away, a grouping key cannot be).
+        return (
+            toks.join(lw_side, "term")
+            .groupBy("doc_id", "_is_t")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.round(dsum("lw"), score_round).alias("logratio"),
+            )
+            .select("doc_id", "n_tokens", "logratio")
+        )
     return (
         toks.join(lw_side, "term")
         .groupBy("doc_id")
