@@ -537,19 +537,43 @@ def bigram_logprob(
         ).alias("p"),
     ).select("doc_id", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
     bc = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("cb"))
+    # Round 13 (guide §2.4): the per-context totals ride WINDOWS over
+    # the bigram-type table instead of separate groupBy aggregates
+    # joined back — each old aggregate was a second/third consumer of
+    # bc whose ColumnPruning-specialized copy re-executed the whole
+    # bigram partial-agg map stage (stage-trace verified: byte-
+    # identical duplicated stages; a persist is NOT an option here —
+    # caching one scorer's subtree breaks the DoReMi pair's shared
+    # tokenization exchange, and cached plans lose AQE). A window
+    # partitioned by a vocab-keyed column distributes at any scale
+    # (one exchange + sort of the TYPE table, strictly cheaper than
+    # re-aggregating it), and sums of longs are exact, so cl/n1l/n1r
+    # are bit-identical to the old join columns. Only the GLOBAL
+    # counts (N1+(·,·), corpus totals) keep the 1-row-broadcast
+    # aggregate — a global window would single-partition the
+    # unbounded type table.
+    from pyspark.sql import Window
+
     if smoothing == "kn":
-        # c(v) and N1+(v,·) fold into ONE vocab-sized agg; N1+(·,w)
-        # is a second vocab-sized agg of the SAME bigram-type table;
-        # N1+(·,·) is a 1-row count broadcast into the join — no
-        # extra corpus pass for any of them
-        ctx = bc.groupBy("l").agg(
-            F.sum("cb").alias("cl"), F.count(F.lit(1)).alias("n1l")
-        )
-        rc = bc.groupBy("r").agg(F.count(F.lit(1)).alias("n1r"))
+        wl = Window.partitionBy("l")
+        wr = Window.partitionBy("r")
         nbt = bc.agg(F.count(F.lit(1)).alias("_nbt"))
         lp = (
-            bc.join(ctx, "l")
-            .join(rc, "r")
+            bc.select(
+                "l",
+                "r",
+                "cb",
+                F.sum("cb").over(wl).alias("cl"),
+                F.count(F.lit(1)).over(wl).alias("n1l"),
+            )
+            .select(
+                "l",
+                "r",
+                "cb",
+                "cl",
+                "n1l",
+                F.count(F.lit(1)).over(wr).alias("n1r"),
+            )
             .crossJoin(F.broadcast(nbt))
             .select(
                 "l",
@@ -576,9 +600,9 @@ def bigram_logprob(
         )
         uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
         tot = uc.agg(F.sum("cw").alias("_n"), F.count(F.lit(1)).alias("_v"))
-        ctx = bc.groupBy("l").agg(F.sum("cb").alias("cl"))
+        wl = Window.partitionBy("l")
         lp = (
-            bc.join(ctx, "l")
+            bc.select("l", "r", "cb", F.sum("cb").over(wl).alias("cl"))
             .join(uc.withColumnRenamed("w", "r"), "r")
             .crossJoin(F.broadcast(tot))
             .select(
@@ -2075,19 +2099,37 @@ def trigram_logprob(
         .where(F.col("doc_id").isNotNull())
         .repartition("doc_id")
     )
+    from pyspark.sql import Window
+
     tri = _trigram_explode(base)
     tc = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
-    # top level: c(uv·) and N1+(uv·) in ONE (u,v)-keyed agg
-    cuv = tc.groupBy("u", "v").agg(
-        F.sum("c3").alias("cuv"), F.count(F.lit(1)).alias("n1uv")
-    )
+    # Round 13 (guide §2.4, the bigram_logprob window rule): the
+    # per-context totals ride WINDOWS instead of separate aggregates
+    # joined back. The old cuv/midv/contw aggregates made tc a
+    # 3-consumer and cont2 a 4-consumer table whose ColumnPruning-
+    # specialized copies re-executed their partial-agg map stages per
+    # consumer (stage-trace verified: three byte-identical duplicated
+    # stage pairs, ~2.5 s duplicated executor time at sf0.1; persist
+    # is ruled out — cached plans lose AQE, measured 23 s executor).
+    # Windows keyed on vocab-class columns distribute at any scale;
+    # sums/counts of longs are exact, so every formula input is
+    # bit-identical. Only the GLOBAL N1+(···) keeps the 1-row
+    # broadcast aggregate. tc now has 2 consumers (cont2 + the lp
+    # chain), cont2 has 2 (its window chain + ntot).
+    # top level, on the lp chain itself: c(uv·) and N1+(uv·)
+    wuv = Window.partitionBy("u", "v")
     # middle level: continuation counts N1+(·vw), then their v-totals
+    # and the w-level continuation as windows over the cont2 table
     cont2 = tc.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n1vw"))
-    midv = cont2.groupBy("v").agg(
-        F.sum("n1vw").alias("n1v_"), F.count(F.lit(1)).alias("nv_")
-    )
-    # bottom level: unigram continuation over the SAME cont2 table
-    contw = cont2.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    wv = Window.partitionBy("v")
+    ww = Window.partitionBy("w")
+    cont2w = cont2.select(
+        "v",
+        "w",
+        "n1vw",
+        F.sum("n1vw").over(wv).alias("n1v_"),
+        F.count(F.lit(1)).over(wv).alias("nv_"),
+    ).select("v", "w", "n1vw", "n1v_", "nv_", F.count(F.lit(1)).over(ww).alias("n1w"))
     ntot = cont2.agg(F.count(F.lit(1)).alias("_ntc"))
     d = F.lit(float(discount))
     p_cont = F.col("n1w") / F.col("_ntc").cast("double")
@@ -2096,10 +2138,15 @@ def trigram_logprob(
         + (d * F.col("nv_") / F.col("n1v_")) * p_cont
     )
     lp = (
-        tc.join(cuv, ["u", "v"])
-        .join(cont2, ["v", "w"])
-        .join(midv, "v")
-        .join(contw, "w")
+        tc.select(
+            "u",
+            "v",
+            "w",
+            "c3",
+            F.sum("c3").over(wuv).alias("cuv"),
+            F.count(F.lit(1)).over(wuv).alias("n1uv"),
+        )
+        .join(cont2w, ["v", "w"])
         .crossJoin(F.broadcast(ntot))
         .select(
             "u",

@@ -337,10 +337,13 @@ def test_vocab_sized_tables_never_hint_broadcast(q, spark, sf_dir):
     tgt = F.col("doc_id") % 2 == 0
     uni = curation.dsir_importance_scores(docs, tgt, features="unigrams")
     assert plans.broadcast_hint_count(uni) == 1
+    # hashed_ngrams: ONE hint — the <=10k-bucket log-weight table (by
+    # construction); since round 13 its totals ride a bounded global
+    # window over the tf table instead of a 1-row broadcast normalizer
     hashed = curation.dsir_importance_scores(
         docs, tgt, features="hashed_ngrams"
     )
-    assert plans.broadcast_hint_count(hashed) == 2
+    assert plans.broadcast_hint_count(hashed) == 1
 
 
 def test_curriculum_shards_single_exchange_no_python(q):
