@@ -125,37 +125,51 @@ def ngram_jaccard_pairs(
     distinct shingles — ~1e-11 at oracle scale, and a ±1/n jaccard
     perturbation at any scale, far below the threshold granularity.
     """
+    from pyspark.sql import Window
+
     # gram table materialized at ONE doc_id exchange: the df-cap
-    # aggregate, the per-doc sizes aggregate, and the self-join's two
-    # sides otherwise each re-run tokenize + n-gram + xxhash from the
-    # scan (up to 5 recomputes; AQE stage reuse across the consumers —
-    # measured dedup_ngram_jaccard ~2.8 s -> ~2.0 s at sf0.1)
+    # aggregate, the per-doc sizes, and the self-join's two sides
+    # otherwise each re-run tokenize + n-gram + xxhash from the scan.
+    # Round 13 refinements (stage-trace verified): (a) the uniform
+    # isnotnull(doc_id) guard — the self-join's a.doc_id < b.doc_id
+    # inferred it into the join branches only, splitting their
+    # exchange subtrees off the aggregate branches'; value-identical
+    # because a NULL id can never satisfy the < predicate, so no pair
+    # ever carried one; (b) sizes ride a WINDOW on the exchange's own
+    # partitioning instead of a groupBy+join — the aggregate was a
+    # third consumer whose ColumnPruning-specialized copy (doc_id
+    # only) re-executed the whole gram map stage; the window leaves
+    # the gram table with exactly TWO byte-identical consumers (the
+    # join sides), which ReuseExchange unifies into ONE execution.
+    # Jaccard arithmetic is unchanged (same ints, same division).
     grams = (
         exploded_ngrams(docs, text_col, id_col, n)
         .select("doc_id", F.xxhash64("g").alias("g"))
+        .where(F.col("doc_id").isNotNull())
         .repartition("doc_id")
     )
     if max_shingle_freq is not None:
         # drop stop-shingles via broadcast ANTI-join against the
         # df > cap set: stop-shingles are FEW by construction, so the
         # filter costs one broadcast instead of shuffling the full
-        # gram table against an almost-as-large "rare" set
+        # gram table against an almost-as-large "rare" set.
+        # count("doc_id") == count(1) here (the guard above makes
+        # doc_id non-null) but it keeps this aggregate's pruned
+        # column set equal to the probe side's so the pre-cap gram
+        # subtree stays reusable.
         common = (
-            grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            grams.groupBy("g").agg(F.count("doc_id").alias("df"))
             .filter(F.col("df") > max_shingle_freq)
             .select("g")
         )
         grams = grams.join(F.broadcast(common), "g", "anti")
-    # round 13 (guide §2.4): per-doc sizes ride the GRAM table through
-    # the self-join instead of joining the (pair-count-sized) inter
-    # table twice afterwards. sizes hangs off the same doc_id exchange
-    # as grams (partial agg reuses the partitioning), the grams⋈sizes
-    # attach is co-partitioned (no exchange), and the two post-agg
-    # joins of inter — each an exchange over the BIGGEST table in the
-    # plan — disappear for +8 bytes/gram-row in the self-join shuffle.
-    # Jaccard arithmetic is unchanged (same ints, same division).
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    sized = grams.join(sizes, "doc_id")
+    sized = grams.select(
+        "doc_id",
+        "g",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id"))
+        .alias("n_grams"),
+    )
     a = sized.alias("a")
     b = sized.alias("b")
     inter = (
@@ -1738,25 +1752,32 @@ def ngram_containment_pairs(
     intersection table: (id_src, id_dst, containment) means id_src's
     shingle set is ≥ threshold contained in id_dst's.
     """
-    # same shared-exchange boundary as ngram_jaccard_pairs (the cap,
-    # sizes, and self-join consumers otherwise re-shingle the corpus)
+    from pyspark.sql import Window
+
+    # same shared-exchange boundary + round-13 refinements as
+    # ngram_jaccard_pairs (uniform isnotnull guard, window sizes,
+    # count("doc_id") in the cap — see there); the containment
+    # divisions are unchanged (same ints)
     grams = (
         exploded_ngrams(docs, text_col, id_col, n)
         .select("doc_id", F.xxhash64("g").alias("g"))
+        .where(F.col("doc_id").isNotNull())
         .repartition("doc_id")
     )
     if max_shingle_freq is not None:
         common = (
-            grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            grams.groupBy("g").agg(F.count("doc_id").alias("df"))
             .filter(F.col("df") > max_shingle_freq)
             .select("g")
         )
         grams = grams.join(F.broadcast(common), "g", "anti")
-    # sizes ride the gram table through the self-join — same §2.4
-    # restructure as ngram_jaccard_pairs (see there); the containment
-    # divisions are unchanged (same ints)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    sized = grams.join(sizes, "doc_id")
+    sized = grams.select(
+        "doc_id",
+        "g",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id"))
+        .alias("n_grams"),
+    )
     a = sized.alias("a")
     b = sized.alias("b")
     both = (

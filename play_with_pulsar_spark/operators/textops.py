@@ -410,7 +410,13 @@ def unigram_logprob(
             .groupBy("term")
             .agg(F.sum("tf").alias("tf"))
         )
-    total = tf.agg(F.sum("tf").alias("n_total"))  # exact: sum of longs
+    # N = count of exploded tokens — identical to sum(tf) (and to the
+    # pooled-floor sum: pooling preserves total mass), but it consumes
+    # the ALREADY-REUSED doc_id exchange instead of making tf a
+    # second-consumer table whose ColumnPruning-specialized copy
+    # re-executes the vocab partial-agg map stage (round 13, the
+    # dsir/LM-family stage-trace finding)
+    total = exploded.agg(F.count(F.lit(1)).alias("n_total"))
     term_logp = (
         tf.crossJoin(F.broadcast(total))
         .select(
