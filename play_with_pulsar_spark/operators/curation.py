@@ -530,8 +530,10 @@ def dsir_importance_scores(
     leaves the join UNHINTED — the table is vocabulary-sized
     (Heaps': 10⁸-10⁹ types at 25 T tokens, SCALING.md), so it
     shuffles co-partitioned on term and AQE broadcasts only when
-    measured-small. Totals ride a 1-row broadcast crossJoin (no
-    driver scalars). Per-term log-weights are rounded to
+    measured-small. Totals: the unigram form rides a 1-row broadcast
+    crossJoin (no driver scalars); the hashed form rides ONE bounded
+    global window over the ≤ n_buckets tf table (round 13 — see the
+    inline notes). Per-term log-weights are rounded to
     ``logw_round`` BEFORE the exact decimal per-doc sum, so engine
     log() ulps never reach the compared digits.
     """

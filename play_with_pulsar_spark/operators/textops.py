@@ -498,11 +498,12 @@ def bigram_logprob(
     per-doc scoring join shuffles on the (v, r) bigram key, a plain
     co-partitioned hash join that scales with executors), and (c)
     the per-doc scoring pass. Context counts c(v) — and, for KN, the
-    distinct-continuation counts N1+(v,·) — fold into ONE
-    vocabulary-sized aggregate over the bigram table; N1+(·,w) is a
-    second vocabulary-sized aggregate of the same table; N1+(·,·) is
-    a 1-row count. Nothing beyond the bigram-type table is ever
-    re-derived from the corpus.
+    distinct-continuation counts N1+(v,·) and N1+(·,w) — ride
+    WINDOWS partitioned on the vocab-class keys of the bigram-type
+    table (round 13; sums/counts of longs, bit-identical to the old
+    aggregate+join form); only the global N1+(·,·) is a 1-row count.
+    Nothing beyond the bigram-type table is ever re-derived from the
+    corpus.
     Documents with fewer than 2 tokens survive with n_bigrams = 0 and
     NULL scores (a filter must account for every input row).
     Determinism: per-bigram log p rounded to 8 decimals before the
@@ -2091,10 +2092,11 @@ def trigram_logprob(
 
     Scale shape: one tokenization scan; the trigram-TYPE aggregate is
     the only corpus-scale shuffle (NOT broadcast — real corpora have
-    more trigram types than bigram types); the two continuation
-    tables (N1+(·vw) and its v-level totals) and the unigram
-    continuation are vocabulary-class aggregates OF the trigram
-    table, never a second corpus pass; scoring joins on the trigram
+    more trigram types than bigram types); the top-level totals ride
+    WINDOWS on the lp chain itself, and the continuation table's
+    v/w-level totals ride windows over it (round 13 — sums/counts of
+    longs, bit-identical to the old aggregate+join form), never a
+    second corpus pass; scoring joins on the trigram
     key co-partitioned. Docs with <3 tokens survive with
     n_trigrams = 0 and NULL scores. Determinism: per-trigram log p
     rounded to 8 before the exact decimal sum (the family protocol)."""
